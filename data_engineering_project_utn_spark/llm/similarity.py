@@ -1,0 +1,117 @@
+"""Similarity search over embedding columns (array<float>).
+
+Scale design:
+
+* ``cosine`` / ``dot`` are sequential left folds (Catalyst ``aggregate``
+  expression) — JVM codegen, deterministic order → bit-exact vs a DuckDB
+  ``list_reduce`` oracle, and no Python in the hot path.
+* Brute-force top-k (`knn_brute`) is the correctness baseline: one pass over
+  N rows per query, TakeOrdered — fine for batch scoring, O(N·d) per query.
+* The scale path is sign-LSH bucketing (`lsh_bucket`, random-hyperplane
+  signatures — Charikar '02): candidates share a bucket, so query cost drops
+  to O(bucket).  Hyperplane weights are small deterministic integers derived
+  from (plane, dim) index arithmetic, so the bucketing is reproducible in
+  SQL oracles (no RNG state).
+* For co-located joins at 100 TB, write bucketed tables
+  (``df.write.bucketBy(B, "bucket")``) so repeated ANN queries never
+  re-shuffle the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i as a sequential left fold (init 0.0) in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def knn_brute(
+    embeddings: DataFrame,
+    query_vec: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of one query against the corpus.
+
+    ``query_vec``: single-row frame with column ``qv`` (and optionally
+    ``q_id`` to exclude self-matches).  Broadcast — the corpus never moves.
+    """
+    joined = embeddings.join(F.broadcast(query_vec))
+    sim = cosine(F.col("qv"), F.col(vec_col))
+    out = joined.select(F.col(id_col), sim.alias("cos_sim"))
+    if "q_id" in query_vec.columns:
+        out = joined.filter(F.col(id_col) != F.col("q_id")).select(
+            F.col(id_col), sim.alias("cos_sim")
+        )
+    return out.orderBy(F.desc("cos_sim"), id_col).limit(k)
+
+
+def _plane_weight(plane: Column, dim: Column) -> Column:
+    """Deterministic pseudo-random hyperplane weight in {-3..3}:
+    ((plane·31 + dim·17) mod 7) - 3."""
+    return ((plane * 31 + dim * 17) % 7 - 3).cast("double")
+
+
+def lsh_signature(vec: Column, n_planes: int = 8) -> Column:
+    """Sign-LSH bucket id: n_planes sign bits packed into a long."""
+    def bit(p: Column) -> Column:
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda x, i: x.cast("double") * _plane_weight(p, i),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        # 1 << p, expressed arithmetically (shiftleft needs a literal count)
+        return F.when(proj > 0, F.pow(F.lit(2.0), p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc + bit(p),
+    )
+
+
+def knn_lsh(
+    embeddings: DataFrame,
+    query_vec: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: restrict the scan to the query's LSH bucket, then exact
+    cosine within it.  Recall < 1 by construction (bucket boundary misses);
+    multi-probe = union over neighboring buckets if needed."""
+    with_bucket = embeddings.withColumn("bucket", lsh_signature(F.col(vec_col), n_planes))
+    q = query_vec.withColumn("q_bucket", lsh_signature(F.col("qv"), n_planes))
+    joined = with_bucket.join(
+        F.broadcast(q), F.col("bucket") == F.col("q_bucket")
+    )
+    sim = cosine(F.col("qv"), F.col(vec_col))
+    out = joined.select(F.col(id_col), sim.alias("cos_sim"))
+    if "q_id" in query_vec.columns:
+        out = joined.filter(F.col(id_col) != F.col("q_id")).select(
+            F.col(id_col), sim.alias("cos_sim")
+        )
+    return out.orderBy(F.desc("cos_sim"), id_col).limit(k)

@@ -1,0 +1,93 @@
+"""Text analysis for training-data pipelines — token stats, quality scoring,
+language ID, fingerprinting.
+
+All pure Column expressions (JVM codegen, zero Python in the hot path), so a
+100 TB document corpus is processed at scan speed with no shuffle: every op
+here is a narrow per-row projection.  Aggregation layers on top shuffle once
+on their group key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword langid heuristic.
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "de": ("der", "die", "das", "und", "ist", "von", "ein", "zu"),
+    "fr": ("le", "la", "de", "et", "un", "est", "que", "en"),
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (lowercased)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(c), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def distinct_token_count(text: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(text))).cast("long")
+
+
+def stopword_count(text: Column | str, lang: str = "en") -> Column:
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(words, t))).cast(
+        "long"
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite quality in [0,1]: length saturation + stopword share +
+    lexical diversity.  Mirrors the length/punct/stopword-ratio scoring used
+    in large-scale corpus filtering (e.g. C4/Gopher rules), restricted to
+    deterministic integer-derived arithmetic so oracles hash-match."""
+    n = token_count(text).cast("double")
+    stop_ratio = stopword_count(text).cast("double") / n
+    uniq_ratio = distinct_token_count(text).cast("double") / n
+    length_sat = F.least(n / F.lit(100.0), F.lit(1.0))
+    return (
+        F.lit(0.4) * length_sat + F.lit(0.3) * stop_ratio + F.lit(0.3) * uniq_ratio
+    )
+
+
+def langid_scores(text: Column | str) -> dict[str, Column]:
+    """Stopword-hit count per candidate language."""
+    return {lang: stopword_count(text, lang) for lang in STOPWORDS}
+
+
+def predicted_lang(text: Column | str) -> Column:
+    """argmax over language stopword hits; 'und' (undetermined) when all 0.
+
+    Deterministic tie-break: earlier language in (en, es, de, fr) wins —
+    a strictly-greater fold, reproducible as a nested CASE in SQL.
+    """
+    scores = langid_scores(text)
+    best_lang = F.lit("und")
+    best_score = F.lit(0).cast("long")
+    for lang in ("en", "es", "de", "fr"):
+        s = scores[lang]
+        wins = s > best_score
+        best_lang = F.when(wins, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(wins, s).otherwise(best_score)
+    return best_lang
+
+
+def shingles(text: Column | str, n: int = 5) -> Column:
+    """n-gram (word) shingles: array of space-joined n-token windows.
+    Docs shorter than n tokens yield a single shingle of the whole doc."""
+    toks = tokens(text)
+    k = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(k - F.lit(n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def rolling_fingerprint(text: Column | str, n: int = 5) -> Column:
+    """Document fingerprint = lexicographic min of md5(shingle) — a 1-perm
+    MinHash over rolling n-gram windows (content-defined, order-sensitive)."""
+    return F.array_min(F.transform(shingles(text, n), F.md5))

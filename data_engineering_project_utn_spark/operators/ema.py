@@ -1,0 +1,83 @@
+"""Exponential moving average — the reference's only genuinely stateful op.
+
+Reference: per-message Python recurrence ``avg = α·x + (1-α)·avg`` with
+short/long factors (`Real Final APP/Dashboard_Live_Final.py:577-624`,
+`Kafka/ddb_wrappers.py:47-88`; α ∈ {0.02, 0.005, 0.0002}).
+
+Batch form here: order-sensitive fold per key.  Spark has no built-in
+running-EMA aggregate, so we use ``aggregate()`` (a Catalyst fold expression)
+over ``collect_list`` of (ts-sorted) structs — stays JVM-side, no Python.
+This is exact and deterministic; state per key is O(rows-per-key), so at
+100 TB keys must be bounded (instance_id / user_id are — small domains).
+The trailing-window variant bounds state for unbounded keys.
+
+Streaming form: ``streaming.stateful_ema`` (applyInPandasWithState).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def ema_expr(values_sorted: Column, alpha: float) -> Column:
+    """Fold EMA over an array column (already event-time-ordered).
+
+    y_0 = x_0;  y_i = α·x_i + (1-α)·y_{i-1}  — matches the reference's
+    initialisation (first observation seeds the average,
+    `Kafka/ddb_wrappers.py:56-60`).
+    """
+    a = F.lit(float(alpha))
+    return F.aggregate(
+        values_sorted,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.coalesce(a * x + (F.lit(1.0) - a) * acc, x.cast("double")),
+    )
+
+
+def ema_by_key(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float,
+    out_col: str = "ema",
+) -> DataFrame:
+    """Final EMA value per key after folding all rows in ``order_col`` order.
+
+    One shuffle on the key; the sort happens inside ``array_sort`` on the
+    collected (order, value) structs, i.e. within each group.
+    """
+    pairs = F.array_sort(
+        F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(value_col).alias("v")))
+    )
+    values = F.transform(pairs, lambda s: s["v"].cast("double"))
+    return df.groupBy(*[F.col(c) for c in key_cols]).agg(
+        ema_expr(values, alpha).alias(out_col),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+
+
+def stress_index(
+    stress: DataFrame,
+    order_col: str = "arrival_timestamp",
+    alpha_short: float = 0.02,
+    alpha_long: float = 0.005,
+) -> DataFrame:
+    """Short/long EMA of (execution_duration_ms + mbytes_spilled) pressure —
+    the live stress index (`Dashboard_Live_Final.py:596-618`).  Global fold
+    (single group) exactly like the reference's single consumer loop."""
+    pressure = (
+        F.col("execution_duration_ms").cast("double")
+        + F.coalesce(F.col("mbytes_spilled"), F.lit(0.0)).cast("double")
+    )
+    with_p = stress.withColumn("_pressure", pressure)
+    pairs = F.array_sort(
+        F.collect_list(F.struct(F.col(order_col).alias("o"), F.col("_pressure").alias("v")))
+    )
+    values = F.transform(pairs, lambda s: s["v"])
+    return with_p.agg(
+        ema_expr(values, alpha_short).alias("ema_short"),
+        ema_expr(values, alpha_long).alias("ema_long"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )

@@ -1,0 +1,155 @@
+"""Ingestion-interval / data-freshness core — the historical plane's heart.
+
+Reference semantics (two variants, which disagree — SURVEY.md §7.2):
+
+* J1: self left-join to *all* later events + DISTINCT
+  (`Real Final APP/Dashboard_Historical_Final.py:216-238`) — fans out one row
+  per later ingestion, O(n²) per key.
+* J2: correlated MIN subquery = *next* ingestion
+  (`Dashboard/update_tables.py:55-78`, comments :53-54 state this as intent).
+
+We build to the J2/as-of intent with ``lead()`` over
+``Window.partitionBy(instance_id, write_table_id).orderBy(arrival_timestamp)``
+— one shuffle on the partition keys, no self-join, no fan-out, linear work.
+At 100 TB this is the difference between a sort within each (instance, table)
+partition and a quadratic blow-up; with AQE skew-join handling the hot
+instance keys split automatically.
+
+``output_table`` reproduces
+`Dashboard_Historical_Final.py:241-312`: annotate every query with its
+bracketing ingestion interval via an interval/theta join whose equality arms
+(instance_id + table_id) keep it a hash join with a range post-filter —
+verified via ``.explain()`` (SortMergeJoin/ShuffledHashJoin on the equi-keys,
+never BroadcastNestedLoopJoin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_engineering_project_utn_spark.functions.scalar import epoch_ms
+from data_engineering_project_utn_spark.schema import (
+    FAR_FUTURE_TS,
+    INGESTION_QUERY_TYPES,
+)
+
+
+def ingestion_intervals(
+    flat: DataFrame,
+    ingestion_types: tuple[str, ...] = INGESTION_QUERY_TYPES,
+) -> DataFrame:
+    """Next-ingestion interval per (instance_id, write_table_id).
+
+    Input: FLATTENED_SCHEMA rows.  Output columns: instance_id, query_id,
+    write_table_id, current_timestamp, next_timestamp — matching the
+    reference DDL (`Dashboard_Historical_Final.py:41-48`).
+
+    The flattened input carries one row per exploded read_table_id, so an
+    ingestion *event* appears multiple times; intervals are computed over
+    distinct events (the reference's SELECT DISTINCT does the same dedup).
+    """
+    events = (
+        flat.filter(F.col("query_type").isin(*ingestion_types))
+        .select("instance_id", "query_id", "write_table_id", "arrival_timestamp")
+        .dropDuplicates(["instance_id", "query_id", "write_table_id", "arrival_timestamp"])
+    )
+    w = Window.partitionBy("instance_id", "write_table_id").orderBy(
+        "arrival_timestamp", "query_id"
+    )
+    return events.select(
+        "instance_id",
+        "query_id",
+        "write_table_id",
+        F.col("arrival_timestamp").alias("current_timestamp"),
+        F.lead("arrival_timestamp").over(w).alias("next_timestamp"),
+    )
+
+
+def output_table(flat: DataFrame, intervals: DataFrame) -> DataFrame:
+    """Annotate queries with bracketing ingestion windows + freshness deltas.
+
+    Reproduces `Dashboard_Historical_Final.py:241-312` (with the as-of
+    interval semantics of `Dashboard/update_tables.py:103-166`):
+
+    * non-ingestion queries inner-join the ingestion interval that brackets
+      their arrival (NULL next → 2999-12-31 sentinel), matching on
+      read_table_id for selects and write_table_id otherwise;
+    * ingestion queries are appended back untouched (UNION ALL add-back,
+      time_since_last = 0 relative to their own interval).
+    """
+    far_future = F.lit(FAR_FUTURE_TS).cast("timestamp")
+
+    iv = intervals.select(
+        F.col("instance_id").alias("i_instance_id"),
+        F.col("write_table_id").alias("i_write_table_id"),
+        F.col("current_timestamp").alias("last_write_table_insert"),
+        F.col("next_timestamp").alias("next_write_table_insert"),
+    )
+
+    non_ing = flat.filter(~F.col("query_type").isin(*INGESTION_QUERY_TYPES))
+    # Equality arms keep this a shuffled hash/sort-merge join on
+    # (instance_id, table_id); the BETWEEN range is a post-join filter.
+    matched = non_ing.join(
+        iv,
+        on=(
+            (non_ing["instance_id"] == iv["i_instance_id"])
+            & (
+                F.when(
+                    non_ing["query_type"] == "select",
+                    non_ing["read_table_id"] == iv["i_write_table_id"],
+                ).otherwise(non_ing["write_table_id"] == iv["i_write_table_id"])
+            )
+            & (non_ing["arrival_timestamp"] >= iv["last_write_table_insert"])
+            & (
+                non_ing["arrival_timestamp"]
+                <= F.coalesce(iv["next_write_table_insert"], far_future)
+            )
+        ),
+        how="inner",
+    ).select(
+        non_ing["instance_id"],
+        non_ing["query_id"],
+        non_ing["query_type"],
+        non_ing["write_table_id"],
+        non_ing["read_table_id"],
+        non_ing["arrival_timestamp"],
+        iv["last_write_table_insert"],
+        iv["next_write_table_insert"],
+    ).dropDuplicates()
+
+    ing = (
+        flat.filter(F.col("query_type").isin(*INGESTION_QUERY_TYPES))
+        .join(
+            intervals.select(
+                "instance_id",
+                "query_id",
+                "write_table_id",
+                F.col("current_timestamp").alias("last_write_table_insert"),
+                F.col("next_timestamp").alias("next_write_table_insert"),
+            ),
+            on=["instance_id", "query_id", "write_table_id"],
+            how="left",
+        )
+        .select(
+            "instance_id",
+            "query_id",
+            "query_type",
+            "write_table_id",
+            "read_table_id",
+            "arrival_timestamp",
+            "last_write_table_insert",
+            "next_write_table_insert",
+        )
+    )
+
+    out = matched.unionByName(ing)
+    return out.select(
+        "*",
+        epoch_ms(F.col("arrival_timestamp"), F.col("last_write_table_insert")).alias(
+            "time_since_last_ingest_ms"
+        ),
+        epoch_ms(F.col("next_write_table_insert"), F.col("arrival_timestamp")).alias(
+            "time_to_next_ingest_ms"
+        ),
+    )

@@ -1,0 +1,401 @@
+"""Training-data pipeline queries (dedup, text analysis, similarity search,
+multimodal) on the driver's ``documents`` and ``embeddings`` tables.
+
+These go beyond the reference's own surface (BASELINE.json north star).
+Oracle SQL mirrors each Spark expression *operation-for-operation* (same
+fold order, same integer arithmetic) so doubles hash-match bit-exactly —
+see the determinism contract in plans/registry.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_project_utn_spark.llm import dedup as dd
+from data_engineering_project_utn_spark.llm import multimodal as mm
+from data_engineering_project_utn_spark.llm import similarity as sim
+from data_engineering_project_utn_spark.llm import text as tx
+from data_engineering_project_utn_spark.plans.registry import register
+from data_engineering_project_utn_spark.tables import load_table
+
+# Oracle fragment: whitespace tokens, lowercased (== llm.text.tokens).
+_TOKS = r"string_split_regex(lower(text), '\s+')"
+# Oracle fragment: 5-gram shingle strings from token list ``t``.
+_SHINGLES = "list_transform(range(1, greatest(len(t) - 4, 1) + 1), i -> array_to_string(t[i:i+4], ' '))"
+# Oracle fragment: sequential-fold dot product of two lists (matches
+# llm.similarity.dot: left fold, init 0 absorbed by first addition).
+def _dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)"
+    )
+
+
+@register(
+    "llm_dedup_summary",
+    oracle=f"""
+    SELECT COUNT(*) AS total_docs,
+           COUNT(DISTINCT md5(text)) AS distinct_content,
+           COUNT(DISTINCT md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')))
+               AS distinct_normalized,
+           COUNT(*) - COUNT(DISTINCT md5(text)) AS exact_dups,
+           COUNT(*) - COUNT(DISTINCT md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')))
+               AS normalized_dups
+    FROM documents
+    """,
+    tags=("llm", "dedup", "bench"),
+)
+def llm_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact + normalized (order/case-invariant) dedup accounting.
+
+    Hash-groupBy dedup: one shuffle on a 128-bit digest — the exact-dedup
+    baseline for corpus hygiene at any scale (count-distinct here is
+    partial-aggregated; swap to approx_count_distinct at 100 TB if ±1% ok).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.countDistinct(dd.content_hash("text")).alias("distinct_content"),
+        F.countDistinct(dd.normalized_hash("text")).alias("distinct_normalized"),
+        (F.count(F.lit(1)) - F.countDistinct(dd.content_hash("text"))).alias("exact_dups"),
+        (F.count(F.lit(1)) - F.countDistinct(dd.normalized_hash("text"))).alias(
+            "normalized_dups"
+        ),
+    )
+
+
+@register(
+    "llm_token_stats",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, lang, source, n_chars, {_TOKS} AS t FROM documents)
+    SELECT doc_id, lang, source, n_chars,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+           CAST(len(list_filter(t, x -> list_contains(['the','a','and','of','to','in','is','it'], x))) AS BIGINT)
+               AS n_stopwords
+    FROM tk
+    """,
+    tags=("llm", "text"),
+)
+def llm_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counting (whitespace tokenizer) — narrow
+    projection, scan-speed at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        tx.token_count("text").alias("n_tokens"),
+        tx.distinct_token_count("text").alias("n_distinct_tokens"),
+        tx.stopword_count("text", "en").alias("n_stopwords"),
+    )
+
+
+@register(
+    "llm_quality_scores",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    m AS (SELECT doc_id,
+                 CAST(len(t) AS BIGINT) AS n,
+                 CAST(len(list_filter(t, x -> list_contains(['the','a','and','of','to','in','is','it'], x))) AS BIGINT) AS stop,
+                 CAST(len(list_distinct(t)) AS BIGINT) AS uniq
+          FROM tk)
+    SELECT doc_id,
+           0.4 * LEAST(CAST(n AS DOUBLE) / 100.0, 1.0)
+         + 0.3 * (CAST(stop AS DOUBLE) / CAST(n AS DOUBLE))
+         + 0.3 * (CAST(uniq AS DOUBLE) / CAST(n AS DOUBLE)) AS quality
+    FROM m
+    """,
+    tags=("llm", "text", "bench"),
+)
+def llm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length saturation + stopword share + lexical
+    diversity (C4/Gopher-style heuristic filters, deterministic form)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.quality_score("text").alias("quality"))
+
+
+@register(
+    "llm_langid",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+    s AS (SELECT doc_id, lang,
+            CAST(len(list_filter(t, x -> list_contains(['the','a','and','of','to','in','is','it'], x))) AS BIGINT) AS s_en,
+            CAST(len(list_filter(t, x -> list_contains(['el','la','de','que','y','en','un','es'], x))) AS BIGINT) AS s_es,
+            CAST(len(list_filter(t, x -> list_contains(['der','die','das','und','ist','von','ein','zu'], x))) AS BIGINT) AS s_de,
+            CAST(len(list_filter(t, x -> list_contains(['le','la','de','et','un','est','que','en'], x))) AS BIGINT) AS s_fr
+          FROM tk),
+    p AS (SELECT doc_id, lang,
+            CASE WHEN GREATEST(s_en, s_es, s_de, s_fr) <= 0 THEN 'und'
+                 WHEN s_en = GREATEST(s_en, s_es, s_de, s_fr) THEN 'en'
+                 WHEN s_es = GREATEST(s_en, s_es, s_de, s_fr) THEN 'es'
+                 WHEN s_de = GREATEST(s_en, s_es, s_de, s_fr) THEN 'de'
+                 ELSE 'fr' END AS predicted
+          FROM s)
+    SELECT lang, predicted, COUNT(*) AS n FROM p GROUP BY lang, predicted
+    """,
+    tags=("llm", "text", "langid"),
+)
+def llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID vs the labeled lang column
+    (confusion-matrix counts).  Tie-break: first of (en, es, de, fr)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", tx.predicted_lang("text").alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "llm_fingerprints",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents)
+    SELECT doc_id,
+           list_min(list_transform({_SHINGLES}, s -> md5(s))) AS fingerprint,
+           CAST(len({_SHINGLES}) AS BIGINT) AS n_shingles
+    FROM tk
+    """,
+    tags=("llm", "dedup", "fingerprint"),
+)
+def llm_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 5-gram document fingerprint (1-perm MinHash): lexicographic
+    min of shingle digests."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.rolling_fingerprint("text", 5).alias("fingerprint"),
+        F.size(tx.shingles("text", 5)).cast("long").alias("n_shingles"),
+    )
+
+
+@register(
+    "llm_minhash_neardup",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id,
+                  list_transform({_SHINGLES}, s -> md5(s)) AS hd,
+                  list_distinct({_SHINGLES}) AS shset
+           FROM tk),
+    sig AS (SELECT doc_id, shset,
+                   list_transform(range(0, 8),
+                       i -> list_min(list_transform(hd, h -> md5(CAST(i AS VARCHAR) || ':' || h)))) AS sg
+            FROM sh),
+    bands AS (SELECT doc_id, shset, r.b AS band_idx,
+                     md5(array_to_string(sg[r.b*2+1 : r.b*2+2], '|')) AS band_hash
+              FROM sig, range(0, 4) r(b)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id),
+    j AS (SELECT c.doc_a, c.doc_b,
+                 CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
+                 / (CAST(len(sa.shset) + len(sb.shset) AS DOUBLE)
+                    - CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)) AS jaccard
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b)
+    SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard > 0.5
+    """,
+    tags=("llm", "dedup", "minhash", "bench"),
+)
+def llm_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate detection, exact-Jaccard verified.
+
+    shingle(5-gram) → 8-perm minhash → 4 bands → bucket self-join →
+    Jaccard > 0.5.  Only same-bucket docs are ever compared — the shuffle
+    key space is the band buckets, never all-pairs (see llm/dedup.py).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cand = dd.minhash_candidates(d, k=8, bands=4, n=5)
+    ta = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            dd.shingle_jaccard(F.col("text_a"), F.col("text_b"), 5).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") > 0.5)
+    )
+
+
+@register(
+    "llm_simhash",
+    oracle=None,  # conv(hex→long) has no cheap DuckDB twin; pytest-verified
+    tags=("llm", "dedup", "simhash", "rows-only"),
+)
+def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signatures + signature-collision groups (near-dup by
+    Hamming-0).  Rows-only driver check; properties tested in pytest."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = d.select("doc_id", dd.simhash16("text").alias("simhash"))
+    return (
+        sigs.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc"))
+        .orderBy("simhash")
+    )
+
+
+@register(
+    "llm_knn_cosine",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           {_dot('q.qv', 'e.embedding')}
+           / (sqrt({_dot('q.qv', 'q.qv')}) * sqrt({_dot('e.embedding', 'e.embedding')}))
+               AS cos_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> q.q_id
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+    tags=("llm", "similarity", "bench"),
+)
+def llm_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for query vec_id=0 — the exact-ANN
+    baseline.  Query broadcast; corpus never moves; TakeOrdered top-k."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    return sim.knn_brute(e, q, k=10)
+
+
+@register(
+    "llm_lsh_ann",
+    oracle=f"""
+    WITH sigs AS (
+        SELECT vec_id, embedding,
+               list_sum(list_transform(range(0, 8), p -> CASE WHEN
+                   list_reduce(list_transform(list_zip(embedding, range(0, 64)),
+                       z -> CAST(z[1] AS DOUBLE) * CAST(((p*31 + z[2]*17) % 7 - 3) AS DOUBLE)),
+                       (acc, x) -> acc + x) > 0
+                   THEN CAST(1 << p AS BIGINT) ELSE 0 END)) AS bucket
+        FROM embeddings
+    ), q AS (SELECT vec_id AS q_id, embedding AS qv, bucket AS q_bucket
+             FROM sigs WHERE vec_id = 0)
+    SELECT s.vec_id,
+           {_dot('q.qv', 's.embedding')}
+           / (sqrt({_dot('q.qv', 'q.qv')}) * sqrt({_dot('s.embedding', 's.embedding')}))
+               AS cos_sim
+    FROM sigs s, q
+    WHERE s.bucket = q.q_bucket AND s.vec_id <> q.q_id
+    ORDER BY cos_sim DESC, s.vec_id
+    LIMIT 10
+    """,
+    tags=("llm", "similarity", "ann"),
+)
+def llm_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN (the 100 TB scale path): 8 deterministic
+    hyperplanes → bucket id → exact cosine within the query's bucket only.
+    Recall tested against llm_knn_cosine in pytest."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    return sim.knn_lsh(e, q, k=10, n_planes=8)
+
+
+@register(
+    "llm_label_similarity",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.label,
+               {_dot('a.embedding', 'b.embedding')}
+               / (sqrt({_dot('a.embedding', 'a.embedding')})
+                  * sqrt({_dot('b.embedding', 'b.embedding')})) AS cos_sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT label,
+           COUNT(*) AS n_pairs,
+           COUNT(CASE WHEN cos_sim > 0.9 THEN 1 END) AS high_sim_pairs,
+           CAST(SUM(CAST(FLOOR(cos_sim * 1e12) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / 1e12 AS avg_cos
+    FROM pairs GROUP BY label ORDER BY label
+    """,
+    tags=("llm", "similarity", "neardup"),
+)
+def llm_label_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup stats with label blocking: pairwise cosine
+    within label only (blocking keeps it O(Σ|block|²), never all-pairs;
+    at scale the block key is the LSH bucket instead)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("label"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = e.select(
+        F.col("label"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    pairs = a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
+    cos = sim.cosine(F.col("va"), F.col("vb"))
+    return (
+        pairs.select("label", cos.alias("cos_sim"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count(F.when(F.col("cos_sim") > 0.9, 1)).alias("high_sim_pairs"),
+            # floor-quantize to 1e-12 before the exact integer sum: floor has
+            # no rounding-tie ambiguity, unlike double→decimal casts which
+            # round differently across engines (decimal(38,0) so the sum
+            # can't overflow at 100 TB pair counts).
+            (
+                F.sum(F.floor(F.col("cos_sim") * 1e12).cast("decimal(38,0)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+                / F.lit(1e12)
+            ).alias("avg_cos"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "llm_image_metadata",
+    oracle="""
+    WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n,
+                      substring(text, 1, 64) AS head
+               FROM documents)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_bytes,
+           CAST(n % 64 + 1 AS INTEGER) AS width,
+           CAST((n * 7) % 64 + 1 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(list_sum(list_transform(string_split(head, ''), c -> ascii(c))) AS DOUBLE)
+               / len(string_split(head, '')) AS mean_byte
+    FROM b
+    """,
+    tags=("llm", "multimodal", "pandas-udf"),
+)
+def llm_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: binary payload column →
+    ``mapInPandas`` Arrow-batched decode (deterministic fake codec — see
+    llm/multimodal.py) → typed metadata.  The oracle reproduces the fake
+    codec's integer arithmetic, so the whole Python-batch path is
+    value-checked, not just row-counted.  (Payload = utf-8 text bytes; the
+    corpus is ASCII so bytes ≡ chars in the oracle.)"""
+    d = load_table(spark, sf_dir, "documents")
+    return mm.image_metadata(mm.with_binary_payload(d))
+
+
+@register(
+    "llm_frame_sample",
+    oracle="""
+    WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+    SELECT doc_id, i AS frame_idx, CAST(n AS BIGINT) AS n_bytes
+    FROM b, LATERAL unnest(range(0, GREATEST(CAST(FLOOR((n - 1) / 256.0) AS INTEGER), 0) + 1)) t(i)
+    WHERE i % 16 = 0
+    """,
+    tags=("llm", "multimodal"),
+)
+def llm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling shape: payload → frame offsets → keep
+    every 16th (explode of a generated sequence; narrow, scan-speed)."""
+    d = load_table(spark, sf_dir, "documents")
+    return mm.frame_sample(mm.with_binary_payload(d), every_n=16)

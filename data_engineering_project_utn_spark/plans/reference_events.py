@@ -1,0 +1,612 @@
+"""Reference-semantics queries, exercised on the driver's ``events`` table.
+
+The reference's analytical planes operate on the Redset query log.  The
+driver's correctness gate runs on its own synthetic tables, so we map
+``events`` onto the Redset shape once (``events_as_flat`` ≡ the ``flat``
+CTE in every oracle) and then run the *actual operator library* —
+``operators.intervals`` / ``workload`` / ``histogram`` / ``live`` / ``ema``
+— through the oracle gate.  The Redset-native paths (cleaning, explode)
+are covered by pytest fixtures (FIXTURES.md) since the driver tables have
+no dirty CSV-list columns.
+
+Mapping (arbitrary but fixed; chosen so every downstream operator has
+non-degenerate output — e.g. tables 5-9 receive no transforms, giving the
+>80 %-select classifier both populated arms):
+
+    instance_id  = user_id % 4
+    query_id     = event_id
+    query_type   = purchase→insert, signup→copy, error→update, view/click→select
+    write_table_id = floor(value) % 5 for updates, % 10 otherwise
+    read_table_id  = floor(value*7) % 10
+    arrival_timestamp = ts
+
+Documented divergence from the reference (SURVEY.md §7.2): the reference's
+select-share predicate ``select_count / NULLIF(transform_count +
+select_count, 0) > 0.8`` NULL-propagates for never-transformed tables and
+silently drops them — contradicting its stated intent ("tables where more
+than 80 % of the queries are select").  We COALESCE transform_count to 0,
+so pure-select tables classify as analytical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_engineering_project_utn_spark.operators import ema as ema_ops
+from data_engineering_project_utn_spark.operators import histogram as hist_ops
+from data_engineering_project_utn_spark.operators import intervals as iv_ops
+from data_engineering_project_utn_spark.operators import live as live_ops
+from data_engineering_project_utn_spark.operators import workload as wl_ops
+from data_engineering_project_utn_spark.plans.registry import register
+from data_engineering_project_utn_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Shared events→Redset mapping (Spark side + oracle CTE, kept in lockstep)
+# ---------------------------------------------------------------------------
+
+FLAT_CTE = """
+WITH flat AS (
+    SELECT
+        user_id % 4 AS instance_id,
+        event_id AS query_id,
+        CASE WHEN event_type = 'error' THEN CAST(FLOOR(value) AS BIGINT) % 5
+             ELSE CAST(FLOOR(value) AS BIGINT) % 10 END AS write_table_id,
+        CAST(FLOOR(value * 7) AS BIGINT) % 10 AS read_table_id,
+        ts AS arrival_timestamp,
+        CASE event_type
+            WHEN 'purchase' THEN 'insert'
+            WHEN 'signup' THEN 'copy'
+            WHEN 'error' THEN 'update'
+            ELSE 'select'
+        END AS query_type
+    FROM events
+)
+"""
+
+INTERVALS_CTE = FLAT_CTE + """
+, intervals AS (
+    SELECT instance_id, query_id, write_table_id,
+           arrival_timestamp AS ingest_ts,
+           LEAD(arrival_timestamp) OVER (
+               PARTITION BY instance_id, write_table_id
+               ORDER BY arrival_timestamp, query_id) AS next_ingest_ts
+    FROM flat
+    WHERE query_type IN ('insert', 'copy')
+)
+"""
+
+OUTPUT_CTE = INTERVALS_CTE + """
+, output_t AS (
+    SELECT DISTINCT
+        o.instance_id, o.query_id, o.query_type,
+        o.write_table_id, o.read_table_id, o.arrival_timestamp,
+        i.ingest_ts AS last_write_table_insert,
+        i.next_ingest_ts AS next_write_table_insert
+    FROM flat o
+    JOIN intervals i
+      ON o.instance_id = i.instance_id
+     AND ((o.query_type = 'select' AND o.read_table_id = i.write_table_id)
+          OR (o.query_type <> 'select' AND o.write_table_id = i.write_table_id))
+     AND o.arrival_timestamp >= i.ingest_ts
+     AND o.arrival_timestamp <= COALESCE(i.next_ingest_ts, TIMESTAMP '2999-12-31 00:00:00')
+    WHERE o.query_type NOT IN ('insert', 'copy')
+    UNION ALL
+    SELECT f.instance_id, f.query_id, f.query_type,
+           f.write_table_id, f.read_table_id, f.arrival_timestamp,
+           i.ingest_ts, i.next_ingest_ts
+    FROM flat f
+    JOIN intervals i
+      ON f.instance_id = i.instance_id
+     AND f.query_id = i.query_id
+     AND f.write_table_id = i.write_table_id
+    WHERE f.query_type IN ('insert', 'copy')
+)
+"""
+
+WORKLOAD_CTE = OUTPUT_CTE + """
+, selects AS (
+    SELECT instance_id, read_table_id AS table_id, COUNT(*) AS select_count
+    FROM output_t WHERE query_type = 'select'
+    GROUP BY instance_id, read_table_id
+), transforms AS (
+    SELECT instance_id, write_table_id AS table_id, COUNT(*) AS transform_count
+    FROM output_t WHERE query_type IN ('update', 'delete')
+    GROUP BY instance_id, write_table_id
+), workload AS (
+    SELECT instance_id, table_id, transform_count, select_count
+    FROM selects FULL OUTER JOIN transforms USING (instance_id, table_id)
+), analytical AS (
+    SELECT instance_id, table_id,
+           CAST(select_count AS DOUBLE)
+             / (COALESCE(transform_count, 0) + select_count) AS percentage_select_queries
+    FROM workload
+    WHERE CAST(select_count AS DOUBLE)
+          / (COALESCE(transform_count, 0) + select_count) > 0.80
+)
+"""
+
+
+def events_as_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → FLATTENED_SCHEMA-shaped frame (the ``flat`` CTE, in Spark)."""
+    e = load_table(spark, sf_dir, "events")
+    tid = F.floor(F.col("value")).cast("long")
+    qtype = (
+        F.when(F.col("event_type") == "purchase", F.lit("insert"))
+        .when(F.col("event_type") == "signup", F.lit("copy"))
+        .when(F.col("event_type") == "error", F.lit("update"))
+        .otherwise(F.lit("select"))
+    )
+    return e.select(
+        (F.col("user_id") % 4).alias("instance_id"),
+        F.col("event_id").alias("query_id"),
+        F.when(qtype == "update", tid % 5).otherwise(tid % 10).alias("write_table_id"),
+        (F.floor(F.col("value") * 7).cast("long") % 10).alias("read_table_id"),
+        F.col("ts").alias("arrival_timestamp"),
+        qtype.alias("query_type"),
+    )
+
+
+def _output_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flat = events_as_flat(spark, sf_dir)
+    return iv_ops.output_table(flat, iv_ops.ingestion_intervals(flat))
+
+
+# ---------------------------------------------------------------------------
+# Historical plane (SURVEY §2.3/§2.4/§2.5: J1-J5, A7, A19, W1, W2, F1-F5, F9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ri_ingestion_intervals",
+    oracle=INTERVALS_CTE + "SELECT * FROM intervals",
+    tags=("reference", "historical", "window", "bench"),
+)
+def ri_ingestion_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of next-ingestion intervals via lead() — replaces the reference's
+    O(n²) self-join (J1/J2 → W2; `Dashboard_Historical_Final.py:216-238`,
+    `Dashboard/update_tables.py:55-78`)."""
+    flat = events_as_flat(spark, sf_dir)
+    return iv_ops.ingestion_intervals(flat).select(
+        "instance_id",
+        "query_id",
+        "write_table_id",
+        F.col("current_timestamp").alias("ingest_ts"),
+        F.col("next_timestamp").alias("next_ingest_ts"),
+    )
+
+
+@register(
+    "ri_output_freshness",
+    oracle=OUTPUT_CTE + """
+    SELECT instance_id, query_id, query_type, write_table_id, read_table_id,
+           arrival_timestamp, last_write_table_insert, next_write_table_insert,
+           (epoch_us(arrival_timestamp) - epoch_us(last_write_table_insert)) / 1000.0
+               AS time_since_last_ingest_ms,
+           (epoch_us(next_write_table_insert) - epoch_us(arrival_timestamp)) / 1000.0
+               AS time_to_next_ingest_ms
+    FROM output_t
+    """,
+    tags=("reference", "historical", "intervaljoin", "bench"),
+)
+def ri_output_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The output_table interval/theta join (J4) + UNION ALL add-back (O8) +
+    EPOCH_MS freshness deltas (F1) — `Dashboard_Historical_Final.py:241-312`.
+    Equality arms (instance, table) keep it a shuffled hash join; the time
+    bracket is a post-join filter."""
+    return _output_table(spark, sf_dir)
+
+
+@register(
+    "ri_workload_count",
+    oracle=WORKLOAD_CTE + "SELECT instance_id, table_id, transform_count, select_count FROM workload",
+    tags=("reference", "historical", "fullouter"),
+)
+def ri_workload_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tables_workload_count view: FULL OUTER JOIN of select vs transform
+    counts with COALESCE'd keys (J3/A3; `Dashboard_Historical_Final.py:66-99`)."""
+    return wl_ops.tables_workload_count(_output_table(spark, sf_dir))
+
+
+@register(
+    "ri_analytical_tables",
+    oracle=WORKLOAD_CTE + "SELECT instance_id, table_id, percentage_select_queries FROM analytical",
+    tags=("reference", "historical", "classifier"),
+)
+def ri_analytical_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """>80 %-select classifier (A19 ratio-of-aggregates with NULLIF guard;
+    `Dashboard_Historical_Final.py:354-366`)."""
+    wl = wl_ops.tables_workload_count(_output_table(spark, sf_dir))
+    return wl_ops.analytical_tables(wl).select(
+        "instance_id", "table_id", "percentage_select_queries"
+    )
+
+
+@register(
+    "ri_ingestion_freshness",
+    oracle=WORKLOAD_CTE + """
+    SELECT instance_id, read_table_id,
+           CAST(SUM(epoch_us(arrival_timestamp) - epoch_us(last_write_table_insert)) AS DOUBLE)
+               / COUNT(*) / 1000000.0 AS avg_time_since_last_ingest_s,
+           CAST(SUM(epoch_us(next_write_table_insert) - epoch_us(arrival_timestamp)) AS DOUBLE)
+               / COUNT(next_write_table_insert) / 1000000.0 AS avg_time_to_next_ingest_s
+    FROM output_t
+    WHERE query_type = 'select'
+      AND read_table_id IN (SELECT table_id FROM analytical)
+    GROUP BY instance_id, read_table_id
+    ORDER BY read_table_id, instance_id
+    LIMIT 12
+    """,
+    tags=("reference", "historical", "semijoin", "bench"),
+)
+def ri_ingestion_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(instance, table) ingestion freshness for analytical tables
+    (J7 semi-join + A7 multi-key AVG + O4 limit;
+    `Dashboard_Historical_Final.py:338-412`).  Averages accumulate exact µs
+    integers (sum of longs via decimal) — order-independent, see registry
+    determinism contract."""
+    out = _output_table(spark, sf_dir)
+    wl = wl_ops.tables_workload_count(out)
+    keys = (
+        wl_ops.analytical_tables(wl)
+        .select(F.col("table_id").alias("read_table_id"))
+        .distinct()
+    )
+    since_us = F.unix_micros(F.col("arrival_timestamp")) - F.unix_micros(
+        F.col("last_write_table_insert")
+    )
+    to_next_us = F.unix_micros(F.col("next_write_table_insert")) - F.unix_micros(
+        F.col("arrival_timestamp")
+    )
+    return (
+        out.filter(F.col("query_type") == "select")
+        .join(F.broadcast(keys), on="read_table_id", how="left_semi")
+        .groupBy("instance_id", "read_table_id")
+        .agg(
+            (
+                F.sum(since_us.cast("decimal(25,0)")).cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1000000.0)
+            ).alias("avg_time_since_last_ingest_s"),
+            (
+                F.sum(to_next_us.cast("decimal(25,0)")).cast("double")
+                / F.count(to_next_us)
+                / F.lit(1000000.0)
+            ).alias("avg_time_to_next_ingest_s"),
+        )
+        .orderBy("read_table_id", "instance_id")
+        .limit(12)
+        .select(
+            "instance_id",
+            "read_table_id",
+            "avg_time_since_last_ingest_s",
+            "avg_time_to_next_ingest_s",
+        )
+    )
+
+
+@register(
+    "ri_decile_histogram",
+    oracle=WORKLOAD_CTE + """
+    , rel AS (
+        SELECT DISTINCT instance_id, query_id, read_table_id,
+               ((epoch_us(arrival_timestamp) - epoch_us(last_write_table_insert)) / 1000.0)
+             / ((epoch_us(next_write_table_insert) - epoch_us(last_write_table_insert)) / 1000.0)
+               AS relative_to_next
+        FROM output_t
+        WHERE query_type = 'select'
+          AND next_write_table_insert IS NOT NULL
+          AND read_table_id IN (SELECT table_id FROM analytical)
+    ), bins AS (
+        SELECT instance_id, read_table_id,
+               NTILE(10) OVER (ORDER BY relative_to_next, instance_id, query_id, read_table_id)
+                   AS bin
+        FROM rel
+    )
+    SELECT instance_id, read_table_id, bin, COUNT(*) AS n_queries
+    FROM bins
+    GROUP BY instance_id, read_table_id, bin
+    ORDER BY instance_id, read_table_id, bin
+    """,
+    tags=("reference", "historical", "ntile", "bench"),
+)
+def ri_decile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-ingestion-position NTILE(10) histogram (F9/W1/A12;
+    `Dashboard_Historical_Final.py:428-528`).  Null-next rows (no later
+    ingestion) are excluded — their relative position is undefined and
+    NULL-ordering differs between engines."""
+    out = _output_table(spark, sf_dir)
+    wl = wl_ops.tables_workload_count(out)
+    analytical = wl_ops.analytical_tables(wl)
+    rel = hist_ops.relative_to_next(out, analytical).filter(
+        F.col("relative_to_next").isNotNull()
+    )
+    return (
+        hist_ops.decile_histogram(rel)
+        .withColumnRenamed("count", "n_queries")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Live plane (SURVEY §2.2/§2.4/§2.6: A1-A6, A15-A17, O2-O3, F6-F7, F11-F12)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rl_event_counters",
+    oracle="""
+    SELECT COUNT(*) AS total_events,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS errors,
+           COUNT(CASE WHEN event_type IN ('view', 'click') THEN 1 END) AS reads,
+           COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signups
+    FROM events
+    """,
+    tags=("reference", "live", "agg"),
+)
+def rl_event_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar conditional counters (A1-A4; `Dashboard_Live_Final.py:230-237`)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.agg(
+        F.count(F.lit(1)).alias("total_events"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("errors"),
+        F.count(F.when(F.col("event_type").isin("view", "click"), 1)).alias("reads"),
+        F.count(F.when(F.col("event_type") == "signup", 1)).alias("signups"),
+    )
+
+
+@register(
+    "rl_top_events_by_value",
+    oracle="""
+    SELECT event_id, user_id, value,
+           CAST(FLOOR(value * 1000 / 60000) AS BIGINT) || ':' ||
+           LPAD(CAST(CAST(FLOOR((value * 1000 % 60000) / 1000) AS BIGINT) AS VARCHAR), 2, '0')
+               AS duration_display
+    FROM (SELECT DISTINCT event_id, user_id, value FROM events)
+    ORDER BY value DESC, event_id
+    LIMIT 10
+    """,
+    tags=("reference", "live", "topk"),
+)
+def rl_top_events_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 leaderboard with DISTINCT + m:ss display formatting
+    (O2 + F6/F7; `Dashboard_Live_Final.py:339-357`).  TakeOrdered — no
+    global sort; total order via event_id tiebreaker."""
+    e = load_table(spark, sf_dir, "events")
+    ms = F.col("value") * 1000
+    mins = F.floor(ms / 60000).cast("long")
+    secs = F.floor((ms % 60000) / 1000).cast("long")
+    return (
+        e.select("event_id", "user_id", "value")
+        .distinct()
+        .orderBy(F.desc("value"), "event_id")
+        .limit(10)
+        .withColumn(
+            "duration_display",
+            F.concat(
+                mins.cast("string"), F.lit(":"), F.lpad(secs.cast("string"), 2, "0")
+            ),
+        )
+    )
+
+
+@register(
+    "rl_top_users",
+    oracle="""
+    SELECT user_id, COUNT(*) AS query_count
+    FROM events
+    GROUP BY user_id
+    ORDER BY query_count DESC, user_id
+    LIMIT 5
+    """,
+    tags=("reference", "live", "topk"),
+)
+def rl_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 users by event count (A6/O3; `Dashboard_Live_Final.py:404-410`)."""
+    e = load_table(spark, sf_dir, "events")
+    return live_ops.leaderboard_user_queries(
+        e.select(F.col("user_id")), k=5
+    ).withColumnRenamed("count", "query_count")
+
+
+@register(
+    "rl_type_distribution",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events GROUP BY event_type ORDER BY n DESC, event_type
+    """,
+    tags=("reference", "live", "agg"),
+)
+def rl_type_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical distribution (A16; `Dashboard_Live_Final.py:452-459`)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "event_type")
+    )
+
+
+@register(
+    "rl_hourly_activity",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_ts, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+    """,
+    tags=("reference", "live", "agg"),
+)
+def rl_hourly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly activity rollup (F12/A13-A14; `Dashboard_updated.py:188`)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "rl_value_buckets",
+    oracle="""
+    SELECT CASE WHEN value < 100 THEN 'Short'
+                WHEN value < 1000 THEN 'Medium'
+                ELSE 'Long' END AS bucket,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+    tags=("reference", "live", "bucketing"),
+)
+def rl_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pd.cut-style fixed binning (F11; `Dashboard_updated.py:181-184`)."""
+    from data_engineering_project_utn_spark.functions.scalar import bucket_duration
+
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("bucket", bucket_duration("value"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "rl_user_categories",
+    oracle="""
+    SELECT user_id,
+           COUNT(DISTINCT event_type) AS type_count,
+           CASE WHEN COUNT(DISTINCT event_type) <= 2 THEN 'Local'
+                WHEN COUNT(DISTINCT event_type) <= 5 THEN 'Regional'
+                ELSE 'Global' END AS category
+    FROM events GROUP BY user_id
+    """,
+    tags=("reference", "live", "distinctagg"),
+)
+def rl_user_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count categorizer (A15/F17; `live_updates_duckdb.py:124-136`
+    — a Python row-UDF there, a codegen'd CASE WHEN here)."""
+    from data_engineering_project_utn_spark.functions.scalar import categorize_cluster
+
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("type_count"))
+        .withColumn("category", categorize_cluster("type_count"))
+    )
+
+
+@register(
+    "rl_purchase_rate",
+    oracle="""
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'purchase' AND value > 50 THEN 1 END) * 100.0
+             / NULLIF(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END), 0)
+               AS big_purchase_pct
+    FROM events GROUP BY user_id
+    """,
+    tags=("reference", "live", "ratio"),
+)
+def rl_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-of-conditional-counts with NULLIF guard (A19/F4/F20;
+    `Dashboard/streamlit_app.py:378`)."""
+    e = load_table(spark, sf_dir, "events")
+    big = F.count(F.when((F.col("event_type") == "purchase") & (F.col("value") > 50), 1))
+    alln = F.count(F.when(F.col("event_type") == "purchase", 1))
+    return e.groupBy("user_id").agg(
+        (big * F.lit(100.0) / F.nullif(alln, F.lit(0))).alias("big_purchase_pct")
+    )
+
+
+@register(
+    "rl_stress_ema",
+    oracle="""
+    SELECT
+        list_reduce(list_transform(l, x -> CAST(x AS DOUBLE)),
+                    (acc, x) -> 0.02 * x + (1.0 - 0.02) * acc) AS ema_short,
+        list_reduce(list_transform(l, x -> CAST(x AS DOUBLE)),
+                    (acc, x) -> 0.005 * x + (1.0 - 0.005) * acc) AS ema_long,
+        len(l) AS n_obs
+    FROM (SELECT list(value ORDER BY ts, event_id) AS l FROM events)
+    """,
+    tags=("reference", "live", "ema"),
+)
+def rl_stress_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stress-index EMA (F18/W4/T7; `Dashboard_Live_Final.py:577-624`,
+    α=0.02 short / 0.005 long, seeded by the first observation).
+
+    Batch form: JVM-side aggregate() fold over the event-time-ordered value
+    list — identical left fold to the DuckDB ``list_reduce`` oracle, so the
+    result is bit-exact.  Streaming form: streaming.stateful_ema.
+    """
+    e = load_table(spark, sf_dir, "events")
+    pairs = F.array_sort(
+        F.collect_list(F.struct(F.col("ts").alias("o"), F.col("event_id").alias("q"), F.col("value").alias("v")))
+    )
+    values = F.transform(pairs, lambda s: s["v"].cast("double"))
+    return e.agg(
+        ema_ops.ema_expr(values, 0.02).alias("ema_short"),
+        ema_ops.ema_expr(values, 0.005).alias("ema_long"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+
+
+@register(
+    "rl_user_ema",
+    oracle="""
+    SELECT user_id,
+           list_reduce(list_transform(list(value ORDER BY ts, event_id), x -> CAST(x AS DOUBLE)),
+                       (acc, x) -> 0.02 * x + (1.0 - 0.02) * acc) AS ema,
+           COUNT(*) AS n_obs
+    FROM events GROUP BY user_id
+    """,
+    tags=("reference", "live", "ema"),
+)
+def rl_user_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed EMA fold (F18 generalized per key — one shuffle on the key,
+    in-group ordered fold)."""
+    e = load_table(spark, sf_dir, "events")
+    pairs = F.array_sort(
+        F.collect_list(
+            F.struct(F.col("ts").alias("o"), F.col("event_id").alias("q"), F.col("value").alias("v"))
+        )
+    )
+    values = F.transform(pairs, lambda s: s["v"].cast("double"))
+    return e.groupBy("user_id").agg(
+        ema_ops.ema_expr(values, 0.02).alias("ema"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+
+
+@register(
+    "rl_trailing_avg",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) OVER w AS DOUBLE)
+               / COUNT(*) OVER w AS trailing_avg_100
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("reference", "live", "window"),
+)
+def rl_trailing_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded trailing window — the dashboard's last-100-points buffer as a
+    window aggregate (W5; `Dashboard_Live_Final.py:177-184`).  Decimal
+    accumulation keeps the sliding sum exact at every offset."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-99, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (
+            F.sum(F.col("value").cast("decimal(14,2)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("trailing_avg_100"),
+    )

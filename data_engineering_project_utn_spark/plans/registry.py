@@ -1,0 +1,60 @@
+"""Registry mapping query name → (Spark builder, DuckDB oracle SQL).
+
+Single source of truth for the driver contract (``__spark_entry__.py``),
+the pytest oracle harness, and ``bench.py``.  Every query that is
+SQL-expressible carries an oracle; the few that aren't (stateful streaming,
+ANN scale paths) set ``oracle=None`` and get the driver's weaker rows-only
+check — flagged in their docstrings.
+
+Determinism contract (how every query is written so the driver's
+order-insensitive value-hash matches bit-for-bit between Spark and DuckDB):
+
+* FP sums go through exact DECIMAL accumulation, cast back to double
+  (see functions/scalar.py) — immune to partial-aggregation order.
+* Every ORDER BY ... LIMIT k has a total order (unique tiebreaker columns),
+  so the selected row *set* is engine-independent.
+* Window orderings are total for the same reason.
+* Sequential folds (EMA, dot products) use the same left fold in both
+  engines (Spark ``aggregate`` ≡ DuckDB ``list_reduce``) → bit-identical.
+* Timestamps are naive-UTC in both engines (session.py pins the TZ).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, "Query"] = {}
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    build: Builder
+    oracle: str | None
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+def register(
+    name: str, oracle: str | None = None, tags: tuple[str, ...] = ()
+) -> Callable[[Builder], Builder]:
+    def deco(fn: Builder) -> Builder:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = Query(name, fn, oracle, doc=(fn.__doc__ or ""), tags=tags)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, Query]:
+    return dict(_REGISTRY)
+
+
+def get_query(name: str) -> Query:
+    return _REGISTRY[name]

@@ -1,0 +1,331 @@
+"""Generic relational coverage on the driver's TPC-H-ish tables.
+
+These exercise the engine's scan / filter / projection / join / aggregate /
+window / sort / limit / set-op surface (SURVEY.md §2.1-2.6) on the star
+schema.  Join strategy notes are in each docstring; plans are verified with
+``.explain()`` in tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_engineering_project_utn_spark.functions.scalar import bucket_duration
+from data_engineering_project_utn_spark.plans.registry import register
+from data_engineering_project_utn_spark.tables import load_table
+
+
+def _dec(col: str, prec: int = 14, scale: int = 2) -> F.Column:
+    return F.col(col).cast(f"decimal({prec},{scale})")
+
+
+@register(
+    "rl_pricing_summary",
+    oracle="""
+    SELECT
+        l_returnflag,
+        l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                 * (1 - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                 * (1 - CAST(l_discount AS DECIMAL(5,2)))
+                 * (1 + CAST(l_tax AS DECIMAL(5,2)))) AS DOUBLE) AS sum_charge,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("relational", "agg", "bench"),
+)
+def rl_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (A5/A6/A8 aggregate surface).
+
+    One scan + one shuffle on the 6-value group key; partial aggregation is
+    map-side so the exchange carries ~6 rows per task regardless of input
+    size — this is the shape that scales to 100 TB unchanged.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 5, 2))
+    charge = disc_price * (F.lit(1) + _dec("l_tax", 5, 2))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_price"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "rl_top_revenue_orders",
+    oracle="""
+    SELECT
+        o.o_orderkey,
+        o.o_orderdate,
+        c.c_mktsegment,
+        CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(5,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate, c.c_mktsegment
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    tags=("relational", "join", "topk", "bench"),
+)
+def rl_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: filtered dim join + revenue top-k (J5/O2 surface).
+
+    customer is small relative to lineitem → explicit broadcast; the only
+    shuffle is the groupBy on o_orderkey.  Top-k = TakeOrdered, no global
+    sort.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 5, 2))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate", "c_mktsegment")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "rl_nation_revenue",
+    oracle="""
+    SELECT
+        n.n_name AS nation,
+        r.r_name AS region,
+        CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(5,2)))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+    tags=("relational", "join", "bench"),
+)
+def rl_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join: fact → 3 broadcast dims, zero shuffle until
+    the final small groupBy.  The dim chain (supplier→nation→region) is
+    pre-joined driver-side-small and broadcast as one map."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    dims = (
+        s.join(n, s["s_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 5, 2))
+    return (
+        li.join(F.broadcast(dims), li["l_suppkey"] == dims["s_suppkey"])
+        .groupBy("nation", "region")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "rl_order_priority_counts",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+    )
+    GROUP BY o_orderpriority
+    """,
+    tags=("relational", "semijoin"),
+)
+def rl_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS → left-semi join (J7 surface)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    semi = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"]) & (li["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "rl_customers_without_orders",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    tags=("relational", "antijoin"),
+)
+def rl_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join (completes the join-type surface; the
+    reference has no anti join but the engine supports it)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "rl_running_customer_spend",
+    oracle="""
+    SELECT
+        o_custkey,
+        o_orderkey,
+        o_orderdate,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE)
+            AS running_spend,
+        ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            AS order_seq
+    FROM orders
+    """,
+    tags=("relational", "window"),
+)
+def rl_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running total + sequence number (W3/W5 surface).
+
+    One shuffle on o_custkey; in-partition sort.  Decimal accumulation keeps
+    the running sum exact at any prefix length.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@register(
+    "rl_next_order_gap",
+    oracle="""
+    SELECT
+        o_custkey,
+        o_orderkey,
+        o_orderdate,
+        LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            AS next_orderdate,
+        (epoch_us(LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+         - epoch_us(o_orderdate)) / 1000.0 AS gap_ms
+    FROM orders
+    """,
+    tags=("relational", "window", "asof"),
+)
+def rl_next_order_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAD as-of pattern (W2/J2 surface) on a generic table."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    from data_engineering_project_utn_spark.functions.scalar import unix_us
+
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        nxt.alias("next_orderdate"),
+        ((unix_us(nxt) - unix_us(F.col("o_orderdate"))) / 1000.0).alias("gap_ms"),
+    )
+
+
+@register(
+    "rl_part_type_union",
+    oracle="""
+    SELECT p_type, 'large' AS size_class, COUNT(*) AS n
+    FROM part WHERE p_size >= 30 GROUP BY p_type
+    UNION ALL
+    SELECT p_type, 'small' AS size_class, COUNT(*) AS n
+    FROM part WHERE p_size < 10 GROUP BY p_type
+    """,
+    tags=("relational", "setop"),
+)
+def rl_part_type_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL re-attach pattern (O8 surface)."""
+    p = load_table(spark, sf_dir, "part")
+    large = (
+        p.filter(F.col("p_size") >= 30)
+        .groupBy("p_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("p_type", F.lit("large").alias("size_class"), "n")
+    )
+    small = (
+        p.filter(F.col("p_size") < 10)
+        .groupBy("p_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("p_type", F.lit("small").alias("size_class"), "n")
+    )
+    return large.unionByName(small)
+
+
+@register(
+    "rl_lineitem_buckets",
+    oracle="""
+    SELECT
+        CASE WHEN l_quantity < 100 THEN 'Short'
+             WHEN l_quantity < 1000 THEN 'Medium'
+             ELSE 'Long' END AS bucket,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+    FROM lineitem
+    GROUP BY 1
+    """,
+    tags=("relational", "bucketing"),
+)
+def rl_lineitem_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin bucketing (F11 `pd.cut` surface) + per-bucket aggregates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("bucket", bucket_duration("l_quantity"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "rl_distinct_ship_modes",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+    tags=("relational", "distinct"),
+)
+def rl_distinct_ship_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT dedup (O9 surface)."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus"
+    ).distinct()

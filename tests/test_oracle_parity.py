@@ -1,0 +1,41 @@
+"""The primary gate: every registered query with an oracle must hash-match
+DuckDB on the driver tables — the same check the driver runs at sf=0.01."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_engineering_project_utn_spark.plans import all_queries
+from tests.oracle_harness import compare
+
+QUERIES = all_queries()
+WITH_ORACLE = sorted(n for n, q in QUERIES.items() if q.oracle is not None)
+ROWS_ONLY = sorted(n for n, q in QUERIES.items() if q.oracle is None)
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_oracle_parity(spark, sf_dir, name):
+    q = QUERIES[name]
+    df = q.build(spark, sf_dir)
+    result = compare(df, q.oracle, sf_dir)
+    assert result["cols_match"], f"{name}: columns {result['spark_cols']} != {result['oracle_cols']}"
+    assert result["rows_match"], f"{name}: rows {result['spark_rows']} != {result['oracle_rows']}"
+    assert result["values_match"], f"{name}: value mismatch, first diff {result['first_diff']}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_runs(spark, sf_dir, name):
+    q = QUERIES[name]
+    df = q.build(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as se
+
+    df = se.entry(spark)
+    assert df.count() > 0
+    keys = set(se.queries())
+    oracle_keys = set(se.oracle_sql())
+    assert oracle_keys <= keys

@@ -39,16 +39,21 @@ def normalized_hash(text: Column | str) -> Column:
 def minhash_signature(text: Column | str, k: int = 8, n: int = 5) -> Column:
     """k-perm MinHash signature over n-gram shingles.
 
-    Each permutation i is the lexicographic order of ``md5(i || ':' ||
-    md5(shingle))`` — shingle digests are computed once, then k cheap
-    re-hashes.  Returns array<string> of length k.
+    One md5 per shingle; permutation i is the lexicographic order of the
+    digest *rotated* by 4·i hex chars (distinct leading 16 bits per
+    permutation — independent enough for banding, and ~9× cheaper than
+    re-hashing per permutation, which dominated bench time).  k ≤ 8.
+    Returns array<string> of length k.
     """
     sh_digests = F.transform(shingles(text, n), F.md5)
     return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda i: F.array_min(
             F.transform(
-                sh_digests, lambda h: F.md5(F.concat(i.cast("string"), F.lit(":"), h))
+                sh_digests,
+                lambda h: F.concat(
+                    F.substring(h, i * 4 + 1, 32), F.substring(h, 1, i * 4)
+                ),
             )
         ),
     )
@@ -67,6 +72,97 @@ def lsh_bands(signature: Column, bands: int, rows: int) -> Column:
     )
 
 
+def shingle_frame(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Per-doc shingle digests + distinct shingle set, built as *stepwise
+    projections over materialized columns*.
+
+    Building shingles inline inside one nested lambda re-evaluates the
+    tokenizer per shingle index (quadratic per doc — measured 84 s at
+    sf0.1); binding tokens to an attribute first makes each stage evaluate
+    once per row.  Columns: doc_id, hd (array<md5>), shset (distinct
+    shingle strings).
+    """
+    toks_df = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+    k = F.size(F.col("toks"))
+    idx = F.sequence(F.lit(1), F.greatest(k - F.lit(n - 1), F.lit(1)))
+    sh = toks_df.select(
+        "doc_id",
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, n))).alias(
+            "sh"
+        ),
+    )
+    return sh.select(
+        "doc_id",
+        F.transform("sh", F.md5).alias("hd"),
+        F.array_distinct("sh").alias("shset"),
+    )
+
+
+def _signature_from_digests(hd: Column, k: int) -> Column:
+    """MinHash signature from precomputed shingle digests (rotation family,
+    see minhash_signature)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                hd,
+                lambda h: F.concat(
+                    F.substring(h, i * 4 + 1, 32), F.substring(h, 1, i * 4)
+                ),
+            )
+        ),
+    )
+
+
+def minhash_neardup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end near-dup pipeline: shingle → minhash → band → bucket join
+    → exact-Jaccard verify.  The per-doc shingle frame is persisted and
+    reused by both self-join sides and the verification step (otherwise
+    Spark recomputes the full signature pipeline per reference)."""
+    sh = shingle_frame(docs, id_col, text_col, n).persist()
+    rows = k // bands
+    banded = sh.select(
+        "doc_id",
+        F.explode(lsh_bands(_signature_from_digests(F.col("hd"), k), bands, rows)).alias(
+            "b"
+        ),
+    ).select("doc_id", "b.band_idx", "b.band_hash")
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("sb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
+    union = (F.size("sa") + F.size("sb")).cast("double") - inter
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") > threshold)
+    )
+
+
 def minhash_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -76,10 +172,13 @@ def minhash_candidates(
     n: int = 5,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b): docs sharing ≥1 band bucket."""
+    sh = shingle_frame(docs, id_col, text_col, n)
     rows = k // bands
-    banded = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(lsh_bands(minhash_signature(text_col, k, n), bands, rows)).alias("b"),
+    banded = sh.select(
+        "doc_id",
+        F.explode(lsh_bands(_signature_from_digests(F.col("hd"), k), bands, rows)).alias(
+            "b"
+        ),
     ).select("doc_id", "b.band_idx", "b.band_hash")
     a = banded.alias("a")
     b = banded.alias("b")

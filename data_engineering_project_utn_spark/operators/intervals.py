@@ -29,10 +29,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_engineering_project_utn_spark.functions.scalar import epoch_ms
-from data_engineering_project_utn_spark.schema import (
-    FAR_FUTURE_TS,
-    INGESTION_QUERY_TYPES,
-)
+from data_engineering_project_utn_spark.schema import INGESTION_QUERY_TYPES
 
 
 def ingestion_intervals(
@@ -72,51 +69,78 @@ def output_table(flat: DataFrame, intervals: DataFrame) -> DataFrame:
     Reproduces `Dashboard_Historical_Final.py:241-312` (with the as-of
     interval semantics of `Dashboard/update_tables.py:103-166`):
 
-    * non-ingestion queries inner-join the ingestion interval that brackets
-      their arrival (NULL next → 2999-12-31 sentinel), matching on
-      read_table_id for selects and write_table_id otherwise;
+    * non-ingestion queries pick up the ingestion interval that brackets
+      their arrival, matching on read_table_id for selects and
+      write_table_id otherwise;
     * ingestion queries are appended back untouched (UNION ALL add-back,
       time_since_last = 0 relative to their own interval).
-    """
-    far_future = F.lit(FAR_FUTURE_TS).cast("timestamp")
 
-    iv = intervals.select(
-        F.col("instance_id").alias("i_instance_id"),
-        F.col("write_table_id").alias("i_write_table_id"),
-        F.col("current_timestamp").alias("last_write_table_insert"),
-        F.col("next_timestamp").alias("next_write_table_insert"),
-    )
+    Scale design — **as-of merge, not a join**.  Lead-based intervals are
+    non-overlapping per (instance, table), so "the bracketing interval" is
+    simply the last ingestion at-or-before each query's timestamp.  A
+    bracket equi-join on (instance, table) + time filter materializes
+    |queries_k|×|intervals_k| rows per key (quadratic — ~100 M intermediate
+    rows already at sf0.1); instead we union boundary and query rows and
+    carry the latest interval forward with one window pass: one shuffle,
+    one in-partition sort, linear output.  Boundary rows sort before query
+    rows at equal timestamps (kind 0 < 1), so a query exactly at an
+    ingestion timestamp lands in the *newer* interval (the reference's
+    BETWEEN would duplicate such a row into both intervals; measure-zero
+    tie divergence, documented per SURVEY.md §7.2).
+    """
+    iv_struct_type = "struct<l:timestamp,n:timestamp>"
 
     non_ing = flat.filter(~F.col("query_type").isin(*INGESTION_QUERY_TYPES))
-    # Equality arms keep this a shuffled hash/sort-merge join on
-    # (instance_id, table_id); the BETWEEN range is a post-join filter.
-    matched = non_ing.join(
-        iv,
-        on=(
-            (non_ing["instance_id"] == iv["i_instance_id"])
-            & (
-                F.when(
-                    non_ing["query_type"] == "select",
-                    non_ing["read_table_id"] == iv["i_write_table_id"],
-                ).otherwise(non_ing["write_table_id"] == iv["i_write_table_id"])
-            )
-            & (non_ing["arrival_timestamp"] >= iv["last_write_table_insert"])
-            & (
-                non_ing["arrival_timestamp"]
-                <= F.coalesce(iv["next_write_table_insert"], far_future)
-            )
-        ),
-        how="inner",
-    ).select(
-        non_ing["instance_id"],
-        non_ing["query_id"],
-        non_ing["query_type"],
-        non_ing["write_table_id"],
-        non_ing["read_table_id"],
-        non_ing["arrival_timestamp"],
-        iv["last_write_table_insert"],
-        iv["next_write_table_insert"],
-    ).dropDuplicates()
+    match_table = F.when(
+        F.col("query_type") == "select", F.col("read_table_id")
+    ).otherwise(F.col("write_table_id"))
+
+    q = non_ing.select(
+        "instance_id",
+        match_table.alias("match_table"),
+        F.col("arrival_timestamp").alias("ts"),
+        F.lit(1).alias("kind"),
+        "query_id",
+        "query_type",
+        "write_table_id",
+        "read_table_id",
+        F.lit(None).cast(iv_struct_type).alias("iv"),
+    )
+    b = intervals.select(
+        "instance_id",
+        F.col("write_table_id").alias("match_table"),
+        F.col("current_timestamp").alias("ts"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("query_id"),
+        F.lit(None).cast("string").alias("query_type"),
+        F.lit(None).cast("long").alias("write_table_id"),
+        F.lit(None).cast("long").alias("read_table_id"),
+        F.struct(
+            F.col("current_timestamp").alias("l"), F.col("next_timestamp").alias("n")
+        ).alias("iv"),
+    )
+
+    w = (
+        Window.partitionBy("instance_id", "match_table")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ann = q.unionByName(b).withColumn("biv", F.last("iv", ignorenulls=True).over(w))
+
+    matched = (
+        ann.filter((F.col("kind") == 1) & F.col("biv").isNotNull())
+        .select(
+            "instance_id",
+            "query_id",
+            "query_type",
+            "write_table_id",
+            "read_table_id",
+            F.col("ts").alias("arrival_timestamp"),
+            F.col("biv.l").alias("last_write_table_insert"),
+            F.col("biv.n").alias("next_write_table_insert"),
+        )
+        .dropDuplicates()
+    )
 
     ing = (
         flat.filter(F.col("query_type").isin(*INGESTION_QUERY_TYPES))

@@ -181,7 +181,8 @@ def llm_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM tk),
     sig AS (SELECT doc_id, shset,
                    list_transform(range(0, 8),
-                       i -> list_min(list_transform(hd, h -> md5(CAST(i AS VARCHAR) || ':' || h)))) AS sg
+                       i -> list_min(list_transform(hd,
+                           h -> substring(h, i*4 + 1, 32) || substring(h, 1, i*4)))) AS sg
             FROM sh),
     bands AS (SELECT doc_id, shset, r.b AS band_idx,
                      md5(array_to_string(sg[r.b*2+1 : r.b*2+2], '|')) AS band_hash
@@ -209,19 +210,7 @@ def llm_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     key space is the band buckets, never all-pairs (see llm/dedup.py).
     """
     d = load_table(spark, sf_dir, "documents")
-    cand = dd.minhash_candidates(d, k=8, bands=4, n=5)
-    ta = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
-    tb = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
-    return (
-        cand.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            dd.shingle_jaccard(F.col("text_a"), F.col("text_b"), 5).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") > 0.5)
-    )
+    return dd.minhash_neardup(d, k=8, bands=4, n=5, threshold=0.5)
 
 
 @register(

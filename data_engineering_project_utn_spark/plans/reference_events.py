@@ -76,21 +76,36 @@ INTERVALS_CTE = FLAT_CTE + """
 )
 """
 
+# As-of merge formulation (mirrors operators.intervals.output_table): union
+# boundary + query rows, carry the latest interval struct forward with one
+# window pass — linear, vs the reference's quadratic bracket join.
 OUTPUT_CTE = INTERVALS_CTE + """
-, output_t AS (
+, m AS (
+    SELECT instance_id,
+           CASE WHEN query_type = 'select' THEN read_table_id
+                ELSE write_table_id END AS match_table,
+           arrival_timestamp AS ts, 1 AS kind,
+           query_id, query_type, write_table_id, read_table_id,
+           CAST(NULL AS STRUCT(l TIMESTAMP, n TIMESTAMP)) AS iv
+    FROM flat WHERE query_type NOT IN ('insert', 'copy')
+    UNION ALL
+    SELECT instance_id, write_table_id AS match_table, ingest_ts AS ts, 0 AS kind,
+           NULL AS query_id, NULL AS query_type,
+           NULL AS write_table_id, NULL AS read_table_id,
+           struct_pack(l := ingest_ts, n := next_ingest_ts) AS iv
+    FROM intervals
+), ann AS (
+    SELECT *, last_value(iv IGNORE NULLS) OVER (
+               PARTITION BY instance_id, match_table ORDER BY ts, kind
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS biv
+    FROM m
+), output_t AS (
     SELECT DISTINCT
-        o.instance_id, o.query_id, o.query_type,
-        o.write_table_id, o.read_table_id, o.arrival_timestamp,
-        i.ingest_ts AS last_write_table_insert,
-        i.next_ingest_ts AS next_write_table_insert
-    FROM flat o
-    JOIN intervals i
-      ON o.instance_id = i.instance_id
-     AND ((o.query_type = 'select' AND o.read_table_id = i.write_table_id)
-          OR (o.query_type <> 'select' AND o.write_table_id = i.write_table_id))
-     AND o.arrival_timestamp >= i.ingest_ts
-     AND o.arrival_timestamp <= COALESCE(i.next_ingest_ts, TIMESTAMP '2999-12-31 00:00:00')
-    WHERE o.query_type NOT IN ('insert', 'copy')
+        instance_id, query_id, query_type, write_table_id, read_table_id,
+        ts AS arrival_timestamp,
+        biv.l AS last_write_table_insert,
+        biv.n AS next_write_table_insert
+    FROM ann WHERE kind = 1 AND biv IS NOT NULL
     UNION ALL
     SELECT f.instance_id, f.query_id, f.query_type,
            f.write_table_id, f.read_table_id, f.arrival_timestamp,

@@ -65,7 +65,7 @@ def clean_redset(raw: DataFrame, drop_empty_lists: bool = False) -> DataFrame:
         elif isinstance(field.dataType, (T.LongType, T.DoubleType)):
             default = F.lit(-1 if name.endswith("_id") else 0)
             out = F.coalesce(
-                F.try_cast(base, field.dataType.simpleString()),
+                base.try_cast(field.dataType.simpleString()),
                 default.cast(field.dataType),
             )
         elif name in ("read_table_ids", "write_table_ids"):

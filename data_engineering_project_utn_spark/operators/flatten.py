@@ -29,7 +29,7 @@ def parse_id_list(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     no_brackets = F.regexp_replace(c.cast("string"), r"[\[\]\s]", "")
     return F.transform(
-        F.split(no_brackets, ","), lambda x: F.try_cast(x, "long")
+        F.split(no_brackets, ","), lambda x: x.try_cast("long")
     )
 
 

@@ -1,0 +1,160 @@
+"""Batch sources / sinks / catalog ops (SURVEY.md §2.1, S1-S15).
+
+The reference moves data through parquet files, CSV files, JSON Kafka
+messages, and DuckDB tables; here every format is a declarative Spark
+reader/writer and "tables" are temp views.  The streaming twins of S4/S5
+live in ``streaming/pipeline.py``.
+
+Scale notes: all readers hand Catalyst a schema up front (no inferSchema
+scan), so filters/pruning push into the file scan; the JSON-lines reader
+routes through ``clean_redset`` — one codegen'd projection, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_engineering_project_utn_spark.operators.clean import clean_redset
+
+# ---------------------------------------------------------------------------
+# The producer plane's column-projected sub-streams (P1):
+# `Real Final APP/producer_Final.py:24-46`.  Topic fan-out collapses to
+# named projections over one DataFrame — Catalyst prunes the scan per view.
+# ---------------------------------------------------------------------------
+
+TOPIC_PROJECTIONS: dict[str, list[str]] = {
+    "leaderboard": [
+        "instance_id", "query_id", "user_id", "arrival_timestamp", "compile_duration_ms",
+    ],
+    "query_metrics": ["instance_id", "was_aborted", "was_cached", "query_type"],
+    "compile_metrics": [
+        "instance_id", "num_joins", "num_scans", "num_aggregations",
+        "mbytes_scanned", "mbytes_spilled",
+    ],
+    "stressindex": ["execution_duration_ms", "mbytes_spilled"],
+    "flattened": [
+        "instance_id", "query_id", "write_table_ids", "read_table_ids",
+        "arrival_timestamp", "query_type",
+    ],
+}
+
+
+def topic_view(df: DataFrame, topic: str) -> DataFrame:
+    """Column-projected sub-stream for a producer topic (S6/P1)."""
+    return df.select(*TOPIC_PROJECTIONS[topic])
+
+
+# ---------------------------------------------------------------------------
+# Scans (S1-S4)
+# ---------------------------------------------------------------------------
+
+
+def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """S1/S2 parquet scan (`producer_Final.py:102`)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """S3 CSV scan (`Dashboard/Dashboard_updated.py:14-15`).  Schema-first;
+    ``inferSchema`` only when none given (double scan — test-scale only)."""
+    reader = spark.read.option("header", header)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_jsonl_redset(spark: SparkSession, path: str) -> DataFrame:
+    """S4's batch twin: JSON-lines of Redset rows (the shape of the
+    reference's Kafka messages, `Dashboard_Live_Final.py:642-666`) →
+    canonical schema via the cleaning projection."""
+    raw = spark.read.json(path)  # permissive: all fields may arrive as strings
+    return clean_redset(raw)
+
+
+# ---------------------------------------------------------------------------
+# Serialization (S5/S6 batch twin)
+# ---------------------------------------------------------------------------
+
+
+def to_json_rows(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Row → JSON string with ISO-ish timestamps
+    (`producer_Final.py:50-76`: ``isoformat()`` per value).  One column
+    ``value`` — the exact payload shape of the Kafka sink."""
+    if columns:
+        df = df.select(*columns)
+    cast_cols = [
+        F.date_format(F.col(f.name), "yyyy-MM-dd'T'HH:mm:ss").alias(f.name)
+        if isinstance(f.dataType, T.TimestampType)
+        else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    return df.select(cast_cols).select(F.to_json(F.struct("*")).alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# Sinks (S7, S9, S14)
+# ---------------------------------------------------------------------------
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    """S7 parquet sink (`Dashboard_Live_Final.py:694`).  ``partition_by``
+    is the scale lever the reference lacks — partition pruning at read."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def append_csv(df: DataFrame, path: str) -> None:
+    """S9 CSV append sink (`Historical_data_cleaning.py:123`)."""
+    df.write.mode("append").option("header", True).csv(path)
+
+
+def insert_into_view(spark: SparkSession, df: DataFrame, view: str) -> DataFrame:
+    """S14 INSERT INTO … SELECT: append rows to a registered temp view by
+    re-registering the union (views are the engine's mutable-table stand-in,
+    `Historical_data_cleaning.py:100-120`)."""
+    if table_exists(spark, view):
+        combined = spark.table(view).unionByName(df)
+    else:
+        combined = df
+    combined.createOrReplaceTempView(view)
+    return combined
+
+
+# ---------------------------------------------------------------------------
+# Catalog (S10, S11, S15)
+# ---------------------------------------------------------------------------
+
+
+def register_view(df: DataFrame, name: str) -> None:
+    """S10/S11: CREATE OR REPLACE VIEW (`Dashboard_Historical_Final.py:66-99`)."""
+    df.createOrReplaceTempView(name)
+
+
+def table_exists(spark: SparkSession, name: str) -> bool:
+    """S15 catalog introspection (`Dashboard_Historical_Final.py:707-755`)."""
+    try:
+        return spark.catalog.tableExists(name)
+    except Exception:
+        return False
+
+
+def table_summary(spark: SparkSession, name: str) -> dict:
+    """S15's existence + row-count + preview probe, as data not prints."""
+    if not table_exists(spark, name):
+        return {"table": name, "exists": False, "rows": 0}
+    df = spark.table(name)
+    return {"table": name, "exists": True, "rows": df.count(), "columns": df.columns}

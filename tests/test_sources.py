@@ -1,0 +1,80 @@
+"""Sources/sinks/catalog tests (SURVEY.md §2.1 S1-S15)."""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from data_engineering_project_utn_spark.schema import REDSET_SCHEMA
+from data_engineering_project_utn_spark.sources import io as sio
+from tests.fixtures import redset_raw_rows
+
+
+def test_topic_projections_cover_reference_lists(spark):
+    pdf = redset_raw_rows(20)
+    df = spark.createDataFrame(pdf)
+    for topic, cols in sio.TOPIC_PROJECTIONS.items():
+        view = sio.topic_view(df, topic)
+        assert view.columns == cols, topic
+
+
+def test_parquet_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(redset_raw_rows(30))
+    sio.write_parquet(df, str(tmp_path / "p"))
+    back = sio.read_parquet(spark, str(tmp_path / "p"))
+    assert back.count() == 30
+    assert set(back.columns) == set(df.columns)
+
+
+def test_parquet_partitioned_prunes(spark, tmp_path):
+    df = spark.createDataFrame(redset_raw_rows(50))
+    sio.write_parquet(df, str(tmp_path / "pp"), partition_by=["query_type"])
+    back = sio.read_parquet(spark, str(tmp_path / "pp")).filter(
+        F.col("query_type") == "select"
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # partition filter must reach the scan (partition pruning, not a row filter)
+    assert "PartitionFilters" in plan and "query_type" in plan
+
+
+def test_csv_roundtrip_schema_first(spark, tmp_path):
+    pdf = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    df = spark.createDataFrame(pdf)
+    sio.append_csv(df, str(tmp_path / "c"))
+    back = sio.read_csv(spark, str(tmp_path / "c"), schema=df.schema)
+    assert back.count() == 3
+    assert back.schema == df.schema
+
+
+def test_jsonl_redset_cleans_to_canonical_schema(spark, tmp_path):
+    pdf = redset_raw_rows(25)
+    path = tmp_path / "rows.jsonl"
+    with open(path, "w") as f:
+        for rec in pdf.to_dict("records"):
+            f.write(json.dumps(rec) + "\n")
+    df = sio.read_jsonl_redset(spark, str(path))
+    got = [(f.name, f.dataType) for f in df.schema.fields]
+    want = [(f.name, f.dataType) for f in REDSET_SCHEMA.fields]
+    assert got == want
+    assert df.count() == 25
+
+
+def test_to_json_rows_payload_shape(spark):
+    df = spark.createDataFrame(redset_raw_rows(5))
+    out = sio.to_json_rows(df, columns=sio.TOPIC_PROJECTIONS["leaderboard"]).collect()
+    assert len(out) == 5
+    payload = json.loads(out[0]["value"])
+    assert set(payload) <= set(sio.TOPIC_PROJECTIONS["leaderboard"])
+
+
+def test_view_catalog_ops(spark):
+    df = spark.createDataFrame(redset_raw_rows(10))
+    sio.register_view(df, "src_test_view")
+    assert sio.table_exists(spark, "src_test_view")
+    info = sio.table_summary(spark, "src_test_view")
+    assert info["rows"] == 10
+    sio.insert_into_view(spark, df, "src_test_view")
+    assert spark.table("src_test_view").count() == 20
+    assert sio.table_summary(spark, "no_such_view")["exists"] is False

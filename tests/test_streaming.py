@@ -1,0 +1,178 @@
+"""Structured Streaming layer tests (SURVEY.md §2.8, T1-T7).
+
+Strategy: file-drop source + availableNow trigger + memory sink, then assert
+the streaming result equals the same operator run in batch — the streaming
+wrappers reuse the batch operator logic, so parity is the contract.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_engineering_project_utn_spark.operators import ema as ema_ops
+from data_engineering_project_utn_spark.operators import intervals as iv_ops
+from data_engineering_project_utn_spark.streaming import pipeline as sp
+from tests.fixtures import flat_rows
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("instance_id", T.LongType()),
+        T.StructField("arrival_timestamp", T.TimestampType()),
+        T.StructField("was_aborted", T.BooleanType()),
+        T.StructField("was_cached", T.BooleanType()),
+        T.StructField("compile_duration_ms", T.DoubleType()),
+        T.StructField("execution_duration_ms", T.DoubleType()),
+    ]
+)
+
+
+def _event_pdf(n: int = 120) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "instance_id": [i % 3 for i in range(n)],
+            "arrival_timestamp": pd.date_range("2024-03-01", periods=n, freq="10s"),
+            "was_aborted": [i % 7 == 0 for i in range(n)],
+            "was_cached": [i % 3 == 0 for i in range(n)],
+            "compile_duration_ms": [float((i * 37) % 9000) for i in range(n)],
+            "execution_duration_ms": [float(100 + (i * 13) % 4000) for i in range(n)],
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    pdf = _event_pdf()
+    # two file drops → two micro-batches under maxFilesPerTrigger=1
+    spark.createDataFrame(pdf.iloc[:70], EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    spark.createDataFrame(pdf.iloc[70:], EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    return path
+
+
+def _run_to_memory(stream_df, name, tmp_path, output_mode="append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+class TestWindowCounters:
+    def test_matches_batch_window_agg(self, spark, event_dir, tmp_path):
+        stream = sp.file_stream(spark, event_dir, EVENT_SCHEMA, max_files_per_trigger=1)
+        _run_to_memory(sp.live_window_counters(stream), "wincount", tmp_path)
+        got = (
+            spark.table("wincount").toPandas().sort_values("start").reset_index(drop=True)
+        )
+
+        batch = spark.read.schema(EVENT_SCHEMA).parquet(event_dir)
+        exp = (
+            batch.groupBy(F.window("arrival_timestamp", "60 seconds").alias("win"))
+            .agg(
+                F.count(F.lit(1)).alias("total_queries"),
+                F.count(F.when(F.col("was_aborted"), 1)).alias("aborted_queries"),
+            )
+            .select("win.start", "total_queries", "aborted_queries")
+            .toPandas()
+            .sort_values("start")
+            .reset_index(drop=True)
+        )
+        # append mode emits only watermark-closed windows — every emitted
+        # window must match the batch recompute exactly
+        merged = got.merge(exp, on="start", suffixes=("_s", "_b"))
+        assert len(merged) == len(got) > 0
+        assert (merged["total_queries_s"] == merged["total_queries_b"]).all()
+        assert (merged["aborted_queries_s"] == merged["aborted_queries_b"]).all()
+
+
+class TestDedupStream:
+    def test_replay_duplicates_dropped(self, spark, tmp_path):
+        pdf = _event_pdf(40)
+        dup = pd.concat([pdf, pdf.iloc[:15]], ignore_index=True)  # replay
+        path = str(tmp_path / "dup_events")
+        spark.createDataFrame(dup, EVENT_SCHEMA).coalesce(1).write.parquet(path)
+        stream = sp.file_stream(spark, path, EVENT_SCHEMA)
+        deduped = sp.dedup_stream(stream, ["instance_id"], watermark="1 hour")
+        _run_to_memory(deduped, "dedup", tmp_path)
+        got = spark.table("dedup").count()
+        assert got == 40
+
+
+class TestStatefulEMA:
+    def test_matches_batch_ema(self, spark, event_dir, tmp_path):
+        stream = sp.file_stream(spark, event_dir, EVENT_SCHEMA, max_files_per_trigger=1)
+        ema_stream = sp.stateful_ema(
+            stream,
+            key_col="instance_id",
+            value_col="execution_duration_ms",
+            order_col="arrival_timestamp",
+            alpha_short=0.02,
+            alpha_long=0.005,
+        )
+        _run_to_memory(ema_stream, "ema", tmp_path, output_mode="update")
+        # update mode: last row per key is the final state
+        got = (
+            spark.table("ema")
+            .toPandas()
+            .groupby("key")
+            .last()["ema_short"]
+            .to_dict()
+        )
+
+        batch = spark.read.schema(EVENT_SCHEMA).parquet(event_dir)
+        exp = {
+            str(r["instance_id"]): r["ema"]
+            for r in ema_ops.ema_by_key(
+                batch,
+                ["instance_id"],
+                "arrival_timestamp",
+                "execution_duration_ms",
+                alpha=0.02,
+            ).collect()
+        }
+        assert set(got) == set(exp)
+        for k in exp:
+            assert abs(got[k] - exp[k]) < 1e-9, k
+
+
+class TestIncrementalHistoricalPipeline:
+    def test_foreachbatch_recompute_matches_batch(self, spark, tmp_path):
+        flat_pdf = flat_rows()
+        src = str(tmp_path / "flat_src")
+        spark.createDataFrame(flat_pdf.iloc[:60]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        spark.createDataFrame(flat_pdf.iloc[60:]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+        schema = spark.read.parquet(src).schema
+        pipe = sp.IncrementalHistoricalPipeline(
+            spark,
+            accumulator_path=str(tmp_path / "acc"),
+            output_path=str(tmp_path / "out"),
+        )
+        stream = sp.file_stream(spark, src, schema, max_files_per_trigger=1)
+        q = pipe.start(stream, checkpoint=str(tmp_path / "ckpt_hist"), availableNow=True)
+        q.awaitTermination(180)
+
+        got = spark.read.parquet(str(tmp_path / "out"))
+        flat = spark.read.parquet(src)
+        exp = iv_ops.output_table(flat, iv_ops.ingestion_intervals(flat))
+        key = ["instance_id", "query_id", "arrival_timestamp", "last_write_table_insert"]
+        g = got.select(*key).toPandas().sort_values(key).reset_index(drop=True)
+        e = exp.select(*key).toPandas().sort_values(key).reset_index(drop=True)
+        assert len(g) == len(e) > 0
+        assert g.equals(e)

@@ -92,6 +92,57 @@ def lsh_signature(vec: Column, n_planes: int = 8) -> Column:
     )
 
 
+def ivf_cells(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest centroid.
+
+    ``centroids`` is a driver-side list — a coarse quantizer is a *model
+    parameter* (even at 100 TB it's ~65k small vectors), so baking it into
+    the plan as literals keeps assignment a pure projection: no shuffle, no
+    broadcast join, whole-stage codegen.  Tie-break: highest cosine, then
+    highest centroid id (struct-max ordering, mirrored in oracles by
+    ``ORDER BY c DESC, cid DESC``).
+    """
+    scored = F.array(
+        *[
+            F.struct(
+                cosine(
+                    F.col(vec_col), F.array(*[F.lit(float(x)) for x in cv])
+                ).alias("c"),
+                F.lit(int(cid)).alias("cid"),
+            )
+            for cid, cv in centroids
+        ]
+    )
+    return embeddings.withColumn("cell", F.array_max(scored)["cid"])
+
+
+def knn_ivf(
+    embeddings: DataFrame,
+    query_vec: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k (nprobe=1): exact cosine restricted to the query's
+    cell.  The inverted-file analogue of `knn_lsh` — at rest, partition or
+    bucket the corpus by ``cell`` so a probe reads one cell's files only."""
+    cells = ivf_cells(embeddings, centroids, vec_col)
+    q = ivf_cells(query_vec, centroids, "qv").withColumnRenamed("cell", "q_cell")
+    joined = cells.join(F.broadcast(q), F.col("cell") == F.col("q_cell"))
+    sim = cosine(F.col("qv"), F.col(vec_col))
+    out = joined.select(F.col(id_col), sim.alias("cos_sim"))
+    if "q_id" in query_vec.columns:
+        out = joined.filter(F.col(id_col) != F.col("q_id")).select(
+            F.col(id_col), sim.alias("cos_sim")
+        )
+    return out.orderBy(F.desc("cos_sim"), id_col).limit(k)
+
+
 def knn_lsh(
     embeddings: DataFrame,
     query_vec: DataFrame,

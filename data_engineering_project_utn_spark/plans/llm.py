@@ -213,6 +213,102 @@ def llm_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_neardup(d, k=8, bands=4, n=5, threshold=0.5)
 
 
+# Oracle fragment: 3-gram shingles from token list ``t`` (mirrors
+# llm.text.shingles(n=3): inclusive slice of 3 tokens, short docs → 1 shingle).
+_SH3 = "list_transform(range(1, greatest(len(t) - 2, 1) + 1), i -> array_to_string(t[i:i+2], ' '))"
+
+
+@register(
+    "llm_ngram_jaccard",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, lang, source, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, lang, source, list_distinct({_SH3}) AS s FROM tk),
+    p AS (SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (CAST(len(a.s) + len(b.s) AS DOUBLE)
+                    - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)) AS jaccard
+          FROM sh a JOIN sh b
+            ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+    SELECT lang, source, id_a, id_b, jaccard FROM p WHERE jaccard > 0.1
+    """,
+    tags=("llm", "dedup", "jaccard"),
+)
+def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise exact 3-gram Jaccard within (lang, source) blocks.
+
+    Blocking is the scale contract: shingle sets are built once per doc
+    (never per pair), and the pair space is Σ|block|² — at 100 TB the block
+    key becomes an LSH band (llm_minhash_neardup) instead of metadata, but
+    the operator shape is identical."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(tx.shingles("text", 3)).alias("s"),
+    )
+    a = sh.select(
+        "lang", "source", F.col("doc_id").alias("id_a"), F.col("s").alias("sa")
+    )
+    b = sh.select(
+        "lang", "source", F.col("doc_id").alias("id_b"), F.col("s").alias("sb")
+    )
+    pairs = a.join(b, ["lang", "source"]).filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
+    union = (F.size(F.col("sa")) + F.size(F.col("sb"))).cast("double") - inter
+    return pairs.select(
+        "lang", "source", "id_a", "id_b", (inter / union).alias("jaccard")
+    ).filter(F.col("jaccard") > 0.1)
+
+
+@register(
+    "llm_ivf_ann",
+    oracle=f"""
+    WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+    scored AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               {_dot('e.embedding', 'c.cv')}
+               / (sqrt({_dot('e.embedding', 'e.embedding')}) * sqrt({_dot('c.cv', 'c.cv')}))
+                   AS cos_c
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    cells AS (
+        SELECT vec_id, embedding, cid AS cell
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY cos_c DESC, cid DESC) AS rn
+              FROM scored)
+        WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS qv, cell AS q_cell
+          FROM cells WHERE vec_id = 0)
+    SELECT s.vec_id,
+           {_dot('q.qv', 's.embedding')}
+           / (sqrt({_dot('q.qv', 'q.qv')}) * sqrt({_dot('s.embedding', 's.embedding')}))
+               AS cos_sim
+    FROM cells s, q
+    WHERE s.cell = q.q_cell AND s.vec_id <> q.q_id
+    ORDER BY cos_sim DESC, s.vec_id
+    LIMIT 10
+    """,
+    tags=("llm", "similarity", "ann", "ivf"),
+)
+def llm_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 (nprobe=1): 8 coarse centroids (vec_id 0-7 as the
+    deterministic quantizer), cell assignment as a literal-centroid
+    projection (no shuffle — see llm/similarity.py:ivf_cells), exact cosine
+    within the probed cell.  The centroid collect is 8 rows — a model
+    parameter, not data movement."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in e.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    ]
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    return sim.knn_ivf(e, q, cents, k=10)
+
+
 @register(
     "llm_simhash",
     oracle=None,  # conv(hex→long) has no cheap DuckDB twin; pytest-verified

@@ -1,0 +1,104 @@
+"""Property tests for the LLM-pipeline operators (recall, bounds, identity)
+at sf0.001 — the behaviors an oracle hash can't express."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_project_utn_spark.llm import dedup as dd
+from data_engineering_project_utn_spark.llm import similarity as sim
+from data_engineering_project_utn_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def documents(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+def _query(e):
+    return e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+
+
+class TestANN:
+    def test_brute_topk_is_sorted_and_excludes_self(self, embeddings):
+        top = sim.knn_brute(embeddings, _query(embeddings), k=10).toPandas()
+        assert len(top) == 10
+        assert top["cos_sim"].is_monotonic_decreasing
+        assert 0 not in set(top["vec_id"])
+        assert (top["cos_sim"].abs() <= 1.0 + 1e-9).all()
+
+    def test_ivf_results_subset_of_corpus_cell(self, embeddings):
+        cents = [
+            (int(r["vec_id"]), list(r["embedding"]))
+            for r in embeddings.filter(F.col("vec_id") < 8).collect()
+        ]
+        got = sim.knn_ivf(embeddings, _query(embeddings), cents, k=10).toPandas()
+        assert len(got) > 0
+        assert got["cos_sim"].is_monotonic_decreasing
+        # every IVF hit must also be a true (brute-force) similarity value:
+        # scores are exact cosines, only the candidate set is approximate
+        brute = sim.knn_brute(embeddings, _query(embeddings), k=500).toPandas()
+        brute_scores = dict(zip(brute["vec_id"], brute["cos_sim"]))
+        for _, row in got.iterrows():
+            assert abs(brute_scores[row["vec_id"]] - row["cos_sim"]) < 1e-12
+
+    def test_lsh_bucket_restricts_candidates(self, embeddings):
+        with_bucket = embeddings.withColumn(
+            "bucket", sim.lsh_signature(F.col("embedding"), 8)
+        )
+        n_buckets = with_bucket.select("bucket").distinct().count()
+        assert n_buckets > 1  # buckets actually partition the corpus
+
+
+class TestDedupProps:
+    def test_minhash_candidates_superset_of_high_jaccard(self, spark, documents):
+        """LSH candidates must contain every pair whose true Jaccard is high
+        (banding theory: P[miss] shrinks with similarity; exact dups never
+        miss because identical sets share every band)."""
+        d = documents.limit(60)
+        dup = d.withColumn("doc_id", F.col("doc_id") + 100000)  # exact dups
+        corpus = d.unionByName(dup)
+        cand = dd.minhash_candidates(corpus, k=8, bands=4).toPandas()
+        pairs = set(zip(cand["doc_a"], cand["doc_b"]))
+        for r in d.select("doc_id").collect():
+            a, b = r["doc_id"], r["doc_id"] + 100000
+            assert (min(a, b), max(a, b)) in pairs
+
+    def test_jaccard_identity_and_bounds(self, spark):
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "ta": ["the quick brown fox jumps over the lazy dog"] * 2,
+                "tb": [
+                    "the quick brown fox jumps over the lazy dog",
+                    "entirely different words in this one here now",
+                ],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        j = df.select(
+            dd.shingle_jaccard(F.col("ta"), F.col("tb"), n=3).alias("j")
+        ).toPandas()["j"]
+        assert j[0] == 1.0
+        assert j[1] == 0.0
+
+    def test_simhash_identical_docs_collide(self, spark):
+        import pandas as pd
+
+        pdf = pd.DataFrame({"text": ["same words here"] * 2 + ["other thing"]})
+        sigs = (
+            spark.createDataFrame(pdf)
+            .select(dd.simhash16("text").alias("s"))
+            .toPandas()["s"]
+        )
+        assert sigs[0] == sigs[1]
+        assert sigs[2] != sigs[0]

@@ -25,6 +25,22 @@ from pyspark.sql import functions as F
 from data_engineering_project_utn_spark.llm.text import shingles, tokens
 
 
+def parallelize_compute(df: DataFrame) -> DataFrame:
+    """Spread compute-heavy narrow projections across all cores.
+
+    Higher-order-function expressions (transform/aggregate lambdas) are
+    interpreted, not codegen'd — a single-file parquet input otherwise runs
+    the whole signature computation in ONE task (measured 6 s → 1.3 s at
+    sf0.1).  At cluster scale inputs arrive multi-partition and this is a
+    no-op; locally it's the difference between 1 core and 32.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def content_hash(text: Column | str) -> Column:
     """Exact-dup key: md5 of raw content."""
     c = F.col(text) if isinstance(text, str) else text
@@ -132,25 +148,11 @@ def minhash_neardup(
     → exact-Jaccard verify.  The per-doc shingle frame is persisted and
     reused by both self-join sides and the verification step (otherwise
     Spark recomputes the full signature pipeline per reference)."""
-    sh = shingle_frame(docs, id_col, text_col, n).persist()
-    rows = k // bands
-    banded = sh.select(
-        "doc_id",
-        F.explode(lsh_bands(_signature_from_digests(F.col("hd"), k), bands, rows)).alias(
-            "b"
-        ),
-    ).select("doc_id", "b.band_idx", "b.band_hash")
-    cand = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    sh = shingle_frame(parallelize_compute(docs), id_col, text_col, n).persist()
+    # persist banded too: the signature expression is interpreted (HOF
+    # lambdas) — without this both self-join sides re-evaluate it
+    banded = _banded(sh, k, bands).persist()
+    cand = _candidates_from_banded(banded)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sa"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("sb"))
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
@@ -163,6 +165,32 @@ def minhash_neardup(
     )
 
 
+def _banded(sh: DataFrame, k: int, bands: int) -> DataFrame:
+    """Shingle frame → one row per (doc, band): doc_id, band_idx, band_hash."""
+    rows = k // bands
+    return sh.select(
+        "doc_id",
+        F.explode(lsh_bands(_signature_from_digests(F.col("hd"), k), bands, rows)).alias(
+            "b"
+        ),
+    ).select("doc_id", "b.band_idx", "b.band_hash")
+
+
+def _candidates_from_banded(banded: DataFrame) -> DataFrame:
+    """Bucket self-join: docs sharing ≥1 band bucket (id_a < id_b)."""
+    return (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def minhash_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -172,26 +200,8 @@ def minhash_candidates(
     n: int = 5,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b): docs sharing ≥1 band bucket."""
-    sh = shingle_frame(docs, id_col, text_col, n)
-    rows = k // bands
-    banded = sh.select(
-        "doc_id",
-        F.explode(lsh_bands(_signature_from_digests(F.col("hd"), k), bands, rows)).alias(
-            "b"
-        ),
-    ).select("doc_id", "b.band_idx", "b.band_hash")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    sh = shingle_frame(parallelize_compute(docs), id_col, text_col, n)
+    return _candidates_from_banded(_banded(sh, k, bands).persist())
 
 
 def shingle_jaccard(text_a: Column, text_b: Column, n: int = 5) -> Column:

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_engineering_project_utn_spark.llm import dedup as dd
+from data_engineering_project_utn_spark.llm.dedup import parallelize_compute
 from data_engineering_project_utn_spark.llm import multimodal as mm
 from data_engineering_project_utn_spark.llm import similarity as sim
 from data_engineering_project_utn_spark.llm import text as tx
@@ -53,7 +54,7 @@ def llm_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline for corpus hygiene at any scale (count-distinct here is
     partial-aggregated; swap to approx_count_distinct at 100 TB if ±1% ok).
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
     return d.agg(
         F.count(F.lit(1)).alias("total_docs"),
         F.countDistinct(dd.content_hash("text")).alias("distinct_content"),
@@ -81,7 +82,7 @@ def llm_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token counting (whitespace tokenizer) — narrow
     projection, scan-speed at any scale."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         "lang",
@@ -113,7 +114,7 @@ def llm_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length saturation + stopword share + lexical
     diversity (C4/Gopher-style heuristic filters, deterministic form)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
     return d.select("doc_id", tx.quality_score("text").alias("quality"))
 
 
@@ -141,7 +142,7 @@ def llm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-heuristic language ID vs the labeled lang column
     (confusion-matrix counts).  Tie-break: first of (en, es, de, fr)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
     return (
         d.select("lang", tx.predicted_lang("text").alias("predicted"))
         .groupBy("lang", "predicted")
@@ -163,7 +164,7 @@ def llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 5-gram document fingerprint (1-perm MinHash): lexicographic
     min of shingle digests."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         tx.rolling_fingerprint("text", 5).alias("fingerprint"),
@@ -209,7 +210,7 @@ def llm_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard > 0.5.  Only same-bucket docs are ever compared — the shuffle
     key space is the band buckets, never all-pairs (see llm/dedup.py).
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
     return dd.minhash_neardup(d, k=8, bands=4, n=5, threshold=0.5)
 
 
@@ -240,7 +241,7 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (never per pair), and the pair space is Σ|block|² — at 100 TB the block
     key becomes an LSH band (llm_minhash_neardup) instead of metadata, but
     the operator shape is identical."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
     sh = d.select(
         "doc_id",
         "lang",
@@ -298,7 +299,7 @@ def llm_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection (no shuffle — see llm/similarity.py:ivf_cells), exact cosine
     within the probed cell.  The centroid collect is 8 rows — a model
     parameter, not data movement."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
     cents = [
         (int(r["vec_id"]), list(r["embedding"]))
         for r in e.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
@@ -317,7 +318,7 @@ def llm_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash signatures + signature-collision groups (near-dup by
     Hamming-0).  Rows-only driver check; properties tested in pytest."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
     sigs = d.select("doc_id", dd.simhash16("text").alias("simhash"))
     return (
         sigs.groupBy("simhash")
@@ -344,7 +345,7 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for query vec_id=0 — the exact-ANN
     baseline.  Query broadcast; corpus never moves; TakeOrdered top-k."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
@@ -379,7 +380,7 @@ def llm_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN (the 100 TB scale path): 8 deterministic
     hyperplanes → bucket id → exact cosine within the query's bucket only.
     Recall tested against llm_knn_cosine in pytest."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
@@ -410,7 +411,7 @@ def llm_label_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup stats with label blocking: pairwise cosine
     within label only (blocking keeps it O(Σ|block|²), never all-pairs;
     at scale the block key is the LSH bucket instead)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
     a = e.select(
         F.col("label"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
     )
@@ -465,7 +466,7 @@ def llm_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     codec's integer arithmetic, so the whole Python-batch path is
     value-checked, not just row-counted.  (Payload = utf-8 text bytes; the
     corpus is ASCII so bytes ≡ chars in the oracle.)"""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
     return mm.image_metadata(mm.with_binary_payload(d))
 
 
@@ -482,5 +483,5 @@ def llm_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling shape: payload → frame offsets → keep
     every 16th (explode of a generated sequence; narrow, scan-speed)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
     return mm.frame_sample(mm.with_binary_payload(d), every_n=16)

@@ -1,0 +1,68 @@
+"""Physical-plan regression tests (SURVEY.md §4.2): the plan properties we
+rely on at 100 TB must hold at any SF — column pruning into the scan,
+filter pushdown, broadcast for small dims, and no accidental
+nested-loop/cartesian joins on the big-table paths."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_engineering_project_utn_spark.plans import all_queries
+
+QUERIES = all_queries()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name].build(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_interval_core_never_nested_loop(spark, sf_dir):
+    """The as-of merge (J4 replacement) must stay a hash/sort-merge path —
+    a BNLJ here is quadratic at scale."""
+    plan = _plan(spark, sf_dir, "ri_output_freshness")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    """nation/region/supplier are broadcast-side; lineitem never shuffles
+    through a nested loop."""
+    plan = _plan(spark, sf_dir, "rl_nation_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """c_mktsegment = 'BUILDING' must be evaluated at the customer scan,
+    not after the join."""
+    plan = _plan(spark, sf_dir, "rl_top_revenue_orders")
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan" in ln and "c_mktsegment" in ln]
+    assert scan_lines, "customer scan not found"
+    assert any("BUILDING" in ln for ln in scan_lines), "mktsegment filter not pushed to scan"
+
+
+def test_column_pruning_pricing_summary(spark, sf_dir):
+    """Q1-style scan must read only the 7 needed lineitem columns, not all 16."""
+    plan = _plan(spark, sf_dir, "rl_pricing_summary")
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert scans
+    li_scan = next(ln for ln in scans if "l_quantity" in ln)
+    cols = li_scan.split("[", 1)[1].split("]", 1)[0].split(",")
+    assert len(cols) <= 8, f"lineitem scan reads {len(cols)} columns: {cols}"
+    assert not any("l_comment" in c for c in cols)
+
+
+def test_knn_broadcast_is_single_row_side(spark, sf_dir):
+    """Brute-force kNN: the only nested-loop join allowed is the broadcast
+    of the single query vector (corpus × 1 row — linear, by design)."""
+    plan = _plan(spark, sf_dir, "llm_knn_cosine")
+    if "BroadcastNestedLoopJoin" in plan:
+        # the broadcast side must be the vec_id = 0 singleton
+        assert "(vec_id" in plan and "= 0)" in plan.replace("#", " #").replace("L", "")
+
+
+@pytest.mark.parametrize("name", ["ri_decile_histogram", "ri_ingestion_freshness"])
+def test_historical_chain_no_cartesian(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan

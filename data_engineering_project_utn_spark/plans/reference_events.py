@@ -315,6 +315,83 @@ def ri_ingestion_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ri_freshness_alarm",
+    oracle=OUTPUT_CTE + """
+    , d AS (
+        SELECT instance_id, read_table_id,
+               (epoch_us(arrival_timestamp) - epoch_us(last_write_table_insert)) / 1000.0
+                   AS since_ms,
+               (epoch_us(next_write_table_insert) - epoch_us(arrival_timestamp)) / 1000.0
+                   AS to_next_ms
+        FROM output_t WHERE query_type = 'select'
+    )
+    SELECT instance_id, read_table_id,
+           CAST(SUM(CAST(since_ms AS DECIMAL(30,6))) AS DOUBLE) / COUNT(since_ms)
+               AS avg_since_ms,
+           CAST(SUM(CAST(to_next_ms AS DECIMAL(30,6))) AS DOUBLE) / COUNT(to_next_ms)
+               AS avg_to_next_ms
+    FROM d
+    GROUP BY instance_id, read_table_id
+    HAVING CAST(SUM(CAST(since_ms AS DECIMAL(30,6))) AS DOUBLE) / COUNT(since_ms)
+         > CAST(SUM(CAST(to_next_ms AS DECIMAL(30,6))) AS DOUBLE) / COUNT(to_next_ms)
+    """,
+    tags=("reference", "historical", "having"),
+)
+def ri_freshness_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staleness alarm — tables whose average time-since-ingest exceeds
+    their average time-to-next-ingest (A11 HAVING variant;
+    `Dashboard/update_tables.py:242-264`)."""
+    return wl_ops.freshness_alarm(_output_table(spark, sf_dir))
+
+
+@register(
+    "rl_stress_level",
+    oracle="""
+    WITH s AS (SELECT CAST(FLOOR(value * 1000) AS BIGINT) AS execution_duration_ms
+               FROM events)
+    SELECT CAST(SUM(execution_duration_ms) AS DOUBLE) * 100.0
+           / CAST(NULLIF(MAX(execution_duration_ms) * COUNT(*), 0) AS DOUBLE)
+               AS stress_level_pct
+    FROM s
+    """,
+    tags=("reference", "live", "stress"),
+)
+def rl_stress_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stress-level percentage total/(max·n)·100 (F19;
+    `Dashboard/streamlit_app.py:364-366`).  Durations quantized to integer
+    ms so the sum is exact (order-independent) at any parallelism."""
+    e = load_table(spark, sf_dir, "events")
+    stress = e.select(
+        (F.floor(F.col("value") * 1000)).cast("long").alias("execution_duration_ms")
+    )
+    return live_ops.stress_level(stress)
+
+
+@register(
+    "rl_cached_success_rate",
+    oracle="""
+    WITH m AS (SELECT value > 50 AS was_cached, event_type = 'error' AS was_aborted
+               FROM events)
+    SELECT COUNT(CASE WHEN was_cached AND NOT was_aborted THEN 1 END) * 100.0
+           / NULLIF(COUNT(CASE WHEN was_cached THEN 1 END), 0)
+               AS cached_success_rate_pct
+    FROM m
+    """,
+    tags=("reference", "live", "ratio"),
+)
+def rl_cached_success_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached-query success rate (F20; `Dashboard/streamlit_app.py:378`) —
+    boolean flags derived from events (value>50 ≅ cached, error ≅ aborted)
+    so both CASE arms are populated."""
+    e = load_table(spark, sf_dir, "events")
+    m = e.select(
+        (F.col("value") > 50).alias("was_cached"),
+        (F.col("event_type") == "error").alias("was_aborted"),
+    )
+    return live_ops.cached_success_rate(m)
+
+
+@register(
     "ri_decile_histogram",
     oracle=WORKLOAD_CTE + """
     , rel AS (

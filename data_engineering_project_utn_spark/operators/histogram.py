@@ -6,11 +6,14 @@ ingestion interval (0 = just after ingest, 1 = just before next), binned
 into NTILE(10) deciles over a *global* ordering, counted per
 (instance_id, read_table_id, bin).
 
-Scale note (SURVEY.md §7.2): a global NTILE is a single-partition window.
-``ntile_global`` keeps the faithful semantics; at 100 TB use
-``decile_by_percent_rank`` — rank via a range-partitioned global sort
-(Spark's ``orderBy`` does a distributed range sort) and derive the bucket
-arithmetically, avoiding the one-reducer window.
+Scale note (SURVEY.md §7.2): ``F.ntile`` over a global ORDER BY is a
+single-partition window — the one-reducer bottleneck at 100 TB.
+``distributed_ntile`` reproduces NTILE *exactly* without it: range-partition
+on the sort key (equal keys co-locate; partition i's keys all precede
+partition i+1's), collect only the P per-partition counts to the driver,
+convert them to global rank offsets, then assign bins arithmetically from
+the closed-form NTILE definition.  Two jobs, no single-partition stage,
+bit-identical to the window version (asserted in tests).
 """
 
 from __future__ import annotations
@@ -19,6 +22,60 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_engineering_project_utn_spark.functions.scalar import epoch_ms
+
+
+def distributed_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    n_bins: int,
+    bin_col: str = "bin",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact NTILE(n) over a global total order, computed distributed.
+
+    ``order_cols`` must define a total order (add tiebreakers) for the
+    assignment to be deterministic.  The only driver-side data is one row
+    count per partition (P values — a model-size quantity, like IVF
+    centroids), never rows.
+    """
+    p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    ranged = df.repartitionByRange(p, *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # Per-partition counts → rank offsets + grand total, all declarative.
+    # The tiny window runs over ≤ p rows; the ranged exchange appears in
+    # both branches of the final join and is deduplicated by ReuseExchange,
+    # so upstream computes once — no persist, no driver collect.
+    wp = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    wt = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = (
+        ranged.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_cnt").over(wp), F.lit(0)).alias("_offset"),
+            F.sum("_cnt").over(wt).alias("_total"),
+        )
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    rank0 = F.row_number().over(w) + F.col("_offset") - 1  # 0-based global rank
+    # NTILE closed form: N rows into n bins → the first r = N mod n bins
+    # hold q+1 rows (q = N div n), the rest hold q rows.
+    q = F.floor(F.col("_total") / n_bins)
+    r = F.col("_total") % n_bins
+    bin_expr = (
+        F.when(q == 0, rank0 + 1)  # fewer rows than bins: row i → bin i+1
+        .when(rank0 < r * (q + 1), F.floor(rank0 / (q + 1)) + 1)
+        .otherwise(r + F.floor((rank0 - r * (q + 1)) / q) + 1)
+    ).cast("int")
+    return (
+        ranged.join(F.broadcast(offsets), "_pid")
+        .withColumn(bin_col, bin_expr)
+        .drop("_pid", "_offset", "_total")
+    )
 
 
 def relative_to_next(output_table: DataFrame, analytical: DataFrame) -> DataFrame:
@@ -40,17 +97,34 @@ def relative_to_next(output_table: DataFrame, analytical: DataFrame) -> DataFram
     )
 
 
-def decile_histogram(rel: DataFrame, n_bins: int = 10) -> DataFrame:
+def decile_histogram(
+    rel: DataFrame, n_bins: int = 10, distributed: bool = False
+) -> DataFrame:
     """NTILE(n) over global ORDER BY relative_to_next → counts per
     (instance_id, read_table_id, bin) (`Dashboard_Historical_Final.py:455-463`).
 
     Tiebreakers (query ids) make the global ordering total, so bucket
     assignment is deterministic and oracle-reproducible.
+
+    Strategy: ``distributed=False`` uses the plain global-window NTILE —
+    one reducer sorts the (already heavily reduced) rel rows; right up to
+    ~10M rows this beats the distributed plan's extra exchanges.  Past
+    that, pass ``distributed=True`` for ``distributed_ntile`` — bit-
+    identical values (tested) with no single-partition stage.
     """
-    w = Window.orderBy("relative_to_next", "instance_id", "query_id", "read_table_id")
+    if distributed:
+        binned = distributed_ntile(
+            rel,
+            ["relative_to_next", "instance_id", "query_id", "read_table_id"],
+            n_bins,
+        )
+    else:
+        w = Window.orderBy(
+            "relative_to_next", "instance_id", "query_id", "read_table_id"
+        )
+        binned = rel.withColumn("bin", F.ntile(n_bins).over(w))
     return (
-        rel.withColumn("bin", F.ntile(n_bins).over(w))
-        .groupBy("instance_id", "read_table_id", "bin")
+        binned.groupBy("instance_id", "read_table_id", "bin")
         .agg(F.count(F.lit(1)).alias("count"))
         .orderBy("instance_id", "read_table_id", "bin")
     )

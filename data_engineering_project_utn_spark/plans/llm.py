@@ -312,12 +312,30 @@ def llm_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_simhash",
-    oracle=None,  # conv(hex→long) has no cheap DuckDB twin; pytest-verified
-    tags=("llm", "dedup", "simhash", "rows-only"),
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents),
+    tb AS (SELECT doc_id,
+                  list_transform(toks, t -> list_reduce(
+                      list_transform(string_split(substring(md5(t), 1, 4), ''),
+                                     c -> strpos('0123456789abcdef', c) - 1),
+                      (a, x) -> a * 16 + x)) AS tok_bits
+           FROM tk),
+    sg AS (SELECT doc_id,
+                  CAST(list_sum(list_transform(range(0, 16), b -> CASE WHEN
+                      list_sum(list_transform(tok_bits, v ->
+                          CASE WHEN CAST(FLOOR(v / POW(2, b)) AS BIGINT) % 2 = 1
+                               THEN 1 ELSE -1 END)) > 0
+                      THEN CAST(POW(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+           FROM tb)
+    SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_doc
+    FROM sg GROUP BY simhash ORDER BY simhash
+    """,
+    tags=("llm", "dedup", "simhash"),
 )
 def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash signatures + signature-collision groups (near-dup by
-    Hamming-0).  Rows-only driver check; properties tested in pytest."""
+    Hamming-0).  The oracle reproduces conv(hex,16,10) as a char fold, so
+    the full bit-arithmetic path is value-checked."""
     d = parallelize_compute(load_table(spark, sf_dir, "documents"))
     sigs = d.select("doc_id", dd.simhash16("text").alias("simhash"))
     return (

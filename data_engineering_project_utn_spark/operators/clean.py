@@ -52,8 +52,16 @@ def clean_redset(raw: DataFrame, drop_empty_lists: bool = False) -> DataFrame:
             continue
         base = _null_if_missing(raw[name].cast("string"))
         if isinstance(field.dataType, T.TimestampType):
+            # the reference's pd.to_datetime(errors='coerce') NaT-coerces
+            # values outside the ns-representable range (1677..2262); match
+            # it, or downstream Arrow/pandas interop overflows
+            ts = F.try_to_timestamp(base)
+            in_range = ts.between(
+                F.lit("1677-09-22").cast("timestamp"),
+                F.lit("2262-04-11").cast("timestamp"),
+            )
             out = F.coalesce(
-                F.try_to_timestamp(base), F.lit(_EPOCH_DEFAULT).cast("timestamp")
+                F.when(in_range, ts), F.lit(_EPOCH_DEFAULT).cast("timestamp")
             )
         elif isinstance(field.dataType, T.BooleanType):
             out = F.coalesce(

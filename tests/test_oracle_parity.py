@@ -23,8 +23,11 @@ def test_oracle_parity(spark, sf_dir, name):
     assert result["values_match"], f"{name}: value mismatch, first diff {result['first_diff']}"
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
+@pytest.mark.parametrize("name", ROWS_ONLY or ["<all queries have oracles>"])
 def test_rows_only_runs(spark, sf_dir, name):
+    if name == "<all queries have oracles>":
+        assert ROWS_ONLY == []
+        return
     q = QUERIES[name]
     df = q.build(spark, sf_dir)
     assert df.count() >= 0

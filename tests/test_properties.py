@@ -1,0 +1,95 @@
+"""Hypothesis property tests — the cleaning/flatten layer must never crash
+or emit schema-violating rows, whatever bytes arrive (the reference's Kafka
+plane feeds arbitrary JSON-decoded strings into these paths)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from data_engineering_project_utn_spark.operators import clean as cl
+from data_engineering_project_utn_spark.operators import flatten as fl
+from data_engineering_project_utn_spark.schema import REDSET_SCHEMA
+
+# Strings that plausibly arrive in any Redset column via JSON: numbers,
+# garbage, null-ish literals, timestamps, CSV lists.
+_cell = st.one_of(
+    st.just("NULL"),
+    st.just(""),
+    st.just("<NA>"),
+    st.integers(-(10**12), 10**12).map(str),
+    st.floats(allow_nan=False, allow_infinity=False, width=32).map(str),
+    st.text(alphabet="abcxyz,.[]0123456789 -:", min_size=0, max_size=24),
+    st.just("2024-03-01 12:00:00"),
+    st.just("true"),
+    st.just("false"),
+)
+
+_rows = st.lists(
+    st.fixed_dictionaries({name: _cell for name in REDSET_SCHEMA.fieldNames()}),
+    min_size=1,
+    max_size=8,
+)
+
+_settings = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@given(rows=_rows)
+@_settings
+def test_clean_total_on_arbitrary_strings(spark, rows):
+    """clean_redset is total: any all-string frame → canonical types, no
+    nulls in defaulted columns, no exceptions."""
+    raw = spark.createDataFrame(pd.DataFrame(rows).astype(str))
+    out = cl.clean_redset(raw).toPandas()
+    assert len(out) == len(rows)
+    assert list(out.columns) == REDSET_SCHEMA.fieldNames()
+    assert out["instance_id"].notna().all()
+    assert out["arrival_timestamp"].notna().all()
+    assert out["was_aborted"].isin([True, False]).all()
+
+
+@given(ids=st.lists(st.one_of(
+    st.integers(0, 10**9).map(str),
+    st.just("999999"),
+    st.text(alphabet="abc!?", min_size=1, max_size=5),
+), min_size=0, max_size=6))
+@_settings
+def test_flatten_row_count_law(spark, ids):
+    """explode_outer law: one output row per CSV token (≥1 even when the
+    list is empty), bad tokens → null ids."""
+    csv = ",".join(ids)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "instance_id": [1],
+                "query_id": [1],
+                "arrival_timestamp": [pd.Timestamp("2024-03-01")],
+                "query_type": ["select"],
+                "read_table_ids": [csv],
+                "write_table_ids": ["7"],
+            }
+        )
+    )
+    out = fl.flatten_table_ids(df).toPandas()
+    assert len(out) == max(len(ids), 1)
+    n_numeric = sum(1 for t in ids if t.strip().isdigit())
+    assert out["read_table_id"].notna().sum() == n_numeric
+
+
+@given(rows=_rows)
+@_settings
+def test_clean_idempotent(spark, rows):
+    """Cleaning an already-clean frame is the identity (stringly re-cleaned:
+    values survive a round-trip through the coercion layer)."""
+    raw = spark.createDataFrame(pd.DataFrame(rows).astype(str))
+    once = cl.clean_redset(raw)
+    twice = cl.clean_redset(once)
+    a = once.toPandas()
+    b = twice.toPandas()
+    pd.testing.assert_frame_equal(a, b)

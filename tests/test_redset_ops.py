@@ -262,6 +262,25 @@ class TestWorkloadAndHistogram:
         rel_pdf = rel.toPandas()
         assert ((rel_pdf.relative_to_next >= 0) & (rel_pdf.relative_to_next <= 1)).all()
 
+    def test_distributed_strategy_identical(self, flat_df):
+        """decile_histogram(distributed=True) must equal the window-NTILE
+        strategy exactly on the fixture."""
+        out = iv_ops.output_table(flat_df, iv_ops.ingestion_intervals(flat_df))
+        wl = wl_ops.tables_workload_count(out)
+        analytical = wl_ops.analytical_tables(wl)
+        rel = hist_ops.relative_to_next(out, analytical).filter(
+            F.col("relative_to_next").isNotNull()
+        )
+        key = ["instance_id", "read_table_id", "bin"]
+        a = hist_ops.decile_histogram(rel).toPandas().sort_values(key).reset_index(drop=True)
+        b = (
+            hist_ops.decile_histogram(rel, distributed=True)
+            .toPandas()
+            .sort_values(key)
+            .reset_index(drop=True)
+        )
+        assert a.equals(b)
+
     def test_percent_rank_decile_close_to_ntile(self, flat_df):
         out = iv_ops.output_table(flat_df, iv_ops.ingestion_intervals(flat_df))
         wl = wl_ops.tables_workload_count(out)

@@ -15,6 +15,7 @@ decoded-frame memory per batch.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -60,6 +61,64 @@ def fake_decode_image(payload: bytes) -> tuple[int, int, int, float]:
     head = payload[:64]
     mean_byte = float(sum(head)) / len(head) if head else 0.0
     return width, height, channels, mean_byte
+
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def decode_audio_real(payload: bytes) -> dict:
+    """Real audio decode hook — requires a codec (soundfile / librosa),
+    absent here.  Wire ``soundfile.read(io.BytesIO(payload))`` when
+    available; Spark-side plumbing is unchanged."""
+    raise NotImplementedError(
+        "audio codecs not available in this environment; "
+        "wire soundfile.read(io.BytesIO(payload)) here"
+    )
+
+
+def fake_decode_audio(payload: bytes) -> tuple[int, int, float, float]:
+    """Deterministic stand-in decode: sample_rate/samples from length
+    arithmetic; RMS of the first 64 bytes (exact integer sum of squares —
+    oracle-reproducible)."""
+    n = len(payload)
+    sample_rate = 8000 + (n % 8) * 1000
+    n_samples = n * 4
+    duration_s = float(n_samples) / sample_rate
+    head = payload[:64]
+    # math.sqrt (not ** 0.5): correctly-rounded IEEE sqrt, matching the
+    # oracle's sqrt() bit-for-bit
+    rms = math.sqrt(float(sum(b * b for b in head)) / len(head)) if head else 0.0
+    return sample_rate, n_samples, duration_s, rms
+
+
+def audio_metadata(docs_with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched audio metadata over the binary column (same
+    ``mapInPandas`` shape as ``image_metadata``)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [fake_decode_audio(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "sample_rate": [m[0] for m in metas],
+                    "n_samples": [m[1] for m in metas],
+                    "duration_s": [m[2] for m in metas],
+                    "rms": [m[3] for m in metas],
+                }
+            )
+
+    return docs_with_payload.mapInPandas(extract, AUDIO_META_SCHEMA)
 
 
 def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -489,6 +489,66 @@ def llm_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_audio_metadata",
+    oracle="""
+    WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n,
+                      substring(text, 1, 64) AS head
+               FROM documents)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_bytes,
+           CAST(8000 + (n % 8) * 1000 AS INTEGER) AS sample_rate,
+           CAST(n * 4 AS BIGINT) AS n_samples,
+           CAST(n * 4 AS DOUBLE) / (8000 + (n % 8) * 1000) AS duration_s,
+           sqrt(CAST(list_sum(list_transform(string_split(head, ''),
+                                             c -> ascii(c) * ascii(c))) AS DOUBLE)
+                / len(string_split(head, ''))) AS rms
+    FROM b
+    """,
+    tags=("llm", "multimodal", "pandas-udf"),
+)
+def llm_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio plumbing end-to-end: binary payload → Arrow-batched
+    ``mapInPandas`` decode (deterministic fake codec; real hook raises
+    NotImplementedError) → sample-rate/duration/RMS metadata, value-checked
+    against the oracle's integer arithmetic."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    return mm.audio_metadata(mm.with_binary_payload(d))
+
+
+@register(
+    "llm_bpe_tokens",
+    oracle=r"""
+    WITH tk AS (SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9_]+|[^\sa-z0-9_]') AS t
+                FROM documents)
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+           CAST(len(list_filter(t, x -> NOT regexp_matches(x, '[a-z0-9_]'))) AS BIGINT)
+               AS n_punct
+    FROM tk
+    """,
+    tags=("llm", "text", "tokenizer"),
+)
+def llm_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization (word pieces + single punctuation marks —
+    the pre-tokenizer split GPT-style BPE vocabularies assume), counted per
+    doc.  Complements the whitespace tokenizer in llm_token_stats."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    t = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(r"[a-z0-9_]+|[^\sa-z0-9_]"), 0
+    )
+    return d.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_distinct"),
+        F.size(F.filter(t, lambda x: ~x.rlike("[a-z0-9_]"))).cast("long").alias(
+            "n_punct"
+        ),
+    )
+
+
+@register(
     "llm_frame_sample",
     oracle="""
     WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)

@@ -18,7 +18,8 @@ Reference behaviors mapped:
                                                  dropDuplicates within watermark
                                                  (an *upgrade* to exactly-once)
 * T7 streaming EMA stress index                → applyInPandasWithState
-* O7 sorted-deque top-k                        → complete-mode orderBy.limit
+* O7 sorted-deque top-k                        → RunningTopK (foreachBatch,
+                                                 k-row driver accumulator)
 
 Kafka sources/sinks are expressed but not exercised here (no broker in the
 test environment); the file-source path runs the identical DataFrame logic —
@@ -134,15 +135,48 @@ def live_window_counters(
     )
 
 
-def streaming_topk(
-    stream: DataFrame,
-    order_col: str = "compile_duration_ms",
-    k: int = 10,
-) -> DataFrame:
+class RunningTopK:
     """Streaming top-k (O7): the reference's sorted deque
-    (`Dashboard/app.py:29-56`) becomes orderBy().limit(k) in complete
-    output mode — write with ``outputMode("complete")``."""
-    return stream.orderBy(F.desc(order_col)).limit(k)
+    (`Dashboard/app.py:29-56`) as a foreachBatch accumulator.
+
+    Per micro-batch, the batch's own top-k is computed distributed
+    (TakeOrdered — per-partition heaps, only k·P candidate rows move) and
+    merged with the running k rows on the driver.  Driver state is k rows
+    total — independent of stream volume, so this holds at any scale.
+    (A `complete`-mode orderBy/limit is rejected by Spark for
+    non-aggregated streams, and a collect_list-based aggregation would
+    hold ALL rows in state; the k-row accumulator is the right design.)
+    """
+
+    def __init__(self, order_col: str = "compile_duration_ms", k: int = 10):
+        self.order_col = order_col
+        self.k = k
+        self.top: pd.DataFrame | None = None
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        batch_top = (
+            batch_df.orderBy(F.desc(self.order_col)).limit(self.k).toPandas()
+        )
+        merged = (
+            pd.concat([self.top, batch_top], ignore_index=True)
+            if self.top is not None
+            else batch_top
+        )
+        self.top = (
+            merged.sort_values(self.order_col, ascending=False, kind="mergesort")
+            .head(self.k)
+            .reset_index(drop=True)
+        )
+
+    def start(self, stream: DataFrame, checkpoint: str, **trigger_kwargs):
+        if not trigger_kwargs:
+            trigger_kwargs = {"processingTime": "2 seconds"}
+        return (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(**trigger_kwargs)
+            .start()
+        )
 
 
 def dedup_stream(

@@ -110,6 +110,25 @@ class TestDedupStream:
         assert got == 40
 
 
+class TestStreamingTopK:
+    def test_running_topk_matches_batch_topk(self, spark, event_dir, tmp_path):
+        """Accumulated top-k across micro-batches == batch top-k over all
+        data (the deque semantics, `Dashboard/app.py:29-56`)."""
+        stream = sp.file_stream(spark, event_dir, EVENT_SCHEMA, max_files_per_trigger=1)
+        topk = sp.RunningTopK(order_col="compile_duration_ms", k=10)
+        q = topk.start(
+            stream, checkpoint=str(tmp_path / "ckpt_topk"), availableNow=True
+        )
+        q.awaitTermination(120)
+        got = sorted(topk.top["compile_duration_ms"])
+        batch = spark.read.schema(EVENT_SCHEMA).parquet(event_dir)
+        exp = sorted(
+            r["compile_duration_ms"]
+            for r in batch.orderBy(F.desc("compile_duration_ms")).limit(10).collect()
+        )
+        assert got == exp
+
+
 class TestStatefulEMA:
     def test_matches_batch_ema(self, spark, event_dir, tmp_path):
         stream = sp.file_stream(spark, event_dir, EVENT_SCHEMA, max_files_per_trigger=1)

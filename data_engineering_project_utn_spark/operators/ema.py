@@ -58,6 +58,71 @@ def ema_by_key(
     )
 
 
+def ema_scan(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    alpha: float,
+    num_partitions: int | None = None,
+) -> float | None:
+    """Parallel segmented-scan EMA for one (hot-key) series.
+
+    ``ema_by_key`` folds a key's whole series in one task — fine for the
+    reference's bounded key domains, a bottleneck for one key with 10¹⁰
+    rows.  The EMA step e ← α·x + (1-α)·e is an *affine map*, and affine
+    maps compose:  a partition covering rows with values x₁..x_n acts on
+    the incoming state as  e_out = A·e_in + B  with  A = (1-α)ⁿ  and
+    B = the fold seeded from 0.  So: range-partition by event time, fold
+    every partition in parallel (each a JVM ``aggregate`` expression), then
+    compose the P (A, B) pairs in order on the driver — P scalar pairs,
+    a model-size quantity.
+
+    Floating-point caveat: the regrouped arithmetic differs from the
+    sequential fold in the last ulps (binary-fold error O(log n) vs
+    sequential O(n) — typically *more* accurate).  The oracle-gated EMA
+    queries therefore keep the sequential ``ema_by_key``; use this beyond
+    ~10⁷ rows per key, where bit-parity with a single-threaded oracle
+    stops being meaningful.
+
+    Returns the final EMA as a Python float (None on empty input).
+    """
+    p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    a = F.lit(float(alpha))
+    ranged = df.repartitionByRange(p, F.col(order_col)).select(
+        F.spark_partition_id().alias("_pid"),
+        F.col(order_col).alias("o"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    values = F.transform(
+        F.array_sort(F.collect_list(F.struct("o", "v"))), lambda s: s["v"]
+    )
+    per_part = (
+        ranged.groupBy("_pid")
+        .agg(
+            # B: fold seeded from 0 (pure affine offset of the segment)
+            F.aggregate(
+                values,
+                F.lit(0.0),
+                lambda acc, x: a * x + (F.lit(1.0) - a) * acc,
+            ).alias("b"),
+            # seeded fold (y0 = x0) — the true EMA if this is the first segment
+            ema_expr(values, alpha).alias("seeded"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("_pid")
+        .collect()
+    )
+    if not per_part:
+        return None
+    ema: float | None = None
+    for row in per_part:
+        if ema is None:
+            ema = row["seeded"]
+        else:
+            ema = ((1.0 - alpha) ** row["n"]) * ema + row["b"]
+    return ema
+
+
 def stress_index(
     stress: DataFrame,
     order_col: str = "arrival_timestamp",

@@ -320,6 +320,23 @@ class TestEMA:
                 ema = x if ema is None else 0.02 * x + 0.98 * ema
             assert abs(got[k] - ema) < 1e-9, k
 
+    def test_ema_scan_parallel_vs_sequential(self, spark):
+        """Parallel segmented-scan EMA ≈ sequential fold (exact affine
+        composition; fp regrouping bounded at ~1e-10 relative)."""
+        pdf = pd.DataFrame(
+            {
+                "ts": range(5000),
+                "v": [float((i * 37) % 1000) / 7.0 for i in range(5000)],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        got = ema_ops.ema_scan(df, "ts", "v", alpha=0.02, num_partitions=8)
+        ema = None
+        for x in pdf.sort_values("ts")["v"]:
+            ema = x if ema is None else 0.02 * x + 0.98 * ema
+        assert got is not None
+        assert abs(got - ema) / abs(ema) < 1e-10
+
     def test_stress_index_fields(self, spark):
         pdf = pd.DataFrame(
             {

@@ -166,6 +166,50 @@ class TestStatefulEMA:
             assert abs(got[k] - exp[k]) < 1e-9, k
 
 
+class TestCheckpointRecovery:
+    def test_restart_from_checkpoint_no_dup_no_loss(self, spark, tmp_path):
+        """T6 exactly-once claim: stop a query mid-stream, restart from the
+        same checkpoint with more data present — every input row lands in
+        the sink exactly once."""
+        src = str(tmp_path / "src")
+        sink = str(tmp_path / "sink")
+        ckpt = str(tmp_path / "ckpt")
+        pdf = _event_pdf(100)
+
+        spark.createDataFrame(pdf.iloc[:40], EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = sp.file_stream(spark, src, EVENT_SCHEMA)
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        # second wave lands while the query is down; restart from checkpoint
+        spark.createDataFrame(pdf.iloc[40:], EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream2 = sp.file_stream(spark, src, EVENT_SCHEMA)
+        q2 = (
+            stream2.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(120)
+
+        out = spark.read.parquet(sink).toPandas()
+        assert len(out) == 100  # no loss, no replay duplicates
+        assert sorted(out["instance_id"].value_counts().to_dict().items()) == sorted(
+            pdf["instance_id"].value_counts().to_dict().items()
+        )
+
+
 class TestIncrementalHistoricalPipeline:
     def test_foreachbatch_recompute_matches_batch(self, spark, tmp_path):
         flat_pdf = flat_rows()

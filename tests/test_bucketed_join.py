@@ -1,0 +1,57 @@
+"""Bucketing evidence for SCALE.md: a join between two tables bucketed on
+the join key must plan with NO shuffle exchange — the co-located join that
+makes repeated 100 TB joins affordable."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.fixtures import flat_rows
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, tmp_path_factory):
+    wh = tmp_path_factory.mktemp("warehouse")
+    df = spark.createDataFrame(flat_rows())
+    for name in ("b_flat_a", "b_flat_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(8, "instance_id", "write_table_id")
+            .sortBy("instance_id", "write_table_id")
+            .option("path", str(wh / name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    return "b_flat_a", "b_flat_b"
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
+    a_name, b_name = bucketed_tables
+    a = spark.table(a_name).groupBy("instance_id", "write_table_id").count()
+    b = spark.table(b_name).groupBy("instance_id", "write_table_id").agg(
+        F.max("arrival_timestamp").alias("last_ts")
+    )
+    joined = a.join(b, ["instance_id", "write_table_id"])
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # bucketed scans satisfy the clustering of both aggregations and the
+    # join — no shuffle exchange anywhere (a BroadcastExchange on the tiny
+    # side is fine: broadcast moves k rows, not the corpus)
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Bucketed: true" in plan
+
+
+def test_unbucketed_join_does_shuffle(spark):
+    """Control: the same join over plain frames needs exchanges."""
+    df = spark.createDataFrame(flat_rows())
+    a = df.groupBy("instance_id", "write_table_id").count()
+    b = df.groupBy("instance_id", "write_table_id").agg(
+        F.max("arrival_timestamp").alias("last_ts")
+    )
+    plan = (
+        a.join(b, ["instance_id", "write_table_id"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange hashpartitioning" in plan

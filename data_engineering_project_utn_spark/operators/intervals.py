@@ -63,6 +63,70 @@ def ingestion_intervals(
     )
 
 
+def ingestion_intervals_salted(
+    flat: DataFrame,
+    ingestion_types: tuple[str, ...] = INGESTION_QUERY_TYPES,
+    salt_interval: str = "1 day",
+) -> DataFrame:
+    """Skew-safe variant of ``ingestion_intervals`` for hot keys.
+
+    A (instance, table) key with billions of ingestions serializes in one
+    task under the plain window.  Salting by a time bucket splits the key:
+    the window runs per (instance, table, bucket) — parallel across
+    buckets — and the one row per bucket whose ``lead`` is NULL (the
+    bucket's last event) is repaired from a second, *tiny* window over the
+    per-bucket minima (one row per non-empty bucket, not per event).
+
+    Exactly equivalent to the unsalted operator (tested), because
+    intervals never cross more than one bucket boundary chain: the last
+    event of bucket b's next ingestion is the first event of the next
+    non-empty bucket.
+    """
+    events = (
+        flat.filter(F.col("query_type").isin(*ingestion_types))
+        .select("instance_id", "query_id", "write_table_id", "arrival_timestamp")
+        .dropDuplicates(["instance_id", "query_id", "write_table_id", "arrival_timestamp"])
+        .withColumn(
+            "_bucket", F.window(F.col("arrival_timestamp"), salt_interval)["start"]
+        )
+    )
+    w = Window.partitionBy("instance_id", "write_table_id", "_bucket").orderBy(
+        "arrival_timestamp", "query_id"
+    )
+    within = events.select(
+        "instance_id",
+        "query_id",
+        "write_table_id",
+        "_bucket",
+        F.col("arrival_timestamp").alias("current_timestamp"),
+        F.lead("arrival_timestamp").over(w).alias("next_timestamp"),
+    )
+    # boundary repair: first event per (key, bucket) → lead over buckets
+    wb = Window.partitionBy("instance_id", "write_table_id").orderBy("_bucket")
+    bucket_firsts = (
+        events.groupBy("instance_id", "write_table_id", "_bucket")
+        .agg(F.min(F.struct("arrival_timestamp", "query_id")).alias("first_ev"))
+        .select(
+            "instance_id",
+            "write_table_id",
+            "_bucket",
+            F.lead("first_ev.arrival_timestamp").over(wb).alias("_next_bucket_first"),
+        )
+    )
+    return (
+        within.join(
+            bucket_firsts, ["instance_id", "write_table_id", "_bucket"], "left"
+        )
+        .select(
+            "instance_id",
+            "query_id",
+            "write_table_id",
+            "current_timestamp",
+            F.coalesce("next_timestamp", "_next_bucket_first").alias("next_timestamp"),
+        )
+    )
+
+
 def output_table(flat: DataFrame, intervals: DataFrame) -> DataFrame:
     """Annotate queries with bracketing ingestion windows + freshness deltas.
 

@@ -158,6 +158,28 @@ class TestIntervals:
             "next_timestamp"
         ].fillna(pd.Timestamp(0)).tolist()
 
+    def test_salted_intervals_equal_unsalted(self, flat_df):
+        """The skew-salted window (bucket split + boundary repair) must be
+        exactly equivalent to the plain lead() window."""
+        key = ["instance_id", "write_table_id", "current_timestamp", "query_id"]
+        plain = (
+            iv_ops.ingestion_intervals(flat_df)
+            .toPandas()
+            .sort_values(key)
+            .reset_index(drop=True)
+        )
+        for interval in ("1 hour", "30 minutes", "7 days"):
+            salted = (
+                iv_ops.ingestion_intervals_salted(flat_df, salt_interval=interval)
+                .toPandas()
+                .sort_values(key)
+                .reset_index(drop=True)
+            )
+            assert plain[key].equals(salted[key]), interval
+            assert plain["next_timestamp"].fillna(pd.Timestamp(0)).equals(
+                salted["next_timestamp"].fillna(pd.Timestamp(0))
+            ), interval
+
     def test_output_table_invariants(self, flat_df):
         """FIXTURES.md F4 invariants."""
         out = iv_ops.output_table(flat_df, iv_ops.ingestion_intervals(flat_df))

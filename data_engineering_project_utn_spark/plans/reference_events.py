@@ -391,9 +391,7 @@ def rl_cached_success_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return live_ops.cached_success_rate(m)
 
 
-@register(
-    "ri_decile_histogram",
-    oracle=WORKLOAD_CTE + """
+_DECILE_ORACLE = WORKLOAD_CTE + """
     , rel AS (
         SELECT DISTINCT instance_id, query_id, read_table_id,
                ((epoch_us(arrival_timestamp) - epoch_us(last_write_table_insert)) / 1000.0)
@@ -413,7 +411,21 @@ def rl_cached_success_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM bins
     GROUP BY instance_id, read_table_id, bin
     ORDER BY instance_id, read_table_id, bin
-    """,
+    """
+
+
+def _decile_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _output_table(spark, sf_dir)
+    wl = wl_ops.tables_workload_count(out)
+    analytical = wl_ops.analytical_tables(wl)
+    return hist_ops.relative_to_next(out, analytical).filter(
+        F.col("relative_to_next").isNotNull()
+    )
+
+
+@register(
+    "ri_decile_histogram",
+    oracle=_DECILE_ORACLE,
     tags=("reference", "historical", "ntile", "bench"),
 )
 def ri_decile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -421,15 +433,22 @@ def ri_decile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     `Dashboard_Historical_Final.py:428-528`).  Null-next rows (no later
     ingestion) are excluded — their relative position is undefined and
     NULL-ordering differs between engines."""
-    out = _output_table(spark, sf_dir)
-    wl = wl_ops.tables_workload_count(out)
-    analytical = wl_ops.analytical_tables(wl)
-    rel = hist_ops.relative_to_next(out, analytical).filter(
-        F.col("relative_to_next").isNotNull()
-    )
-    return (
-        hist_ops.decile_histogram(rel)
-        .withColumnRenamed("count", "n_queries")
+    rel = _decile_rel(spark, sf_dir)
+    return hist_ops.decile_histogram(rel).withColumnRenamed("count", "n_queries")
+
+
+@register(
+    "ri_decile_histogram_distributed",
+    oracle=_DECILE_ORACLE,
+    tags=("reference", "historical", "ntile", "scale"),
+)
+def ri_decile_histogram_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same histogram through ``distributed_ntile`` — the no-single-
+    partition scale path, held to the identical NTILE oracle so the driver
+    verifies both strategies."""
+    rel = _decile_rel(spark, sf_dir)
+    return hist_ops.decile_histogram(rel, distributed=True).withColumnRenamed(
+        "count", "n_queries"
     )
 
 

@@ -489,6 +489,65 @@ def llm_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_pii_scrub",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '(https?://\S+)|(\S+@\S+\.\S+)')) AS BIGINT)
+               AS n_redactions,
+           CAST(len(regexp_replace(text, '(https?://\S+)|(\S+@\S+\.\S+)',
+                                   '<REDACTED>', 'g')) AS BIGINT) AS n_chars_scrubbed
+    FROM documents
+    """,
+    tags=("llm", "text", "scrub"),
+)
+def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/email scrubbing — the PII-redaction pass every training-data
+    pipeline runs before tokenization.  Pure regexp projection: scan-speed,
+    no shuffle; the redaction count + scrubbed length are value-checked."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    pat = r"(https?://\S+)|(\S+@\S+\.\S+)"
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0))
+        .cast("long")
+        .alias("n_redactions"),
+        F.length(F.regexp_replace(F.col("text"), pat, "<REDACTED>"))
+        .cast("long")
+        .alias("n_chars_scrubbed"),
+    )
+
+
+@register(
+    "llm_repetition",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, {_SH3} AS s FROM tk)
+    SELECT doc_id,
+           CAST(len(s) AS BIGINT) AS n_shingles,
+           CAST(len(list_distinct(s)) AS BIGINT) AS n_distinct_shingles,
+           1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / CAST(len(s) AS DOUBLE)
+               AS rep_ratio
+    FROM sh
+    """,
+    tags=("llm", "text", "quality"),
+)
+def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate 3-gram fraction (Gopher-style repetition filter): share of
+    shingles that repeat within the doc.  High rep_ratio → boilerplate /
+    degenerate text; a standard pre-training quality gate."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    s = tx.shingles("text", 3)
+    n = F.size(s).cast("long")
+    nd = F.size(F.array_distinct(s)).cast("long")
+    return d.select(
+        "doc_id",
+        n.alias("n_shingles"),
+        nd.alias("n_distinct_shingles"),
+        (F.lit(1.0) - nd.cast("double") / n.cast("double")).alias("rep_ratio"),
+    )
+
+
+@register(
     "llm_audio_metadata",
     oracle="""
     WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n,

@@ -40,13 +40,19 @@ def distributed_ntile(
     """
     p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     cols = [F.col(c) for c in order_cols]
-    ranged = df.repartitionByRange(p, *cols).withColumn(
-        "_pid", F.spark_partition_id()
+    # persist is CORRECTNESS here, not caching: repartitionByRange samples
+    # its boundaries, and the offsets branch and the rank branch would
+    # otherwise each evaluate the exchange — with possibly different
+    # sampled boundaries, desynchronizing offsets from partition contents
+    # (caught by the sf0.1 oracle gate; ReuseExchange is not guaranteed
+    # under AQE).  One materialization pins one partitioning for both.
+    ranged = (
+        df.repartitionByRange(p, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
     # Per-partition counts → rank offsets + grand total, all declarative.
-    # The tiny window runs over ≤ p rows; the ranged exchange appears in
-    # both branches of the final join and is deduplicated by ReuseExchange,
-    # so upstream computes once — no persist, no driver collect.
+    # The tiny window runs over ≤ p rows.
     wp = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     wt = Window.orderBy("_pid").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing

@@ -198,6 +198,71 @@ def rl_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rl_cheapest_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(o_totalprice AS DOUBLE) AS totalprice
+    FROM orders o
+    WHERE o_totalprice = (SELECT MIN(o2.o_totalprice) FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+    """,
+    tags=("relational", "correlated"),
+)
+def rl_cheapest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-MIN subquery (the reference's J2 shape on a generic
+    table): cheapest order per customer.  Spark-first: a min() window over
+    the customer partition + equality filter — one shuffle, no correlated
+    re-scan per row.  Ties (two orders at the min price) are all kept,
+    matching the correlated-subquery semantics exactly."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("_min_price", F.min("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") == F.col("_min_price"))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+        )
+    )
+
+
+@register(
+    "rl_order_count_distribution",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("relational", "outerjoin"),
+)
+def rl_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped: LEFT OUTER join preserving order-less customers
+    (COUNT of a nullable column skips nulls → zero bucket), then the
+    distribution of per-customer order counts.  Two shuffles, both on keys
+    that shrink the data (custkey, then the tiny count domain)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy(c["c_custkey"])
+        .agg(F.count(o["o_orderkey"]).alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
     "rl_running_customer_spend",
     oracle="""
     SELECT

@@ -204,6 +204,62 @@ def minhash_candidates(
     return _candidates_from_banded(_banded(sh, k, bands).persist())
 
 
+def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, keeper_doc).
+
+    The decision step of deduplication: pairs (doc_a, doc_b) from any
+    near-dup detector form a graph; each component keeps its min doc_id
+    and drops the rest.  Label propagation to fixpoint: every node adopts
+    the min label in its neighborhood, iterated until no label changes —
+    O(diameter) joins, each a shuffle on doc_id.  Near-dup components are
+    overwhelmingly tiny (pairs/triples), so this converges in 2-3 rounds
+    regardless of corpus size; ``max_iterations`` bounds pathological
+    chains.  Equivalent to the oracle's recursive-CTE min-reachable-id.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("keeper_doc", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy(edges["src"].alias("doc_id"))
+            .agg(F.min("keeper_doc").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("keeper_doc"), F.coalesce("nbr_min", F.col("keeper_doc"))
+                ).alias("keeper_doc"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.keeper_doc") != F.col("o.keeper_doc"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def shingle_jaccard(text_a: Column, text_b: Column, n: int = 5) -> Column:
     """Exact Jaccard over distinct n-gram shingle sets."""
     sa = F.array_distinct(shingles(text_a, n))

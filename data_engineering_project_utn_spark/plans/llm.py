@@ -172,10 +172,7 @@ def llm_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "llm_minhash_neardup",
-    oracle=f"""
-    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+_MINHASH_CTES = f"""tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     sh AS (SELECT doc_id,
                   list_transform({_SHINGLES}, s -> md5(s)) AS hd,
                   list_distinct({_SHINGLES}) AS shset
@@ -198,7 +195,12 @@ def llm_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                     - CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)) AS jaccard
           FROM cand c
           JOIN sh sa ON sa.doc_id = c.doc_a
-          JOIN sh sb ON sb.doc_id = c.doc_b)
+          JOIN sh sb ON sb.doc_id = c.doc_b)"""
+
+
+@register(
+    "llm_minhash_neardup",
+    oracle="WITH " + _MINHASH_CTES + """
     SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard > 0.5
     """,
     tags=("llm", "dedup", "minhash", "bench"),
@@ -212,6 +214,32 @@ def llm_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = parallelize_compute(load_table(spark, sf_dir, "documents"))
     return dd.minhash_neardup(d, k=8, bands=4, n=5, threshold=0.5)
+
+
+@register(
+    "llm_dedup_clusters",
+    oracle="WITH RECURSIVE " + _MINHASH_CTES + """
+    , pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard > 0.5),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS keeper_doc
+    FROM reach GROUP BY src ORDER BY doc_id
+    """,
+    tags=("llm", "dedup", "clusters", "iterative"),
+)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup *decision* step: connected components over the MinHash
+    near-dup pairs; every component keeps its min doc_id.  Iterative label
+    propagation in Spark (O(component-diameter) joins) vs the oracle's
+    recursive-CTE transitive closure — identical integer fixpoint."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    pairs = dd.minhash_neardup(d, k=8, bands=4, n=5, threshold=0.5)
+    return dd.dedup_clusters(pairs).orderBy("doc_id")
 
 
 # Oracle fragment: 3-gram shingles from token list ``t`` (mirrors

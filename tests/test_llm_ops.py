@@ -72,6 +72,20 @@ class TestDedupProps:
             a, b = r["doc_id"], r["doc_id"] + 100000
             assert (min(a, b), max(a, b)) in pairs
 
+    def test_dedup_clusters_exact_dups(self, spark, documents):
+        """Exact duplicates must cluster with their original, keeper = the
+        min doc_id of the component."""
+        d = documents.limit(40)
+        dup = d.withColumn("doc_id", F.col("doc_id") + 100000)
+        corpus = d.unionByName(dup)
+        pairs = dd.minhash_neardup(corpus, threshold=0.5)
+        labels = {
+            r["doc_id"]: r["keeper_doc"] for r in dd.dedup_clusters(pairs).collect()
+        }
+        for r in d.select("doc_id").collect():
+            a, b = r["doc_id"], r["doc_id"] + 100000
+            assert labels[b] <= a  # dup resolves to (at most) the original
+
     def test_jaccard_identity_and_bounds(self, spark):
         import pandas as pd
 

@@ -398,10 +398,7 @@ def llm_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_brute(e, q, k=10)
 
 
-@register(
-    "llm_lsh_ann",
-    oracle=f"""
-    WITH sigs AS (
+_SIGS_CTE = """sigs AS (
         SELECT vec_id, embedding,
                list_sum(list_transform(range(0, 8), p -> CASE WHEN
                    list_reduce(list_transform(list_zip(embedding, range(0, 64)),
@@ -410,7 +407,13 @@ def llm_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                    THEN CAST(1 << p AS BIGINT) ELSE 0 END)) AS bucket
         FROM embeddings
     ), q AS (SELECT vec_id AS q_id, embedding AS qv, bucket AS q_bucket
-             FROM sigs WHERE vec_id = 0)
+             FROM sigs WHERE vec_id = 0)"""
+
+
+@register(
+    "llm_lsh_ann",
+    oracle=f"""
+    WITH {_SIGS_CTE}
     SELECT s.vec_id,
            {_dot('q.qv', 's.embedding')}
            / (sqrt({_dot('q.qv', 'q.qv')}) * sqrt({_dot('s.embedding', 's.embedding')}))
@@ -431,6 +434,39 @@ def llm_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
     return sim.knn_lsh(e, q, k=10, n_planes=8)
+
+
+@register(
+    "llm_lsh_multiprobe",
+    oracle=f"""
+    WITH {_SIGS_CTE},
+    probes AS (
+        SELECT q_id, qv,
+               unnest([q_bucket] || list_transform(range(0, 8),
+                   p -> xor(q_bucket, CAST(POW(2, p) AS BIGINT)))) AS probe_bucket
+        FROM q
+    )
+    SELECT DISTINCT s.vec_id,
+           {_dot('p.qv', 's.embedding')}
+           / (sqrt({_dot('p.qv', 'p.qv')}) * sqrt({_dot('s.embedding', 's.embedding')}))
+               AS cos_sim
+    FROM sigs s JOIN probes p ON s.bucket = p.probe_bucket
+    WHERE s.vec_id <> p.q_id
+    ORDER BY cos_sim DESC, s.vec_id
+    LIMIT 10
+    """,
+    tags=("llm", "similarity", "ann", "multiprobe"),
+)
+def llm_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: the query's bucket plus all Hamming-1 buckets
+    (one hyperplane flip) — recovers the boundary misses that dominate
+    single-probe recall loss, still touching ≤ (n_planes+1)/2^n_planes of
+    the corpus in expectation."""
+    e = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    return sim.knn_lsh_multiprobe(e, q, k=10, n_planes=8)
 
 
 @register(

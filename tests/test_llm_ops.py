@@ -50,6 +50,19 @@ class TestANN:
         for _, row in got.iterrows():
             assert abs(brute_scores[row["vec_id"]] - row["cos_sim"]) < 1e-12
 
+    def test_multiprobe_recall_at_least_single_probe(self, embeddings):
+        """Multi-probe candidates ⊇ single-probe candidates → recall vs
+        brute-force top-k can only improve."""
+        q = _query(embeddings)
+        brute = set(
+            sim.knn_brute(embeddings, q, k=10).toPandas()["vec_id"]
+        )
+        single = set(sim.knn_lsh(embeddings, q, k=10).toPandas()["vec_id"])
+        multi = set(
+            sim.knn_lsh_multiprobe(embeddings, q, k=10).toPandas()["vec_id"]
+        )
+        assert len(multi & brute) >= len(single & brute)
+
     def test_lsh_bucket_restricts_candidates(self, embeddings):
         with_bucket = embeddings.withColumn(
             "bucket", sim.lsh_signature(F.col("embedding"), 8)

@@ -217,6 +217,38 @@ def llm_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_bottomk_neardup",
+    oracle="WITH " + _MINHASH_CTES.replace(
+        """sig AS (SELECT doc_id, shset,
+                   list_transform(range(0, 8),
+                       i -> list_min(list_transform(hd,
+                           h -> substring(h, i*4 + 1, 32) || substring(h, 1, i*4)))) AS sg
+            FROM sh),
+    bands AS (SELECT doc_id, shset, r.b AS band_idx,
+                     md5(array_to_string(sg[r.b*2+1 : r.b*2+2], '|')) AS band_hash
+              FROM sig, range(0, 4) r(b)),""",
+        """sig AS (SELECT doc_id, shset,
+                   list_sort(list_distinct(hd))[1:16] AS sg
+            FROM sh),
+    bands AS (SELECT doc_id, shset, r.b AS band_idx,
+                     md5(array_to_string(sg[r.b+1 : r.b+1], '|')) AS band_hash
+              FROM sig, range(0, 16) r(b)
+              WHERE md5(array_to_string(sg[r.b+1 : r.b+1], '|')) <> md5('')),""",
+    ) + """
+    SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard > 0.5
+    """,
+    tags=("llm", "dedup", "bottomk"),
+)
+def llm_bottomk_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-16 sketch near-dup — the cheap-signature alternative to the
+    8-perm rotation family (one sort vs 8 interpreted passes; measured
+    254/256 of the rotation family's verified pairs at ~40 % cost on
+    sf0.1).  Same exact-Jaccard verification gate."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    return dd.bottomk_neardup(d, k=16, n=5, threshold=0.5)
+
+
+@register(
     "llm_dedup_clusters",
     oracle="WITH RECURSIVE " + _MINHASH_CTES + """
     , pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard > 0.5),

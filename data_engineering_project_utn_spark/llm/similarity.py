@@ -51,9 +51,12 @@ def knn_brute(
 
     ``query_vec``: single-row frame with column ``qv`` (and optionally
     ``q_id`` to exclude self-matches).  Broadcast — the corpus never moves.
+    The query norm is evaluated once on the 1-row side (identical fold →
+    identical double), not once per corpus row.
     """
-    joined = embeddings.join(F.broadcast(query_vec))
-    sim = cosine(F.col("qv"), F.col(vec_col))
+    q = query_vec.withColumn("_qn", norm(F.col("qv")))
+    joined = embeddings.join(F.broadcast(q))
+    sim = dot(F.col("qv"), F.col(vec_col)) / (F.col("_qn") * norm(F.col(vec_col)))
     out = joined.select(F.col(id_col), sim.alias("cos_sim"))
     if "q_id" in query_vec.columns:
         out = joined.filter(F.col(id_col) != F.col("q_id")).select(

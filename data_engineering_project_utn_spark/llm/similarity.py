@@ -19,7 +19,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -125,15 +125,57 @@ def knn_lsh_multiprobe(
         ).alias("probe_bucket"),
     )
     joined = with_bucket.join(
-        F.broadcast(probes), F.col("bucket") == F.col("probe_bucket")
+        F.broadcast(probes.withColumn("_qn", norm(F.col("qv")))),
+        F.col("bucket") == F.col("probe_bucket"),
     )
-    sim = cosine(F.col("qv"), F.col(vec_col))
+    sim = dot(F.col("qv"), F.col(vec_col)) / (F.col("_qn") * norm(F.col(vec_col)))
     out = joined.select(F.col(id_col), sim.alias("cos_sim"))
     if "q_id" in query_vec.columns:
         out = joined.filter(F.col(id_col) != F.col("q_id")).select(
             F.col(id_col), sim.alias("cos_sim")
         )
     return out.dropDuplicates([id_col]).orderBy(F.desc("cos_sim"), id_col).limit(k)
+
+
+def knn_join(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Blocked k-NN *join*: top-k neighbors for EVERY vector — the workload
+    behind embedding-level dedup and nearest-neighbor graph construction.
+
+    All-pairs is O(N²·d) and never materializes here: vectors only meet
+    inside their LSH bucket, so the pair space is Σ|bucket|² and the
+    shuffle key is the bucket id.  Norms are computed once per vector
+    *before* the self-join (projection pushed below the join), and top-k
+    per vector is a row_number window over the (much smaller) candidate
+    pair set.  Recall follows sign-LSH bucketing; raise via fewer planes
+    (bigger buckets) or multi-probe, exactly as for single-query ANN.
+    """
+    b = embeddings.withColumn("bucket", lsh_signature(F.col(vec_col), n_planes))
+    a = b.select(
+        "bucket",
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("na"),
+    )
+    c = b.select(
+        "bucket",
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("nb"),
+    )
+    pairs = a.join(c, "bucket").filter(F.col("id_a") != F.col("id_b"))
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    w = Window.partitionBy("id_a").orderBy(F.desc("cos_sim"), "id_b")
+    return (
+        pairs.select("id_a", "id_b", sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def ivf_cells(
@@ -177,8 +219,11 @@ def knn_ivf(
     bucket the corpus by ``cell`` so a probe reads one cell's files only."""
     cells = ivf_cells(embeddings, centroids, vec_col)
     q = ivf_cells(query_vec, centroids, "qv").withColumnRenamed("cell", "q_cell")
-    joined = cells.join(F.broadcast(q), F.col("cell") == F.col("q_cell"))
-    sim = cosine(F.col("qv"), F.col(vec_col))
+    joined = cells.join(
+        F.broadcast(q.withColumn("_qn", norm(F.col("qv")))),
+        F.col("cell") == F.col("q_cell"),
+    )
+    sim = dot(F.col("qv"), F.col(vec_col)) / (F.col("_qn") * norm(F.col(vec_col)))
     out = joined.select(F.col(id_col), sim.alias("cos_sim"))
     if "q_id" in query_vec.columns:
         out = joined.filter(F.col(id_col) != F.col("q_id")).select(
@@ -201,9 +246,10 @@ def knn_lsh(
     with_bucket = embeddings.withColumn("bucket", lsh_signature(F.col(vec_col), n_planes))
     q = query_vec.withColumn("q_bucket", lsh_signature(F.col("qv"), n_planes))
     joined = with_bucket.join(
-        F.broadcast(q), F.col("bucket") == F.col("q_bucket")
+        F.broadcast(q.withColumn("_qn", norm(F.col("qv")))),
+        F.col("bucket") == F.col("q_bucket"),
     )
-    sim = cosine(F.col("qv"), F.col(vec_col))
+    sim = dot(F.col("qv"), F.col(vec_col)) / (F.col("_qn") * norm(F.col(vec_col)))
     out = joined.select(F.col(id_col), sim.alias("cos_sim"))
     if "q_id" in query_vec.columns:
         out = joined.filter(F.col(id_col) != F.col("q_id")).select(

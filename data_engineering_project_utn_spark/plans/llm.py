@@ -469,6 +469,45 @@ def llm_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_knn_join",
+    oracle=f"""
+    WITH sigs AS (
+        SELECT vec_id, embedding,
+               list_sum(list_transform(range(0, 6), p -> CASE WHEN
+                   list_reduce(list_transform(list_zip(embedding, range(0, 64)),
+                       z -> CAST(z[1] AS DOUBLE) * CAST(((p*31 + z[2]*17) % 7 - 3) AS DOUBLE)),
+                       (acc, x) -> acc + x) > 0
+                   THEN CAST(1 << p AS BIGINT) ELSE 0 END)) AS bucket
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_dot('a.embedding', 'b.embedding')}
+               / (sqrt({_dot('a.embedding', 'a.embedding')})
+                  * sqrt({_dot('b.embedding', 'b.embedding')})) AS cos_sim
+        FROM sigs a JOIN sigs b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT id_a, id_b, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY id_a
+                                  ORDER BY cos_sim DESC, id_b) AS rank
+        FROM pairs
+    )
+    SELECT id_a, id_b, cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+    tags=("llm", "similarity", "knnjoin"),
+)
+def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked k-NN join: top-5 neighbors for every vector, LSH-bucket
+    blocked (6 planes) — the nearest-neighbor-graph / embedding-dedup
+    workload.  Pair space = Σ|bucket|², never N²."""
+    e = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
+    return sim.knn_join(e, k=5, n_planes=6)
+
+
+@register(
     "llm_lsh_multiprobe",
     oracle=f"""
     WITH {_SIGS_CTE},

@@ -40,6 +40,17 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _with_qnorm(query_vec: DataFrame) -> DataFrame:
+    """Attach the query norm once on the (tiny) query side — identical
+    fold → identical double, evaluated once instead of per corpus row."""
+    return query_vec.withColumn("_qn", norm(F.col("qv")))
+
+
+def _qnorm_cosine(vec_col: str) -> Column:
+    """cosine(qv, vec) with the precomputed ``_qn`` query norm."""
+    return dot(F.col("qv"), F.col(vec_col)) / (F.col("_qn") * norm(F.col(vec_col)))
+
+
 def knn_brute(
     embeddings: DataFrame,
     query_vec: DataFrame,
@@ -54,9 +65,8 @@ def knn_brute(
     The query norm is evaluated once on the 1-row side (identical fold →
     identical double), not once per corpus row.
     """
-    q = query_vec.withColumn("_qn", norm(F.col("qv")))
-    joined = embeddings.join(F.broadcast(q))
-    sim = dot(F.col("qv"), F.col(vec_col)) / (F.col("_qn") * norm(F.col(vec_col)))
+    joined = embeddings.join(F.broadcast(_with_qnorm(query_vec)))
+    sim = _qnorm_cosine(vec_col)
     out = joined.select(F.col(id_col), sim.alias("cos_sim"))
     if "q_id" in query_vec.columns:
         out = joined.filter(F.col(id_col) != F.col("q_id")).select(
@@ -111,7 +121,9 @@ def knn_lsh_multiprobe(
     Candidate set ⊇ single-probe's, so recall is monotonically better
     (asserted in tests)."""
     with_bucket = embeddings.withColumn("bucket", lsh_signature(F.col(vec_col), n_planes))
-    q = query_vec.withColumn("q_bucket", lsh_signature(F.col("qv"), n_planes))
+    q = _with_qnorm(
+        query_vec.withColumn("q_bucket", lsh_signature(F.col("qv"), n_planes))
+    )
     probes = q.select(
         "*",
         F.explode(
@@ -125,10 +137,9 @@ def knn_lsh_multiprobe(
         ).alias("probe_bucket"),
     )
     joined = with_bucket.join(
-        F.broadcast(probes.withColumn("_qn", norm(F.col("qv")))),
-        F.col("bucket") == F.col("probe_bucket"),
+        F.broadcast(probes), F.col("bucket") == F.col("probe_bucket")
     )
-    sim = dot(F.col("qv"), F.col(vec_col)) / (F.col("_qn") * norm(F.col(vec_col)))
+    sim = _qnorm_cosine(vec_col)
     out = joined.select(F.col(id_col), sim.alias("cos_sim"))
     if "q_id" in query_vec.columns:
         out = joined.filter(F.col(id_col) != F.col("q_id")).select(
@@ -155,18 +166,26 @@ def knn_join(
     pair set.  Recall follows sign-LSH bucketing; raise via fewer planes
     (bigger buckets) or multi-probe, exactly as for single-query ANN.
     """
-    b = embeddings.withColumn("bucket", lsh_signature(F.col(vec_col), n_planes))
+    # persist the bucketed+normed projection: both self-join sides read the
+    # materialized rows, so the scan, the signature fold, and the norm run
+    # once per vector (not once per side)
+    b = embeddings.select(
+        lsh_signature(F.col(vec_col), n_planes).alias("bucket"),
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_n"),
+    ).persist()
     a = b.select(
         "bucket",
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-        norm(F.col(vec_col)).alias("na"),
+        F.col("_id").alias("id_a"),
+        F.col("_v").alias("va"),
+        F.col("_n").alias("na"),
     )
     c = b.select(
         "bucket",
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-        norm(F.col(vec_col)).alias("nb"),
+        F.col("_id").alias("id_b"),
+        F.col("_v").alias("vb"),
+        F.col("_n").alias("nb"),
     )
     pairs = a.join(c, "bucket").filter(F.col("id_a") != F.col("id_b"))
     sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
@@ -220,10 +239,9 @@ def knn_ivf(
     cells = ivf_cells(embeddings, centroids, vec_col)
     q = ivf_cells(query_vec, centroids, "qv").withColumnRenamed("cell", "q_cell")
     joined = cells.join(
-        F.broadcast(q.withColumn("_qn", norm(F.col("qv")))),
-        F.col("cell") == F.col("q_cell"),
+        F.broadcast(_with_qnorm(q)), F.col("cell") == F.col("q_cell")
     )
-    sim = dot(F.col("qv"), F.col(vec_col)) / (F.col("_qn") * norm(F.col(vec_col)))
+    sim = _qnorm_cosine(vec_col)
     out = joined.select(F.col(id_col), sim.alias("cos_sim"))
     if "q_id" in query_vec.columns:
         out = joined.filter(F.col(id_col) != F.col("q_id")).select(
@@ -246,10 +264,9 @@ def knn_lsh(
     with_bucket = embeddings.withColumn("bucket", lsh_signature(F.col(vec_col), n_planes))
     q = query_vec.withColumn("q_bucket", lsh_signature(F.col("qv"), n_planes))
     joined = with_bucket.join(
-        F.broadcast(q.withColumn("_qn", norm(F.col("qv")))),
-        F.col("bucket") == F.col("q_bucket"),
+        F.broadcast(_with_qnorm(q)), F.col("bucket") == F.col("q_bucket")
     )
-    sim = dot(F.col("qv"), F.col(vec_col)) / (F.col("_qn") * norm(F.col(vec_col)))
+    sim = _qnorm_cosine(vec_col)
     out = joined.select(F.col(id_col), sim.alias("cos_sim"))
     if "q_id" in query_vec.columns:
         out = joined.filter(F.col(id_col) != F.col("q_id")).select(

@@ -430,15 +430,21 @@ def llm_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_brute(e, q, k=10)
 
 
-_SIGS_CTE = """sigs AS (
+def _sigs_cte(n_planes: int) -> str:
+    """sigs CTE: sign-LSH bucket per vector (mirrors llm.similarity.
+    lsh_signature — same hyperplane-weight arithmetic, one definition)."""
+    return f"""sigs AS (
         SELECT vec_id, embedding,
-               list_sum(list_transform(range(0, 8), p -> CASE WHEN
+               list_sum(list_transform(range(0, {n_planes}), p -> CASE WHEN
                    list_reduce(list_transform(list_zip(embedding, range(0, 64)),
                        z -> CAST(z[1] AS DOUBLE) * CAST(((p*31 + z[2]*17) % 7 - 3) AS DOUBLE)),
                        (acc, x) -> acc + x) > 0
                    THEN CAST(1 << p AS BIGINT) ELSE 0 END)) AS bucket
         FROM embeddings
-    ), q AS (SELECT vec_id AS q_id, embedding AS qv, bucket AS q_bucket
+    )"""
+
+
+_SIGS_CTE = _sigs_cte(8) + """, q AS (SELECT vec_id AS q_id, embedding AS qv, bucket AS q_bucket
              FROM sigs WHERE vec_id = 0)"""
 
 
@@ -470,16 +476,7 @@ def llm_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_knn_join",
-    oracle=f"""
-    WITH sigs AS (
-        SELECT vec_id, embedding,
-               list_sum(list_transform(range(0, 6), p -> CASE WHEN
-                   list_reduce(list_transform(list_zip(embedding, range(0, 64)),
-                       z -> CAST(z[1] AS DOUBLE) * CAST(((p*31 + z[2]*17) % 7 - 3) AS DOUBLE)),
-                       (acc, x) -> acc + x) > 0
-                   THEN CAST(1 << p AS BIGINT) ELSE 0 END)) AS bucket
-        FROM embeddings
-    ),
+    oracle="WITH " + _sigs_cte(6) + f""",
     pairs AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                {_dot('a.embedding', 'b.embedding')}

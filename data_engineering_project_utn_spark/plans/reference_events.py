@@ -391,6 +391,73 @@ def rl_cached_success_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return live_ops.cached_success_rate(m)
 
 
+@register(
+    "ri_clean_roundtrip",
+    oracle="""
+    WITH raw AS (
+        SELECT CASE WHEN event_id % 37 = 0 THEN 'NULL'
+                    ELSE CAST(user_id AS VARCHAR) END AS instance_id,
+               CAST(event_id AS VARCHAR) AS query_id,
+               CASE WHEN event_id % 41 = 0 THEN 'not-a-date'
+                    ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS arrival_timestamp,
+               event_type AS query_type,
+               CASE WHEN event_id % 43 = 0 THEN ''
+                    ELSE CAST(value AS VARCHAR) END AS compile_duration_ms,
+               CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'f' END AS was_aborted
+        FROM events
+    )
+    SELECT COALESCE(TRY_CAST(NULLIF(instance_id, 'NULL') AS BIGINT), -1) AS instance_id,
+           COALESCE(TRY_CAST(query_id AS BIGINT), -1) AS query_id,
+           COALESCE(CASE WHEN TRY_CAST(arrival_timestamp AS TIMESTAMP)
+                              BETWEEN TIMESTAMP '1677-09-22' AND TIMESTAMP '2262-04-11'
+                         THEN TRY_CAST(arrival_timestamp AS TIMESTAMP) END,
+                    TIMESTAMP '1970-01-01') AS arrival_timestamp,
+           COALESCE(NULLIF(query_type, 'NULL'), 'UNKNOWN') AS query_type,
+           COALESCE(TRY_CAST(NULLIF(compile_duration_ms, '') AS DOUBLE), 0)
+               AS compile_duration_ms,
+           CASE WHEN lower(was_aborted) IN ('true', '1', 't') THEN TRUE
+                WHEN lower(was_aborted) IN ('false', '0', 'f') THEN FALSE
+                ELSE FALSE END AS was_aborted
+    FROM raw
+    """,
+    tags=("reference", "clean", "schema"),
+)
+def ri_clean_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning layer (F13-F16, §1.4) under the driver gate: stringify
+    events (the shape of JSON-decoded Kafka rows) with deterministically
+    injected dirt — 'NULL' ids, unparseable timestamps, empty numerics,
+    mixed booleans — then ``clean_redset`` back to canonical types.  The
+    oracle reproduces every coercion+default rule in SQL.  Doubles survive
+    because each engine round-trips its *own* string formatting."""
+    from data_engineering_project_utn_spark.operators.clean import clean_redset
+
+    e = load_table(spark, sf_dir, "events")
+    raw = e.select(
+        F.when(F.col("event_id") % 37 == 0, F.lit("NULL"))
+        .otherwise(F.col("user_id").cast("string"))
+        .alias("instance_id"),
+        F.col("event_id").cast("string").alias("query_id"),
+        F.when(F.col("event_id") % 41 == 0, F.lit("not-a-date"))
+        .otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+        .alias("arrival_timestamp"),
+        F.col("event_type").alias("query_type"),
+        F.when(F.col("event_id") % 43 == 0, F.lit(""))
+        .otherwise(F.col("value").cast("string"))
+        .alias("compile_duration_ms"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("true"))
+        .otherwise(F.lit("f"))
+        .alias("was_aborted"),
+    )
+    return clean_redset(raw).select(
+        "instance_id",
+        "query_id",
+        "arrival_timestamp",
+        "query_type",
+        "compile_duration_ms",
+        "was_aborted",
+    )
+
+
 _DECILE_ORACLE = WORKLOAD_CTE + """
     , rel AS (
         SELECT DISTINCT instance_id, query_id, read_table_id,

@@ -458,6 +458,75 @@ def ri_clean_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ri_flatten_roundtrip",
+    oracle="""
+    WITH raw AS (
+        SELECT user_id % 4 AS instance_id,
+               event_id AS query_id,
+               ts AS arrival_timestamp,
+               event_type AS query_type,
+               CASE WHEN event_id % 29 = 0 THEN '[]'
+                    WHEN event_id % 31 = 0 THEN CAST(CAST(FLOOR(value) AS BIGINT) % 10 AS VARCHAR) || ',bad,999999'
+                    ELSE CAST(CAST(FLOOR(value) AS BIGINT) % 10 AS VARCHAR) || ','
+                         || CAST(CAST(FLOOR(value * 7) AS BIGINT) % 10 AS VARCHAR) END
+                   AS read_table_ids,
+               CAST(CAST(FLOOR(value) AS BIGINT) % 5 AS VARCHAR) AS write_table_ids
+        FROM events
+    ),
+    flat AS (
+        SELECT instance_id, query_id, arrival_timestamp, query_type,
+               TRY_CAST(u.tok AS BIGINT) AS read_table_id,
+               TRY_CAST(write_table_ids AS BIGINT) AS write_table_id
+        FROM raw,
+             LATERAL UNNEST(string_split(regexp_replace(read_table_ids, '[\\[\\]\\s]', '', 'g'), ',')) u(tok)
+    )
+    SELECT instance_id, query_id, arrival_timestamp, query_type,
+           write_table_id, read_table_id
+    FROM flat
+    """,
+    tags=("reference", "flatten", "explode"),
+)
+def ri_flatten_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CSV-id explode (F10, the reference's only UDTF-ish op) under the
+    driver gate: synthesize CSV-encoded id lists from events — including
+    empty '[]' lists, bad tokens, and 999999 sentinels — then
+    ``flatten_table_ids``.  pandas-explode parity: empty lists keep a
+    null row (explode_outer), bad tokens → null ids."""
+    from data_engineering_project_utn_spark.operators.flatten import flatten_table_ids
+
+    e = load_table(spark, sf_dir, "events")
+    tid = F.floor(F.col("value")).cast("long")
+    raw = e.select(
+        (F.col("user_id") % 4).alias("instance_id"),
+        F.col("event_id").alias("query_id"),
+        F.col("ts").alias("arrival_timestamp"),
+        F.col("event_type").alias("query_type"),
+        F.when(F.col("event_id") % 29 == 0, F.lit("[]"))
+        .when(
+            F.col("event_id") % 31 == 0,
+            F.concat((tid % 10).cast("string"), F.lit(",bad,999999")),
+        )
+        .otherwise(
+            F.concat(
+                (tid % 10).cast("string"),
+                F.lit(","),
+                (F.floor(F.col("value") * 7).cast("long") % 10).cast("string"),
+            )
+        )
+        .alias("read_table_ids"),
+        (tid % 5).cast("string").alias("write_table_ids"),
+    )
+    return flatten_table_ids(raw).select(
+        "instance_id",
+        "query_id",
+        "arrival_timestamp",
+        "query_type",
+        "write_table_id",
+        "read_table_id",
+    )
+
+
 _DECILE_ORACLE = WORKLOAD_CTE + """
     , rel AS (
         SELECT DISTINCT instance_id, query_id, read_table_id,

@@ -206,6 +206,26 @@ def ri_ingestion_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ri_ingestion_intervals_salted",
+    oracle=INTERVALS_CTE + "SELECT * FROM intervals",
+    tags=("reference", "historical", "window", "skew", "scale"),
+)
+def ri_ingestion_intervals_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-salted as-of window (bucket-split + boundary repair,
+    operators/intervals.ingestion_intervals_salted) held to the IDENTICAL
+    oracle as the plain window — the driver verifies the hot-key scale
+    path end-to-end."""
+    flat = events_as_flat(spark, sf_dir)
+    return iv_ops.ingestion_intervals_salted(flat, salt_interval="1 day").select(
+        "instance_id",
+        "query_id",
+        "write_table_id",
+        F.col("current_timestamp").alias("ingest_ts"),
+        F.col("next_timestamp").alias("next_ingest_ts"),
+    )
+
+
+@register(
     "ri_output_freshness",
     oracle=OUTPUT_CTE + """
     SELECT instance_id, query_id, query_type, write_table_id, read_table_id,

@@ -41,13 +41,23 @@ def main() -> None:
     for t in TABLE_NAMES:
         load_table(spark, SF_DIR, t).count()
 
+    # best-of-2 per query with the DataFrame cache cleared between runs:
+    # removes scheduler/JIT noise without letting a repeat ride persisted
+    # frames (which would measure cache hits, not query cost)
+    from data_engineering_project_utn_spark.plans import reference_events as _re
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         q = queries[name]
-        t0 = time.perf_counter()
-        df = q.build(spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best, n = float("inf"), 0
+        for _ in range(2):
+            spark.catalog.clearCache()
+            _re._OUTPUT_TABLE_CACHE.clear()
+            t0 = time.perf_counter()
+            df = q.build(spark, SF_DIR)
+            n = df.count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

@@ -237,7 +237,7 @@ def llm_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) + """
     SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard > 0.5
     """,
-    tags=("llm", "dedup", "bottomk"),
+    tags=("llm", "dedup", "bottomk", "bench"),
 )
 def llm_bottomk_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bottom-16 sketch near-dup — the cheap-signature alternative to the
@@ -494,7 +494,7 @@ def llm_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT id_a, id_b, cos_sim, CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= 5
     """,
-    tags=("llm", "similarity", "knnjoin"),
+    tags=("llm", "similarity", "knnjoin", "bench"),
 )
 def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked k-NN join: top-5 neighbors for every vector, LSH-bucket

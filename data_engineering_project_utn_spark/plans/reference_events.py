@@ -440,7 +440,7 @@ def rl_cached_success_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE FALSE END AS was_aborted
     FROM raw
     """,
-    tags=("reference", "clean", "schema"),
+    tags=("reference", "clean", "schema", "bench"),
 )
 def ri_clean_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The cleaning layer (F13-F16, §1.4) under the driver gate: stringify

@@ -241,7 +241,7 @@ def rl_cheapest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFram
     GROUP BY c_count
     ORDER BY custdist DESC, c_count DESC
     """,
-    tags=("relational", "outerjoin"),
+    tags=("relational", "outerjoin", "bench"),
 )
 def rl_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13-shaped: LEFT OUTER join preserving order-less customers

@@ -5,6 +5,7 @@ plane feeds arbitrary JSON-decoded strings into these paths)."""
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -80,6 +81,46 @@ def test_flatten_row_count_law(spark, ids):
     assert len(out) == max(len(ids), 1)
     n_numeric = sum(1 for t in ids if t.strip().isdigit())
     assert out["read_table_id"].notna().sum() == n_numeric
+
+
+@pytest.mark.parametrize("seed", [3, 17, 99])
+def test_output_table_bracket_invariants_random_stream(spark, seed):
+    """On random event streams, every matched non-ingestion row must sit
+    inside its assigned interval: last ≤ arrival, and either next is null
+    (tail interval) or arrival < next... with one documented exception —
+    boundary ties land in the NEWER interval, so arrival == last is valid
+    (SURVEY §7.2).  Ingestion rows carry their own interval."""
+    import random
+    from datetime import datetime, timedelta
+
+    from data_engineering_project_utn_spark.operators import intervals as iv_ops
+
+    rng = random.Random(seed)
+    t0 = datetime(2024, 3, 1)
+    rows = []
+    for i in range(400):
+        qtype = rng.choice(["insert", "copy", "select", "select", "update", "delete"])
+        tid = rng.randint(0, 5)
+        rows.append(
+            {
+                "instance_id": rng.randint(0, 2),
+                "query_id": i,
+                "write_table_id": tid if qtype != "select" else None,
+                "read_table_id": tid if qtype == "select" else rng.randint(0, 5),
+                "arrival_timestamp": t0 + timedelta(minutes=rng.randint(0, 10000)),
+                "query_type": qtype,
+            }
+        )
+    flat = spark.createDataFrame(pd.DataFrame(rows))
+    out = iv_ops.output_table(flat, iv_ops.ingestion_intervals(flat)).toPandas()
+    non_ing = out[~out.query_type.isin(["insert", "copy"])]
+    matched = non_ing[non_ing.last_write_table_insert.notna()]
+    assert (matched.last_write_table_insert <= matched.arrival_timestamp).all()
+    with_next = matched[matched.next_write_table_insert.notna()]
+    assert (with_next.arrival_timestamp <= with_next.next_write_table_insert).all()
+    # interval chain consistency: next equals the following interval's start
+    ing = out[out.query_type.isin(["insert", "copy"])]
+    assert (ing.last_write_table_insert == ing.arrival_timestamp).all()
 
 
 @given(rows=_rows)

@@ -524,6 +524,7 @@ def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10
     """,
     tags=("llm", "similarity", "ann", "multiprobe"),
+    priority=0,
 )
 def llm_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH ANN: the query's bucket plus all Hamming-1 buckets
@@ -556,6 +557,7 @@ def llm_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pairs GROUP BY label ORDER BY label
     """,
     tags=("llm", "similarity", "neardup"),
+    priority=0,
 )
 def llm_label_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup stats with label blocking: pairwise cosine
@@ -608,6 +610,7 @@ def llm_label_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM b
     """,
     tags=("llm", "multimodal", "pandas-udf"),
+    priority=0,
 )
 def llm_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: binary payload column →
@@ -631,6 +634,7 @@ def llm_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     tags=("llm", "text", "scrub"),
+    priority=0,
 )
 def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL/email scrubbing — the PII-redaction pass every training-data
@@ -662,6 +666,7 @@ def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sh
     """,
     tags=("llm", "text", "quality"),
+    priority=0,
 )
 def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate 3-gram fraction (Gopher-style repetition filter): share of
@@ -696,6 +701,7 @@ def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM b
     """,
     tags=("llm", "multimodal", "pandas-udf"),
+    priority=0,
 )
 def llm_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio plumbing end-to-end: binary payload → Arrow-batched
@@ -720,6 +726,7 @@ def llm_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM tk
     """,
     tags=("llm", "text", "tokenizer"),
+    priority=0,
 )
 def llm_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish regex tokenization (word pieces + single punctuation marks —
@@ -748,6 +755,7 @@ def llm_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE i % 16 = 0
     """,
     tags=("llm", "multimodal"),
+    priority=0,
 )
 def llm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling shape: payload → frame offsets → keep

@@ -41,22 +41,41 @@ class Query:
     oracle: str | None
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
+    priority: int = 100
 
 
 def register(
-    name: str, oracle: str | None = None, tags: tuple[str, ...] = ()
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    priority: int = 100,
 ) -> Callable[[Builder], Builder]:
+    """Register a query plan.
+
+    ``priority`` orders ``all_queries()`` (lower = earlier); the driver
+    iterates the dict in order and may stop after a fixed budget, so queries
+    without a prior green CORRECTNESS row get low priorities to be verified
+    first.  Ties keep registration order.
+    """
+
     def deco(fn: Builder) -> Builder:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        _REGISTRY[name] = Query(name, fn, oracle, doc=(fn.__doc__ or ""), tags=tags)
+        _REGISTRY[name] = Query(
+            name, fn, oracle, doc=(fn.__doc__ or ""), tags=tags, priority=priority
+        )
         return fn
 
     return deco
 
 
 def all_queries() -> dict[str, Query]:
-    return dict(_REGISTRY)
+    """Registry in driver-check order: ascending priority, then
+    registration order (Python dicts preserve insertion order)."""
+    items = sorted(
+        enumerate(_REGISTRY.items()), key=lambda t: (t[1][1].priority, t[0])
+    )
+    return {name: q for _, (name, q) in items}
 
 
 def get_query(name: str) -> Query:

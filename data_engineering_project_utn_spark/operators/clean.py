@@ -40,9 +40,14 @@ def clean_redset(raw: DataFrame, drop_empty_lists: bool = False) -> DataFrame:
     Accepts string-typed or mixed-typed input (e.g. JSON-decoded Kafka rows)
     and emits the canonical schema with the reference's default-fill rules.
 
-    ``drop_empty_lists=True`` additionally drops rows whose
-    ``read_table_ids``/``write_table_ids`` are empty — the historical
-    cleaning path (`Historical_data_cleaning.py:55-60`).
+    ``drop_empty_lists=True`` additionally keeps only rows where BOTH
+    ``read_table_ids`` AND ``write_table_ids`` are non-empty — the
+    historical cleaning path applies two sequential filters, each dropping
+    rows whose list is ``'[]'``/``'<NA>'`` (`Historical_data_cleaning.py:
+    59-60`), despite its comment saying "both ... empty".  We match the
+    code's behavior, not the comment.  (``'<NA>'``/``''`` were already
+    null-coerced to ``'[]'`` by the default fill above, so one membership
+    test per column covers the reference's full empties set.)
     """
     cols: list[Column] = []
     for field in REDSET_SCHEMA.fields:
@@ -71,6 +76,11 @@ def clean_redset(raw: DataFrame, drop_empty_lists: bool = False) -> DataFrame:
                 F.lit(False),
             )
         elif isinstance(field.dataType, (T.LongType, T.DoubleType)):
+            # -1 for *_id columns follows the cleaned-table DDL defaults
+            # (`Historical_data_cleaning.py:73-97`), chosen over the pandas
+            # layer's blanket fillna(0) (`:52`) — the two reference layers
+            # disagree; the DDL is what downstream queries actually read
+            # (documented divergence per SURVEY §7.2).
             default = F.lit(-1 if name.endswith("_id") else 0)
             out = F.coalesce(
                 base.try_cast(field.dataType.simpleString()),
@@ -85,7 +95,7 @@ def clean_redset(raw: DataFrame, drop_empty_lists: bool = False) -> DataFrame:
     cleaned = raw.select(*cols)
     if drop_empty_lists:
         cleaned = cleaned.filter(
-            (~F.col("read_table_ids").isin("[]", "")) | (~F.col("write_table_ids").isin("[]", ""))
+            (~F.col("read_table_ids").isin("[]", "")) & (~F.col("write_table_ids").isin("[]", ""))
         )
     return cleaned
 

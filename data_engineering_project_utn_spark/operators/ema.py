@@ -26,12 +26,19 @@ def ema_expr(values_sorted: Column, alpha: float) -> Column:
     y_0 = x_0;  y_i = α·x_i + (1-α)·y_{i-1}  — matches the reference's
     initialisation (first observation seeds the average,
     `Kafka/ddb_wrappers.py:56-60`).
+
+    Null elements are skipped (the accumulator carries through unchanged);
+    the first non-null observation seeds the fold.  Without the explicit
+    null guard, a null x would null the affine step and the coalesce would
+    silently *re-seed* from the next observation, discarding history.
     """
     a = F.lit(float(alpha))
     return F.aggregate(
         values_sorted,
         F.lit(None).cast("double"),
-        lambda acc, x: F.coalesce(a * x + (F.lit(1.0) - a) * acc, x.cast("double")),
+        lambda acc, x: F.when(x.isNull(), acc).otherwise(
+            F.coalesce(a * x + (F.lit(1.0) - a) * acc, x.cast("double"))
+        ),
     )
 
 

@@ -99,6 +99,32 @@ class TestDedupProps:
             a, b = r["doc_id"], r["doc_id"] + 100000
             assert labels[b] <= a  # dup resolves to (at most) the original
 
+    def test_dedup_clusters_chain_converges_in_log_rounds(self, spark):
+        """Pointer doubling: a path component of diameter 32 must converge
+        well within O(log d) iterations, with every node labeled by the
+        chain's minimum."""
+        import pandas as pd
+
+        chain = pd.DataFrame(
+            {"doc_a": list(range(32)), "doc_b": list(range(1, 33))}
+        )
+        labels = dd.dedup_clusters(
+            spark.createDataFrame(chain), max_iterations=8
+        ).collect()
+        assert len(labels) == 33
+        assert all(r["keeper_doc"] == 0 for r in labels)
+
+    def test_dedup_clusters_raises_when_not_converged(self, spark):
+        """Hitting the iteration cap before the fixpoint must raise, never
+        return silently-wrong keeper labels."""
+        import pandas as pd
+
+        chain = pd.DataFrame(
+            {"doc_a": list(range(20)), "doc_b": list(range(1, 21))}
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dd.dedup_clusters(spark.createDataFrame(chain), max_iterations=1)
+
     def test_jaccard_identity_and_bounds(self, spark):
         import pandas as pd
 

@@ -69,6 +69,24 @@ class TestClean:
         assert kept.count() < cleaned.count()
         assert kept.filter(F.col("arrival_timestamp") == "1970-01-01").count() == 0
 
+    def test_drop_empty_lists_matches_pandas_reference(self, spark, raw_df):
+        """AND-of-non-empty: the reference applies two sequential filters,
+        each dropping rows whose list is '[]'/'<NA>'
+        (`Historical_data_cleaning.py:59-60`) — a row survives only if BOTH
+        lists are non-empty."""
+        kept = cl.clean_redset(raw_df, drop_empty_lists=True).toPandas()
+        assert len(kept) > 0
+        assert (~kept["read_table_ids"].isin(["[]", ""])).all()
+        assert (~kept["write_table_ids"].isin(["[]", ""])).all()
+
+        # row-count parity with the reference's pandas filters applied to
+        # the cleaned frame (where ''/'<NA>'/'NULL' already became '[]')
+        base = cl.clean_redset(raw_df).toPandas()
+        ref = base[~base["read_table_ids"].isin(["[]", "<NA>"])]
+        ref = ref[~ref["write_table_ids"].isin(["[]", "<NA>"])]
+        assert len(kept) == len(ref)
+        assert len(kept) < len(base)  # the fixture has empty-list rows
+
 
 # ---------------------------------------------------------------------------
 # Flatten / explode (F10, §1.2)
@@ -341,6 +359,28 @@ class TestEMA:
             for x in grp.sort_values("ts")["v"]:
                 ema = x if ema is None else 0.02 * x + 0.98 * ema
             assert abs(got[k] - ema) < 1e-9, k
+
+    def test_ema_null_values_skipped_not_reseeded(self, spark):
+        """A null mid-series must carry the accumulator through, not reset
+        it: the next non-null continues the fold with full history."""
+        pdf = pd.DataFrame(
+            {
+                "k": ["a"] * 5,
+                "ts": range(5),
+                "v": [10.0, 20.0, None, 30.0, 40.0],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        got = ema_ops.ema_by_key(df, ["k"], "ts", "v", alpha=0.5).collect()[0]["ema"]
+        ema = None
+        for x in [10.0, 20.0, 30.0, 40.0]:  # nulls skipped
+            ema = x if ema is None else 0.5 * x + 0.5 * ema
+        assert abs(got - ema) < 1e-12
+
+        # all-null series → null EMA, not a crash
+        pdf2 = pd.DataFrame({"k": ["a"] * 3, "ts": range(3), "v": [None] * 3})
+        df2 = spark.createDataFrame(pdf2, schema="k string, ts long, v double")
+        assert ema_ops.ema_by_key(df2, ["k"], "ts", "v", 0.5).collect()[0]["ema"] is None
 
     def test_ema_scan_parallel_vs_sequential(self, spark):
         """Parallel segmented-scan EMA ≈ sequential fold (exact affine

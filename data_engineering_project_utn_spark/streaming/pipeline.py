@@ -320,15 +320,33 @@ class IncrementalHistoricalPipeline:
     """The expert-plane incremental loop (`update_tables_periodically`,
     `Dashboard_Historical_Final.py:160-333`) as a foreachBatch runner.
 
-    Each micro-batch appends new flattened rows to an accumulator table and
-    recomputes intervals + output_table over the accumulated state —
-    "stateless recompute" instead of the reference's UPDATE-based late-data
-    repair (T5/J6): the lead() window self-heals when late rows arrive.
+    Each micro-batch lands in a partitioned parquet accumulator, then
+    intervals + output_table are recomputed ONLY for the instance_id
+    partitions the batch touched — "stateless recompute" instead of the
+    reference's UPDATE-based late-data repair (T5/J6): the lead() window
+    self-heals when late rows arrive (`Historic_final_ver2_reorganized.py:
+    222-247` semantics).
 
-    The accumulator is a parquet directory (append-only); at scale this is
-    a partitioned table and the recompute is bounded to the affected
-    (instance, table) partitions — the window key — via dynamic partition
-    overwrite.
+    Scale design:
+
+    * **Idempotent ingest.** foreachBatch is at-least-once; a plain append
+      would double rows on a post-failure replay.  The accumulator is
+      partitioned by (_batch_id, instance_id) and written with dynamic
+      partition overwrite — a retried batch rewrites exactly its own
+      partitions, so replays are no-ops.
+    * **Bounded recompute.** Interval links never cross instance_id
+      (intervals partition by (instance_id, write_table_id); output_table
+      matches within instance_id), so per-instance recompute is exact.
+      The recompute reads the accumulator with a partition filter on the
+      batch's touched instances (partition pruning — input is bounded by
+      the touched partitions' history, not total history) and rewrites only
+      those instances' output partitions via dynamic partition overwrite.
+    * The touched-instance collect is the distinct instance_id set of one
+      micro-batch — a bounded-domain model-size quantity, not data.
+
+    Read the output back with ``read_output`` (restores canonical column
+    order/types — Hive-style partition columns come back as inferred ints
+    at the end of the schema otherwise).
     """
 
     def __init__(self, spark: SparkSession, accumulator_path: str, output_path: str):
@@ -336,11 +354,52 @@ class IncrementalHistoricalPipeline:
         self.accumulator_path = accumulator_path
         self.output_path = output_path
 
+    def accumulated_for(self, instances: list) -> DataFrame:
+        """Accumulator rows for the given instances, via partition pruning
+        (the only accumulator read in the per-batch path)."""
+        flat = self.spark.read.parquet(self.accumulator_path).filter(
+            F.col("instance_id").isin(instances)
+        )
+        # partition-column inference narrows instance_id to int; restore
+        return flat.withColumn("instance_id", F.col("instance_id").cast("long")).drop(
+            "_batch_id"
+        )
+
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(self.accumulator_path)
-        flat = self.spark.read.parquet(self.accumulator_path)
+        touched = [
+            r["instance_id"]
+            for r in batch_df.select("instance_id").distinct().collect()
+        ]
+        if not touched:
+            return
+        (
+            batch_df.withColumn("_batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id", "instance_id")
+            .parquet(self.accumulator_path)
+        )
+        flat = self.accumulated_for(touched)
         out = iv_ops.output_table(flat, iv_ops.ingestion_intervals(flat))
-        out.write.mode("overwrite").parquet(self.output_path)
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("instance_id")
+            .parquet(self.output_path)
+        )
+
+    def read_output(self) -> DataFrame:
+        """Output table with canonical column order and instance_id type."""
+        out = self.spark.read.parquet(self.output_path).withColumn(
+            "instance_id", F.col("instance_id").cast("long")
+        )
+        cols = [
+            "instance_id", "query_id", "query_type", "write_table_id",
+            "read_table_id", "arrival_timestamp", "last_write_table_insert",
+            "next_write_table_insert", "time_since_last_ingest_ms",
+            "time_to_next_ingest_ms",
+        ]
+        return out.select(*cols)
 
     def start(self, flat_stream: DataFrame, checkpoint: str, **trigger_kwargs):
         if not trigger_kwargs:

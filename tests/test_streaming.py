@@ -325,7 +325,7 @@ class TestIncrementalHistoricalPipeline:
         q = pipe.start(stream, checkpoint=str(tmp_path / "ckpt_hist"), availableNow=True)
         q.awaitTermination(180)
 
-        got = spark.read.parquet(str(tmp_path / "out"))
+        got = pipe.read_output()
         flat = spark.read.parquet(src)
         exp = iv_ops.output_table(flat, iv_ops.ingestion_intervals(flat))
         key = ["instance_id", "query_id", "arrival_timestamp", "last_write_table_insert"]
@@ -333,3 +333,82 @@ class TestIncrementalHistoricalPipeline:
         e = exp.select(*key).toPandas().sort_values(key).reset_index(drop=True)
         assert len(g) == len(e) > 0
         assert g.equals(e)
+
+    def test_batch_replay_is_idempotent(self, spark, tmp_path):
+        """foreachBatch is at-least-once: re-running the same (batch_df,
+        batch_id) must leave accumulator and output unchanged (the retried
+        batch dynamically overwrites exactly its own partitions)."""
+        flat_pdf = flat_rows()
+        pipe = sp.IncrementalHistoricalPipeline(
+            spark,
+            accumulator_path=str(tmp_path / "acc"),
+            output_path=str(tmp_path / "out"),
+        )
+        b0 = spark.createDataFrame(flat_pdf.iloc[:60])
+        b1 = spark.createDataFrame(flat_pdf.iloc[60:])
+        pipe.process_batch(b0, 0)
+        pipe.process_batch(b1, 1)
+        acc_rows = spark.read.parquet(str(tmp_path / "acc")).count()
+        out_pdf = pipe.read_output().toPandas()
+        key = ["instance_id", "query_id", "arrival_timestamp", "last_write_table_insert"]
+
+        pipe.process_batch(b1, 1)  # replay after a simulated failure
+        assert spark.read.parquet(str(tmp_path / "acc")).count() == acc_rows
+        replay_pdf = pipe.read_output().toPandas()
+        a = out_pdf.sort_values(key).reset_index(drop=True)
+        b = replay_pdf.sort_values(key).reset_index(drop=True)
+        assert a.equals(b)
+
+    def test_recompute_bounded_to_touched_partitions(self, spark, tmp_path):
+        """A batch touching one instance must (a) read only that instance's
+        accumulator partitions — partition pruning visible in the scan —
+        and (b) rewrite only that instance's output partitions."""
+        import os
+
+        flat_pdf = flat_rows()
+        instances = sorted(flat_pdf["instance_id"].unique())
+        assert len(instances) >= 2
+        hot, cold = int(instances[0]), int(instances[1])
+
+        pipe = sp.IncrementalHistoricalPipeline(
+            spark,
+            accumulator_path=str(tmp_path / "acc"),
+            output_path=str(tmp_path / "out"),
+        )
+        pipe.process_batch(spark.createDataFrame(flat_pdf), 0)
+
+        def partition_mtimes(root: str) -> dict[str, float]:
+            out = {}
+            for d in os.listdir(root):
+                if d.startswith("instance_id="):
+                    p = os.path.join(root, d)
+                    out[d] = max(
+                        os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p)
+                    )
+            return out
+
+        before = partition_mtimes(str(tmp_path / "out"))
+
+        # the pruned read: only the touched instance's partitions are scanned
+        pruned = pipe.accumulated_for([hot])
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "instance_id" in plan
+
+        hot_batch = spark.createDataFrame(
+            flat_pdf[flat_pdf["instance_id"] == hot].iloc[:5]
+        )
+        pipe.process_batch(hot_batch, 1)
+
+        after = partition_mtimes(str(tmp_path / "out"))
+        cold_dir = f"instance_id={cold}"
+        hot_dir = f"instance_id={hot}"
+        assert after[cold_dir] == before[cold_dir]  # untouched partition intact
+        assert after[hot_dir] >= before[hot_dir]
+        # output for the untouched instance still matches the full recompute
+        flat = spark.createDataFrame(flat_pdf)
+        exp = iv_ops.output_table(flat, iv_ops.ingestion_intervals(flat)).filter(
+            F.col("instance_id") == cold
+        )
+        got = pipe.read_output().filter(F.col("instance_id") == cold)
+        assert got.exceptAll(exp).count() == 0
+        assert exp.exceptAll(got).count() == 0

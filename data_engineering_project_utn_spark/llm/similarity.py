@@ -81,8 +81,13 @@ def _plane_weight(plane: Column, dim: Column) -> Column:
     return ((plane * 31 + dim * 17) % 7 - 3).cast("double")
 
 
-def lsh_signature(vec: Column, n_planes: int = 8) -> Column:
-    """Sign-LSH bucket id: n_planes sign bits packed into a long."""
+def lsh_signature(vec: Column, n_planes: int = 8, start_plane: int = 0) -> Column:
+    """Sign-LSH bucket id: n_planes sign bits packed into a long.
+
+    ``start_plane`` offsets the hyperplane family — planes
+    [start_plane, start_plane + n_planes) — so independent signatures can be
+    drawn for bucket *splitting* without correlating with the primary
+    signature (used by ``lsh_blocks``)."""
     def bit(p: Column) -> Column:
         proj = F.aggregate(
             F.zip_with(
@@ -93,13 +98,14 @@ def lsh_signature(vec: Column, n_planes: int = 8) -> Column:
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        # 1 << p, expressed arithmetically (shiftleft needs a literal count)
-        return F.when(proj > 0, F.pow(F.lit(2.0), p).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        # 1 << (p - start), expressed arithmetically (shiftleft needs a
+        # literal count); bits pack from 0 regardless of the plane offset
+        return F.when(
+            proj > 0, F.pow(F.lit(2.0), p - F.lit(start_plane)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
 
     return F.aggregate(
-        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        F.sequence(F.lit(start_plane), F.lit(start_plane + n_planes - 1)),
         F.lit(0).cast("long"),
         lambda acc, p: acc + bit(p),
     )
@@ -148,10 +154,99 @@ def knn_lsh_multiprobe(
     return out.dropDuplicates([id_col]).orderBy(F.desc("cos_sim"), id_col).limit(k)
 
 
+def derive_n_planes(n_rows: int, target_bucket_size: int = 256) -> int:
+    """Plane count giving ~target_bucket_size expected rows per bucket:
+    ceil(log2(N / target)), clamped to [1, 24].  Fixed plane counts
+    degenerate — at 6 planes, Σ|bucket|² → N²/64 as N grows; deriving from
+    N keeps expected pair work ≈ N·target instead."""
+    import math
+
+    if n_rows <= target_bucket_size:
+        return 1
+    return min(24, max(1, math.ceil(math.log2(n_rows / target_bucket_size))))
+
+
+_MAX_SPLIT_BITS = 8
+
+
+def lsh_blocks(
+    embeddings: DataFrame,
+    n_planes: int,
+    max_bucket_size: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucketed + normed projection with overfull buckets *split*.
+
+    Columns: bucket, split_bits, sub, _id, _v, _n.  When a bucket exceeds
+    ``max_bucket_size`` (skewed data: many near-identical vectors land in
+    one signature), it is split into 2^split_bits sub-buckets with
+    split_bits = ceil(log2(count / cap)) capped at 8, keyed by a *uniform
+    deterministic hash of the id* — NOT another LSH signature: vectors that
+    collide because they are near-identical collide under every
+    similarity-preserving hash, so only a similarity-independent key
+    actually redistributes a hot bucket.  Each row then meets a bounded
+    uniform sample (~cap rows) of its bucket peers; for a bucket of
+    near-identical vectors any such sample contains valid top-k neighbors,
+    which is the approximation this join already makes at the bucket
+    boundary.  split_bits is integer-exact (bit-length arithmetic, no
+    float log) and the id hash is plain BIGINT arithmetic, so oracles
+    reproduce the blocking exactly.  Requires a numeric id column.
+    """
+    b = embeddings.select(
+        lsh_signature(F.col(vec_col), n_planes).alias("bucket"),
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_n"),
+    )
+    if max_bucket_size is None:
+        return b.select(
+            "bucket",
+            F.lit(0).alias("split_bits"),
+            F.lit(0).cast("long").alias("sub"),
+            "_id",
+            "_v",
+            "_n",
+        )
+    sizes = (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") > max_bucket_size)
+    )
+    # join carries only the overfull buckets (usually few — broadcastable);
+    # rows in healthy buckets keep _cnt null → split_bits 0
+    b = b.join(F.broadcast(sizes), "bucket", "left")
+    # q = ceil(cnt / cap) in exact integer arithmetic; split_bits =
+    # ceil(log2(q)) = bit_length(q - 1), via the bin() string — no float log
+    q = F.floor((F.col("_cnt") + F.lit(max_bucket_size - 1)) / F.lit(max_bucket_size))
+    split_bits = (
+        F.when(F.col("_cnt").isNull(), F.lit(0))
+        .when(q <= 1, F.lit(0))
+        .otherwise(F.least(F.length(F.bin(q - 1)), F.lit(_MAX_SPLIT_BITS)))
+        .cast("int")
+    )
+    # uniform split key: Knuth-style multiplicative mix kept inside int64
+    # by a prime modulus first (ids < ~3e17 never overflow)
+    mixed = (F.col("_id").cast("long") * F.lit(31) + F.lit(7)) % F.lit(1000003)
+    sub = F.when(split_bits == 0, F.lit(0).cast("long")).otherwise(
+        mixed % F.pow(F.lit(2.0), split_bits).cast("long")
+    )
+    return b.select(
+        "bucket",
+        split_bits.alias("split_bits"),
+        sub.alias("sub"),
+        "_id",
+        "_v",
+        "_n",
+    )
+
+
 def knn_join(
     embeddings: DataFrame,
     k: int = 5,
-    n_planes: int = 6,
+    n_planes: int | None = None,
+    target_bucket_size: int = 256,
+    max_bucket_size: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -159,35 +254,62 @@ def knn_join(
     behind embedding-level dedup and nearest-neighbor graph construction.
 
     All-pairs is O(N²·d) and never materializes here: vectors only meet
-    inside their LSH bucket, so the pair space is Σ|bucket|² and the
-    shuffle key is the bucket id.  Norms are computed once per vector
-    *before* the self-join (projection pushed below the join), and top-k
-    per vector is a row_number window over the (much smaller) candidate
-    pair set.  Recall follows sign-LSH bucketing; raise via fewer planes
-    (bigger buckets) or multi-probe, exactly as for single-query ANN.
+    inside their LSH block, so the pair space is Σ|block|² and the shuffle
+    key is the block id.  Norms are computed once per vector *before* the
+    self-join (projection pushed below the join), and top-k per vector is a
+    row_number window over the (much smaller) candidate pair set.
+
+    Scale levers (both on by default when ``n_planes`` is omitted):
+
+    * plane count derives from the corpus size (``derive_n_planes``) so
+      expected bucket size tracks ``target_bucket_size`` at any N, instead
+      of Σ|bucket|² degenerating toward N²/2^planes at a fixed count;
+    * buckets that still exceed ``max_bucket_size`` (skew: near-identical
+      vectors share a signature) are split into sub-buckets by a uniform
+      id hash (``lsh_blocks`` — similarity-preserving hashes cannot
+      redistribute near-identical vectors), and each row *reprobes* its
+      Hamming-1 sub-buckets to widen its peer sample — pair work per
+      bucket drops from count² to ~count·cap·(split_bits+1).
+
+    Passing ``n_planes`` explicitly (and leaving ``max_bucket_size`` None)
+    reproduces the fixed-plane behavior exactly — the oracle-gated
+    ``llm_knn_join`` query pins its plan that way.
     """
-    # persist the bucketed+normed projection: both self-join sides read the
-    # materialized rows, so the scan, the signature fold, and the norm run
+    if n_planes is None:
+        n_planes = derive_n_planes(embeddings.count(), target_bucket_size)
+        if max_bucket_size is None:
+            max_bucket_size = 4 * target_bucket_size
+    # persist the blocked+normed projection: both self-join sides read the
+    # materialized rows, so the scan, the signature folds, and the norm run
     # once per vector (not once per side)
-    b = embeddings.select(
-        lsh_signature(F.col(vec_col), n_planes).alias("bucket"),
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        norm(F.col(vec_col)).alias("_n"),
-    ).persist()
+    b = lsh_blocks(embeddings, n_planes, max_bucket_size, id_col, vec_col).persist()
+    # probe list: own sub-bucket, plus each single-bit flip when split
+    probes = F.when(
+        F.col("split_bits") == 0, F.array(F.col("sub"))
+    ).otherwise(
+        F.concat(
+            F.array(F.col("sub")),
+            F.transform(
+                F.sequence(F.lit(0), F.col("split_bits") - 1),
+                lambda p: F.col("sub").bitwiseXOR(F.pow(F.lit(2.0), p).cast("long")),
+            ),
+        )
+    )
     a = b.select(
         "bucket",
+        F.explode(probes).alias("sub"),
         F.col("_id").alias("id_a"),
         F.col("_v").alias("va"),
         F.col("_n").alias("na"),
     )
     c = b.select(
         "bucket",
+        "sub",
         F.col("_id").alias("id_b"),
         F.col("_v").alias("vb"),
         F.col("_n").alias("nb"),
     )
-    pairs = a.join(c, "bucket").filter(F.col("id_a") != F.col("id_b"))
+    pairs = a.join(c, ["bucket", "sub"]).filter(F.col("id_a") != F.col("id_b"))
     sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     w = Window.partitionBy("id_a").orderBy(F.desc("cos_sim"), "id_b")
     return (

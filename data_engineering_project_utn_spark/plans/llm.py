@@ -505,6 +505,70 @@ def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_knn_join_capped",
+    oracle="WITH " + _sigs_cte(2) + f""",
+    hot AS (
+        SELECT bucket, COUNT(*) AS cnt FROM sigs GROUP BY bucket
+        HAVING COUNT(*) > 64
+    ),
+    blk AS (
+        SELECT s.vec_id, s.embedding, s.bucket,
+               CASE WHEN h.cnt IS NULL THEN 0
+                    WHEN CAST(FLOOR((h.cnt + 63) / 64.0) AS BIGINT) <= 1 THEN 0
+                    ELSE LEAST(length(bin(
+                        CAST(FLOOR((h.cnt + 63) / 64.0) AS BIGINT) - 1)), 8)
+               END AS split_bits
+        FROM sigs s LEFT JOIN hot h USING (bucket)
+    ),
+    sb AS (
+        SELECT *, CASE WHEN split_bits = 0 THEN 0
+                       ELSE ((vec_id * 31 + 7) % 1000003)
+                            % CAST(POW(2, split_bits) AS BIGINT)
+                  END AS sub
+        FROM blk
+    ),
+    probes AS (
+        SELECT vec_id, embedding, bucket,
+               unnest(CASE WHEN split_bits = 0 THEN [sub]
+                      ELSE list_concat([sub],
+                           list_transform(range(0, split_bits),
+                               p -> xor(sub, CAST(POW(2, p) AS BIGINT))))
+                      END) AS psub
+        FROM sb
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_dot('a.embedding', 'b.embedding')}
+               / (sqrt({_dot('a.embedding', 'a.embedding')})
+                  * sqrt({_dot('b.embedding', 'b.embedding')})) AS cos_sim
+        FROM probes a JOIN sb b
+          ON a.bucket = b.bucket AND a.psub = b.sub AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT id_a, id_b, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY id_a
+                                  ORDER BY cos_sim DESC, id_b) AS rank
+        FROM pairs
+    )
+    SELECT id_a, id_b, cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+    tags=("llm", "similarity", "knnjoin", "capped"),
+    priority=0,
+)
+def llm_knn_join_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-hardened k-NN join path: 2 planes force oversized buckets
+    at sf0.01, so the bucket-size cap (64) actually splits — uniform
+    id-hash sub-buckets + Hamming-1 reprobe (see llm/similarity.py
+    lsh_blocks/knn_join).  The oracle reproduces the split arithmetic
+    (integer bit-length, id mix, probe flips) operation-for-operation, so
+    the entire capped blocking layer is value-checked, not just the happy
+    path."""
+    e = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
+    return sim.knn_join(e, k=3, n_planes=2, max_bucket_size=64)
+
+
+@register(
     "llm_lsh_multiprobe",
     oracle=f"""
     WITH {_SIGS_CTE},

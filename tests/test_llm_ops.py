@@ -71,6 +71,82 @@ class TestANN:
         assert n_buckets > 1  # buckets actually partition the corpus
 
 
+class TestKnnJoinScale:
+    def test_derive_n_planes_tracks_corpus_size(self):
+        """More data → more planes; expected bucket size stays ~target."""
+        assert sim.derive_n_planes(100, 256) == 1
+        assert sim.derive_n_planes(10_000, 256) == 6
+        assert sim.derive_n_planes(1_000_000, 256) == 12
+        assert sim.derive_n_planes(10**12, 256) == 24  # clamped
+        for n in (10_000, 10**6, 10**9):
+            p = sim.derive_n_planes(n, 256)
+            assert n / 2**p <= 256 or p == 24
+
+    def test_overfull_bucket_split_bounds_block_size(self, spark):
+        """Skewed fixture: many near-identical vectors collapse into one
+        LSH bucket; the split must bound every (bucket, sub) block to
+        ~cap·2 rows so pair work never degenerates to count²."""
+        import pandas as pd
+
+        base = [1.0] * 16
+        rows = []
+        for i in range(400):  # 400 near-identical vectors → one hot bucket
+            v = list(base)
+            v[i % 16] += (i % 7) * 1e-4
+            rows.append((i, v))
+        for i in range(100):  # plus a spread tail
+            v = [float(((i * 13 + j * 7) % 11) - 5) for j in range(16)]
+            rows.append((400 + i, v))
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["vec_id", "embedding"])
+        )
+        cap = 50
+        blocks = sim.lsh_blocks(df, n_planes=4, max_bucket_size=cap)
+        sizes = blocks.groupBy("bucket", "sub").count().toPandas()
+        hot = blocks.filter(F.col("split_bits") > 0)
+        assert hot.count() > 0  # the skewed bucket actually split
+        # every block bounded: expected size ≤ cap, allow 4× for variance of
+        # the deterministic-hyperplane split on near-identical vectors
+        assert sizes["count"].max() <= 4 * cap
+        # pair work bounded well below the unsplit count²
+        pair_work = (sizes["count"] ** 2).sum()
+        assert pair_work < 400**2 / 2
+
+    def test_capped_knn_join_still_finds_neighbors(self, spark):
+        """With split+reprobe active, every vector still gets k neighbors
+        and scores are exact cosines (only the candidate set is approx)."""
+        import math
+
+        import pandas as pd
+
+        rows = []
+        for i in range(300):
+            v = [1.0 + ((i + j) % 5) * 1e-3 for j in range(8)]
+            rows.append((i, v))
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["vec_id", "embedding"])
+        )
+        out = sim.knn_join(df, k=3, target_bucket_size=32).toPandas()
+        per_vec = out.groupby("id_a").size()
+        assert (per_vec == 3).all()
+        assert len(per_vec) == 300
+        # spot-check one score against a plain python cosine
+        r = out.iloc[0]
+        va = rows[int(r["id_a"])][1]
+        vb = rows[int(r["id_b"])][1]
+        d = sum(x * y for x, y in zip(va, vb))
+        n = math.sqrt(sum(x * x for x in va)) * math.sqrt(sum(x * x for x in vb))
+        assert abs(r["cos_sim"] - d / n) < 1e-12
+
+    def test_pinned_planes_path_unchanged(self, embeddings):
+        """n_planes given + no cap ⇒ bit-identical to the original fixed-
+        plane join (the oracle-gated llm_knn_join depends on this)."""
+        out = sim.knn_join(embeddings, k=5, n_planes=6).toPandas()
+        blocks = sim.lsh_blocks(embeddings, 6, None)
+        assert blocks.filter(F.col("split_bits") != 0).count() == 0
+        assert (out["rank"] <= 5).all()
+
+
 class TestDedupProps:
     def test_minhash_candidates_superset_of_high_jaccard(self, spark, documents):
         """LSH candidates must contain every pair whose true Jaccard is high

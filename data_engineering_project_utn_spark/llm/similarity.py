@@ -175,6 +175,7 @@ def lsh_blocks(
     max_bucket_size: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_key_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Bucketed + normed projection with overfull buckets *split*.
 
@@ -192,8 +193,14 @@ def lsh_blocks(
     boundary.  split_bits is integer-exact (bit-length arithmetic, no
     float log) and the id hash is plain BIGINT arithmetic, so oracles
     reproduce the blocking exactly.  Requires a numeric id column.
+
+    ``extra_key_cols`` prepend metadata columns to the block key (e.g.
+    ``("label",)`` for within-label blocking): bucket sizing, splitting,
+    and the downstream join then all operate per (extra keys, bucket).
     """
+    keys = [*extra_key_cols, "bucket"]
     b = embeddings.select(
+        *[F.col(c) for c in extra_key_cols],
         lsh_signature(F.col(vec_col), n_planes).alias("bucket"),
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
@@ -201,7 +208,7 @@ def lsh_blocks(
     )
     if max_bucket_size is None:
         return b.select(
-            "bucket",
+            *keys,
             F.lit(0).alias("split_bits"),
             F.lit(0).cast("long").alias("sub"),
             "_id",
@@ -209,13 +216,13 @@ def lsh_blocks(
             "_n",
         )
     sizes = (
-        b.groupBy("bucket")
+        b.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("_cnt"))
         .filter(F.col("_cnt") > max_bucket_size)
     )
     # join carries only the overfull buckets (usually few — broadcastable);
     # rows in healthy buckets keep _cnt null → split_bits 0
-    b = b.join(F.broadcast(sizes), "bucket", "left")
+    b = b.join(F.broadcast(sizes), keys, "left")
     # q = ceil(cnt / cap) in exact integer arithmetic; split_bits =
     # ceil(log2(q)) = bit_length(q - 1), via the bin() string — no float log
     q = F.floor((F.col("_cnt") + F.lit(max_bucket_size - 1)) / F.lit(max_bucket_size))
@@ -232,12 +239,77 @@ def lsh_blocks(
         mixed % F.pow(F.lit(2.0), split_bits).cast("long")
     )
     return b.select(
-        "bucket",
+        *keys,
         split_bits.alias("split_bits"),
         sub.alias("sub"),
         "_id",
         "_v",
         "_n",
+    )
+
+
+def _probe_array() -> Column:
+    """Probe list over (sub, split_bits) columns: the row's own sub-bucket
+    plus each single-bit flip when the bucket was split."""
+    return F.when(F.col("split_bits") == 0, F.array(F.col("sub"))).otherwise(
+        F.concat(
+            F.array(F.col("sub")),
+            F.transform(
+                F.sequence(F.lit(0), F.col("split_bits") - 1),
+                lambda p: F.col("sub").bitwiseXOR(F.pow(F.lit(2.0), p).cast("long")),
+            ),
+        )
+    )
+
+
+def blocked_pairs(
+    embeddings: DataFrame,
+    n_planes: int,
+    max_bucket_size: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra_key_cols: tuple[str, ...] = (),
+    ordered: bool = False,
+) -> DataFrame:
+    """LSH-blocked candidate pairs with exact cosine.
+
+    Columns: *extra_key_cols, id_a, id_b, cos_sim.  Vectors meet only
+    within their (extra keys, bucket, sub) block; the a-side additionally
+    probes Hamming-1 sub-buckets of split blocks (each candidate pair still
+    appears exactly once — probe values are distinct, and for ``ordered``
+    the lower id does the probing).  ``ordered=True`` yields each unordered
+    pair once (id_a < id_b); ``ordered=False`` yields both directions
+    (id_a != id_b) for per-vector top-k.
+
+    The blocked+normed projection is persisted so the scan, signature
+    folds, and norms run once per vector, not once per join side.
+    """
+    b = lsh_blocks(
+        embeddings, n_planes, max_bucket_size, id_col, vec_col, extra_key_cols
+    ).persist()
+    keys = [*extra_key_cols, "bucket"]
+    a = b.select(
+        *keys,
+        F.explode(_probe_array()).alias("sub"),
+        F.col("_id").alias("id_a"),
+        F.col("_v").alias("va"),
+        F.col("_n").alias("na"),
+    )
+    c = b.select(
+        *keys,
+        "sub",
+        F.col("_id").alias("id_b"),
+        F.col("_v").alias("vb"),
+        F.col("_n").alias("nb"),
+    )
+    cond = (
+        (F.col("id_a") < F.col("id_b")) if ordered else (F.col("id_a") != F.col("id_b"))
+    )
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(c, [*keys, "sub"])
+        .filter(cond)
+        .select(*extra_key_cols, "id_a", "id_b", sim.alias("cos_sim"))
     )
 
 
@@ -279,43 +351,12 @@ def knn_join(
         n_planes = derive_n_planes(embeddings.count(), target_bucket_size)
         if max_bucket_size is None:
             max_bucket_size = 4 * target_bucket_size
-    # persist the blocked+normed projection: both self-join sides read the
-    # materialized rows, so the scan, the signature folds, and the norm run
-    # once per vector (not once per side)
-    b = lsh_blocks(embeddings, n_planes, max_bucket_size, id_col, vec_col).persist()
-    # probe list: own sub-bucket, plus each single-bit flip when split
-    probes = F.when(
-        F.col("split_bits") == 0, F.array(F.col("sub"))
-    ).otherwise(
-        F.concat(
-            F.array(F.col("sub")),
-            F.transform(
-                F.sequence(F.lit(0), F.col("split_bits") - 1),
-                lambda p: F.col("sub").bitwiseXOR(F.pow(F.lit(2.0), p).cast("long")),
-            ),
-        )
+    pairs = blocked_pairs(
+        embeddings, n_planes, max_bucket_size, id_col, vec_col, ordered=False
     )
-    a = b.select(
-        "bucket",
-        F.explode(probes).alias("sub"),
-        F.col("_id").alias("id_a"),
-        F.col("_v").alias("va"),
-        F.col("_n").alias("na"),
-    )
-    c = b.select(
-        "bucket",
-        "sub",
-        F.col("_id").alias("id_b"),
-        F.col("_v").alias("vb"),
-        F.col("_n").alias("nb"),
-    )
-    pairs = a.join(c, ["bucket", "sub"]).filter(F.col("id_a") != F.col("id_b"))
-    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     w = Window.partitionBy("id_a").orderBy(F.desc("cos_sim"), "id_b")
-    return (
-        pairs.select("id_a", "id_b", sim.alias("cos_sim"))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
+    return pairs.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
     )
 
 

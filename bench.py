@@ -7,6 +7,13 @@ JSON line:  {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is executed with a count-consuming action (results fully
 materialized, nothing collected to the driver beyond the count) after a
 small warm-up query so JVM/codegen startup isn't billed to the first query.
+
+Runs ``$SPARK_GRAFT_BENCH_REPS`` (default 3) repetitions per query with
+caches cleared between reps, reports the best plus every per-rep time
+(``reps``) and the relative spread (``rep_spread`` = (max-min)/best), so a
+noisy environment is visible in the JSON instead of silently inflating a
+round-over-round comparison (round 2 regressed 33 % on untouched queries —
+indistinguishable from a real regression without per-rep evidence).
 """
 
 from __future__ import annotations
@@ -41,26 +48,38 @@ def main() -> None:
     for t in TABLE_NAMES:
         load_table(spark, SF_DIR, t).count()
 
-    # best-of-2 per query with the DataFrame cache cleared between runs:
+    # best-of-N per query with the DataFrame cache cleared between runs:
     # removes scheduler/JIT noise without letting a repeat ride persisted
     # frames (which would measure cache hits, not query cost)
     from data_engineering_project_utn_spark.plans import reference_events as _re
 
+    n_reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    rep_times: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         q = queries[name]
-        best, n = float("inf"), 0
-        for _ in range(2):
+        reps, n = [], 0
+        for _ in range(n_reps):
             spark.catalog.clearCache()
             _re._OUTPUT_TABLE_CACHE.clear()
             t0 = time.perf_counter()
             df = q.build(spark, SF_DIR)
             n = df.count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+            reps.append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(reps)
+        rep_times[name] = reps
+        print(
+            f"# {name}: {timings[name]:.3f}s ({n} rows) reps={reps}",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
+    # relative spread per query: (max-min)/best — >0.3 means the environment
+    # was noisy enough that round-over-round totals shouldn't be trusted
+    spread = {
+        name: round((max(r) - min(r)) / min(r), 3) if min(r) > 0 else 0.0
+        for name, r in rep_times.items()
+    }
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -69,6 +88,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "reps": rep_times,
+                "rep_spread": spread,
+                "n_reps": n_reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -314,6 +314,10 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
             .limit(1)
             .count()
         )
+        # free the previous round's checkpointed blocks now that the
+        # convergence check consumed them — otherwise storage grows
+        # O(rounds·N) until GC notices
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             converged = True

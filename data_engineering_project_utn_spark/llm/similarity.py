@@ -81,13 +81,13 @@ def _plane_weight(plane: Column, dim: Column) -> Column:
     return ((plane * 31 + dim * 17) % 7 - 3).cast("double")
 
 
-def lsh_signature(vec: Column, n_planes: int = 8, start_plane: int = 0) -> Column:
+def lsh_signature(vec: Column, n_planes: int = 8) -> Column:
     """Sign-LSH bucket id: n_planes sign bits packed into a long.
 
-    ``start_plane`` offsets the hyperplane family — planes
-    [start_plane, start_plane + n_planes) — so independent signatures can be
-    drawn for bucket *splitting* without correlating with the primary
-    signature (used by ``lsh_blocks``)."""
+    Note: bucket *splitting* in ``lsh_blocks`` deliberately uses an id hash,
+    not a second signature family — near-identical vectors collide under
+    every similarity-preserving hash, so only a similarity-independent key
+    redistributes a hot bucket."""
     def bit(p: Column) -> Column:
         proj = F.aggregate(
             F.zip_with(
@@ -98,14 +98,13 @@ def lsh_signature(vec: Column, n_planes: int = 8, start_plane: int = 0) -> Colum
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        # 1 << (p - start), expressed arithmetically (shiftleft needs a
-        # literal count); bits pack from 0 regardless of the plane offset
-        return F.when(
-            proj > 0, F.pow(F.lit(2.0), p - F.lit(start_plane)).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
+        # 1 << p, expressed arithmetically (shiftleft needs a literal count)
+        return F.when(proj > 0, F.pow(F.lit(2.0), p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
 
     return F.aggregate(
-        F.sequence(F.lit(start_plane), F.lit(start_plane + n_planes - 1)),
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
         F.lit(0).cast("long"),
         lambda acc, p: acc + bit(p),
     )
@@ -348,6 +347,9 @@ def knn_join(
     ``llm_knn_join`` query pins its plan that way.
     """
     if n_planes is None:
+        # persist before the sizing count so deriving the plane count doesn't
+        # re-run an expensive upstream plan that blocked_pairs reads again
+        embeddings = embeddings.persist()
         n_planes = derive_n_planes(embeddings.count(), target_bucket_size)
         if max_bucket_size is None:
             max_bucket_size = 4 * target_bucket_size

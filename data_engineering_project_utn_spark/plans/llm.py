@@ -200,6 +200,7 @@ _MINHASH_CTES = f"""tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 
 @register(
     "llm_minhash_neardup",
+    priority=0,
     oracle="WITH " + _MINHASH_CTES + """
     SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard > 0.5
     """,
@@ -218,6 +219,7 @@ def llm_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_bottomk_neardup",
+    priority=0,
     oracle="WITH " + _MINHASH_CTES.replace(
         """sig AS (SELECT doc_id, shset,
                    list_transform(range(0, 8),
@@ -250,6 +252,7 @@ def llm_bottomk_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_dedup_clusters",
+    priority=0,
     oracle="WITH RECURSIVE " + _MINHASH_CTES + """
     , pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard > 0.5),
     edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -281,6 +284,7 @@ _SH3 = "list_transform(range(1, greatest(len(t) - 2, 1) + 1), i -> array_to_stri
 
 @register(
     "llm_ngram_jaccard",
+    priority=0,
     oracle=f"""
     WITH tk AS (SELECT doc_id, lang, source, {_TOKS} AS t FROM documents),
     sh AS (SELECT doc_id, lang, source, list_distinct({_SH3}) AS s FROM tk),
@@ -324,6 +328,7 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_ivf_ann",
+    priority=0,
     oracle=f"""
     WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
     scored AS (
@@ -372,6 +377,7 @@ def llm_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_simhash",
+    priority=0,
     oracle=f"""
     WITH tk AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents),
     tb AS (SELECT doc_id,
@@ -407,6 +413,7 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_knn_cosine",
+    priority=0,
     oracle=f"""
     WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id = 0)
     SELECT e.vec_id,
@@ -434,7 +441,7 @@ def _sigs_cte(n_planes: int) -> str:
     """sigs CTE: sign-LSH bucket per vector (mirrors llm.similarity.
     lsh_signature — same hyperplane-weight arithmetic, one definition)."""
     return f"""sigs AS (
-        SELECT vec_id, embedding,
+        SELECT vec_id, label, embedding,
                list_sum(list_transform(range(0, {n_planes}), p -> CASE WHEN
                    list_reduce(list_transform(list_zip(embedding, range(0, 64)),
                        z -> CAST(z[1] AS DOUBLE) * CAST(((p*31 + z[2]*17) % 7 - 3) AS DOUBLE)),
@@ -450,6 +457,7 @@ _SIGS_CTE = _sigs_cte(8) + """, q AS (SELECT vec_id AS q_id, embedding AS qv, bu
 
 @register(
     "llm_lsh_ann",
+    priority=0,
     oracle=f"""
     WITH {_SIGS_CTE}
     SELECT s.vec_id,
@@ -476,6 +484,7 @@ def llm_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_knn_join",
+    priority=0,
     oracle="WITH " + _sigs_cte(6) + f""",
     pairs AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -554,7 +563,6 @@ def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked WHERE rank <= 3
     """,
     tags=("llm", "similarity", "knnjoin", "capped"),
-    priority=0,
 )
 def llm_knn_join_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The skew-hardened k-NN join path: 2 planes force oversized buckets
@@ -588,7 +596,6 @@ def llm_knn_join_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10
     """,
     tags=("llm", "similarity", "ann", "multiprobe"),
-    priority=0,
 )
 def llm_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH ANN: the query's bucket plus all Hamming-1 buckets
@@ -600,6 +607,56 @@ def llm_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
     return sim.knn_lsh_multiprobe(e, q, k=10, n_planes=8)
+
+
+@register(
+    "llm_label_blocked_pairs",
+    priority=1,
+    oracle="WITH " + _sigs_cte(4) + f"""
+    , pairs AS (
+        SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+               {_dot('a.embedding', 'b.embedding')}
+               / (sqrt({_dot('a.embedding', 'a.embedding')})
+                  * sqrt({_dot('b.embedding', 'b.embedding')})) AS cos_sim
+        FROM sigs a JOIN sigs b
+          ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT label,
+           COUNT(*) AS n_pairs,
+           COUNT(CASE WHEN cos_sim > 0.9 THEN 1 END) AS high_sim_pairs,
+           CAST(SUM(CAST(FLOOR(cos_sim * 1e12) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / 1e12 AS avg_cos
+    FROM pairs GROUP BY label ORDER BY label
+    """,
+    tags=("llm", "similarity", "neardup", "blocked"),
+)
+def llm_label_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-label LSH-blocked candidate pairs via
+    ``blocked_pairs(extra_key_cols=("label",))`` — the per-key blocking path
+    (sizing, splitting, and the candidate join all keyed by
+    (label, bucket)): pairs only form inside a label AND an LSH bucket, the
+    composition a 100 TB per-language / per-source dedup actually runs.
+    Oracle reproduces the signature arithmetic and the (label, bucket)
+    equi-join exactly."""
+    e = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
+    pairs = sim.blocked_pairs(
+        e, n_planes=4, extra_key_cols=("label",), ordered=True
+    )
+    return (
+        pairs.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count(F.when(F.col("cos_sim") > 0.9, 1)).alias("high_sim_pairs"),
+            (
+                F.sum(F.floor(F.col("cos_sim") * 1e12).cast("decimal(38,0)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+                / F.lit(1e12)
+            ).alias("avg_cos"),
+        )
+        .orderBy("label")
+    )
 
 
 @register(
@@ -621,7 +678,6 @@ def llm_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pairs GROUP BY label ORDER BY label
     """,
     tags=("llm", "similarity", "neardup"),
-    priority=0,
 )
 def llm_label_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup stats with label blocking: pairwise cosine
@@ -674,7 +730,6 @@ def llm_label_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM b
     """,
     tags=("llm", "multimodal", "pandas-udf"),
-    priority=0,
 )
 def llm_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: binary payload column →
@@ -698,7 +753,6 @@ def llm_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     tags=("llm", "text", "scrub"),
-    priority=0,
 )
 def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL/email scrubbing — the PII-redaction pass every training-data
@@ -730,7 +784,6 @@ def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sh
     """,
     tags=("llm", "text", "quality"),
-    priority=0,
 )
 def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate 3-gram fraction (Gopher-style repetition filter): share of
@@ -765,7 +818,6 @@ def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM b
     """,
     tags=("llm", "multimodal", "pandas-udf"),
-    priority=0,
 )
 def llm_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio plumbing end-to-end: binary payload → Arrow-batched
@@ -790,7 +842,6 @@ def llm_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM tk
     """,
     tags=("llm", "text", "tokenizer"),
-    priority=0,
 )
 def llm_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish regex tokenization (word pieces + single punctuation marks —
@@ -819,7 +870,6 @@ def llm_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE i % 16 = 0
     """,
     tags=("llm", "multimodal"),
-    priority=0,
 )
 def llm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling shape: payload → frame offsets → keep

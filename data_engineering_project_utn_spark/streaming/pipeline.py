@@ -366,6 +366,13 @@ class IncrementalHistoricalPipeline:
         )
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        # Null instance_id would land in the Hive default partition and then
+        # never match the isin() partition filter (NULL semantics) — silently
+        # excluded from recompute.  Map nulls to -1 at ingest (the cleaning
+        # layer's sentinel) so partitioning and the touched filter are total.
+        batch_df = batch_df.withColumn(
+            "instance_id", F.coalesce(F.col("instance_id").cast("long"), F.lit(-1))
+        )
         touched = [
             r["instance_id"]
             for r in batch_df.select("instance_id").distinct().collect()

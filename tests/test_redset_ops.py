@@ -312,7 +312,12 @@ class TestWorkloadAndHistogram:
             F.col("relative_to_next").isNotNull()
         )
         key = ["instance_id", "read_table_id", "bin"]
-        a = hist_ops.decile_histogram(rel).toPandas().sort_values(key).reset_index(drop=True)
+        a = (
+            hist_ops.decile_histogram(rel, distributed=False)
+            .toPandas()
+            .sort_values(key)
+            .reset_index(drop=True)
+        )
         b = (
             hist_ops.decile_histogram(rel, distributed=True)
             .toPandas()

@@ -758,6 +758,40 @@ def rl_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rl_mmss_format",
+    priority=1,
+    oracle="""
+    WITH d AS (SELECT event_id, CAST(FLOOR(value * 1000) AS BIGINT) AS duration_ms
+               FROM events)
+    SELECT event_id, duration_ms,
+           CAST(CAST(FLOOR(duration_ms / 60000) AS BIGINT) AS VARCHAR) || ':' ||
+           lpad(CAST(CAST(FLOOR((duration_ms % 60000) / 1000.0) AS BIGINT) AS VARCHAR), 2, '0')
+               AS duration_mmss
+    FROM d
+    ORDER BY duration_ms DESC, event_id
+    LIMIT 20
+    """,
+    tags=("reference", "live", "format"),
+)
+def rl_mmss_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m:ss duration formatting (F6/F7; `Kafka/ddb_wrappers.py:354-361`
+    FLOOR/LPAD SQL and `Dashboard_Live_Final.py:352-354` Python lambda —
+    here one codegen'd Column expression) over the longest 20 durations
+    (total order: duration desc, event_id)."""
+    from data_engineering_project_utn_spark.functions.scalar import mmss
+
+    e = load_table(spark, sf_dir, "events")
+    d = e.select(
+        "event_id", F.floor(F.col("value") * 1000).cast("long").alias("duration_ms")
+    )
+    return (
+        d.withColumn("duration_mmss", mmss("duration_ms"))
+        .orderBy(F.desc("duration_ms"), "event_id")
+        .limit(20)
+    )
+
+
+@register(
     "rl_user_categories",
     oracle="""
     SELECT user_id,

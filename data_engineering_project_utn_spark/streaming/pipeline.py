@@ -104,6 +104,45 @@ def to_kafka_json_sink(df: DataFrame, brokers: str, topic: str, checkpoint: str)
     )
 
 
+def replay_delay_seconds(
+    batch_start,
+    next_batch_start,
+    scaling_factor: float = 6480.0,
+    min_delay: float = 1.0,
+) -> float:
+    """T8 replay pacing arithmetic (`producer_Final.py:152-180`): the
+    reference compresses historical time by ``scaling_factor`` (3 months →
+    ~20 min) and sleeps at least ``min_delay`` between batches.  Same
+    formula, as a pure function: delay = max(Δt / factor, min_delay)."""
+    time_diff = (next_batch_start - batch_start).total_seconds()
+    return max(time_diff / scaling_factor, min_delay)
+
+
+def throttled_replay(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fmt: str = "parquet",
+    files_per_trigger: int = 1,
+    min_delay_seconds: float = 1.0,
+) -> tuple[DataFrame, dict]:
+    """T8 replay throttling, declaratively: the reference paces its Kafka
+    producer with driver-side ``time.sleep`` (`producer_Final.py:152-180`);
+    Structured Streaming expresses the same admission control as source
+    options — at most ``files_per_trigger`` files admitted per micro-batch,
+    micro-batches fired no faster than ``min_delay_seconds`` (the
+    reference's 1 s floor).  Returns (stream, trigger_kwargs) — pass the
+    kwargs to ``writeStream.trigger``.  Unlike a sleep loop this pacing is
+    checkpoint-recoverable and applies unchanged on a real cluster (and to
+    a Kafka source via ``maxOffsetsPerTrigger`` — same contract, different
+    option name)."""
+    stream = file_stream(
+        spark, path, schema, fmt=fmt, max_files_per_trigger=files_per_trigger
+    )
+    trigger = {"processingTime": f"{int(min_delay_seconds * 1000)} milliseconds"}
+    return stream, trigger
+
+
 # ---------------------------------------------------------------------------
 # Live-plane streaming aggregates
 # ---------------------------------------------------------------------------

@@ -129,6 +129,98 @@ class TestStreamingTopK:
         assert got == exp
 
 
+class TestKafkaConfigContract:
+    """S4/S5 execution evidence, to the extent this container allows: no
+    broker AND no spark-sql-kafka connector jars are available, so the
+    contract under test is that our source/sink builders hand Spark the
+    right format name and options — proven by Spark's own source-resolution
+    error naming the kafka artifact.  With the connector on the classpath
+    these same tests instead assert the built plan (streaming frame with
+    the parsed schema), so they upgrade automatically."""
+
+    def test_kafka_source_reaches_spark_source_resolution(self, spark):
+        try:
+            df = sp.kafka_json_stream(spark, "broker:9092", "events", EVENT_SCHEMA)
+        except Exception as e:  # no connector in this environment
+            msg = str(e)
+            assert "kafka" in msg.lower()
+            pytest.skip(f"kafka connector absent (documented): {msg[:120]}")
+        assert df.isStreaming
+        assert [f.name for f in df.schema.fields] == [
+            f.name for f in EVENT_SCHEMA.fields
+        ]
+
+    def test_kafka_sink_reaches_spark_source_resolution(self, spark, tmp_path):
+        rate = spark.readStream.format("rate").load()
+        writer = sp.to_kafka_json_sink(
+            rate, "broker:9092", "events", str(tmp_path / "ckpt_kafka")
+        )
+        try:
+            q = writer.start()
+        except Exception as e:
+            msg = str(e)
+            assert "kafka" in msg.lower()
+            pytest.skip(f"kafka connector absent (documented): {msg[:120]}")
+        q.stop()
+
+
+class TestReplayThrottling:
+    def test_delay_arithmetic_matches_reference(self):
+        """T8 pacing formula parity (`producer_Final.py:152-180`): Δt
+        compressed 6480× with a 1 s floor."""
+        a = pd.Timestamp("2024-03-01 00:00:00")
+        assert sp.replay_delay_seconds(a, a + pd.Timedelta(seconds=12960)) == 2.0
+        assert sp.replay_delay_seconds(a, a + pd.Timedelta(seconds=100)) == 1.0
+        assert (
+            sp.replay_delay_seconds(
+                a, a + pd.Timedelta(seconds=100), scaling_factor=10.0
+            )
+            == 10.0
+        )
+
+    def test_file_replay_paced_one_file_per_trigger(self, spark, tmp_path):
+        """T8 end-to-end: 4 file drops under throttled_replay must arrive as
+        4 separate micro-batches (one file each), spread over at least
+        ~(n-1)·interval of wall-clock — admission control, not a bulk read."""
+        import time
+
+        path = str(tmp_path / "replay_src")
+        pdf = _event_pdf(4)
+        for i in range(4):
+            spark.createDataFrame(pdf.iloc[i : i + 1], EVENT_SCHEMA).coalesce(
+                1
+            ).write.mode("append").parquet(path)
+
+        stream, trigger = sp.throttled_replay(
+            spark, path, EVENT_SCHEMA, files_per_trigger=1, min_delay_seconds=1.0
+        )
+        batches: list[tuple[float, int]] = []
+
+        def record(df, _bid):
+            n = df.count()
+            if n:
+                batches.append((time.monotonic(), n))
+
+        q = (
+            stream.writeStream.foreachBatch(record)
+            .option("checkpointLocation", str(tmp_path / "ckpt_replay"))
+            .trigger(**trigger)
+            .start()
+        )
+        try:
+            deadline = time.monotonic() + 60
+            while len(batches) < 4 and time.monotonic() < deadline:
+                time.sleep(0.2)
+        finally:
+            q.stop()
+        assert len(batches) == 4
+        assert [n for _, n in batches] == [1, 1, 1, 1]  # one file per batch
+        # pacing: 4 batches on a 1 s trigger span ≥ ~2.4 s (allow scheduler
+        # slack), where an unthrottled availableNow read finishes in one
+        elapsed = batches[-1][0] - batches[0][0]
+        assert elapsed >= 2.4
+
+
 class TestStatefulEMA:
     def test_matches_batch_ema(self, spark, event_dir, tmp_path):
         stream = sp.file_stream(spark, event_dir, EVENT_SCHEMA, max_files_per_trigger=1)

@@ -245,18 +245,19 @@ def _candidates_from_banded(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
     ]
-    if max_bucket_size is None:
-        return (
-            banded.alias("a")
-            .join(
-                banded.alias("b"),
-                (F.col("a.band_idx") == F.col("b.band_idx"))
-                & (F.col("a.band_hash") == F.col("b.band_hash"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(*pair_cols)
-            .distinct()
+    all_pairs = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .select(*pair_cols)
+        .distinct()
+    )
+    if max_bucket_size is None:
+        return all_pairs
     keys = ["band_idx", "band_hash"]
     hot_buckets = (
         banded.groupBy(*keys)
@@ -264,6 +265,14 @@ def _candidates_from_banded(
         .filter(F.col("_cnt") > max_bucket_size)
         .drop("_cnt")
     )
+    # Healthy corpora have zero hot buckets; checking costs one partial-agg
+    # job over the (caller-persisted) banded frame and buys back the plain
+    # single-join plan — the split machinery (broadcast mark, window, union)
+    # only ever runs when a bucket actually needs it.  Results are identical
+    # either way (empty hot set ⇒ chained branch is empty), so this is plan
+    # selection, not a semantic switch — AQE-style, driven by data stats.
+    if hot_buckets.isEmpty():
+        return all_pairs
     marked = banded.join(
         F.broadcast(hot_buckets.withColumn("_hot", F.lit(True))), keys, "left"
     )

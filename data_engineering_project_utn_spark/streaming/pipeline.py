@@ -143,6 +143,39 @@ def throttled_replay(
     return stream, trigger
 
 
+def per_table_refresh(
+    stream: DataFrame,
+    table_specs: dict[str, dict],
+    checkpoint_root: str,
+    sink_format: str = "memory",
+) -> dict[str, Any]:
+    """T9 per-table refresh cadences (`live_updates_duckdb.py:19-33,
+    200-207`): the reference fans one Kafka consumer out to N DuckDB
+    tables, refreshing each only when its own interval elapsed.  Here each
+    table is its own streaming query — its column projection pushed into
+    the shared source, its cadence a processingTime trigger — so a slow
+    table never holds back a fast one and each checkpoint advances
+    independently.
+
+    ``table_specs``: name → {"columns": [...], "interval_seconds": float}.
+    Returns name → StreamingQuery (caller owns stop()).
+    """
+    queries: dict[str, Any] = {}
+    for name, spec in table_specs.items():
+        q = (
+            stream.select(*spec["columns"])
+            .writeStream.queryName(name)
+            .format(sink_format)
+            .option("checkpointLocation", f"{checkpoint_root}/{name}")
+            .trigger(
+                processingTime=f"{int(spec['interval_seconds'] * 1000)} milliseconds"
+            )
+            .start()
+        )
+        queries[name] = q
+    return queries
+
+
 # ---------------------------------------------------------------------------
 # Live-plane streaming aggregates
 # ---------------------------------------------------------------------------

@@ -191,8 +191,11 @@ class TestReplayThrottling:
                 1
             ).write.mode("append").parquet(path)
 
+        # 2 s interval: batch processing under contention can exceed 1 s
+        # (which makes triggers fire back-to-back); at 2 s the cadence
+        # dominates processing time so the pacing is observable
         stream, trigger = sp.throttled_replay(
-            spark, path, EVENT_SCHEMA, files_per_trigger=1, min_delay_seconds=1.0
+            spark, path, EVENT_SCHEMA, files_per_trigger=1, min_delay_seconds=2.0
         )
         batches: list[tuple[float, int]] = []
 
@@ -215,10 +218,77 @@ class TestReplayThrottling:
             q.stop()
         assert len(batches) == 4
         assert [n for _, n in batches] == [1, 1, 1, 1]  # one file per batch
-        # pacing: 4 batches on a 1 s trigger span ≥ ~2.4 s (allow scheduler
-        # slack), where an unthrottled availableNow read finishes in one
+        # pacing: 4 batches on a 2 s trigger must span ≥ ~3 s of wall-clock
+        # (half the 6 s ideal — generous slack for trigger alignment), where
+        # an unthrottled availableNow read admits all files in one batch
         elapsed = batches[-1][0] - batches[0][0]
-        assert elapsed >= 2.4
+        assert elapsed >= 3.0
+
+
+class TestPerTableRefresh:
+    def test_fast_table_refreshes_more_often_than_slow(self, spark, tmp_path):
+        """T9: two tables fed by one source, 0.5 s vs 3 s cadences — the
+        fast table must commit more micro-batches over the same window, and
+        each table must carry only its projected columns."""
+        import time
+
+        path = str(tmp_path / "t9_src")
+        # steady file drops to give triggers something to admit
+        pdf = _event_pdf(30)
+        for i in range(6):
+            spark.createDataFrame(pdf.iloc[i * 5 : (i + 1) * 5], EVENT_SCHEMA).coalesce(
+                1
+            ).write.mode("append").parquet(path)
+        stream = sp.file_stream(spark, path, EVENT_SCHEMA, max_files_per_trigger=1)
+        specs = {
+            "t9_fast": {
+                "columns": ["instance_id", "arrival_timestamp"],
+                "interval_seconds": 0.5,
+            },
+            "t9_slow": {
+                "columns": ["instance_id", "was_aborted"],
+                "interval_seconds": 3.0,
+            },
+        }
+        queries = sp.per_table_refresh(stream, specs, str(tmp_path / "t9_ckpt"))
+        try:
+            time.sleep(6.0)
+            fast_batches = queries["t9_fast"].lastProgress["batchId"]
+            slow_batches = queries["t9_slow"].lastProgress["batchId"]
+        finally:
+            for q in queries.values():
+                q.stop()
+        assert fast_batches > slow_batches
+        assert spark.table("t9_fast").columns == ["instance_id", "arrival_timestamp"]
+        assert spark.table("t9_slow").columns == ["instance_id", "was_aborted"]
+
+
+class TestResultCache:
+    def test_ttl_memo_rebuild_and_unpersist(self, spark):
+        """T10: within TTL the same persisted snapshot serves every caller
+        (builder runs once); past TTL the next get rebuilds and unpersists
+        the stale snapshot."""
+        from data_engineering_project_utn_spark.operators.cache import ResultCache
+
+        fake_now = [0.0]
+        calls = []
+
+        def build():
+            calls.append(1)
+            return spark.range(100).groupBy((F.col("id") % 5).alias("k")).count()
+
+        cache = ResultCache(ttl_seconds=10.0, clock=lambda: fake_now[0])
+        a = cache.get("hist", build)
+        b = cache.get("hist", build)
+        assert a is b and len(calls) == 1
+        assert a.storageLevel.useMemory  # snapshot persisted
+        fake_now[0] = 11.0
+        c = cache.get("hist", build)
+        assert len(calls) == 2 and c is not a
+        assert not a.storageLevel.useMemory  # stale snapshot unpersisted
+        assert c.count() == 5
+        cache.invalidate()
+        assert not c.storageLevel.useMemory
 
 
 class TestStatefulEMA:

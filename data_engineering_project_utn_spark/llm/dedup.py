@@ -143,13 +143,17 @@ def minhash_neardup(
     bands: int = 4,
     n: int = 5,
     threshold: float = 0.5,
-    max_bucket_size: int | None = 256,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """End-to-end near-dup pipeline: shingle → minhash → band → bucket join
     → exact-Jaccard verify.  The per-doc shingle frame is persisted and
     reused by both self-join sides and the verification step (otherwise
     Spark recomputes the full signature pipeline per reference).
-    ``max_bucket_size`` bounds duplicate-skew pair blowup — see
+
+    Default semantics are EXACT (every same-bucket pair compared) — that is
+    what the oracle-gated queries pin.  Pass ``max_bucket_size`` (e.g. 256)
+    to opt into chain pairing for duplicate-skewed corpora, bounding pair
+    blowup at the cost of the approximation described in
     ``_candidates_from_banded``."""
     sh = shingle_frame(parallelize_compute(docs), id_col, text_col, n).persist()
     # persist banded too: the signature expression is interpreted (HOF
@@ -175,9 +179,12 @@ def bottomk_neardup(
     k: int = 16,
     n: int = 5,
     threshold: float = 0.5,
-    max_bucket_size: int | None = 256,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Bottom-k sketch near-dup: the cheaper cousin of k-perm MinHash.
+
+    Exact same-bucket pair semantics by default; pass ``max_bucket_size``
+    to opt into the chain-pairing skew cap (see ``_candidates_from_banded``).
 
     Signature = the k lexicographically-smallest distinct shingle digests —
     ONE array_sort per doc instead of k interpreted rotation passes
@@ -221,7 +228,7 @@ def _banded(sh: DataFrame, k: int, bands: int) -> DataFrame:
 
 
 def _candidates_from_banded(
-    banded: DataFrame, max_bucket_size: int | None = 256
+    banded: DataFrame, max_bucket_size: int | None = None
 ) -> DataFrame:
     """Bucket self-join: docs sharing ≥1 band bucket (id_a < id_b).
 
@@ -238,8 +245,9 @@ def _candidates_from_banded(
     banding itself already makes.  The bucket-size frame is filtered to
     oversized buckets before the join, so it stays broadcastable (hot
     buckets are few by definition), and only hot-bucket rows pay the window
-    shuffle.  ``max_bucket_size=None`` disables the cap (exact pair set —
-    pinned by the oracle-gated neardup queries' small-SF twins).
+    shuffle.  ``max_bucket_size=None`` (the default) means the exact pair
+    set — what the oracle-gated neardup queries pin at every SF; the cap is
+    an explicit opt-in whose oracle twin is ``llm_minhash_capped``.
     """
     pair_cols = [
         F.col("a.doc_id").alias("doc_a"),
@@ -306,11 +314,30 @@ def minhash_candidates(
     k: int = 8,
     bands: int = 4,
     n: int = 5,
-    max_bucket_size: int | None = 256,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """LSH candidate pairs (id_a < id_b): docs sharing ≥1 band bucket."""
+    """LSH candidate pairs (id_a < id_b): docs sharing ≥1 band bucket.
+    Exact by default; ``max_bucket_size`` opts into the skew cap."""
     sh = shingle_frame(parallelize_compute(docs), id_col, text_col, n)
     return _candidates_from_banded(_banded(sh, k, bands).persist(), max_bucket_size)
+
+
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Release the executor blocks behind a ``localCheckpoint``'ed frame.
+
+    ``Dataset.unpersist()`` goes through the CacheManager and does NOT drop
+    RDD-level localCheckpoint storage (verified empirically: the persistent
+    RDD count stays put); the block is only freed by unpersisting the
+    LogicalRDD's underlying RDD directly.  Best-effort via py4j — if the
+    internal surface moves, fall back to the ContextCleaner, which frees the
+    blocks once the JVM-side reference is GC'd.  The frame is unusable
+    afterwards; only call on a round's labels after the next round's
+    convergence check has consumed them.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 - deliberate: GC/ContextCleaner fallback
+        pass
 
 
 def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
@@ -385,8 +412,9 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         )
         # free the previous round's checkpointed blocks now that the
         # convergence check consumed them — otherwise storage grows
-        # O(rounds·N) until GC notices
-        labels.unpersist()
+        # O(rounds·N) until GC notices (Dataset.unpersist can't do this:
+        # localCheckpoint storage is RDD-level, not CacheManager-level)
+        _free_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             converged = True

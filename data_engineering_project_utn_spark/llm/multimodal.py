@@ -56,7 +56,11 @@ IMAGE_META_SCHEMA = T.StructType(
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color_type → channels
+# color_type → channels.  Palette images (type 3) are deliberately absent:
+# without applying PLTE the "pixels" would be palette indices and mean_byte
+# a mean of indices — a silent wrong answer.  They raise the named
+# ValueError instead (PIL handles them on the real path).
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
 def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> bytearray:
@@ -157,10 +161,18 @@ def decode_image_real(payload: bytes) -> tuple[int, int, int, float]:
     Raises ``ValueError`` for formats neither path handles — callers see a
     named failure, never fake numbers."""
     if _PIL_Image is not None:
+        from PIL import ImageStat
+
         img = _PIL_Image.open(io.BytesIO(payload))
-        data = list(img.tobytes())
+        if img.mode == "P":  # palette → real pixel values, not indices
+            img = img.convert("RGB")
         channels = len(img.getbands())
-        mean = float(sum(data)) / len(data) if data else 0.0
+        # C-side histogram sums — O(pixels) stays out of interpreted Python.
+        # Σ per-band sums / (pixels·bands) is exactly the byte mean the old
+        # Python fold computed for 8-bit modes (band sums are integral).
+        stat = ImageStat.Stat(img)
+        count = img.width * img.height * channels
+        mean = float(sum(stat.sum)) / count if count else 0.0
         return img.width, img.height, channels, mean
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         return _decode_png(payload)

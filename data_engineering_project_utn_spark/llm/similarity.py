@@ -22,6 +22,30 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# Persisted intermediates (blocked projections, sized inputs) registered by
+# blocked_pairs/knn_join.  The results those functions return read the
+# persisted frames lazily, so they cannot unpersist before returning; in a
+# long-lived session (dashboard serving, notebook) call
+# ``release_persisted()`` once downstream results are materialized, or
+# executor storage accumulates one blocked projection per call.
+_PERSISTED: list[DataFrame] = []
+
+
+def _track_persist(df: DataFrame) -> DataFrame:
+    handle = df.persist()
+    _PERSISTED.append(handle)
+    return handle
+
+
+def release_persisted() -> None:
+    """Unpersist every intermediate blocked_pairs/knn_join pinned.
+
+    Safe to call any time: results already materialized keep their values;
+    un-materialized results silently recompute from lineage.
+    """
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ a_i·b_i as a sequential left fold (init 0.0) in double precision."""
@@ -281,11 +305,13 @@ def blocked_pairs(
     (id_a != id_b) for per-vector top-k.
 
     The blocked+normed projection is persisted so the scan, signature
-    folds, and norms run once per vector, not once per join side.
+    folds, and norms run once per vector, not once per join side; the
+    handle stays pinned for the result's lifetime — long-lived sessions
+    call ``release_persisted()`` after materializing downstream results.
     """
-    b = lsh_blocks(
-        embeddings, n_planes, max_bucket_size, id_col, vec_col, extra_key_cols
-    ).persist()
+    b = _track_persist(
+        lsh_blocks(embeddings, n_planes, max_bucket_size, id_col, vec_col, extra_key_cols)
+    )
     keys = [*extra_key_cols, "bucket"]
     a = b.select(
         *keys,
@@ -349,7 +375,8 @@ def knn_join(
     if n_planes is None:
         # persist before the sizing count so deriving the plane count doesn't
         # re-run an expensive upstream plan that blocked_pairs reads again
-        embeddings = embeddings.persist()
+        # (tracked; see release_persisted)
+        embeddings = _track_persist(embeddings)
         n_planes = derive_n_planes(embeddings.count(), target_bucket_size)
         if max_bucket_size is None:
             max_bucket_size = 4 * target_bucket_size

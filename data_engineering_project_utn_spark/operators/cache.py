@@ -17,6 +17,7 @@ things the reference cached), never raw scans.
 
 from __future__ import annotations
 
+import threading
 import time
 from collections.abc import Callable
 
@@ -29,6 +30,18 @@ class ResultCache:
 
     ``clock`` is injectable (tests use a fake clock; production uses
     ``time.monotonic`` — wall-clock jumps must not mass-expire entries).
+
+    Thread-safe for the dashboard-serving use case: a registry lock guards
+    the entry map and per-key build locks serialize rebuilds, so concurrent
+    ``get()`` on an expired key builds once (the losers of the build race
+    return the winner's snapshot) and a snapshot is never double-unpersisted.
+    Rebuilds of *different* keys proceed in parallel.
+
+    Expiry semantics: a reader that obtained a snapshot before it expired
+    may still run jobs against it after a later ``get()``/``invalidate()``
+    unpersists it — those jobs silently recompute from lineage (correct
+    values, cold cost).  That is inherent to handing out live DataFrame
+    handles; hold results only per-request.
     """
 
     def __init__(
@@ -39,6 +52,14 @@ class ResultCache:
         self.ttl = ttl_seconds
         self._clock = clock
         self._entries: dict[str, tuple[float, DataFrame]] = {}
+        self._lock = threading.Lock()
+        self._build_locks: dict[str, threading.Lock] = {}
+
+    def _fresh_hit(self, key: str) -> DataFrame | None:
+        hit = self._entries.get(key)
+        if hit is not None and self._clock() - hit[0] < self.ttl:
+            return hit[1]
+        return None
 
     def get(self, key: str, build: Callable[[], DataFrame]) -> DataFrame:
         """The cached snapshot for ``key``, rebuilding if absent/expired.
@@ -47,21 +68,34 @@ class ResultCache:
         must not silently recompute when storage is tight) and eagerly
         materialized, so every consumer within the TTL reads cached blocks.
         """
-        now = self._clock()
-        hit = self._entries.get(key)
-        if hit is not None and now - hit[0] < self.ttl:
-            return hit[1]
-        fresh = build().persist(StorageLevel.MEMORY_AND_DISK)
-        fresh.count()  # materialize once, at refresh time
-        if hit is not None:
-            hit[1].unpersist()
-        self._entries[key] = (now, fresh)
-        return fresh
+        with self._lock:
+            snapshot = self._fresh_hit(key)
+            if snapshot is not None:
+                return snapshot
+            build_lock = self._build_locks.setdefault(key, threading.Lock())
+        with build_lock:
+            # another thread may have rebuilt while we waited for its lock
+            with self._lock:
+                snapshot = self._fresh_hit(key)
+                if snapshot is not None:
+                    return snapshot
+            # build outside the registry lock: a slow rebuild must not block
+            # get() on other keys
+            fresh = build().persist(StorageLevel.MEMORY_AND_DISK)
+            fresh.count()  # materialize once, at refresh time
+            with self._lock:
+                stale = self._entries.get(key)
+                self._entries[key] = (self._clock(), fresh)
+            if stale is not None:
+                stale[1].unpersist()
+            return fresh
 
     def invalidate(self, key: str | None = None) -> None:
         """Drop one entry (or all), unpersisting snapshots immediately."""
-        keys = [key] if key is not None else list(self._entries)
-        for k in keys:
-            entry = self._entries.pop(k, None)
-            if entry is not None:
-                entry[1].unpersist()
+        with self._lock:
+            keys = [key] if key is not None else list(self._entries)
+            dropped = [
+                entry for k in keys if (entry := self._entries.pop(k, None)) is not None
+            ]
+        for _, snapshot in dropped:
+            snapshot.unpersist()

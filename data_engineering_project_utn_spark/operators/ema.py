@@ -106,15 +106,19 @@ def ema_scan(
     per_part = (
         ranged.groupBy("_pid")
         .agg(
-            # B: fold seeded from 0 (pure affine offset of the segment)
+            # B: fold seeded from 0 (pure affine offset of the segment).
+            # Nulls skip (state unchanged) exactly like ema_expr — and must
+            # therefore also not count into the decay exponent n below.
             F.aggregate(
                 values,
                 F.lit(0.0),
-                lambda acc, x: a * x + (F.lit(1.0) - a) * acc,
+                lambda acc, x: F.when(x.isNull(), acc).otherwise(
+                    a * x + (F.lit(1.0) - a) * acc
+                ),
             ).alias("b"),
             # seeded fold (y0 = x0) — the true EMA if this is the first segment
             ema_expr(values, alpha).alias("seeded"),
-            F.count(F.lit(1)).alias("n"),
+            F.count(F.col("v")).alias("n"),
         )
         .orderBy("_pid")
         .collect()

@@ -24,19 +24,19 @@ from pyspark.sql import functions as F
 from data_engineering_project_utn_spark.functions.scalar import epoch_ms
 
 
-def distributed_ntile(
+def with_global_rank(
     df: DataFrame,
     order_cols: list[str],
-    n_bins: int,
-    bin_col: str = "bin",
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Exact NTILE(n) over a global total order, computed distributed.
+    """Attach a 0-based global rank over a total order, computed distributed:
+    range-partition on the sort key, collect only the P per-partition counts
+    (model-size, like IVF centroids — never rows), turn them into rank
+    offsets, broadcast them back.  No single-partition stage anywhere.
+    Output columns: input + ``_rank0`` (bigint), ``_total`` (bigint).
 
     ``order_cols`` must define a total order (add tiebreakers) for the
-    assignment to be deterministic.  The only driver-side data is one row
-    count per partition (P values — a model-size quantity, like IVF
-    centroids), never rows.
+    assignment to be deterministic.
     """
     p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     cols = [F.col(c) for c in order_cols]
@@ -68,9 +68,27 @@ def distributed_ntile(
         rows, schema="_pid int, _offset bigint, _total bigint"
     )
     w = Window.partitionBy("_pid").orderBy(*cols)
-    rank0 = F.row_number().over(w) + F.col("_offset") - 1  # 0-based global rank
-    # NTILE closed form: N rows into n bins → the first r = N mod n bins
-    # hold q+1 rows (q = N div n), the rest hold q rows.
+    rank0 = (F.row_number().over(w) + F.col("_offset") - 1).cast("bigint")
+    return (
+        ranged.join(F.broadcast(offsets), "_pid")
+        .withColumn("_rank0", rank0)
+        .drop("_pid", "_offset")
+    )
+
+
+def distributed_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    n_bins: int,
+    bin_col: str = "bin",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact NTILE(n) over a global total order, computed distributed
+    (see ``with_global_rank``): closed-form bin arithmetic over the global
+    rank — N rows into n bins → the first r = N mod n bins hold q+1 rows
+    (q = N div n), the rest hold q rows."""
+    ranked = with_global_rank(df, order_cols, num_partitions)
+    rank0 = F.col("_rank0")
     q = F.floor(F.col("_total") / n_bins)
     r = F.col("_total") % n_bins
     bin_expr = (
@@ -78,11 +96,7 @@ def distributed_ntile(
         .when(rank0 < r * (q + 1), F.floor(rank0 / (q + 1)) + 1)
         .otherwise(r + F.floor((rank0 - r * (q + 1)) / q) + 1)
     ).cast("int")
-    return (
-        ranged.join(F.broadcast(offsets), "_pid")
-        .withColumn(bin_col, bin_expr)
-        .drop("_pid", "_offset", "_total")
-    )
+    return ranked.withColumn(bin_col, bin_expr).drop("_rank0", "_total")
 
 
 def relative_to_next(output_table: DataFrame, analytical: DataFrame) -> DataFrame:
@@ -140,19 +154,26 @@ def decile_histogram(
 
 
 def decile_by_percent_rank(rel: DataFrame, n_bins: int = 10) -> DataFrame:
-    """Scale-path decile binning: distributed range sort + arithmetic bucket.
+    """Percent-rank decile binning, computed distributed.
 
-    ``percent_rank`` still uses a window but the heavy lifting (global sort)
-    is a range-partitioned exchange; bucket = floor(pct * n) + 1 clipped to n.
-    Matches NTILE exactly when group sizes divide evenly; at histogram scale
-    the boundary drift is immaterial (documented divergence for the 100 TB
-    path — the faithful ``decile_histogram`` remains the oracle-checked one).
-    """
-    w = Window.orderBy("relative_to_next", "instance_id", "query_id", "read_table_id")
-    pct = F.percent_rank().over(w)
+    Bucket = floor(percent_rank · n) + 1 clipped to n, with
+    percent_rank = rank0 / (N − 1) over the global total order — the exact
+    arithmetic SQL ``percent_rank()`` defines, but via ``with_global_rank``
+    (range partition + broadcast offsets) instead of an empty-partition
+    window, which Spark would plan as Exchange SinglePartition.  Differs
+    from NTILE at bucket boundaries when group sizes don't divide evenly —
+    a different (equally standard) quantile convention, value-checked by
+    its own percent_rank oracle (``ri_decile_percentrank``)."""
+    ranked = with_global_rank(
+        rel, ["relative_to_next", "instance_id", "query_id", "read_table_id"]
+    )
+    # single-row edge: SQL percent_rank defines 0 when N == 1 (0/0 → NaN here)
+    pct = F.when(F.col("_total") == 1, F.lit(0.0)).otherwise(
+        F.col("_rank0") / (F.col("_total") - 1)
+    )
     bucket = F.least(F.floor(pct * n_bins) + 1, F.lit(n_bins))
     return (
-        rel.withColumn("bin", bucket.cast("int"))
+        ranked.withColumn("bin", bucket.cast("int"))
         .groupBy("instance_id", "read_table_id", "bin")
         .agg(F.count(F.lit(1)).alias("count"))
         .orderBy("instance_id", "read_table_id", "bin")

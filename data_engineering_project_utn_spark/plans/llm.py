@@ -214,7 +214,9 @@ def llm_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     key space is the band buckets, never all-pairs (see llm/dedup.py).
     """
     d = parallelize_compute(load_table(spark, sf_dir, "documents"))
-    return dd.minhash_neardup(d, k=8, bands=4, n=5, threshold=0.5)
+    # max_bucket_size=None pins the EXACT pair set this oracle models at
+    # every SF (the skew cap is opt-in; its oracle twin is llm_minhash_capped)
+    return dd.minhash_neardup(d, k=8, bands=4, n=5, threshold=0.5, max_bucket_size=None)
 
 
 @register(
@@ -247,7 +249,7 @@ def llm_bottomk_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     254/256 of the rotation family's verified pairs at ~40 % cost on
     sf0.1).  Same exact-Jaccard verification gate."""
     d = parallelize_compute(load_table(spark, sf_dir, "documents"))
-    return dd.bottomk_neardup(d, k=16, n=5, threshold=0.5)
+    return dd.bottomk_neardup(d, k=16, n=5, threshold=0.5, max_bucket_size=None)
 
 
 @register(
@@ -317,7 +319,7 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation in Spark (O(component-diameter) joins) vs the oracle's
     recursive-CTE transitive closure — identical integer fixpoint."""
     d = parallelize_compute(load_table(spark, sf_dir, "documents"))
-    pairs = dd.minhash_neardup(d, k=8, bands=4, n=5, threshold=0.5)
+    pairs = dd.minhash_neardup(d, k=8, bands=4, n=5, threshold=0.5, max_bucket_size=None)
     return dd.dedup_clusters(pairs).orderBy("doc_id")
 
 
@@ -865,9 +867,10 @@ def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio plumbing end-to-end: binary payload → Arrow-batched
-    ``mapInPandas`` decode (deterministic fake codec; real hook raises
-    NotImplementedError) → sample-rate/duration/RMS metadata, value-checked
-    against the oracle's integer arithmetic."""
+    ``mapInPandas`` decode (deterministic fake codec; ``decoder="real"``
+    switches to soundfile / stdlib-WAV decoding, see llm/multimodal.py) →
+    sample-rate/duration/RMS metadata, value-checked against the oracle's
+    integer arithmetic."""
     d = parallelize_compute(load_table(spark, sf_dir, "documents"))
     return mm.audio_metadata(mm.with_binary_payload(d))
 

@@ -612,6 +612,30 @@ def ri_decile_histogram_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ri_decile_percentrank",
+    priority=1,
+    oracle=_DECILE_ORACLE.replace(
+        """NTILE(10) OVER (ORDER BY relative_to_next, instance_id, query_id, read_table_id)
+                   AS bin""",
+        """CAST(LEAST(FLOOR(percent_rank() OVER (ORDER BY relative_to_next,
+                     instance_id, query_id, read_table_id) * 10) + 1, 10) AS INTEGER)
+                   AS bin""",
+    ),
+    tags=("reference", "historical", "percentrank"),
+)
+def ri_decile_percentrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The percent-rank decile convention under its own value gate: bucket =
+    floor(pct·10)+1 clipped, computed via the distributed global rank
+    (range partition + broadcast offsets — no single-partition window; see
+    operators/histogram.py decile_by_percent_rank).  The oracle runs DuckDB's
+    actual percent_rank() over the same total order, so the rank machinery
+    and the boundary arithmetic are both value-checked — keeping the 100×
+    scale path continuously verified, not just pytest-exercised."""
+    rel = _decile_rel(spark, sf_dir)
+    return hist_ops.decile_by_percent_rank(rel).withColumnRenamed("count", "n_queries")
+
+
 # ---------------------------------------------------------------------------
 # Live plane (SURVEY §2.2/§2.4/§2.6: A1-A6, A15-A17, O2-O3, F6-F7, F11-F12)
 # ---------------------------------------------------------------------------
@@ -895,6 +919,44 @@ def rl_user_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("user_id").agg(
         ema_ops.ema_expr(values, 0.02).alias("ema"),
         F.count(F.lit(1)).alias("n_obs"),
+    )
+
+
+@register(
+    "rl_ema_scan",
+    priority=1,
+    oracle="""
+    SELECT COUNT(value) AS n_obs, TRUE AS scan_matches_sequential FROM events
+    """,
+    tags=("reference", "live", "ema", "scale"),
+)
+def rl_ema_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The segmented-scan EMA (operators/ema.py ema_scan — parallel affine
+    composition for one hot key, no single-task fold) under a tolerance
+    gate.  Its FP regrouping is ulp-divergent from the sequential fold by
+    design, so a bit-exact oracle can't apply; instead the query computes
+    BOTH the scan and the sequential JVM fold (itself bit-gated via
+    rl_stress_ema) and returns whether they agree to 1e-9 relative — the
+    driver then value-checks (n_obs, TRUE), failing if the scan ever drifts
+    beyond tolerance.
+    """
+    e = load_table(spark, sf_dir, "events")
+    scan_val = ema_ops.ema_scan(e, "ts", "value", alpha=0.02)
+    pairs = F.array_sort(
+        F.collect_list(F.struct(F.col("ts").alias("o"), F.col("value").alias("v")))
+    )
+    values = F.transform(pairs, lambda s: s["v"].cast("double"))
+    (seq_row,) = e.agg(
+        ema_ops.ema_expr(values, 0.02).alias("seq"),
+        F.count("value").alias("n_obs"),
+    ).collect()
+    seq_val, n_obs = seq_row["seq"], seq_row["n_obs"]
+    if scan_val is None or seq_val is None:
+        matches = scan_val is None and seq_val is None
+    else:
+        matches = abs(scan_val - seq_val) <= 1e-9 * max(1.0, abs(seq_val))
+    return spark.createDataFrame(
+        [(n_obs, bool(matches))], "n_obs bigint, scan_matches_sequential boolean"
     )
 
 

@@ -70,10 +70,17 @@ def register(
 
 
 def all_queries() -> dict[str, Query]:
-    """Registry in driver-check order: ascending priority, then
-    registration order (Python dicts preserve insertion order)."""
+    """Registry in driver-check order: stale queries first (never
+    driver-verified, or implementing source files changed since their last
+    green CORRECTNESS row — see plans/staleness.py), then ascending
+    priority, then registration order (Python dicts preserve insertion
+    order).  The driver caps verification at ~50 queries/round, so this
+    ordering guarantees its budget is always spent on changed code first."""
+    from .staleness import is_stale
+
     items = sorted(
-        enumerate(_REGISTRY.items()), key=lambda t: (t[1][1].priority, t[0])
+        enumerate(_REGISTRY.items()),
+        key=lambda t: (not is_stale(t[1][0], t[1][1].build), t[1][1].priority, t[0]),
     )
     return {name: q for _, (name, q) in items}
 

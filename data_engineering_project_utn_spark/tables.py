@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLE_NAMES = (
     "region",
@@ -43,6 +44,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # truncate ns→µs exactly like DuckDB does when reading the same file.
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # µs isAdjustedToUTC=false columns surface as TIMESTAMP_NTZ (driver
+    # testdata switched ns→µs-NTZ in round 4); normalize to TIMESTAMP —
+    # value-identical under the pinned UTC session TZ and exactly DuckDB's
+    # naive read — so unix_micros()/unix_millis() downstream keep working.
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

@@ -52,3 +52,42 @@ def test_heavy_ties(spark):
 def test_more_partitions_than_rows(spark):
     pdf = pd.DataFrame({"v": [0.1, 0.2], "id": [1, 2]})
     _compare(spark, pdf, ["v", "id"], 2, 32)
+
+
+def test_percent_rank_deciles_have_no_single_partition_stage(spark):
+    """decile_by_percent_rank must go through with_global_rank, never an
+    empty-partition window (which Spark plans as Exchange SinglePartition —
+    the one-reducer bottleneck it exists to avoid)."""
+    from data_engineering_project_utn_spark.operators.histogram import (
+        decile_by_percent_rank,
+    )
+
+    n = 500
+    rel = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "relative_to_next": [((i * 7919) % n) / n for i in range(n)],
+                "instance_id": [i % 4 for i in range(n)],
+                "query_id": range(n),
+                "read_table_id": [i % 10 for i in range(n)],
+            }
+        )
+    )
+    out = decile_by_percent_rank(rel)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    # and the binning matches SQL percent_rank arithmetic
+    got = out.toPandas()
+    rel.createOrReplaceTempView("rel_pct")
+    exp = spark.sql(
+        """
+        SELECT instance_id, read_table_id, bin, COUNT(*) AS count FROM (
+          SELECT instance_id, read_table_id,
+                 CAST(LEAST(FLOOR(percent_rank() OVER (ORDER BY relative_to_next,
+                      instance_id, query_id, read_table_id) * 10) + 1, 10) AS INT) AS bin
+          FROM rel_pct)
+        GROUP BY instance_id, read_table_id, bin
+        ORDER BY instance_id, read_table_id, bin
+        """
+    ).toPandas()
+    assert got.values.tolist() == exp.values.tolist()

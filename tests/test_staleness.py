@@ -1,0 +1,68 @@
+"""Registry staleness: queries whose implementing source changed since their
+last driver-green CORRECTNESS row must sort to the front of ``all_queries()``
+so the driver's capped per-round budget re-checks changed code first
+(VERDICT r03 item 1)."""
+
+from __future__ import annotations
+
+import json
+
+from data_engineering_project_utn_spark.plans import all_queries
+from data_engineering_project_utn_spark.plans import staleness
+from data_engineering_project_utn_spark.plans.staleness import (
+    fingerprint,
+    impl_files,
+    is_stale,
+)
+
+
+def test_impl_files_cover_builder_module_and_operator_closure():
+    qs = all_queries()
+    files = impl_files(qs["ri_decile_histogram"].build)
+    assert any(f.endswith("operators/histogram.py") for f in files)
+    assert any(f.endswith("plans/") or "plans/" in f for f in files)
+    # plumbing excluded: editing the registry itself must not stale the world
+    assert not any(f.endswith("plans/registry.py") for f in files)
+    assert not any(f.endswith("__init__.py") for f in files)
+
+
+def test_fingerprint_is_deterministic():
+    qs = all_queries()
+    fn = qs["rl_pricing_summary"].build
+    assert fingerprint(fn) == fingerprint(fn)
+    assert len(fingerprint(fn)) == 16
+
+
+def test_stale_queries_sort_before_fresh_ones():
+    qs = all_queries()
+    flags = [is_stale(n, q.build) for n, q in qs.items()]
+    # Once a fresh (ledger-verified, unchanged) query appears, no stale
+    # query may follow it.
+    if False in flags:
+        first_fresh = flags.index(False)
+        assert not any(flags[first_fresh:]), (
+            "stale query ordered after a fresh one — driver budget would "
+            "skip changed code"
+        )
+
+
+def test_ledger_mismatch_marks_stale(tmp_path, monkeypatch):
+    qs = all_queries()
+    name = "rl_pricing_summary"
+    fn = qs[name].build
+    ledger = tmp_path / "VERIFIED.json"
+    ledger.write_text(
+        json.dumps({name: {"round": "r99", "fingerprint": "0" * 16}})
+    )
+    monkeypatch.setattr(staleness, "LEDGER_PATH", str(ledger))
+    staleness._ledger.cache_clear()
+    try:
+        assert is_stale(name, fn)  # fingerprint differs
+        ledger.write_text(
+            json.dumps({name: {"round": "r99", "fingerprint": fingerprint(fn)}})
+        )
+        staleness._ledger.cache_clear()
+        assert not is_stale(name, fn)  # matches → fresh
+        assert is_stale("never_verified_query", fn)  # absent → stale
+    finally:
+        staleness._ledger.cache_clear()

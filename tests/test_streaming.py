@@ -290,6 +290,37 @@ class TestResultCache:
         cache.invalidate()
         assert not c.storageLevel.useMemory
 
+    def test_concurrent_expired_gets_build_once(self, spark):
+        """Dashboard serving is concurrent: N threads hitting an expired key
+        must produce exactly one rebuild (losers of the build race get the
+        winner's snapshot), never duplicate builds or double-unpersists
+        (ADVICE r03)."""
+        import threading
+        import time as _time
+
+        from data_engineering_project_utn_spark.operators.cache import ResultCache
+
+        calls = []
+
+        def build():
+            calls.append(1)
+            _time.sleep(0.2)  # widen the race window
+            return spark.range(100).groupBy((F.col("id") % 5).alias("k")).count()
+
+        cache = ResultCache(ttl_seconds=10.0, clock=lambda: 0.0)
+        results: list = [None] * 8
+        threads = [
+            threading.Thread(target=lambda i=i: results.__setitem__(i, cache.get("h", build)))
+            for i in range(8)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(calls) == 1
+        assert all(r is results[0] for r in results)
+        cache.invalidate()
+
 
 class TestStatefulEMA:
     def test_matches_batch_ema(self, spark, event_dir, tmp_path):

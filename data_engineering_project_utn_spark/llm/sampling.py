@@ -1,0 +1,117 @@
+"""Corpus curation operators — sampling, shard assignment, sequence packing.
+
+The organizational layer of a training-data pipeline: after cleaning and
+dedup, corpora are (1) *sampled* per stratum to hit a target data mixture,
+(2) *shuffled and sharded* deterministically so every training run reads the
+same byte-identical shards, and (3) *packed* into fixed-token context
+windows.  All three are deterministic (hash-derived, never RNG-state) so
+reruns and engines agree bit-for-bit, and all three are narrow or
+single-shuffle ops:
+
+* ``stratified_sample`` — pure projection + filter: a doc is kept iff
+  md5(doc_id) falls under its stratum's rate threshold.  Scan-speed, no
+  shuffle, rates exact in expectation at any scale.
+* ``shard_assignment`` — md5-ordered global rank (the distributed
+  range-partition machinery from ``operators.histogram.with_global_rank`` —
+  no single-partition stage) round-robined over n shards: shard sizes
+  differ by at most 1 row, deterministically.
+* ``pack_sequences`` — per-stream running token total (window cumsum over
+  the stream key) → first-fit-contiguous context-window ids.  One shuffle
+  on the stream key; at 100 TB the stream key must be shard-grained
+  (e.g. the output of ``shard_assignment``), never a handful of sources.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_engineering_project_utn_spark.llm.text import token_count
+from data_engineering_project_utn_spark.operators.histogram import with_global_rank
+
+
+def doc_hash(id_col: Column | str) -> Column:
+    """Deterministic per-doc hex digest (md5 of the decimal id string) —
+    uniform in hex-string order, reproducible in any engine with md5."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.md5(c.cast("string"))
+
+
+def rate_threshold(rate: float) -> str:
+    """Threshold T with P[md5 < T] = rate (to 1/2^32): lexicographic hex
+    compare ≡ numeric compare at equal length.  rate=1.0 returns "g", which
+    sorts after every hex digest (a 9-hex-digit "100000000…" would sort
+    BEFORE digests starting ≥ '2' and silently drop them)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if rate >= 1.0:
+        return "g"
+    return format(int(rate * 16**8), "08x") + "0" * 24
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a doc iff its md5-uniform
+    draw falls under its stratum's rate.  The mixture knob of every corpus
+    pipeline (e.g. downsample web crawl, keep all books).  Unsampled strata
+    default to ``default_rate``."""
+    thr: Column = F.lit(rate_threshold(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(
+            F.col(strata_col) == stratum, F.lit(rate_threshold(rate))
+        ).otherwise(thr)
+    return docs.filter(doc_hash(id_col) < thr)
+
+
+def shard_assignment(
+    docs: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding: order the corpus by
+    md5(doc_id) (a reproducible pseudorandom permutation), round-robin the
+    global rank over ``n_shards``.  Shard sizes differ by ≤ 1 row.  The
+    global rank is distributed (range partition + broadcast offsets — see
+    with_global_rank); output keeps the hash so downstream stages can
+    re-derive the order without re-ranking."""
+    hashed = docs.withColumn("_shuffle_key", doc_hash(id_col))
+    ranked = with_global_rank(hashed, ["_shuffle_key", id_col])
+    return (
+        ranked.withColumn("shard", (F.col("_rank0") % n_shards).cast("int"))
+        .drop("_rank0", "_total")
+        .withColumnRenamed("_shuffle_key", "shuffle_key")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    window_tokens: int,
+    stream_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: within each stream (ordered by
+    doc id), documents are laid head-to-tail and the token stream is cut
+    every ``window_tokens`` tokens; a doc's chunk is the window its first
+    token lands in — integer arithmetic over a running token total, exact
+    and engine-independent.  Columns: stream, doc_id, n_tokens, chunk_id,
+    tokens_before."""
+    w = (
+        Window.partitionBy(stream_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_tok = token_count(text_col)
+    before = F.coalesce(F.sum(n_tok).over(w), F.lit(0)).cast("long")
+    return docs.select(
+        F.col(stream_col).alias("stream"),
+        F.col(id_col).alias("doc_id"),
+        n_tok.alias("n_tokens"),
+        before.alias("tokens_before"),
+        F.floor(before / window_tokens).cast("long").alias("chunk_id"),
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from data_engineering_project_utn_spark.llm import dedup as dd
 from data_engineering_project_utn_spark.llm.dedup import parallelize_compute
 from data_engineering_project_utn_spark.llm import multimodal as mm
+from data_engineering_project_utn_spark.llm import sampling as sa
 from data_engineering_project_utn_spark.llm import similarity as sim
 from data_engineering_project_utn_spark.llm import text as tx
 from data_engineering_project_utn_spark.plans.registry import register
@@ -906,6 +907,85 @@ def llm_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_punct"
         ),
     )
+
+
+_SAMPLE_RATES = {"en": 0.25, "de": 1.0, "zh": 0.5}
+_SAMPLE_DEFAULT = 0.1
+
+
+@register(
+    "llm_stratified_sample",
+    priority=1,
+    oracle=f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE md5(CAST(doc_id AS VARCHAR)) <
+          CASE WHEN lang = 'de' THEN '{sa.rate_threshold(1.0)}'
+               WHEN lang = 'en' THEN '{sa.rate_threshold(0.25)}'
+               WHEN lang = 'zh' THEN '{sa.rate_threshold(0.5)}'
+               ELSE '{sa.rate_threshold(0.1)}' END
+    """,
+    tags=("llm", "curation", "sampling"),
+)
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the data-mixture knob of a
+    training pipeline (downsample crawl-like strata, keep books-like ones).
+    Keep iff md5(doc_id) under the stratum's hex rate threshold: pure
+    projection+filter, scan-speed at any corpus size, no RNG state, exact
+    across engines (lexicographic hex compare ≡ numeric at equal length;
+    see llm/sampling.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return sa.stratified_sample(
+        d, _SAMPLE_RATES, strata_col="lang", default_rate=_SAMPLE_DEFAULT
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "llm_shard_assignment",
+    priority=1,
+    oracle="""
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+           CAST((row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) % 8
+                AS INTEGER) AS shard
+    FROM documents
+    """,
+    tags=("llm", "curation", "shuffle"),
+)
+def llm_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + round-robin sharding: every training
+    run reads byte-identical shards (md5 order is the permutation — no RNG
+    state to lose).  The global rank is the distributed range-partition
+    machinery (with_global_rank — no single-partition window; the oracle's
+    row_number() is the semantics, not the plan), shard sizes differ by ≤1."""
+    d = load_table(spark, sf_dir, "documents")
+    return sa.shard_assignment(d, n_shards=8).select("doc_id", "shuffle_key", "shard")
+
+
+@register(
+    "llm_pack_sequences",
+    priority=1,
+    oracle=f"""
+    WITH t AS (SELECT source AS stream, doc_id,
+                      CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+               FROM documents),
+    c AS (SELECT stream, doc_id, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                     AS tokens_before
+          FROM t)
+    SELECT stream, doc_id, n_tokens, tokens_before,
+           CAST(FLOOR(tokens_before / 2048) AS BIGINT) AS chunk_id
+    FROM c
+    """,
+    tags=("llm", "curation", "packing"),
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: docs laid head-to-tail per stream,
+    cut every 2048 tokens; a doc's chunk is the window its first token lands
+    in.  Integer window-cumsum arithmetic — exact, engine-independent; one
+    shuffle on the stream key (shard-grained at scale; see
+    llm/sampling.py pack_sequences)."""
+    d = load_table(spark, sf_dir, "documents")
+    return sa.pack_sequences(d, window_tokens=2048, stream_col="source")
 
 
 @register(

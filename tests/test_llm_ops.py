@@ -328,6 +328,56 @@ class TestRealMediaDecode:
             mm.decode_image_real(_make_palette_png(4, 4))
 
 
+class TestCuration:
+    def test_stratified_sample_rates_and_full_keep_edge(self, spark, documents):
+        from data_engineering_project_utn_spark.llm import sampling as sa
+
+        rates = {"en": 0.25, "de": 1.0, "zh": 0.5}
+        kept = sa.stratified_sample(documents, rates, default_rate=0.0)
+        got = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        totals = {r["lang"]: r["n"] for r in documents.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        # rate=1.0 must keep EVERY doc (the 'g' threshold edge: a 9-hex
+        # threshold would drop digests starting >= '2')
+        assert got.get("de") == totals["de"]
+        # default_rate=0.0 drops unlisted strata entirely
+        assert "es" not in got and "fr" not in got
+        # sampled strata land near their rate (hash-uniform, small-N slack)
+        for lang, rate in (("en", 0.25), ("zh", 0.5)):
+            frac = got.get(lang, 0) / totals[lang]
+            assert abs(frac - rate) < 0.2
+        # deterministic: identical on rerun
+        assert kept.count() == sa.stratified_sample(
+            documents, rates, default_rate=0.0).count()
+
+    def test_shard_assignment_balanced_and_distributed(self, spark, documents):
+        from data_engineering_project_utn_spark.llm import sampling as sa
+
+        out = sa.shard_assignment(documents, n_shards=8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
+        sizes = [r["n"] for r in out.groupBy("shard").agg(
+            F.count(F.lit(1)).alias("n")).collect()]
+        assert len(sizes) == 8
+        assert max(sizes) - min(sizes) <= 1  # round-robin over global rank
+
+    def test_pack_sequences_cumsum_invariants(self, spark, documents):
+        from data_engineering_project_utn_spark.llm import sampling as sa
+
+        window = 512
+        out = sa.pack_sequences(documents, window, stream_col="source").toPandas()
+        for _, g in out.sort_values(["stream", "doc_id"]).groupby("stream"):
+            before = 0
+            prev_chunk = 0
+            for _, row in g.iterrows():
+                assert row["tokens_before"] == before
+                assert row["chunk_id"] == before // window
+                assert row["chunk_id"] >= prev_chunk  # chunks never rewind
+                before += row["n_tokens"]
+                prev_chunk = row["chunk_id"]
+
+
 class TestDedupProps:
     def test_minhash_candidates_superset_of_high_jaccard(self, spark, documents):
         """LSH candidates must contain every pair whose true Jaccard is high

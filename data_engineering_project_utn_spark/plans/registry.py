@@ -72,15 +72,21 @@ def register(
 def all_queries() -> dict[str, Query]:
     """Registry in driver-check order: stale queries first (never
     driver-verified, or implementing source files changed since their last
-    green CORRECTNESS row — see plans/staleness.py), then ascending
-    priority, then registration order (Python dicts preserve insertion
-    order).  The driver caps verification at ~50 queries/round, so this
-    ordering guarantees its budget is always spent on changed code first."""
-    from .staleness import is_stale
+    green CORRECTNESS row — see plans/staleness.py), least-recently-green
+    before recently-green (so a mass staleness event — a shared module edit
+    — can't push a query that's been waiting since an older round past the
+    driver's ~50-query budget), then ascending priority, then registration
+    order (Python dicts preserve insertion order)."""
+    from .staleness import is_stale, last_green_round
 
     items = sorted(
         enumerate(_REGISTRY.items()),
-        key=lambda t: (not is_stale(t[1][0], t[1][1].build), t[1][1].priority, t[0]),
+        key=lambda t: (
+            not is_stale(t[1][0], t[1][1].build),
+            last_green_round(t[1][0]),
+            t[1][1].priority,
+            t[0],
+        ),
     )
     return {name: q for _, (name, q) in items}
 

@@ -115,3 +115,17 @@ def is_stale(name: str, fn: Callable) -> bool:
     if not entry:
         return True
     return entry.get("fingerprint") != fingerprint(fn)
+
+
+def last_green_round(name: str) -> int:
+    """Round number of the query's last green CORRECTNESS row, -1 if never
+    verified.  Orders the re-check queue when many queries are stale at
+    once (e.g. a shared module changed): least-recently-verified first, so
+    the driver's capped budget never starves a query that has been waiting
+    since an older round."""
+    entry = _ledger().get(name)
+    if not entry:
+        return -1
+    round_name = str(entry.get("round", ""))
+    digits = "".join(ch for ch in round_name if ch.isdigit())
+    return int(digits) if digits else -1

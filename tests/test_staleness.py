@@ -46,6 +46,22 @@ def test_stale_queries_sort_before_fresh_ones():
         )
 
 
+def test_stale_queue_orders_least_recently_green_first():
+    """Mass staleness (a shared module edit stales everything at once) must
+    not push queries waiting since an older round past the driver's capped
+    budget: within the stale set, never-verified sorts before r02-green
+    sorts before r03-green."""
+    from data_engineering_project_utn_spark.plans.staleness import last_green_round
+
+    qs = all_queries()
+    rounds = [
+        last_green_round(n) for n, q in qs.items() if is_stale(n, q.build)
+    ]
+    assert rounds == sorted(rounds), (
+        "stale queue not ordered by last-green recency"
+    )
+
+
 def test_ledger_mismatch_marks_stale(tmp_path, monkeypatch):
     qs = all_queries()
     name = "rl_pricing_summary"

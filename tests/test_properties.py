@@ -134,3 +134,71 @@ def test_clean_idempotent(spark, rows):
     a = once.toPandas()
     b = twice.toPandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+_pack_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["s0", "s1", "s2"]),  # stream
+        st.integers(1, 30),  # token count per doc (encoded as words)
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@given(rows=_pack_rows, window=st.sampled_from([4, 16, 64]))
+@_settings
+def test_pack_sequences_matches_python_fold(spark, rows, window):
+    """pack_sequences must equal the obvious sequential fold: per stream in
+    doc-id order, a doc's chunk is floor(tokens_so_far / window)."""
+    from data_engineering_project_utn_spark.llm import sampling as sa
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(rows)),
+            "source": [s for s, _ in rows],
+            "text": ["w" + " w".join(str(i) for i in range(n)) for _, n in rows],
+        }
+    )
+    got = (
+        sa.pack_sequences(spark.createDataFrame(pdf), window)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    running: dict[str, int] = {}
+    for doc_id, (stream, n) in enumerate(rows):
+        before = running.get(stream, 0)
+        assert got.loc[doc_id, "n_tokens"] == n
+        assert got.loc[doc_id, "tokens_before"] == before
+        assert got.loc[doc_id, "chunk_id"] == before // window
+        running[stream] = before + n
+
+
+@given(
+    n_rows=st.integers(1, 200),
+    parts=st.sampled_from([1, 3, 8, 32]),
+)
+@_settings
+def test_with_global_rank_partition_count_invariant(spark, n_rows, parts):
+    """The distributed global rank must be a pure function of the data —
+    identical for every num_partitions (range-boundary sampling must never
+    leak into the ranks), including partitions ≫ rows."""
+    from data_engineering_project_utn_spark.operators.histogram import (
+        with_global_rank,
+    )
+
+    pdf = pd.DataFrame(
+        {"v": [((i * 7919) % n_rows) / n_rows for i in range(n_rows)], "id": range(n_rows)}
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        with_global_rank(df, ["v", "id"], num_partitions=parts)
+        .select("id", "_rank0", "_total")
+        .toPandas()
+        .sort_values("id")
+    )
+    expected_order = pdf.sort_values(["v", "id"])["id"].tolist()
+    expected_rank = {doc: r for r, doc in enumerate(expected_order)}
+    assert (got["_total"] == n_rows).all()
+    assert got.set_index("id")["_rank0"].to_dict() == expected_rank

@@ -348,6 +348,87 @@ def stateful_ema(
     )
 
 
+class EMAStatefulProcessor:
+    """Spark 4 ``transformWithStateInPandas`` processor for the stress-index
+    EMA — the modern stateful API (typed per-key ValueState, explicit
+    lifecycle, timer support) superseding ``applyInPandasWithState``.
+    Identical recurrence and state content to ``make_ema_updater``; the
+    parity test holds both implementations to the same output on the same
+    stream.
+
+    Defined lazily as a subclass factory because pyspark imports
+    StatefulProcessor machinery on first use.
+    """
+
+    @staticmethod
+    def build(value_col: str, order_col: str, alpha_short: float, alpha_long: float):
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class _EMA(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._state = handle.getValueState(
+                    "ema", "ema_short double, ema_long double, n_obs bigint"
+                )
+
+            def handleInputRows(self, key, rows, timer_values):
+                if self._state.exists():
+                    ema_s, ema_l, n = self._state.get()
+                else:
+                    ema_s = ema_l = None
+                    n = 0
+                pdf = pd.concat(list(rows), ignore_index=True)
+                pdf = pdf.sort_values(order_col, kind="mergesort")
+                for x in pdf[value_col].astype(float):
+                    if ema_s is None:
+                        ema_s = ema_l = x
+                    else:
+                        ema_s = alpha_short * x + (1.0 - alpha_short) * ema_s
+                        ema_l = alpha_long * x + (1.0 - alpha_long) * ema_l
+                    n += 1
+                self._state.update((ema_s, ema_l, n))
+                yield pd.DataFrame(
+                    {
+                        "key": [str(key[0])],
+                        "ema_short": [ema_s],
+                        "ema_long": [ema_l],
+                        "n_obs": [n],
+                    }
+                )
+
+            def close(self) -> None:
+                pass
+
+        return _EMA()
+
+
+def stateful_ema_tws(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    order_col: str,
+    alpha_short: float = 0.02,
+    alpha_long: float = 0.005,
+) -> DataFrame:
+    """Streaming EMA via the Spark 4 ``transformWithStateInPandas`` API —
+    same semantics as ``stateful_ema`` (held to parity by
+    ``TestStatefulEMATws``); prefer this on Spark ≥ 4 deployments where the
+    RocksDB state store and state TTL/timers matter.  Requires the RocksDB
+    state store provider AND google.protobuf on the driver (the TWS
+    state-server protocol) — the parity test skips with a named reason
+    where protobuf is absent."""
+    return stream.groupBy(F.col(key_col)).transformWithStateInPandas(
+        statefulProcessor=EMAStatefulProcessor.build(
+            value_col, order_col, alpha_short, alpha_long
+        ),
+        outputStructType=EMA_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Incremental historical pipeline (T4/T5) — foreachBatch over batch operators
 # ---------------------------------------------------------------------------

@@ -322,6 +322,62 @@ class TestResultCache:
         cache.invalidate()
 
 
+class TestStatefulEMATws:
+    def test_transform_with_state_matches_batch_ema(self, spark, event_dir, tmp_path):
+        """The Spark 4 transformWithStateInPandas twin must produce the same
+        final per-key EMA as the batch fold (and therefore as the
+        applyInPandasWithState implementation, which is held to the same
+        batch parity below).
+
+        Environment gate: the TWS state-server protocol needs
+        google.protobuf (pyspark's transform_with_state_driver_worker
+        imports StateMessage_pb2), absent in this container and
+        uninstallable — same blocker class as the Kafka connector jar.
+        The processor logic itself is identical to make_ema_updater, which
+        IS exercised below."""
+        pytest.importorskip(
+            "google.protobuf",
+            reason="transformWithStateInPandas needs protobuf (state-server "
+            "protocol); absent in this environment",
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        stream = sp.file_stream(spark, event_dir, EVENT_SCHEMA, max_files_per_trigger=1)
+        ema_stream = sp.stateful_ema_tws(
+            stream,
+            key_col="instance_id",
+            value_col="execution_duration_ms",
+            order_col="arrival_timestamp",
+            alpha_short=0.02,
+            alpha_long=0.005,
+        )
+        _run_to_memory(ema_stream, "ema_tws", tmp_path, output_mode="update")
+        got = (
+            spark.table("ema_tws")
+            .toPandas()
+            .groupby("key")
+            .last()["ema_short"]
+            .to_dict()
+        )
+        batch = spark.read.schema(EVENT_SCHEMA).parquet(event_dir)
+        exp = {
+            str(r["instance_id"]): r["ema"]
+            for r in ema_ops.ema_by_key(
+                batch,
+                ["instance_id"],
+                "arrival_timestamp",
+                "execution_duration_ms",
+                alpha=0.02,
+            ).collect()
+        }
+        assert set(got) == set(exp)
+        for k in exp:
+            assert abs(got[k] - exp[k]) < 1e-9, k
+
+
 class TestStatefulEMA:
     def test_matches_batch_ema(self, spark, event_dir, tmp_path):
         stream = sp.file_stream(spark, event_dir, EVENT_SCHEMA, max_files_per_trigger=1)

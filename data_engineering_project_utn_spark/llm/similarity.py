@@ -417,6 +417,89 @@ def ivf_cells(
     return embeddings.withColumn("cell", F.array_max(scored)["cid"])
 
 
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Train the IVF coarse quantizer: distributed Lloyd iterations
+    (spherical k-means — cosine assignment, matching ``ivf_cells``).
+
+    * init: the k vectors with smallest md5(id) — a deterministic
+      pseudorandom draw, no RNG state;
+    * assign: ``ivf_cells`` with the current centroids as plan literals
+      (narrow projection, no shuffle);
+    * update: per-(cell, dim) mean via posexplode + exact decimal
+      accumulation — order-independent, so retraining at any partitioning
+      gives bit-identical centroids; only k·d aggregate rows ever reach the
+      driver (model-size, like the centroids themselves).  Cosine
+      assignment is scale-invariant, so the unnormalized mean is the
+      spherical-k-means centroid direction and the usual monotone-objective
+      argument applies (avg assigned cosine never decreases — asserted in
+      tests).  Empty cells keep their previous centroid.
+    """
+    seed_rows = (
+        embeddings.withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
+    cents = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seed_rows)]
+    for _ in range(n_iter):
+        assigned = ivf_cells(embeddings, cents, vec_col)
+        stats = (
+            assigned.select("cell", F.posexplode(F.col(vec_col)).alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum(F.col("v").cast("decimal(30,12)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for row in stats:
+            by_cell.setdefault(int(row["cell"]), {})[int(row["pos"])] = float(
+                row["s"]
+            ) / int(row["n"])
+        cents = [
+            (
+                cid,
+                [by_cell[cid][p] for p in sorted(by_cell[cid])]
+                if cid in by_cell
+                else old,
+            )
+            for cid, old in cents
+        ]
+    return cents
+
+
+def avg_assigned_cosine(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> float:
+    """Mean cosine between each vector and its assigned centroid — the
+    spherical-k-means objective (higher = tighter cells)."""
+    scored = F.array(
+        *[
+            F.struct(
+                cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cv])).alias(
+                    "c"
+                ),
+                F.lit(int(cid)).alias("cid"),
+            )
+            for cid, cv in centroids
+        ]
+    )
+    (row,) = embeddings.agg(
+        F.avg(F.array_max(scored)["c"]).alias("obj")
+    ).collect()
+    return float(row["obj"])
+
+
 def knn_ivf(
     embeddings: DataFrame,
     query_vec: DataFrame,

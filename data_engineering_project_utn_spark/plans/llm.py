@@ -909,6 +909,38 @@ def llm_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_ivf_trained",
+    priority=1,
+    oracle="""
+    SELECT COUNT(*) AS n_vectors, TRUE AS cells_bounded,
+           TRUE AS objective_improved
+    FROM embeddings
+    """,
+    tags=("llm", "similarity", "ivf", "kmeans"),
+)
+def llm_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained IVF quantizer under an invariant gate: distributed spherical
+    k-means (llm/similarity.train_ivf_centroids — deterministic md5 init,
+    literal-centroid assignment, exact-decimal per-(cell,dim) means) must
+    cover every vector, use at most k cells, and never worsen the
+    spherical-k-means objective vs its init.  The booleans are computed
+    Spark-side from the actual training run (the rl_ema_scan pattern:
+    value-gating a result a static oracle can't reproduce)."""
+    e = parallelize_compute(load_table(spark, sf_dir, "embeddings")).persist()
+    init = sim.train_ivf_centroids(e, k=8, n_iter=0)
+    trained = sim.train_ivf_centroids(e, k=8, n_iter=2)
+    obj0 = sim.avg_assigned_cosine(e, init)
+    obj2 = sim.avg_assigned_cosine(e, trained)
+    n = e.count()
+    cells_used = sim.ivf_cells(e, trained).select("cell").distinct().count()
+    e.unpersist()
+    return spark.createDataFrame(
+        [(n, 1 <= cells_used <= 8, obj2 >= obj0 - 1e-12)],
+        "n_vectors bigint, cells_bounded boolean, objective_improved boolean",
+    )
+
+
 _SAMPLE_RATES = {"en": 0.25, "de": 1.0, "zh": 0.5}
 _SAMPLE_DEFAULT = 0.1
 

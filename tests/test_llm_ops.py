@@ -63,6 +63,30 @@ class TestANN:
         )
         assert len(multi & brute) >= len(single & brute)
 
+    def test_trained_ivf_objective_monotone_and_deterministic(self, embeddings):
+        """Spherical k-means invariants: the avg assigned cosine never
+        decreases across Lloyd iterations, and retraining is bit-identical
+        (md5 init + order-independent decimal means — no RNG, no
+        partitioning sensitivity)."""
+        objs = [
+            sim.avg_assigned_cosine(
+                embeddings, sim.train_ivf_centroids(embeddings, k=4, n_iter=i)
+            )
+            for i in range(3)
+        ]
+        assert objs == sorted(objs), f"objective decreased: {objs}"
+        a = sim.train_ivf_centroids(embeddings, k=4, n_iter=2)
+        b = sim.train_ivf_centroids(embeddings, k=4, n_iter=2)
+        assert a == b
+
+    def test_trained_centroids_feed_knn_ivf(self, embeddings):
+        """Trained centroids slot into the existing IVF ANN path: results
+        are exact cosines from the query's cell."""
+        cents = sim.train_ivf_centroids(embeddings, k=4, n_iter=1)
+        got = sim.knn_ivf(embeddings, _query(embeddings), cents, k=5).toPandas()
+        assert len(got) > 0
+        assert got["cos_sim"].is_monotonic_decreasing
+
     def test_lsh_bucket_restricts_candidates(self, embeddings):
         with_bucket = embeddings.withColumn(
             "bucket", sim.lsh_signature(F.col("embedding"), 8)

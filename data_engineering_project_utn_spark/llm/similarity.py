@@ -403,7 +403,17 @@ def ivf_cells(
     highest centroid id (struct-max ordering, mirrored in oracles by
     ``ORDER BY c DESC, cid DESC``).
     """
-    scored = F.array(
+    return embeddings.withColumn(
+        "cell", F.array_max(_ivf_scored(vec_col, centroids))["cid"]
+    )
+
+
+def _ivf_scored(
+    vec_col: str, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """Array of (cosine-to-centroid, centroid-id) structs, one per centroid
+    — struct ordering makes array_max/array_sort rank by (c, cid)."""
+    return F.array(
         *[
             F.struct(
                 cosine(
@@ -414,7 +424,16 @@ def ivf_cells(
             for cid, cv in centroids
         ]
     )
-    return embeddings.withColumn("cell", F.array_max(scored)["cid"])
+
+
+def ivf_probe_cells(
+    vec_col: str, centroids: list[tuple[int, list[float]]], nprobe: int
+) -> Column:
+    """The nprobe nearest cells for a vector, best first (desc by cosine,
+    then centroid id — exactly ``ivf_cells``'s tie-break, so element 0 is
+    the assignment cell)."""
+    ranked = F.reverse(F.array_sort(_ivf_scored(vec_col, centroids)))
+    return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cid"])
 
 
 def train_ivf_centroids(
@@ -507,12 +526,19 @@ def knn_ivf(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF ANN top-k (nprobe=1): exact cosine restricted to the query's
-    cell.  The inverted-file analogue of `knn_lsh` — at rest, partition or
-    bucket the corpus by ``cell`` so a probe reads one cell's files only."""
+    """IVF ANN top-k: exact cosine restricted to the query's ``nprobe``
+    nearest cells.  The inverted-file analogue of `knn_lsh` — at rest,
+    partition or bucket the corpus by ``cell`` so a probe reads nprobe
+    cells' files only.  nprobe > 1 trades proportional scan cost for
+    recall (candidates are a superset of nprobe=1 — cell-boundary misses
+    land in the next-nearest cell); each corpus vector lives in exactly
+    one cell, so probing N cells never duplicates a candidate."""
     cells = ivf_cells(embeddings, centroids, vec_col)
-    q = ivf_cells(query_vec, centroids, "qv").withColumnRenamed("cell", "q_cell")
+    q = query_vec.withColumn(
+        "q_cell", F.explode(ivf_probe_cells("qv", centroids, nprobe))
+    )
     joined = cells.join(
         F.broadcast(_with_qnorm(q)), F.col("cell") == F.col("q_cell")
     )

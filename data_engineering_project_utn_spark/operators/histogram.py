@@ -118,8 +118,15 @@ def relative_to_next(output_table: DataFrame, analytical: DataFrame) -> DataFram
     )
 
 
+# Below this many rel rows the one-reducer window NTILE beats the two-job
+# distributed plan (fixed job overhead dominates); above it the single
+# sort task becomes the bottleneck.  Rough local[32] measurement — the
+# exact value matters little because both strategies are bit-identical.
+DECILE_AUTO_CROSSOVER_ROWS = 10_000_000
+
+
 def decile_histogram(
-    rel: DataFrame, n_bins: int = 10, distributed: bool = True
+    rel: DataFrame, n_bins: int = 10, distributed: bool | str = True
 ) -> DataFrame:
     """NTILE(n) over global ORDER BY relative_to_next → counts per
     (instance_id, read_table_id, bin) (`Dashboard_Historical_Final.py:455-463`).
@@ -134,7 +141,13 @@ def decile_histogram(
     heavily reduced) rel rows, which wins below the ~10M-row crossover;
     both strategies are bit-identical (same oracle, asserted in tests), so
     small-data callers may pin it as a measured optimization.
+    ``distributed="auto"`` spends one count job on the (already reduced)
+    rel frame and picks the strategy by ``DECILE_AUTO_CROSSOVER_ROWS`` —
+    the stats-driven selection the reference's fixed SQL can't make.
     """
+    if distributed == "auto":
+        rel = rel.persist()  # the count and the chosen strategy share one scan
+        distributed = rel.count() >= DECILE_AUTO_CROSSOVER_ROWS
     if distributed:
         binned = distributed_ntile(
             rel,

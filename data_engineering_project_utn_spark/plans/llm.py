@@ -423,6 +423,53 @@ def llm_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_ivf_nprobe",
+    priority=1,
+    oracle=f"""
+    WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+    scored AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               {_dot('e.embedding', 'c.cv')}
+               / (sqrt({_dot('e.embedding', 'e.embedding')}) * sqrt({_dot('c.cv', 'c.cv')}))
+                   AS cos_c
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    ranked AS (SELECT vec_id, embedding, cid,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY cos_c DESC, cid DESC) AS rn
+               FROM scored),
+    cells AS (SELECT vec_id, embedding, cid AS cell FROM ranked WHERE rn = 1),
+    probes AS (SELECT cid AS q_cell FROM ranked WHERE vec_id = 0 AND rn <= 2),
+    q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT s.vec_id,
+           {_dot('q.qv', 's.embedding')}
+           / (sqrt({_dot('q.qv', 'q.qv')}) * sqrt({_dot('s.embedding', 's.embedding')}))
+               AS cos_sim
+    FROM cells s, q
+    WHERE s.cell IN (SELECT q_cell FROM probes) AND s.vec_id <> q.q_id
+    ORDER BY cos_sim DESC, s.vec_id
+    LIMIT 10
+    """,
+    tags=("llm", "similarity", "ann", "ivf", "nprobe"),
+)
+def llm_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe=2: the query scans its two nearest cells —
+    proportionally more data for strictly-superset candidates (the standard
+    recall knob of inverted-file indexes; see llm/similarity.py knn_ivf).
+    Value-gated against an oracle that reproduces the probe ranking's
+    (cosine desc, cid desc) tie-break exactly."""
+    e = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
+    cents = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in e.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    ]
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    return sim.knn_ivf(e, q, cents, k=10, nprobe=2)
+
+
+@register(
     "llm_simhash",
     priority=0,
     oracle=f"""

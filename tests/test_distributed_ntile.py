@@ -54,6 +54,31 @@ def test_more_partitions_than_rows(spark):
     _compare(spark, pdf, ["v", "id"], 2, 32)
 
 
+def test_auto_strategy_picks_by_row_count(spark, monkeypatch):
+    """distributed="auto" selects the window plan under the crossover and
+    the distributed plan above it (verified by plan shape), both matching
+    the pinned-strategy outputs."""
+    from data_engineering_project_utn_spark.operators import histogram as h
+
+    n = 200
+    rel = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "relative_to_next": [((i * 7919) % n) / n for i in range(n)],
+                "instance_id": [i % 4 for i in range(n)],
+                "query_id": range(n),
+                "read_table_id": [i % 10 for i in range(n)],
+            }
+        )
+    )
+    small = h.decile_histogram(rel, distributed="auto")
+    assert "SinglePartition" in small._jdf.queryExecution().executedPlan().toString()
+    monkeypatch.setattr(h, "DECILE_AUTO_CROSSOVER_ROWS", 10)
+    big = h.decile_histogram(rel, distributed="auto")
+    assert "SinglePartition" not in big._jdf.queryExecution().executedPlan().toString()
+    assert small.toPandas().values.tolist() == big.toPandas().values.tolist()
+
+
 def test_percent_rank_deciles_have_no_single_partition_stage(spark):
     """decile_by_percent_rank must go through with_global_rank, never an
     empty-partition window (which Spark plans as Exchange SinglePartition —

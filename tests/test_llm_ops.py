@@ -63,6 +63,19 @@ class TestANN:
         )
         assert len(multi & brute) >= len(single & brute)
 
+    def test_ivf_nprobe_recall_at_least_single_probe(self, embeddings):
+        """nprobe=2 candidates ⊇ nprobe=1 candidates → recall vs brute-force
+        top-k can only improve (the IVF recall knob)."""
+        cents = [
+            (int(r["vec_id"]), list(r["embedding"]))
+            for r in embeddings.filter(F.col("vec_id") < 8).collect()
+        ]
+        q = _query(embeddings)
+        brute = set(sim.knn_brute(embeddings, q, k=10).toPandas()["vec_id"])
+        one = set(sim.knn_ivf(embeddings, q, cents, k=10, nprobe=1).toPandas()["vec_id"])
+        two = set(sim.knn_ivf(embeddings, q, cents, k=10, nprobe=2).toPandas()["vec_id"])
+        assert len(two & brute) >= len(one & brute)
+
     def test_trained_ivf_objective_monotone_and_deterministic(self, embeddings):
         """Spherical k-means invariants: the avg assigned cosine never
         decreases across Lloyd iterations, and retraining is bit-identical

@@ -429,6 +429,43 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     return labels
 
 
+def contaminated_doc_ids(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: ids of corpus docs sharing ≥ 1 n-gram
+    shingle with any benchmark document (the train/eval-overlap scrub every
+    pretraining pipeline runs; n = 13 is the common industry choice —
+    callers with short documents lower it).
+
+    Scale shape: the corpus side is a narrow shingle projection; the
+    benchmark shingle set (eval suites are tiny relative to the corpus) is
+    deduplicated and broadcast into a left-semi join, so the corpus is
+    flagged at scan speed with no corpus-side shuffle.  Shingles travel as
+    md5 digests, not strings — fixed-width join keys.
+    """
+    doc_sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(F.transform(shingles(text_col, n), F.md5))).alias(
+            "sh"
+        ),
+    )
+    bench_sh = benchmark.select(
+        F.explode(F.array_distinct(F.transform(shingles(bench_text_col, n), F.md5))).alias(
+            "sh"
+        )
+    ).distinct()
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "sh", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+
 def shingle_jaccard(text_a: Column, text_b: Column, n: int = 5) -> Column:
     """Exact Jaccard over distinct n-gram shingle sets."""
     sa = F.array_distinct(shingles(text_a, n))

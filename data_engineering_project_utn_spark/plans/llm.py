@@ -957,6 +957,33 @@ def llm_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_decontamination",
+    priority=1,
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, list_distinct(list_transform({_SH3}, s -> md5(s))) AS s
+           FROM tk),
+    bench AS (SELECT DISTINCT u.sh FROM sh, UNNEST(s) u(sh) WHERE doc_id % 97 = 0)
+    SELECT DISTINCT d.doc_id FROM sh d, UNNEST(d.s) u(sh)
+    WHERE d.doc_id % 97 <> 0 AND u.sh IN (SELECT sh FROM bench)
+    ORDER BY doc_id
+    """,
+    tags=("llm", "curation", "decontamination"),
+)
+def llm_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval overlap scrub: corpus docs sharing any n-gram shingle with
+    the benchmark set (here: every 97th doc plays the eval suite; n=3 for
+    these short synthetic docs — production uses 13).  Corpus side is a
+    narrow digest projection; the tiny benchmark shingle set broadcasts
+    into a left-semi join — scan-speed flagging, no corpus shuffle (see
+    llm/dedup.py contaminated_doc_ids)."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    benchmark = d.filter(F.col("doc_id") % 97 == 0)
+    return dd.contaminated_doc_ids(corpus, benchmark, n=3).orderBy("doc_id")
+
+
+@register(
     "llm_ivf_trained",
     priority=1,
     oracle="""

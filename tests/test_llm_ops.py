@@ -587,6 +587,34 @@ class TestDedupProps:
             "per-round checkpoint blocks are leaking"
         )
 
+    def test_decontamination_flags_exact_ngram_overlap(self, spark):
+        """A corpus doc is flagged iff it shares an n-gram with the
+        benchmark — verbatim leaks are caught, paraphrases (no shared
+        n-gram) pass, and the benchmark side is broadcast (no corpus
+        shuffle)."""
+        import pandas as pd
+
+        bench_text = "the quick brown fox jumps over the lazy dog tonight again soon maybe"
+        corpus = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3],
+                    "text": [
+                        "intro words then " + bench_text + " trailing content",  # leak
+                        "a fully different document about other things entirely here now",
+                        "quick brown cat naps under the busy dog",  # no shared 13-gram
+                    ],
+                }
+            )
+        )
+        benchmark = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [100], "text": [bench_text]})
+        )
+        out = dd.contaminated_doc_ids(corpus, benchmark, n=13)
+        assert [r["doc_id"] for r in out.collect()] == [1]
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
     def test_jaccard_identity_and_bounds(self, spark):
         import pandas as pd
 

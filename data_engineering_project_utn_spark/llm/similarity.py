@@ -412,12 +412,25 @@ def _ivf_scored(
     vec_col: str, centroids: list[tuple[int, list[float]]]
 ) -> Column:
     """Array of (cosine-to-centroid, centroid-id) structs, one per centroid
-    — struct ordering makes array_max/array_sort rank by (c, cid)."""
+    — struct ordering makes array_max/array_sort rank by (c, cid).
+
+    Centroid norms are folded driver-side into plan literals: Python's
+    ``sum`` is the same left fold over the same doubles as the engine's
+    ``aggregate``/``list_reduce``, and ``math.sqrt`` is the same correctly-
+    rounded IEEE sqrt, so the literal is bit-identical to the in-plan
+    ``norm(cv)`` the oracles compute — while saving one interpreted fold
+    per centroid per row (training runs several scoring passes)."""
+    import math
+
     return F.array(
         *[
             F.struct(
-                cosine(
-                    F.col(vec_col), F.array(*[F.lit(float(x)) for x in cv])
+                (
+                    dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cv]))
+                    / (
+                        norm(F.col(vec_col))
+                        * F.lit(math.sqrt(sum(float(x) * float(x) for x in cv)))
+                    )
                 ).alias("c"),
                 F.lit(int(cid)).alias("cid"),
             )
@@ -502,19 +515,8 @@ def avg_assigned_cosine(
 ) -> float:
     """Mean cosine between each vector and its assigned centroid — the
     spherical-k-means objective (higher = tighter cells)."""
-    scored = F.array(
-        *[
-            F.struct(
-                cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cv])).alias(
-                    "c"
-                ),
-                F.lit(int(cid)).alias("cid"),
-            )
-            for cid, cv in centroids
-        ]
-    )
     (row,) = embeddings.agg(
-        F.avg(F.array_max(scored)["c"]).alias("obj")
+        F.avg(F.array_max(_ivf_scored(vec_col, centroids))["c"]).alias("obj")
     ).collect()
     return float(row["obj"])
 

@@ -429,6 +429,58 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     return labels
 
 
+def incremental_neardup(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric near-dup join: which INCOMING docs near-duplicate any
+    CORPUS doc — the production shape of dedup, where a new crawl batch is
+    checked against everything already ingested instead of re-running the
+    corpus×corpus self-join.
+
+    Scale shape: the corpus side's band frame is exactly what a real
+    deployment stores at rest (bucketed by band hash), so candidate
+    generation is one bucket join of the (small) incoming bands against it
+    — cost Σ|incoming ∩ bucket|·|corpus ∩ bucket|, never corpus².  Exact
+    Jaccard verification touches only candidates.  Columns: doc_new,
+    doc_existing, jaccard.
+    """
+    sh_in = shingle_frame(parallelize_compute(incoming), id_col, text_col, n).persist()
+    sh_co = shingle_frame(parallelize_compute(corpus), id_col, text_col, n).persist()
+    cand = (
+        _banded(sh_in, k, bands)
+        .alias("a")
+        .join(
+            _banded(sh_co, k, bands).alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_new"),
+            F.col("b.doc_id").alias("doc_existing"),
+        )
+        .distinct()
+    )
+    sa = sh_in.select(F.col("doc_id").alias("doc_new"), F.col("shset").alias("sa"))
+    sb = sh_co.select(
+        F.col("doc_id").alias("doc_existing"), F.col("shset").alias("sb")
+    )
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
+    union = (F.size("sa") + F.size("sb")).cast("double") - inter
+    return (
+        cand.join(sa, "doc_new")
+        .join(sb, "doc_existing")
+        .select("doc_new", "doc_existing", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") > threshold)
+    )
+
+
 def contaminated_doc_ids(
     docs: DataFrame,
     benchmark: DataFrame,

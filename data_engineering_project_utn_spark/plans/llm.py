@@ -957,6 +957,72 @@ def llm_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_incremental_dedup",
+    priority=1,
+    oracle="WITH " + _MINHASH_CTES.replace(
+        """cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id),""",
+        """cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+              AND a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0),""",
+    ) + """
+    SELECT doc_a AS doc_new, doc_b AS doc_existing, jaccard
+    FROM j WHERE jaccard > 0.5
+    """,
+    tags=("llm", "dedup", "incremental"),
+)
+def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup shape: a new batch (every 3rd doc plays the
+    incoming crawl) checked against the already-ingested corpus via an
+    asymmetric band-bucket join — never a corpus×corpus self-join (see
+    llm/dedup.py incremental_neardup).  Same signature family and exact-
+    Jaccard verification as llm_minhash_neardup; the oracle splits its
+    band CTE into the same incoming/existing sides."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    incoming = d.filter(F.col("doc_id") % 3 == 0)
+    corpus = d.filter(F.col("doc_id") % 3 != 0)
+    return dd.incremental_neardup(incoming, corpus, threshold=0.5)
+
+
+@register(
+    "llm_corpus_report",
+    priority=1,
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, lang, source, text, {_TOKS} AS t FROM documents)
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(t)) AS BIGINT) AS total_tokens,
+           COUNT(DISTINCT md5(text)) AS distinct_content,
+           CAST(MIN(len(t)) AS BIGINT) AS min_tokens,
+           CAST(MAX(len(t)) AS BIGINT) AS max_tokens
+    FROM tk GROUP BY lang, source ORDER BY lang, source
+    """,
+    tags=("llm", "curation", "report"),
+)
+def llm_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card rollup: per (lang, source) stratum — doc counts,
+    exact token totals (integer sums, engine-independent), distinct-content
+    count (exact dup rate), token-length extremes.  One shuffle on the
+    stratum key; the mixture table every curation pipeline publishes."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    n_tok = F.size(tx.tokens("text")).cast("long")
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tok).alias("total_tokens"),
+            F.countDistinct(F.md5("text")).alias("distinct_content"),
+            F.min(n_tok).alias("min_tokens"),
+            F.max(n_tok).alias("max_tokens"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@register(
     "llm_decontamination",
     priority=1,
     oracle=f"""

@@ -587,6 +587,37 @@ class TestDedupProps:
             "per-round checkpoint blocks are leaking"
         )
 
+    def test_incremental_neardup_is_asymmetric(self, spark):
+        """incremental_neardup reports only incoming-vs-corpus pairs:
+        corpus-internal and incoming-internal duplicates are out of scope
+        (they belong to the self-join path), and an incoming copy of a
+        corpus doc is flagged."""
+        import pandas as pd
+
+        base = "a long enough shared document body with many words " * 3
+        corpus = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3],
+                    "text": [base, base, "totally different corpus text body here okay"],
+                }
+            )
+        )
+        incoming = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [10, 11, 12],
+                    "text": [base, "fresh unseen content nothing like the corpus",
+                             "fresh unseen content nothing like the corpus"],
+                }
+            )
+        )
+        got = {
+            (r["doc_new"], r["doc_existing"])
+            for r in dd.incremental_neardup(incoming, corpus).collect()
+        }
+        assert got == {(10, 1), (10, 2)}  # only incoming→corpus edges
+
     def test_decontamination_flags_exact_ngram_overlap(self, spark):
         """A corpus doc is flagged iff it shares an n-gram with the
         benchmark — verbatim leaks are caught, paraphrases (no shared

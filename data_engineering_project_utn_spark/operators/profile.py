@@ -1,0 +1,76 @@
+"""One-pass table profiling — the data-quality summary every ingest
+pipeline publishes (row counts, null rates, cardinalities, extremes).
+
+The reference eyeballs this via ``check_duckdb_table()`` previews
+(`Real Final APP/Dashboard_Historical_Final.py:707-755`); here it's a
+single aggregation job built by schema introspection: all per-column
+aggregates evaluate in one pass over the data (Spark plans the multiple
+DISTINCT aggregates via one Expand — rows multiply by the distinct-column
+count map-side, but the scan still happens once and nothing shuffles but
+partial aggregates), then one ``stack`` unpivots the single result row to
+one row per column.
+
+At 100 TB swap ``exact_distinct=False`` to use ``approx_count_distinct``
+(±~2 % HLL) — multiple exact DISTINCTs over a petabyte scan is the one
+part of this that gets expensive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Types whose min/max cast to string identically across engines (integer
+# text is canonical; ASCII string ordering is binary in both).  Doubles and
+# timestamps render differently engine-to-engine, so their extremes are
+# omitted rather than risk a formatting-dependent "value".
+_EXTREME_TYPES = ("bigint", "int", "smallint", "tinyint", "string")
+
+
+def profile_columns(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Per-column profile: n_rows, n_nonnull, n_null, n_distinct, and (for
+    integer/string columns) min/max as strings.  One aggregation job.
+    Output: one row per column, ordered by column name."""
+    dtypes = dict(df.dtypes)
+    cols = columns if columns is not None else list(dtypes)
+    distinct = (
+        (lambda c: F.countDistinct(F.col(c)))
+        if exact_distinct
+        else (lambda c: F.approx_count_distinct(F.col(c)))
+    )
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"{c}__nonnull"))
+        aggs.append(distinct(c).alias(f"{c}__distinct"))
+        if dtypes[c] in _EXTREME_TYPES:
+            aggs.append(F.min(F.col(c)).cast("string").alias(f"{c}__min"))
+            aggs.append(F.max(F.col(c)).cast("string").alias(f"{c}__max"))
+        else:
+            aggs.append(F.lit(None).cast("string").alias(f"{c}__min"))
+            aggs.append(F.lit(None).cast("string").alias(f"{c}__max"))
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `{c}__nonnull`, `{c}__distinct`, `{c}__min`, `{c}__max`"
+        for c in cols
+    )
+    return (
+        row.selectExpr(
+            "__rows",
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column, n_nonnull, n_distinct, min_value, max_value)",
+        )
+        .select(
+            "column",
+            F.col("__rows").alias("n_rows"),
+            "n_nonnull",
+            (F.col("__rows") - F.col("n_nonnull")).alias("n_null"),
+            "n_distinct",
+            "min_value",
+            "max_value",
+        )
+        .orderBy("column")
+    )

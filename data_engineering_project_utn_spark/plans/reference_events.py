@@ -922,6 +922,49 @@ def rl_user_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _profile_oracle() -> str:
+    """UNION ALL per events column, mirroring operators/profile.py:
+    extremes only for types whose string rendering is engine-canonical."""
+    cols = {
+        "event_id": True,
+        "ts": False,
+        "user_id": True,
+        "event_type": True,
+        "value": False,
+        "props": True,
+    }
+    parts = []
+    for c, extremes in cols.items():
+        mn = f"CAST(MIN({c}) AS VARCHAR)" if extremes else "CAST(NULL AS VARCHAR)"
+        mx = f"CAST(MAX({c}) AS VARCHAR)" if extremes else "CAST(NULL AS VARCHAR)"
+        parts.append(
+            f'SELECT \'{c}\' AS "column", COUNT(*) AS n_rows,'
+            f" COUNT({c}) AS n_nonnull, COUNT(*) - COUNT({c}) AS n_null,"
+            f" COUNT(DISTINCT {c}) AS n_distinct,"
+            f" {mn} AS min_value, {mx} AS max_value FROM events"
+        )
+    return " UNION ALL ".join(parts) + ' ORDER BY "column"'
+
+
+@register(
+    "rl_events_profile",
+    priority=1,
+    oracle=_profile_oracle(),
+    tags=("reference", "profiling", "introspection"),
+)
+def rl_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-introspected one-pass column profiler (S15 generalized: the
+    reference eyeballs row counts/previews per table; this publishes the
+    data-quality summary — null rates, cardinalities, extremes — as a
+    queryable frame).  All aggregates evaluate in one scan; extremes are
+    emitted only for types whose string form is engine-canonical (see
+    operators/profile.py)."""
+    from data_engineering_project_utn_spark.operators.profile import profile_columns
+
+    e = load_table(spark, sf_dir, "events")
+    return profile_columns(e)
+
+
 @register(
     "rl_ema_scan",
     priority=1,

@@ -450,3 +450,35 @@ class TestLiveOps:
             for r in live_ops.instance_categories(spark.createDataFrame(pdf)).collect()
         }
         assert cats == {1: "Local", 2: "Regional", 3: "Global"}
+
+
+class TestProfile:
+    def test_profile_counts_nulls_and_extremes(self, spark):
+        """One-pass profiler: null accounting is exact, extremes appear only
+        for engine-canonical types (int/string), approx mode stays within
+        HLL tolerance."""
+        from data_engineering_project_utn_spark.operators.profile import (
+            profile_columns,
+        )
+
+        pdf = pd.DataFrame(
+            {
+                "a": [1, 2, 2, None],
+                "s": ["x", "y", None, "y"],
+                "d": [1.5, None, 2.5, 3.5],
+            }
+        )
+        df = spark.createDataFrame(pdf).select(
+            F.col("a").cast("bigint").alias("a"), "s", "d"
+        )
+        prof = {r["column"]: r for r in profile_columns(df).collect()}
+        assert prof["a"]["n_rows"] == 4 and prof["a"]["n_null"] == 1
+        assert prof["a"]["n_distinct"] == 2
+        assert (prof["a"]["min_value"], prof["a"]["max_value"]) == ("1", "2")
+        assert (prof["s"]["min_value"], prof["s"]["max_value"]) == ("x", "y")
+        assert prof["d"]["min_value"] is None  # double extremes omitted
+        approx = {
+            r["column"]: r["n_distinct"]
+            for r in profile_columns(df, exact_distinct=False).collect()
+        }
+        assert abs(approx["a"] - 2) <= 1

@@ -429,6 +429,35 @@ def stateful_ema_tws(
     )
 
 
+def incremental_dedup_batch_fn(
+    corpus: DataFrame,
+    sink,
+    threshold: float = 0.5,
+    **neardup_kwargs,
+):
+    """foreachBatch function for streaming incremental dedup: each incoming
+    micro-batch of documents is near-dup-checked against the static corpus
+    (``llm.dedup.incremental_neardup``) and the flagged pairs handed to
+    ``sink(pairs_df, batch_id)``.
+
+    The asymmetric join is linear in the incoming batch and never compares
+    incoming docs to each other, so the union of per-batch results equals
+    the one-shot batch check over all batches at once — batching is purely
+    an execution schedule, not a semantic choice (tested).  At scale the
+    corpus band frame is precomputed and stored bucketed by band hash; here
+    it is recomputed per batch from the corpus frame.
+    """
+    from data_engineering_project_utn_spark.llm.dedup import incremental_neardup
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        pairs = incremental_neardup(
+            batch_df, corpus, threshold=threshold, **neardup_kwargs
+        )
+        sink(pairs, batch_id)
+
+    return process
+
+
 # ---------------------------------------------------------------------------
 # Incremental historical pipeline (T4/T5) — foreachBatch over batch operators
 # ---------------------------------------------------------------------------

@@ -322,6 +322,74 @@ class TestResultCache:
         cache.invalidate()
 
 
+class TestIncrementalDedupStream:
+    def test_per_batch_union_equals_one_shot(self, spark, tmp_path):
+        """Streaming incremental dedup: the asymmetric join never compares
+        incoming docs to each other, so the union of per-micro-batch results
+        must equal the one-shot batch check over all incoming docs."""
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.llm.dedup import incremental_neardup
+
+        base = "a long enough shared document body with many words " * 3
+        corpus = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2],
+                    "text": [base, "other corpus content entirely unrelated here"],
+                }
+            )
+        )
+        inc = pd.DataFrame(
+            {
+                "doc_id": [10, 11, 12, 13],
+                "text": [base, "fresh unseen one", base + " slightly extended",
+                         "fresh unseen two"],
+            }
+        )
+        in_dir = str(tmp_path / "docs_in")
+        doc_schema = "doc_id long, text string"
+        # two file drops → two micro-batches
+        spark.createDataFrame(inc.iloc[:2], doc_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        spark.createDataFrame(inc.iloc[2:], doc_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+        collected: list = []
+
+        def sink(pairs_df, batch_id):
+            collected.extend(
+                (r["doc_new"], r["doc_existing"]) for r in pairs_df.collect()
+            )
+
+        stream = (
+            spark.readStream.schema(doc_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                sp.incremental_dedup_batch_fn(corpus, sink)
+            )
+            .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        one_shot = {
+            (r["doc_new"], r["doc_existing"])
+            for r in incremental_neardup(
+                spark.createDataFrame(inc, doc_schema), corpus
+            ).collect()
+        }
+        assert set(collected) == one_shot
+        assert len(collected) == len(set(collected))  # no batch double-counts
+        assert (10, 1) in one_shot  # the verbatim copy is flagged
+
+
 class TestStatefulEMATws:
     def test_transform_with_state_matches_batch_ema(self, spark, event_dir, tmp_path):
         """The Spark 4 transformWithStateInPandas twin must produce the same

@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from data_engineering_project_utn_spark.llm.text import shingles, tokens
+from data_engineering_project_utn_spark.persist import track_persist
 
 
 def parallelize_compute(df: DataFrame) -> DataFrame:
@@ -155,10 +156,11 @@ def minhash_neardup(
     to opt into chain pairing for duplicate-skewed corpora, bounding pair
     blowup at the cost of the approximation described in
     ``_candidates_from_banded``."""
-    sh = shingle_frame(parallelize_compute(docs), id_col, text_col, n).persist()
+    sh = track_persist(shingle_frame(parallelize_compute(docs), id_col, text_col, n))
     # persist banded too: the signature expression is interpreted (HOF
     # lambdas) — without this both self-join sides re-evaluate it
-    banded = _banded(sh, k, bands).persist()
+    # (tracked: persist.release_persisted() frees these in long sessions)
+    banded = track_persist(_banded(sh, k, bands))
     cand = _candidates_from_banded(banded, max_bucket_size)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sa"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("sb"))
@@ -195,13 +197,12 @@ def bottomk_neardup(
     distinct shingles produce empty trailing bands, which are dropped (the
     md5('') bucket would otherwise pair every short doc with every other).
     """
-    sh = shingle_frame(parallelize_compute(docs), id_col, text_col, n).persist()
+    sh = track_persist(shingle_frame(parallelize_compute(docs), id_col, text_col, n))
     sig = F.slice(F.array_sort(F.array_distinct(F.col("hd"))), 1, k)
-    banded = (
+    banded = track_persist(
         sh.select("doc_id", F.explode(lsh_bands(sig, k, 1)).alias("b"))
         .select("doc_id", "b.band_idx", "b.band_hash")
         .filter(F.col("band_hash") != F.md5(F.lit("")))
-        .persist()
     )
     cand = _candidates_from_banded(banded, max_bucket_size)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sa"))
@@ -319,7 +320,7 @@ def minhash_candidates(
     """LSH candidate pairs (id_a < id_b): docs sharing ≥1 band bucket.
     Exact by default; ``max_bucket_size`` opts into the skew cap."""
     sh = shingle_frame(parallelize_compute(docs), id_col, text_col, n)
-    return _candidates_from_banded(_banded(sh, k, bands).persist(), max_bucket_size)
+    return _candidates_from_banded(track_persist(_banded(sh, k, bands)), max_bucket_size)
 
 
 def _free_local_checkpoint(df: DataFrame) -> None:
@@ -451,8 +452,12 @@ def incremental_neardup(
     Jaccard verification touches only candidates.  Columns: doc_new,
     doc_existing, jaccard.
     """
-    sh_in = shingle_frame(parallelize_compute(incoming), id_col, text_col, n).persist()
-    sh_co = shingle_frame(parallelize_compute(corpus), id_col, text_col, n).persist()
+    sh_in = track_persist(
+        shingle_frame(parallelize_compute(incoming), id_col, text_col, n)
+    )
+    sh_co = track_persist(
+        shingle_frame(parallelize_compute(corpus), id_col, text_col, n)
+    )
     cand = (
         _banded(sh_in, k, bands)
         .alias("a")

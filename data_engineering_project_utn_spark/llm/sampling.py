@@ -101,17 +101,24 @@ def pack_sequences(
     token lands in — integer arithmetic over a running token total, exact
     and engine-independent.  Columns: stream, doc_id, n_tokens, chunk_id,
     tokens_before."""
-    w = (
-        Window.partitionBy(stream_col)
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    n_tok = token_count(text_col)
-    before = F.coalesce(F.sum(n_tok).over(w), F.lit(0)).cast("long")
-    return docs.select(
+    # materialize the token count once before the window — embedding the
+    # tokenizer expression both in the window sum and the projection would
+    # re-split every document's text twice
+    counted = docs.select(
         F.col(stream_col).alias("stream"),
         F.col(id_col).alias("doc_id"),
-        n_tok.alias("n_tokens"),
+        token_count(text_col).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("stream")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    return counted.select(
+        "stream",
+        "doc_id",
+        "n_tokens",
         before.alias("tokens_before"),
         F.floor(before / window_tokens).cast("long").alias("chunk_id"),
     )

@@ -23,28 +23,13 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Persisted intermediates (blocked projections, sized inputs) registered by
-# blocked_pairs/knn_join.  The results those functions return read the
-# persisted frames lazily, so they cannot unpersist before returning; in a
-# long-lived session (dashboard serving, notebook) call
-# ``release_persisted()`` once downstream results are materialized, or
-# executor storage accumulates one blocked projection per call.
-_PERSISTED: list[DataFrame] = []
-
-
-def _track_persist(df: DataFrame) -> DataFrame:
-    handle = df.persist()
-    _PERSISTED.append(handle)
-    return handle
-
-
-def release_persisted() -> None:
-    """Unpersist every intermediate blocked_pairs/knn_join pinned.
-
-    Safe to call any time: results already materialized keep their values;
-    un-materialized results silently recompute from lineage.
-    """
-    while _PERSISTED:
-        _PERSISTED.pop().unpersist()
+# blocked_pairs/knn_join go through the package-wide tracked registry —
+# call release_persisted() in long-lived sessions once downstream results
+# are materialized (see persist.py).
+from data_engineering_project_utn_spark.persist import (  # noqa: F401  (re-export)
+    release_persisted,
+    track_persist as _track_persist,
+)
 
 
 def dot(a: Column, b: Column) -> Column:

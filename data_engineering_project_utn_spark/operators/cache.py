@@ -54,6 +54,10 @@ class ResultCache:
         self._entries: dict[str, tuple[float, DataFrame]] = {}
         self._lock = threading.Lock()
         self._build_locks: dict[str, threading.Lock] = {}
+        # per-key generation, bumped by invalidate(): a build that started
+        # before an invalidation must not be inserted after it (it read
+        # pre-invalidation source data)
+        self._gen: dict[str, int] = {}
 
     def _fresh_hit(self, key: str) -> DataFrame | None:
         hit = self._entries.get(key)
@@ -79,23 +83,43 @@ class ResultCache:
                 snapshot = self._fresh_hit(key)
                 if snapshot is not None:
                     return snapshot
+                gen_at_start = self._gen.get(key, 0)
             # build outside the registry lock: a slow rebuild must not block
             # get() on other keys
             fresh = build().persist(StorageLevel.MEMORY_AND_DISK)
             fresh.count()  # materialize once, at refresh time
             with self._lock:
-                stale = self._entries.get(key)
-                self._entries[key] = (self._clock(), fresh)
+                if self._gen.get(key, 0) != gen_at_start:
+                    # invalidate() ran mid-build: this snapshot read
+                    # pre-invalidation data.  Hand it to THIS caller (their
+                    # read raced the invalidation either way) but do NOT
+                    # cache it — the next get() rebuilds fresh.
+                    stale = None
+                    cache_it = False
+                else:
+                    stale = self._entries.get(key)
+                    self._entries[key] = (self._clock(), fresh)
+                    cache_it = True
+            if not cache_it:
+                fresh.unpersist()
             if stale is not None:
                 stale[1].unpersist()
             return fresh
 
     def invalidate(self, key: str | None = None) -> None:
-        """Drop one entry (or all), unpersisting snapshots immediately."""
+        """Drop one entry (or all), unpersisting snapshots immediately.
+        In-flight builds that started before this call will not be cached
+        when they finish (generation check in ``get``)."""
         with self._lock:
             keys = [key] if key is not None else list(self._entries)
             dropped = [
                 entry for k in keys if (entry := self._entries.pop(k, None)) is not None
             ]
+            for k in keys:
+                self._gen[k] = self._gen.get(k, 0) + 1
+                # build locks are per-key scaffolding; drop them with the
+                # entry so high-cardinality key spaces don't leak locks (a
+                # racing builder just allocates a new one next time)
+                self._build_locks.pop(k, None)
         for _, snapshot in dropped:
             snapshot.unpersist()

@@ -46,10 +46,10 @@ def with_global_rank(
     # sampled boundaries, desynchronizing offsets from partition contents
     # (caught by the sf0.1 oracle gate; ReuseExchange is not guaranteed
     # under AQE).  One materialization pins one partitioning for both.
-    ranged = (
-        df.repartitionByRange(p, *cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    ranged = track_persist(
+        df.repartitionByRange(p, *cols).withColumn("_pid", F.spark_partition_id())
     )
     # Per-partition counts → rank offsets + grand total.  The P counts are
     # collected to the driver (model-size: one long per partition) and the
@@ -146,7 +146,11 @@ def decile_histogram(
     the stats-driven selection the reference's fixed SQL can't make.
     """
     if distributed == "auto":
-        rel = rel.persist()  # the count and the chosen strategy share one scan
+        from data_engineering_project_utn_spark.persist import track_persist
+
+        # the count and the chosen strategy share one scan; released via
+        # persist.release_persisted() in long-lived sessions
+        rel = track_persist(rel)
         distributed = rel.count() >= DECILE_AUTO_CROSSOVER_ROWS
     if distributed:
         binned = distributed_ntile(

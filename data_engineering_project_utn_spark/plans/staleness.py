@@ -110,11 +110,19 @@ def _ledger() -> dict:
 
 def is_stale(name: str, fn: Callable) -> bool:
     """True when the query has never been driver-verified, or code in its
-    implementation closure changed since its last green CORRECTNESS row."""
+    implementation closure changed since its last green CORRECTNESS row.
+
+    Fails safe: if an implementation file can't be read (package deployed
+    as a zip via ``--py-files``, file renamed after import), the query is
+    treated as stale rather than letting hashing crash every registry
+    consumer (``all_queries()`` sorts with this)."""
     entry = _ledger().get(name)
     if not entry:
         return True
-    return entry.get("fingerprint") != fingerprint(fn)
+    try:
+        return entry.get("fingerprint") != fingerprint(fn)
+    except OSError:
+        return True
 
 
 def last_green_round(name: str) -> int:

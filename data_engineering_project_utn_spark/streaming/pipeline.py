@@ -448,12 +448,20 @@ def incremental_dedup_batch_fn(
     it is recomputed per batch from the corpus frame.
     """
     from data_engineering_project_utn_spark.llm.dedup import incremental_neardup
+    from data_engineering_project_utn_spark.persist import release_persisted
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         pairs = incremental_neardup(
             batch_df, corpus, threshold=threshold, **neardup_kwargs
         )
-        sink(pairs, batch_id)
+        try:
+            sink(pairs, batch_id)
+        finally:
+            # the sink has consumed the pairs; free this batch's pinned
+            # shingle frames or N batches accumulate 2N persisted frames.
+            # Coarse (releases ALL tracked intermediates) — documented: the
+            # streaming job owns the session.
+            release_persisted()
 
     return process
 

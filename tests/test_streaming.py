@@ -322,6 +322,44 @@ class TestResultCache:
         cache.invalidate()
 
 
+class TestResultCacheInvalidation:
+    def test_invalidate_during_build_is_not_undone(self, spark):
+        """A build that started before invalidate() must not be cached when
+        it finishes — it read pre-invalidation source data; caching it would
+        silently undo the invalidation for a full TTL (review r04)."""
+        import threading
+        import time as _time
+
+        from data_engineering_project_utn_spark.operators.cache import ResultCache
+
+        cache = ResultCache(ttl_seconds=100.0, clock=lambda: 0.0)
+        gate = threading.Event()
+        calls = []
+
+        def slow_build():
+            calls.append("slow")
+            gate.wait(10)
+            return spark.range(10).groupBy((F.col("id") % 2).alias("k")).count()
+
+        t = threading.Thread(target=lambda: cache.get("h", slow_build))
+        t.start()
+        for _ in range(100):  # wait until the build is actually in flight
+            if calls:
+                break
+            _time.sleep(0.05)
+        cache.invalidate("h")
+        gate.set()
+        t.join()
+
+        def rebuild():
+            calls.append("rebuild")
+            return spark.range(10).groupBy((F.col("id") % 2).alias("k")).count()
+
+        cache.get("h", rebuild)
+        assert calls == ["slow", "rebuild"]  # post-invalidate get rebuilt
+        cache.invalidate()
+
+
 class TestIncrementalDedupStream:
     def test_per_batch_union_equals_one_shot(self, spark, tmp_path):
         """Streaming incremental dedup: the asymmetric join never compares

@@ -59,6 +59,12 @@ def _is_green(row: dict) -> bool:
 def main(argv: list[str]) -> int:
     use_current = "--current" in argv
     argv = [a for a in argv if a != "--current"]
+    if use_current and len(argv) == 3:
+        # refusing is safer than guessing: silently fingerprinting the
+        # working tree while the caller named a commit would record edited
+        # code as verified — the exact staleness the ledger exists to catch
+        print("error: pass EITHER --current OR a commit, not both")
+        return 2
     if len(argv) not in (2, 3) or (not use_current and len(argv) != 3):
         print(__doc__)
         return 2

@@ -922,6 +922,71 @@ def rl_user_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rl_duration_percentiles",
+    priority=1,
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.95) AS p95,
+           quantile_cont(value, 0.99) AS p99
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("reference", "live", "percentile"),
+)
+def rl_duration_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type value percentiles — the latency-distribution view the
+    reference's dashboards lack entirely (SURVEY §2.4: no median/percentile
+    anywhere).  Spark's exact ``percentile`` matches DuckDB's
+    ``quantile_cont`` interpolation bit-for-bit (probed).  Exact percentile
+    buffers each group's values — bounded here by the event_type domain; at
+    100 TB switch to ``approx_percentile`` (t-digest, no buffering)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+            F.expr("percentile(value, 0.99)").alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "rl_hourly_type_pivot",
+    priority=1,
+    oracle="SELECT EXTRACT(hour FROM ts) AS hour, "
+    + ", ".join(
+        f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}"
+        for t in _EVENT_TYPES
+    )
+    + " FROM events GROUP BY hour ORDER BY hour",
+    tags=("reference", "live", "pivot"),
+)
+def rl_hourly_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour × event-type pivot (the wide layout dashboards chart directly).
+    Explicit pivot values keep the plan deterministic — no extra
+    distinct-scan job to discover columns, and a stable schema at any SF;
+    absent combinations coalesce to 0 like the oracle's conditional
+    counts."""
+    e = load_table(spark, sf_dir, "events")
+    wide = (
+        e.groupBy(F.hour("ts").alias("hour"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+    )
+    return wide.select(
+        "hour",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
+    ).orderBy("hour")
+
+
 def _profile_oracle() -> str:
     """UNION ALL per events column, mirroring operators/profile.py:
     extremes only for types whose string rendering is engine-canonical."""

@@ -54,10 +54,18 @@ class ResultCache:
         self._entries: dict[str, tuple[float, DataFrame]] = {}
         self._lock = threading.Lock()
         self._build_locks: dict[str, threading.Lock] = {}
-        # per-key generation, bumped by invalidate(): a build that started
-        # before an invalidation must not be inserted after it (it read
-        # pre-invalidation source data)
-        self._gen: dict[str, int] = {}
+        # single global generation, bumped by every invalidate(): a build
+        # that started before any invalidation is never inserted (it may
+        # have read pre-invalidation source data).  Global rather than
+        # per-key so (a) invalidate-all tags in-flight FIRST builds of
+        # not-yet-cached keys too, and (b) nothing grows with key
+        # cardinality.  Cost: an invalidation racing an unrelated build
+        # makes that one result uncached (next get rebuilds) — never wrong.
+        self._generation = 0
+        # snapshots a raced build produced: kept persisted so the racing
+        # caller reads consistent materialized blocks (not a lazy recompute
+        # against post-invalidation sources); freed on the next invalidate.
+        self._orphans: list[DataFrame] = []
 
     def _fresh_hit(self, key: str) -> DataFrame | None:
         hit = self._entries.get(key)
@@ -83,25 +91,23 @@ class ResultCache:
                 snapshot = self._fresh_hit(key)
                 if snapshot is not None:
                     return snapshot
-                gen_at_start = self._gen.get(key, 0)
+                gen_at_start = self._generation
             # build outside the registry lock: a slow rebuild must not block
             # get() on other keys
             fresh = build().persist(StorageLevel.MEMORY_AND_DISK)
             fresh.count()  # materialize once, at refresh time
             with self._lock:
-                if self._gen.get(key, 0) != gen_at_start:
-                    # invalidate() ran mid-build: this snapshot read
-                    # pre-invalidation data.  Hand it to THIS caller (their
-                    # read raced the invalidation either way) but do NOT
-                    # cache it — the next get() rebuilds fresh.
+                if self._generation != gen_at_start:
+                    # invalidate() ran mid-build: this snapshot may have read
+                    # pre-invalidation data.  Hand the MATERIALIZED snapshot
+                    # to this caller (consistent blocks — unpersisting here
+                    # would make their reads recompute against the replaced
+                    # source) but do NOT cache it; freed on next invalidate.
+                    self._orphans.append(fresh)
                     stale = None
-                    cache_it = False
                 else:
                     stale = self._entries.get(key)
                     self._entries[key] = (self._clock(), fresh)
-                    cache_it = True
-            if not cache_it:
-                fresh.unpersist()
             if stale is not None:
                 stale[1].unpersist()
             return fresh
@@ -109,17 +115,23 @@ class ResultCache:
     def invalidate(self, key: str | None = None) -> None:
         """Drop one entry (or all), unpersisting snapshots immediately.
         In-flight builds that started before this call will not be cached
-        when they finish (generation check in ``get``)."""
+        when they finish (generation check in ``get``), including first
+        builds of keys that were never cached."""
         with self._lock:
+            self._generation += 1
             keys = [key] if key is not None else list(self._entries)
             dropped = [
                 entry for k in keys if (entry := self._entries.pop(k, None)) is not None
             ]
+            # prune idle build locks so high-cardinality key spaces don't
+            # leak them; a HELD lock stays (popping it would let a second
+            # builder run the same key concurrently)
             for k in keys:
-                self._gen[k] = self._gen.get(k, 0) + 1
-                # build locks are per-key scaffolding; drop them with the
-                # entry so high-cardinality key spaces don't leak locks (a
-                # racing builder just allocates a new one next time)
-                self._build_locks.pop(k, None)
+                lk = self._build_locks.get(k)
+                if lk is not None and not lk.locked():
+                    self._build_locks.pop(k, None)
+            orphans, self._orphans = self._orphans, []
         for _, snapshot in dropped:
+            snapshot.unpersist()
+        for snapshot in orphans:
             snapshot.unpersist()

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_engineering_project_utn_spark.functions.scalar import epoch_ms
+from data_engineering_project_utn_spark.persist import pin_for_correctness, track_persist
 
 
 def with_global_rank(
@@ -46,9 +47,9 @@ def with_global_rank(
     # sampled boundaries, desynchronizing offsets from partition contents
     # (caught by the sf0.1 oracle gate; ReuseExchange is not guaranteed
     # under AQE).  One materialization pins one partitioning for both.
-    from data_engineering_project_utn_spark.persist import track_persist
-
-    ranged = track_persist(
+    # pin, don't track: release_persisted() must never free this (recompute
+    # would resample range boundaries and desync the offsets — see persist.py)
+    ranged = pin_for_correctness(
         df.repartitionByRange(p, *cols).withColumn("_pid", F.spark_partition_id())
     )
     # Per-partition counts → rank offsets + grand total.  The P counts are
@@ -146,10 +147,9 @@ def decile_histogram(
     the stats-driven selection the reference's fixed SQL can't make.
     """
     if distributed == "auto":
-        from data_engineering_project_utn_spark.persist import track_persist
-
         # the count and the chosen strategy share one scan; released via
-        # persist.release_persisted() in long-lived sessions
+        # persist.release_persisted() in long-lived sessions (safe: either
+        # strategy recomputes rel to the same rows)
         rel = track_persist(rel)
         distributed = rel.count() >= DECILE_AUTO_CROSSOVER_ROWS
     if distributed:

@@ -1,18 +1,26 @@
 """Tracked DataFrame persists — a release hook for operator-internal caches.
 
-Several operators persist intermediates whose lifetime must outlive the
-function call (the returned frame reads them lazily): LSH blocked
-projections, shingle frames, the range-partitioned frame inside
-``with_global_rank`` (a CORRECTNESS persist — it pins one sampled
-partitioning for both consumers).  None of them can unpersist before
-returning, so long-lived sessions (dashboard serving, notebooks, streaming
-foreachBatch loops) need an explicit release point or executor storage
-grows by one pinned frame per call.
+Two classes of pin, with different release rules:
 
-``track(df.persist())`` registers a handle; ``release_persisted()``
-unpersists everything tracked.  Releasing is always safe: materialized
-results keep their values; un-materialized results silently recompute from
-lineage.  Thread-safe (foreachBatch sinks run on stream execution threads).
+* **Perf persists** (``track_persist``): avoid recomputing expensive
+  intermediates (shingle frames, blocked projections).  Releasing them is
+  always safe — materialized results keep their values; un-materialized
+  results silently recompute from lineage to the same answer.
+  ``release_persisted()`` frees these.
+* **Correctness persists** (``pin_for_correctness``): the computation is
+  only correct while the pinned blocks exist.  The one case today:
+  ``with_global_rank`` collects per-partition counts from a
+  ``repartitionByRange`` whose boundary *sampling* is not stable across
+  re-evaluation — recompute could resample different boundaries and
+  desynchronize the broadcast offsets from partition contents (silently
+  wrong ranks).  These are NEVER released by ``release_persisted()``;
+  ``release_all()`` frees them too and must only run when no result built
+  on them will be used again (session teardown, or a foreachBatch loop
+  that fully materializes each batch's outputs — note the streaming
+  incremental-dedup hook releases only perf pins for exactly this reason).
+
+Both registries are thread-safe (foreachBatch sinks run on stream
+execution threads).
 """
 
 from __future__ import annotations
@@ -23,20 +31,42 @@ from pyspark.sql import DataFrame
 
 _LOCK = threading.Lock()
 _PERSISTED: list[DataFrame] = []
+_PINNED: list[DataFrame] = []
 
 
 def track_persist(df: DataFrame) -> DataFrame:
-    """Persist ``df`` and register the handle for ``release_persisted``."""
+    """Persist ``df`` as a releasable perf cache (see module docstring)."""
     handle = df.persist()
     with _LOCK:
         _PERSISTED.append(handle)
     return handle
 
 
+def pin_for_correctness(df: DataFrame) -> DataFrame:
+    """Persist ``df`` as a correctness pin: excluded from
+    ``release_persisted()`` because recomputing it could change the answer
+    (e.g. resampled range-partition boundaries)."""
+    handle = df.persist()
+    with _LOCK:
+        _PINNED.append(handle)
+    return handle
+
+
 def release_persisted() -> None:
-    """Unpersist every tracked intermediate (see module docstring)."""
+    """Unpersist every releasable perf intermediate.  Correctness pins stay."""
     with _LOCK:
         handles = _PERSISTED[:]
         _PERSISTED.clear()
+    for h in handles:
+        h.unpersist()
+
+
+def release_all() -> None:
+    """Unpersist everything, including correctness pins.  Only call when no
+    DataFrame built on a pinned frame will be evaluated again."""
+    release_persisted()
+    with _LOCK:
+        handles = _PINNED[:]
+        _PINNED.clear()
     for h in handles:
         h.unpersist()

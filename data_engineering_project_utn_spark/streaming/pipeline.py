@@ -459,8 +459,9 @@ def incremental_dedup_batch_fn(
         finally:
             # the sink has consumed the pairs; free this batch's pinned
             # shingle frames or N batches accumulate 2N persisted frames.
-            # Coarse (releases ALL tracked intermediates) — documented: the
-            # streaming job owns the session.
+            # Coarse (releases every tracked PERF intermediate; correctness
+            # pins like with_global_rank's are excluded — see persist.py) —
+            # documented: the streaming job owns the session.
             release_persisted()
 
     return process

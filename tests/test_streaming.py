@@ -359,6 +359,42 @@ class TestResultCacheInvalidation:
         assert calls == ["slow", "rebuild"]  # post-invalidate get rebuilt
         cache.invalidate()
 
+    def test_invalidate_all_tags_first_build_of_uncached_key(self, spark):
+        """invalidate() with no key must also reject an in-flight FIRST
+        build of a key that was never cached (review r04: a per-key-only
+        generation missed this path)."""
+        import threading
+        import time as _time
+
+        from data_engineering_project_utn_spark.operators.cache import ResultCache
+
+        cache = ResultCache(ttl_seconds=100.0, clock=lambda: 0.0)
+        gate = threading.Event()
+        calls = []
+
+        def slow_build():
+            calls.append("slow")
+            gate.wait(10)
+            return spark.range(10).groupBy((F.col("id") % 2).alias("k")).count()
+
+        t = threading.Thread(target=lambda: cache.get("never_cached", slow_build))
+        t.start()
+        for _ in range(100):
+            if calls:
+                break
+            _time.sleep(0.05)
+        cache.invalidate()  # all-keys form; "never_cached" has no entry yet
+        gate.set()
+        t.join()
+
+        def rebuild():
+            calls.append("rebuild")
+            return spark.range(10).groupBy((F.col("id") % 2).alias("k")).count()
+
+        cache.get("never_cached", rebuild)
+        assert calls == ["slow", "rebuild"]
+        cache.invalidate()
+
 
 class TestIncrementalDedupStream:
     def test_per_batch_union_equals_one_shot(self, spark, tmp_path):

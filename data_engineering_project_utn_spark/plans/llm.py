@@ -9,7 +9,7 @@ see the determinism contract in plans/registry.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_engineering_project_utn_spark.llm import dedup as dd
@@ -1083,6 +1083,47 @@ def llm_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SAMPLE_RATES = {"en": 0.25, "de": 1.0, "zh": 0.5}
 _SAMPLE_DEFAULT = 0.1
+
+
+@register(
+    "llm_quality_topk_per_lang",
+    priority=1,
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+    m AS (SELECT doc_id, lang,
+                 CAST(len(t) AS BIGINT) AS n,
+                 CAST(len(list_filter(t, x -> list_contains(['the','a','and','of','to','in','is','it'], x))) AS BIGINT) AS stop,
+                 CAST(len(list_distinct(t)) AS BIGINT) AS uniq
+          FROM tk),
+    q AS (SELECT doc_id, lang,
+                 0.4 * LEAST(CAST(n AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * (CAST(stop AS DOUBLE) / CAST(n AS DOUBLE))
+               + 0.3 * (CAST(uniq AS DOUBLE) / CAST(n AS DOUBLE)) AS quality
+          FROM m)
+    SELECT lang, doc_id, quality, rank FROM (
+        SELECT lang, doc_id, quality,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY quality DESC, doc_id) AS rank
+        FROM q)
+    WHERE rank <= 20
+    """,
+    tags=("llm", "curation", "selection"),
+)
+def llm_quality_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection under a per-stratum budget: the top-20 docs per lang
+    by quality score — the "keep the best N per slice" pass that follows
+    scoring in a curation pipeline.  Per-stratum window (shuffle on lang,
+    heap-free row_number with a total order: quality desc, doc_id), never a
+    global sort; the quality expression is the already-gated
+    llm_quality_scores arithmetic, so the ordering is engine-exact."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    scored = d.select("lang", "doc_id", tx.quality_score("text").alias("quality"))
+    w = Window.partitionBy("lang").orderBy(F.desc("quality"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("lang", "doc_id", "quality", "rank")
+    )
 
 
 @register(

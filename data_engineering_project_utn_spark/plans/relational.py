@@ -394,3 +394,36 @@ def rl_distinct_ship_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_linestatus"
     ).distinct()
+
+
+@register(
+    "rl_customer_set_ops",
+    priority=1,
+    oracle="""
+    WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+    o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    SELECT 'both' AS segment, COUNT(*) AS n_customers
+    FROM (SELECT o_custkey FROM f INTERSECT SELECT o_custkey FROM o)
+    UNION ALL
+    SELECT 'only_f' AS segment, COUNT(*) AS n_customers
+    FROM (SELECT o_custkey FROM f EXCEPT SELECT o_custkey FROM o)
+    ORDER BY segment
+    """,
+    tags=("relational", "setops"),
+)
+def rl_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT surface (beyond the reference, which has neither
+    — SURVEY §2.6): customers with both finished and open orders vs
+    finished-only.  Spark plans both as left-semi/left-anti hash joins over
+    the deduplicated key sets — shuffle on the key, broadcastable when one
+    side is small."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    both = f.intersect(o).agg(F.count(F.lit(1)).alias("n_customers")).select(
+        F.lit("both").alias("segment"), "n_customers"
+    )
+    only_f = f.exceptAll(o).agg(F.count(F.lit(1)).alias("n_customers")).select(
+        F.lit("only_f").alias("segment"), "n_customers"
+    )
+    return both.unionByName(only_f).orderBy("segment")

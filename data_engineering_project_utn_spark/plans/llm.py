@@ -95,20 +95,27 @@ def llm_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "llm_quality_scores",
-    oracle=f"""
-    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-    m AS (SELECT doc_id,
+# Oracle fragment: per-doc quality score CTEs (== llm.text.quality_score —
+# stopword list, 100-token saturation cap, 0.4/0.3/0.3 weights).  Shared by
+# every oracle that orders or filters on quality, so the formula can't
+# drift between gates.  Emits CTEs tk/m/q; q has (doc_id, lang, quality).
+_QUALITY_CTES = f"""tk AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+    m AS (SELECT doc_id, lang,
                  CAST(len(t) AS BIGINT) AS n,
                  CAST(len(list_filter(t, x -> list_contains(['the','a','and','of','to','in','is','it'], x))) AS BIGINT) AS stop,
                  CAST(len(list_distinct(t)) AS BIGINT) AS uniq
-          FROM tk)
-    SELECT doc_id,
-           0.4 * LEAST(CAST(n AS DOUBLE) / 100.0, 1.0)
-         + 0.3 * (CAST(stop AS DOUBLE) / CAST(n AS DOUBLE))
-         + 0.3 * (CAST(uniq AS DOUBLE) / CAST(n AS DOUBLE)) AS quality
-    FROM m
+          FROM tk),
+    q AS (SELECT doc_id, lang,
+                 0.4 * LEAST(CAST(n AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * (CAST(stop AS DOUBLE) / CAST(n AS DOUBLE))
+               + 0.3 * (CAST(uniq AS DOUBLE) / CAST(n AS DOUBLE)) AS quality
+          FROM m)"""
+
+
+@register(
+    "llm_quality_scores",
+    oracle="WITH " + _QUALITY_CTES + """
+    SELECT doc_id, quality FROM q
     """,
     tags=("llm", "text", "bench"),
 )
@@ -1088,18 +1095,7 @@ _SAMPLE_DEFAULT = 0.1
 @register(
     "llm_quality_topk_per_lang",
     priority=1,
-    oracle=f"""
-    WITH tk AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
-    m AS (SELECT doc_id, lang,
-                 CAST(len(t) AS BIGINT) AS n,
-                 CAST(len(list_filter(t, x -> list_contains(['the','a','and','of','to','in','is','it'], x))) AS BIGINT) AS stop,
-                 CAST(len(list_distinct(t)) AS BIGINT) AS uniq
-          FROM tk),
-    q AS (SELECT doc_id, lang,
-                 0.4 * LEAST(CAST(n AS DOUBLE) / 100.0, 1.0)
-               + 0.3 * (CAST(stop AS DOUBLE) / CAST(n AS DOUBLE))
-               + 0.3 * (CAST(uniq AS DOUBLE) / CAST(n AS DOUBLE)) AS quality
-          FROM m)
+    oracle="WITH " + _QUALITY_CTES + """
     SELECT lang, doc_id, quality, rank FROM (
         SELECT lang, doc_id, quality,
                ROW_NUMBER() OVER (PARTITION BY lang

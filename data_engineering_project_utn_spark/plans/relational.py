@@ -414,16 +414,27 @@ def rl_distinct_ship_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rl_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT surface (beyond the reference, which has neither
     — SURVEY §2.6): customers with both finished and open orders vs
-    finished-only.  Spark plans both as left-semi/left-anti hash joins over
-    the deduplicated key sets — shuffle on the key, broadcastable when one
-    side is small."""
+    finished-only.  ``intersect`` plans as a left-semi and ``subtract`` as
+    a left-anti hash join (``exceptAll`` would instead plan a
+    Union+global-aggregate+replicaterows — and only matches EXCEPT-distinct
+    semantics while the input happens to be distinct).  Both key sets are
+    persisted so each side's scan+distinct runs once across the two
+    branches; a pure-performance alternative is one
+    groupBy(custkey).agg(has_f, has_o) pass, but exercising the set-op
+    operators is this query's point."""
+    from data_engineering_project_utn_spark.persist import track_persist
+
     orders = load_table(spark, sf_dir, "orders")
-    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
-    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    f = track_persist(
+        orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    )
+    o = track_persist(
+        orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    )
     both = f.intersect(o).agg(F.count(F.lit(1)).alias("n_customers")).select(
         F.lit("both").alias("segment"), "n_customers"
     )
-    only_f = f.exceptAll(o).agg(F.count(F.lit(1)).alias("n_customers")).select(
+    only_f = f.subtract(o).agg(F.count(F.lit(1)).alias("n_customers")).select(
         F.lit("only_f").alias("segment"), "n_customers"
     )
     return both.unionByName(only_f).orderBy("segment")

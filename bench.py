@@ -42,10 +42,17 @@ BENCH_QUERIES = [
 EXTENDED_QUERIES = [
     "ri_decile_percentrank",
     "rl_ema_scan",
+    "rl_events_profile",
+    "rl_duration_percentiles",
+    "rl_hourly_type_pivot",
+    "rl_customer_set_ops",
     "llm_stratified_sample",
     "llm_shard_assignment",
     "llm_pack_sequences",
     "llm_decontamination",
+    "llm_incremental_dedup",
+    "llm_corpus_report",
+    "llm_quality_topk_per_lang",
     "llm_ivf_nprobe",
     "llm_ivf_trained",
 ]

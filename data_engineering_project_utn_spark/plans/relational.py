@@ -438,3 +438,42 @@ def rl_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("only_f").alias("segment"), "n_customers"
     )
     return both.unionByName(only_f).orderBy("segment")
+
+
+@register(
+    "rl_order_rollup",
+    priority=1,
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           GROUPING(o_orderpriority) AS g_priority,
+           GROUPING(o_orderstatus) AS g_status,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    ORDER BY g_priority, g_status, o_orderpriority, o_orderstatus
+    """,
+    tags=("relational", "rollup"),
+)
+def rl_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals (beyond the reference, which has no grouping sets —
+    SURVEY §2.4): per (priority, status), per priority, and grand total in
+    ONE aggregation pass (Spark plans a single Expand + hash aggregate, not
+    three scans).  GROUPING() markers disambiguate subtotal NULLs from data
+    NULLs; the revenue sum goes through exact decimal accumulation per the
+    determinism contract."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice", 18, 2)).cast("double").alias("revenue"),
+        )
+        .select(
+            "o_orderpriority", "o_orderstatus", "g_priority", "g_status",
+            "n_orders", "revenue",
+        )
+        .orderBy("g_priority", "g_status", "o_orderpriority", "o_orderstatus")
+    )

@@ -1099,3 +1099,71 @@ def rl_trailing_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).over(w)
         ).alias("trailing_avg_100"),
     )
+
+
+@register(
+    "rl_user_sessions",
+    priority=1,
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS DOUBLE) / 1000000.0
+               AS duration_s
+    FROM sess
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    tags=("reference", "sessionization", "window"),
+)
+def rl_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (beyond the reference, which has no session
+    windows — SURVEY §2.8): a new session starts after a >30-min silence;
+    session id = running count of session starts per user (lag + cumulative
+    sum over one partitioned window — both window functions share the same
+    shuffle on user_id), then per-session rollup.  The same op batch-side
+    that Structured Streaming's ``session_window`` computes on streams;
+    duration arithmetic stays in exact integer µs until the final divide."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1
+    ).otherwise(0)
+    sess = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(new_session)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("session_id"),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            (
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).cast("double")
+                / 1_000_000.0
+            ).alias("duration_s"),
+        )
+        .orderBy("user_id", "session_id")
+    )

@@ -374,22 +374,107 @@ def knn_join(
     )
 
 
+#: Above this centroid count, IVF scoring switches from plan literals to a
+#: broadcast-joined packed centroid array.  Literal plans win codegen at
+#: small k but grow O(k·d) literal nodes — at the 65k-centroid scale of a
+#: 100 TB coarse quantizer the plan itself becomes a multi-hundred-MB
+#: analysis bottleneck, while the packed array is *data* shipped once per
+#: executor via a broadcast hash join.
+_LITERAL_CENTROID_MAX = 1024
+
+
+def _centroid_rows(
+    centroids: list[tuple[int, list[float]]],
+) -> list[tuple[int, list[float], float]]:
+    """(cid, vector, norm) rows; the norm is folded driver-side exactly as
+    in ``_ivf_scored`` (same left fold over the same doubles, same IEEE
+    sqrt), so both paths score with bit-identical centroid norms."""
+    import math
+
+    return [
+        (
+            int(cid),
+            [float(x) for x in cv],
+            math.sqrt(sum(float(x) * float(x) for x in cv)),
+        )
+        for cid, cv in centroids
+    ]
+
+
+def centroids_df(spark, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """Centroids as a DataFrame (cid, cv, cn) — the large-k carrier."""
+    return spark.createDataFrame(
+        _centroid_rows(centroids), "cid int, cv array<double>, cn double"
+    )
+
+
+def _with_centroids_packed(df: DataFrame, cdf: DataFrame) -> DataFrame:
+    """Attach every row a ``_cents`` column: the full centroid set packed
+    into one array<struct<cid,cv,cn>> row, delivered via BroadcastExchange
+    (Catalyst folds the constant join key, planning a
+    BroadcastNestedLoopJoin whose build side is exactly one row — a free
+    per-row append, no hashing needed) — centroids travel as data, never
+    as plan literals."""
+    packed = (
+        cdf.groupBy()
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("cid"), F.col("cv"), F.col("cn")))
+            ).alias("_cents")
+        )
+        .withColumn("_ck", F.lit(1))
+    )
+    return df.withColumn("_ck", F.lit(1)).join(F.broadcast(packed), "_ck").drop("_ck")
+
+
+def _scored_packed(vec_col: str) -> Column:
+    """(cosine, cid) struct array from the packed ``_cents`` column — the
+    same fold, division, and struct shape as ``_ivf_scored``, so the two
+    paths are bit-identical and share one oracle."""
+    return F.transform(
+        F.col("_cents"),
+        lambda s: F.struct(
+            (dot(F.col(vec_col), s["cv"]) / (norm(F.col(vec_col)) * s["cn"])).alias(
+                "c"
+            ),
+            s["cid"].alias("cid"),
+        ),
+    )
+
+
 def ivf_cells(
     embeddings: DataFrame,
     centroids: list[tuple[int, list[float]]],
     vec_col: str = "embedding",
+    max_literal_centroids: int | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest centroid.
 
     ``centroids`` is a driver-side list — a coarse quantizer is a *model
-    parameter* (even at 100 TB it's ~65k small vectors), so baking it into
-    the plan as literals keeps assignment a pure projection: no shuffle, no
-    broadcast join, whole-stage codegen.  Tie-break: highest cosine, then
-    highest centroid id (struct-max ordering, mirrored in oracles by
-    ``ORDER BY c DESC, cid DESC``).
+    parameter*.  Small quantizers (≤ ``max_literal_centroids``, default
+    ``_LITERAL_CENTROID_MAX``) are baked into the plan as literals:
+    assignment stays a pure projection — no shuffle, no join, whole-stage
+    codegen.  Above the threshold the centroids ship as a broadcast-joined
+    packed array instead (``_with_centroids_packed``): a 65k-centroid
+    quantizer as literals would be a multi-hundred-MB Catalyst plan that
+    chokes analysis long before execution, while as broadcast data it costs
+    one executor-side copy.  Both paths compute identical doubles
+    (same folds, driver-folded norms) and share the same oracles.
+    Tie-break: highest cosine, then highest centroid id (struct-max
+    ordering, mirrored in oracles by ``ORDER BY c DESC, cid DESC``).
     """
-    return embeddings.withColumn(
-        "cell", F.array_max(_ivf_scored(vec_col, centroids))["cid"]
+    limit = (
+        _LITERAL_CENTROID_MAX if max_literal_centroids is None else max_literal_centroids
+    )
+    if len(centroids) <= limit:
+        return embeddings.withColumn(
+            "cell", F.array_max(_ivf_scored(vec_col, centroids))["cid"]
+        )
+    cdf = centroids_df(embeddings.sparkSession, centroids)
+    return (
+        _with_centroids_packed(embeddings, cdf)
+        .withColumn("cell", F.array_max(_scored_packed(vec_col))["cid"])
+        .drop("_cents")
     )
 
 
@@ -432,6 +517,38 @@ def ivf_probe_cells(
     the assignment cell)."""
     ranked = F.reverse(F.array_sort(_ivf_scored(vec_col, centroids)))
     return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cid"])
+
+
+def with_probe_cells(
+    query_vec: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int,
+    vec_col: str = "qv",
+    out_col: str = "q_cell",
+    max_literal_centroids: int | None = None,
+) -> DataFrame:
+    """Explode each query row into its ``nprobe`` nearest cells, dispatching
+    between the literal plan (small quantizer) and the broadcast packed-array
+    plan (large quantizer) exactly like ``ivf_cells`` — the ranking
+    (cosine desc, cid desc) and therefore the probed cells are identical on
+    both paths."""
+    limit = (
+        _LITERAL_CENTROID_MAX if max_literal_centroids is None else max_literal_centroids
+    )
+    if len(centroids) <= limit:
+        return query_vec.withColumn(
+            out_col, F.explode(ivf_probe_cells(vec_col, centroids, nprobe))
+        )
+    cdf = centroids_df(query_vec.sparkSession, centroids)
+    ranked = F.reverse(F.array_sort(_scored_packed(vec_col)))
+    return (
+        _with_centroids_packed(query_vec, cdf)
+        .withColumn(
+            out_col,
+            F.explode(F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cid"])),
+        )
+        .drop("_cents")
+    )
 
 
 def train_ivf_centroids(
@@ -497,12 +614,22 @@ def avg_assigned_cosine(
     embeddings: DataFrame,
     centroids: list[tuple[int, list[float]]],
     vec_col: str = "embedding",
+    max_literal_centroids: int | None = None,
 ) -> float:
     """Mean cosine between each vector and its assigned centroid — the
     spherical-k-means objective (higher = tighter cells)."""
-    (row,) = embeddings.agg(
-        F.avg(F.array_max(_ivf_scored(vec_col, centroids))["c"]).alias("obj")
-    ).collect()
+    limit = (
+        _LITERAL_CENTROID_MAX if max_literal_centroids is None else max_literal_centroids
+    )
+    if len(centroids) <= limit:
+        scored = embeddings.select(
+            F.array_max(_ivf_scored(vec_col, centroids))["c"].alias("_best")
+        )
+    else:
+        scored = _with_centroids_packed(
+            embeddings, centroids_df(embeddings.sparkSession, centroids)
+        ).select(F.array_max(_scored_packed(vec_col))["c"].alias("_best"))
+    (row,) = scored.agg(F.avg("_best").alias("obj")).collect()
     return float(row["obj"])
 
 
@@ -514,6 +641,7 @@ def knn_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
+    max_literal_centroids: int | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: exact cosine restricted to the query's ``nprobe``
     nearest cells.  The inverted-file analogue of `knn_lsh` — at rest,
@@ -521,10 +649,12 @@ def knn_ivf(
     cells' files only.  nprobe > 1 trades proportional scan cost for
     recall (candidates are a superset of nprobe=1 — cell-boundary misses
     land in the next-nearest cell); each corpus vector lives in exactly
-    one cell, so probing N cells never duplicates a candidate."""
-    cells = ivf_cells(embeddings, centroids, vec_col)
-    q = query_vec.withColumn(
-        "q_cell", F.explode(ivf_probe_cells("qv", centroids, nprobe))
+    one cell, so probing N cells never duplicates a candidate.
+    ``max_literal_centroids`` tunes the literal-vs-broadcast quantizer
+    dispatch (see ``ivf_cells``); results are bit-identical either way."""
+    cells = ivf_cells(embeddings, centroids, vec_col, max_literal_centroids)
+    q = with_probe_cells(
+        query_vec, centroids, nprobe, "qv", "q_cell", max_literal_centroids
     )
     joined = cells.join(
         F.broadcast(_with_qnorm(q)), F.col("cell") == F.col("q_cell")

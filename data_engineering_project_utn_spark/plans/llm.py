@@ -380,10 +380,7 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("jaccard") > 0.1)
 
 
-@register(
-    "llm_ivf_ann",
-    priority=0,
-    oracle=f"""
+_IVF_ANN_ORACLE = f"""
     WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
     scored AS (
         SELECT e.vec_id, e.embedding, c.cid,
@@ -409,7 +406,13 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE s.cell = q.q_cell AND s.vec_id <> q.q_id
     ORDER BY cos_sim DESC, s.vec_id
     LIMIT 10
-    """,
+    """
+
+
+@register(
+    "llm_ivf_ann",
+    priority=0,
+    oracle=_IVF_ANN_ORACLE,
     tags=("llm", "similarity", "ann", "ivf"),
 )
 def llm_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -427,6 +430,30 @@ def llm_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
     return sim.knn_ivf(e, q, cents, k=10)
+
+
+@register(
+    "llm_ivf_bcast",
+    priority=1,
+    oracle=_IVF_ANN_ORACLE,
+    tags=("llm", "similarity", "ann", "ivf", "broadcast"),
+)
+def llm_ivf_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llm_ivf_ann through the *broadcast-centroid* scoring path
+    (``max_literal_centroids=0`` forces the packed-array BroadcastHashJoin
+    plan that a 65k-centroid quantizer requires — see
+    llm/similarity.py:ivf_cells).  Shares llm_ivf_ann's oracle verbatim:
+    both paths fold identical doubles, so the gate proves bit-exact parity
+    of the large-k plan, not merely plausibility."""
+    e = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
+    cents = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in e.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    ]
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    return sim.knn_ivf(e, q, cents, k=10, max_literal_centroids=0)
 
 
 @register(

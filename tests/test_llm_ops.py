@@ -100,6 +100,61 @@ class TestANN:
         assert len(got) > 0
         assert got["cos_sim"].is_monotonic_decreasing
 
+    def test_ivf_broadcast_path_bit_exact_parity(self, embeddings):
+        """The packed-array broadcast plan (max_literal_centroids=0) must
+        return byte-identical (cell, cos_sim) results to the literal plan —
+        same folds, driver-folded norms — across assignment, nprobe
+        probing, and the objective."""
+        cents = [
+            (int(r["vec_id"]), list(r["embedding"]))
+            for r in embeddings.filter(F.col("vec_id") < 8).collect()
+        ]
+        lit_cells = sorted(
+            (r["vec_id"], r["cell"])
+            for r in sim.ivf_cells(embeddings, cents).select("vec_id", "cell").collect()
+        )
+        bc_cells = sorted(
+            (r["vec_id"], r["cell"])
+            for r in sim.ivf_cells(embeddings, cents, max_literal_centroids=0)
+            .select("vec_id", "cell")
+            .collect()
+        )
+        assert lit_cells == bc_cells
+        q = _query(embeddings)
+        lit_knn = sim.knn_ivf(embeddings, q, cents, k=10, nprobe=2).collect()
+        bc_knn = sim.knn_ivf(
+            embeddings, q, cents, k=10, nprobe=2, max_literal_centroids=0
+        ).collect()
+        assert [tuple(r) for r in lit_knn] == [tuple(r) for r in bc_knn]
+        assert sim.avg_assigned_cosine(embeddings, cents) == sim.avg_assigned_cosine(
+            embeddings, cents, max_literal_centroids=0
+        )
+
+    def test_ivf_broadcast_plan_ships_centroids_as_data_not_literals(self, embeddings):
+        """Above the literal threshold the assignment plan must carry the
+        centroids as broadcast *data* (BroadcastExchange feeding a
+        single-row build side; Catalyst folds the constant key into a
+        BroadcastNestedLoopJoin over that one packed row), and the plan
+        string must stay model-size-independent — no O(k·d) literal arrays,
+        the failure mode of the literal path at 65k centroids."""
+        cents = [
+            (int(r["vec_id"]), list(r["embedding"]))
+            for r in embeddings.filter(F.col("vec_id") < 8).collect()
+        ]
+        bc = sim.ivf_cells(embeddings, cents, max_literal_centroids=0)
+        bc_plan = bc._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in bc_plan
+        lit_plan = (
+            sim.ivf_cells(embeddings, cents)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the literal plan embeds every centroid component (8 centroids ×
+        # d dims of double literals); the broadcast plan must not scale
+        # with k at all — even at k=8 it is already the shorter plan
+        assert len(bc_plan) < len(lit_plan)
+
     def test_lsh_bucket_restricts_candidates(self, embeddings):
         with_bucket = embeddings.withColumn(
             "bucket", sim.lsh_signature(F.col("embedding"), 8)

@@ -9,7 +9,9 @@ running-EMA aggregate, so we use ``aggregate()`` (a Catalyst fold expression)
 over ``collect_list`` of (ts-sorted) structs — stays JVM-side, no Python.
 This is exact and deterministic; state per key is O(rows-per-key), so at
 100 TB keys must be bounded (instance_id / user_id are — small domains).
-The trailing-window variant bounds state for unbounded keys.
+For hot keys, ``ema_scan`` (one global series) and ``ema_scan_by_key``
+(every key at once) bound state to rows/segments via parallel affine
+composition; the trailing-window variant bounds state for unbounded keys.
 
 Streaming form: ``streaming.stateful_ema`` (applyInPandasWithState).
 """
@@ -132,6 +134,100 @@ def ema_scan(
         else:
             ema = ((1.0 - alpha) ** row["n"]) * ema + row["b"]
     return ema
+
+
+def ema_scan_by_key(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float,
+    out_col: str = "ema",
+    num_segments: int = 32,
+) -> DataFrame:
+    """Per-key parallel segmented-scan EMA — ``ema_scan`` generalized from
+    one global series to every key at once, removing ``ema_by_key``'s
+    O(rows-per-key) single-task state.
+
+    Same affine-composition identity as ``ema_scan`` (a segment acts on
+    incoming state as e_out = (1-α)ⁿ·e_in + B), but both levels stay
+    distributed JVM folds — nothing per-key ever reaches the driver:
+
+    1. segment id: a deterministic range bucket of ``order_col`` within
+       the key's [min, max] span (monotone in the order value, so segment
+       order ≡ event order; equal order values land in one segment, so the
+       within-segment (o, v) struct sort reproduces ``ema_by_key``'s exact
+       total order);
+    2. per (key, segment): zero-seeded fold B, seeded fold, and non-null
+       count n — ``aggregate`` expressions over a collect_list bounded by
+       rows-per-key / num_segments instead of rows-per-key;
+    3. per key: compose the ≤num_segments (n, B, seeded) summaries in
+       segment order with a second ``aggregate`` fold (null state = not
+       yet seeded; an all-null segment is the identity map n=0, B=0).
+
+    Floating-point caveat as in ``ema_scan``: the regrouped arithmetic
+    (and JVM ``pow``) differs from the sequential fold in the last ulps,
+    so the gated query tolerance-checks against ``ema_by_key`` instead of
+    bit-matching an oracle.  Scale knob: state per task is
+    rows-per-key / num_segments — raise ``num_segments`` for hotter keys.
+    """
+    a = float(alpha)
+    keys = list(key_cols)
+    o_num = F.col(order_col).cast("double")
+    spans = df.groupBy(*keys).agg(F.min(o_num).alias("_mn"), F.max(o_num).alias("_mx"))
+    seg = (
+        F.when(F.col("_mx") == F.col("_mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(num_segments - 1),
+                F.floor(
+                    (o_num - F.col("_mn"))
+                    / ((F.col("_mx") - F.col("_mn")) / F.lit(float(num_segments)))
+                ),
+            )
+        )
+        .cast("int")
+    )
+    with_seg = df.join(spans, keys).withColumn("_seg", seg)
+    al = F.lit(a)
+    pairs = F.array_sort(
+        F.collect_list(
+            F.struct(F.col(order_col).alias("o"), F.col(value_col).alias("v"))
+        )
+    )
+    values = F.transform(pairs, lambda s: s["v"].cast("double"))
+    seg_stats = with_seg.groupBy(*keys, F.col("_seg")).agg(
+        F.aggregate(
+            values,
+            F.lit(0.0),
+            lambda acc, x: F.when(x.isNull(), acc).otherwise(
+                al * x + (F.lit(1.0) - al) * acc
+            ),
+        ).alias("_b"),
+        ema_expr(values, alpha).alias("_seeded"),
+        F.count(F.col(value_col)).alias("_n"),
+        F.count(F.lit(1)).alias("_rows"),
+    )
+    segs = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("_seg").alias("g"),
+                F.col("_n").alias("n"),
+                F.col("_b").alias("b"),
+                F.col("_seeded").alias("s"),
+            )
+        )
+    )
+    composed = F.aggregate(
+        segs,
+        F.lit(None).cast("double"),
+        lambda acc, s: F.when(acc.isNull(), s["s"]).otherwise(
+            F.pow(F.lit(1.0 - a), s["n"]) * acc + s["b"]
+        ),
+    )
+    return seg_stats.groupBy(*keys).agg(
+        composed.alias(out_col), F.sum("_rows").alias("n_obs")
+    )
 
 
 def stress_index(

@@ -1069,6 +1069,48 @@ def rl_ema_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rl_user_ema_scan",
+    priority=1,
+    oracle="""
+    SELECT COUNT(DISTINCT user_id) AS n_keys, TRUE AS scan_matches_sequential
+    FROM events
+    """,
+    tags=("reference", "live", "ema", "scale"),
+)
+def rl_user_ema_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key segmented-scan EMA (operators/ema.py ema_scan_by_key — the
+    hot-key-safe twin of rl_user_ema: two distributed fold levels, state
+    per task bounded by rows-per-key/num_segments, nothing per-key on the
+    driver) under the rl_ema_scan-style tolerance gate.  The query runs
+    BOTH the segmented scan and the sequential per-key fold (itself
+    bit-gated via rl_user_ema), joins them on the key, and returns whether
+    every key agrees to 1e-9 relative — the driver value-checks
+    (n_keys, TRUE), failing if any key ever drifts beyond tolerance."""
+    e = load_table(spark, sf_dir, "events")
+    scan = ema_ops.ema_scan_by_key(
+        e, ["user_id"], "ts", "value", alpha=0.02, num_segments=8
+    )
+    seq = ema_ops.ema_by_key(e, ["user_id"], "ts", "value", alpha=0.02)
+    joined = scan.alias("a").join(seq.alias("b"), "user_id", "full")
+    ok = (
+        F.col("a.ema").isNull() & F.col("b.ema").isNull()
+    ) | (
+        F.abs(F.col("a.ema") - F.col("b.ema"))
+        <= F.lit(1e-9) * F.greatest(F.lit(1.0), F.abs(F.col("b.ema")))
+    )
+    (row,) = joined.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(
+            F.when(ok & (F.col("a.n_obs") == F.col("b.n_obs")), 0).otherwise(1)
+        ).alias("n_bad"),
+    ).collect()
+    return spark.createDataFrame(
+        [(row["n_keys"], bool(row["n_bad"] == 0))],
+        "n_keys bigint, scan_matches_sequential boolean",
+    )
+
+
+@register(
     "rl_trailing_avg",
     oracle="""
     SELECT user_id, event_id, ts,

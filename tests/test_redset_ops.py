@@ -404,6 +404,60 @@ class TestEMA:
         assert got is not None
         assert abs(got - ema) / abs(ema) < 1e-10
 
+    def test_ema_scan_by_key_matches_python_fold(self, spark):
+        """Per-key segmented scan ≈ per-key sequential Python fold for every
+        key, with each key's series spanning many segments (the hot-key
+        layout ema_by_key can't bound) — null values skipped, not reseeded."""
+        rows = []
+        for k in ("a", "b", "c"):
+            n = {"a": 4000, "b": 700, "c": 1}[k]
+            for i in range(n):
+                v = None if (k == "b" and i % 7 == 3) else float((i * 37) % 997) / 3.0
+                rows.append((k, i, v))
+        pdf = pd.DataFrame(rows, columns=["k", "ts", "v"])
+        df = spark.createDataFrame(pdf).repartition(16)
+        got = {
+            r["k"]: (r["ema"], r["n_obs"])
+            for r in ema_ops.ema_scan_by_key(
+                df, ["k"], "ts", "v", alpha=0.02, num_segments=8
+            ).collect()
+        }
+        assert set(got) == {"a", "b", "c"}
+        for k, grp in pdf.groupby("k"):
+            ema = None
+            for x in grp.sort_values("ts")["v"]:
+                if x is None or x != x:  # skip nulls/NaN like the fold
+                    continue
+                ema = x if ema is None else 0.02 * x + 0.98 * ema
+            assert abs(got[k][0] - ema) / max(1.0, abs(ema)) < 1e-10, k
+            assert got[k][1] == len(grp)
+
+    def test_ema_scan_by_key_segments_actually_split(self, spark):
+        """The segmented path must put one key's rows into >1 segment group
+        (state per task strictly below rows-per-key), and still agree with
+        ema_by_key — the property that makes it the hot-key path."""
+        pdf = pd.DataFrame(
+            {"k": ["hot"] * 3000, "ts": range(3000), "v": [float(i % 71) for i in range(3000)]}
+        )
+        df = spark.createDataFrame(pdf).repartition(8)
+        # count distinct (key, segment) groups via the same bucketing
+        o = F.col("ts").cast("double")
+        spans = df.groupBy("k").agg(F.min(o).alias("_mn"), F.max(o).alias("_mx"))
+        seg = F.least(
+            F.lit(7),
+            F.floor((o - F.col("_mn")) / ((F.col("_mx") - F.col("_mn")) / F.lit(8.0))),
+        )
+        n_segs = (
+            df.join(spans, "k").select(seg.alias("s")).distinct().count()
+        )
+        assert n_segs > 1
+        scan = ema_ops.ema_scan_by_key(
+            df, ["k"], "ts", "v", alpha=0.02, num_segments=8
+        ).collect()[0]
+        seq = ema_ops.ema_by_key(df, ["k"], "ts", "v", alpha=0.02).collect()[0]
+        assert abs(scan["ema"] - seq["ema"]) / max(1.0, abs(seq["ema"])) < 1e-10
+        assert scan["n_obs"] == seq["n_obs"]
+
     def test_stress_index_fields(self, spark):
         pdf = pd.DataFrame(
             {

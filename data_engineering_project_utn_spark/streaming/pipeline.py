@@ -532,18 +532,33 @@ class IncrementalHistoricalPipeline:
       batch's touched instances (partition pruning — input is bounded by
       the touched partitions' history, not total history) and rewrites only
       those instances' output partitions via dynamic partition overwrite.
-    * The touched-instance collect is the distinct instance_id set of one
-      micro-batch — a bounded-domain model-size quantity, not data.
+    * **Two pruning regimes.** Up to ``max_isin_instances`` touched
+      instances, the batch's distinct instance ids are collected and the
+      accumulator read carries an ``isin`` partition filter — driver state
+      and filter expression both model-size.  A *wide* batch (mass
+      backfill touching millions of instances) would make both the driver
+      list and the In expression the bottleneck, so above the threshold
+      the read prunes via a broadcast left-semi join against the
+      just-written batch partition's own distinct-instances frame instead:
+      no driver list, no O(touched) expression tree, and the touched-
+      discovery scan is itself partition-pruned on ``_batch_id``.
 
     Read the output back with ``read_output`` (restores canonical column
     order/types — Hive-style partition columns come back as inferred ints
     at the end of the schema otherwise).
     """
 
-    def __init__(self, spark: SparkSession, accumulator_path: str, output_path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        accumulator_path: str,
+        output_path: str,
+        max_isin_instances: int = 1000,
+    ):
         self.spark = spark
         self.accumulator_path = accumulator_path
         self.output_path = output_path
+        self.max_isin_instances = int(max_isin_instances)
 
     def accumulated_for(self, instances: list) -> DataFrame:
         """Accumulator rows for the given instances, via partition pruning
@@ -556,6 +571,25 @@ class IncrementalHistoricalPipeline:
             "_batch_id"
         )
 
+    def accumulated_for_batch(self, batch_id: int) -> DataFrame:
+        """Accumulator rows for every instance batch ``batch_id`` touched,
+        pruned by a broadcast left-semi join instead of a driver-side id
+        list — the wide-batch path.  The touched-instances side reads only
+        the batch's own ``_batch_id`` partition (partition pruning), stays
+        distributed end-to-end, and broadcasts ids (bytes, not an
+        expression tree), so a batch touching millions of instances never
+        builds an In expression or a driver list."""
+        acc = self.spark.read.parquet(self.accumulator_path)
+        touched = (
+            acc.filter(F.col("_batch_id") == int(batch_id))
+            .select("instance_id")
+            .distinct()
+        )
+        flat = acc.join(F.broadcast(touched), "instance_id", "left_semi")
+        return flat.withColumn("instance_id", F.col("instance_id").cast("long")).drop(
+            "_batch_id"
+        )
+
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         # Null instance_id would land in the Hive default partition and then
         # never match the isin() partition filter (NULL semantics) — silently
@@ -564,11 +598,15 @@ class IncrementalHistoricalPipeline:
         batch_df = batch_df.withColumn(
             "instance_id", F.coalesce(F.col("instance_id").cast("long"), F.lit(-1))
         )
-        touched = [
-            r["instance_id"]
-            for r in batch_df.select("instance_id").distinct().collect()
-        ]
-        if not touched:
+        # Collect at most threshold+1 distinct ids: enough to decide the
+        # regime without ever materializing a wide batch's full id set.
+        probe = (
+            batch_df.select("instance_id")
+            .distinct()
+            .limit(self.max_isin_instances + 1)
+            .collect()
+        )
+        if not probe:
             return
         (
             batch_df.withColumn("_batch_id", F.lit(int(batch_id)))
@@ -577,7 +615,10 @@ class IncrementalHistoricalPipeline:
             .partitionBy("_batch_id", "instance_id")
             .parquet(self.accumulator_path)
         )
-        flat = self.accumulated_for(touched)
+        if len(probe) <= self.max_isin_instances:
+            flat = self.accumulated_for([r["instance_id"] for r in probe])
+        else:
+            flat = self.accumulated_for_batch(batch_id)
         out = iv_ops.output_table(flat, iv_ops.ingestion_intervals(flat))
         (
             out.write.mode("overwrite")

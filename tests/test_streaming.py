@@ -803,3 +803,40 @@ class TestIncrementalHistoricalPipeline:
         got = pipe.read_output().filter(F.col("instance_id") == cold)
         assert got.exceptAll(exp).count() == 0
         assert exp.exceptAll(got).count() == 0
+
+    def test_wide_batch_prunes_via_join_not_isin(self, spark, tmp_path):
+        """Above max_isin_instances the recompute must prune the accumulator
+        with a broadcast semi join: correct output, and neither a driver id
+        list nor an O(touched)-element In expression in the plan (the
+        wide-backfill failure mode of the isin path)."""
+        # "wide" is relative to the threshold: forcing max_isin_instances
+        # below the fixture's instance count exercises exactly the code path
+        # a millions-of-instances backfill takes, at test scale
+        flat_pdf = flat_rows()
+        pipe = sp.IncrementalHistoricalPipeline(
+            spark,
+            accumulator_path=str(tmp_path / "acc"),
+            output_path=str(tmp_path / "out"),
+            max_isin_instances=1,
+        )
+        pipe.process_batch(spark.createDataFrame(flat_pdf), 0)
+
+        pruned = pipe.accumulated_for_batch(0)
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "LeftSemi" in plan
+        import re
+
+        in_lists = re.findall(r"IN \(([^)]*)\)", plan) + re.findall(
+            r"instance_id#\d+ IN ", plan
+        )
+        # no touched-id In expression anywhere in the wide-path plan
+        assert not any("," in s for s in in_lists), in_lists
+
+        got = pipe.read_output()
+        flat = spark.createDataFrame(flat_pdf)
+        exp = iv_ops.output_table(flat, iv_ops.ingestion_intervals(flat))
+        key = ["instance_id", "query_id", "arrival_timestamp", "last_write_table_insert"]
+        g = got.select(*key).toPandas().sort_values(key).reset_index(drop=True)
+        e = exp.select(*key).toPandas().sort_values(key).reset_index(drop=True)
+        assert len(g) == len(e) > 0
+        assert g.equals(e)

@@ -207,6 +207,57 @@ def live_window_counters(
     )
 
 
+def sessionize_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based sessionization on a stream via native ``session_window`` —
+    the Structured Streaming twin of the batch lag+running-sum query
+    (plans/reference_events.py:rl_user_sessions).
+
+    Spark merges events into a per-key session while each arrives before
+    the previous session end (last event + gap); the watermark closes and
+    evicts sessions whose end fell behind event time, so state is bounded
+    by open sessions, not history.  Boundary semantics: an event exactly
+    ``gap`` after its predecessor starts a NEW session here (session end
+    is exclusive), where the batch query's strict ``> gap`` test keeps it
+    — batch/stream parity therefore holds everywhere except exact-boundary
+    ties (the parity test uses tie-free data; at µs-resolution timestamps
+    real ties are measure-zero).
+
+    Append output mode emits a session only once its window can no longer
+    grow (watermark passed) — use update/complete for live dashboards.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(user_col),
+            F.session_window(F.col(ts_col), gap).alias("session"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+        .select(
+            user_col,
+            "session_start",
+            "session_end",
+            "n_events",
+            (
+                (
+                    F.unix_micros(F.col("session_end"))
+                    - F.unix_micros(F.col("session_start"))
+                ).cast("double")
+                / 1_000_000.0
+            ).alias("duration_s"),
+        )
+    )
+
+
 class RunningTopK:
     """Streaming top-k (O7): the reference's sorted deque
     (`Dashboard/app.py:29-56`) as a foreachBatch accumulator.

@@ -695,6 +695,87 @@ class TestHoppingBackfill:
         assert exp.exceptAll(last).count() == 0
 
 
+class TestSessionWindowStream:
+    def test_session_window_stream_matches_batch_sessionization(
+        self, spark, tmp_path
+    ):
+        """Native session_window streaming twin ≡ the batch lag+running-sum
+        sessionization (rl_user_sessions logic) on the same tie-free data:
+        identical (user, start, end, n_events, duration) session sets."""
+        from pyspark.sql import Window
+
+        rows = []
+        base = pd.Timestamp("2024-03-01")
+        for u in range(4):
+            t = base + pd.Timedelta(minutes=3 * u)
+            for i in range(40):
+                # gaps alternate well below / well above the 30-min gap —
+                # never exactly 1800 s, so batch (> gap) and streaming
+                # (exclusive end) semantics agree
+                step_s = 290 + (i * 37) % 700 if i % 9 else 2405 + 13 * u
+                t = t + pd.Timedelta(seconds=step_s)
+                rows.append((u, len(rows), t))
+        pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "ts"])
+        src = str(tmp_path / "sess_src")
+        schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+            ]
+        )
+        # two drops → two micro-batches: sessions must merge across batches
+        spark.createDataFrame(pdf.iloc[:90], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        spark.createDataFrame(pdf.iloc[90:], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+        stream = sp.file_stream(spark, src, schema, max_files_per_trigger=1)
+        sess = sp.sessionize_stream(stream, gap="30 minutes")
+        _run_to_memory(sess, "sessions_mem", tmp_path, output_mode="complete")
+        got = (
+            spark.table("sessions_mem")
+            .toPandas()
+            .sort_values(["user_id", "session_start"])
+            .reset_index(drop=True)
+        )
+
+        e = spark.createDataFrame(pdf, schema)
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+        new_session = F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0)
+        marked = e.select(
+            "user_id",
+            "ts",
+            F.sum(new_session)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("session_id"),
+        )
+        exp = (
+            marked.groupBy("user_id", "session_id")
+            .agg(
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+                F.count(F.lit(1)).alias("n_events"),
+                (
+                    (
+                        F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+                    ).cast("double")
+                    / 1_000_000.0
+                ).alias("duration_s"),
+            )
+            .drop("session_id")
+            .toPandas()
+            .sort_values(["user_id", "session_start"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(exp) > 4  # multiple sessions per user
+        cols = ["user_id", "session_start", "session_end", "n_events", "duration_s"]
+        assert got[cols].equals(exp[cols])
+
+
 class TestIncrementalHistoricalPipeline:
     def test_foreachbatch_recompute_matches_batch(self, spark, tmp_path):
         flat_pdf = flat_rows()

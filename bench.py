@@ -8,12 +8,14 @@ Each query is executed with a count-consuming action (results fully
 materialized, nothing collected to the driver beyond the count) after a
 small warm-up query so JVM/codegen startup isn't billed to the first query.
 
-Runs ``$SPARK_GRAFT_BENCH_REPS`` (default 3) repetitions per query with
-caches cleared between reps, reports the best plus every per-rep time
-(``reps``) and the relative spread (``rep_spread`` = (max-min)/best), so a
+Runs ``$SPARK_GRAFT_BENCH_REPS`` (default 5) repetitions per query with
+caches cleared between reps, reports the MEDIAN plus every per-rep time
+(``reps``) and the relative spread (``rep_spread`` = (max-min)/min), so a
 noisy environment is visible in the JSON instead of silently inflating a
-round-over-round comparison (round 2 regressed 33 % on untouched queries —
-indistinguishable from a real regression without per-rep evidence).
+round-over-round comparison.  Median-of-5 replaced round ≤4's min-of-3:
+min on sub-second queries made 20 % phantom swings routine (a single lucky
+rep defined the round), while the median moves only if the distribution
+does.
 """
 
 from __future__ import annotations
@@ -55,6 +57,9 @@ EXTENDED_QUERIES = [
     "llm_quality_topk_per_lang",
     "llm_ivf_nprobe",
     "llm_ivf_trained",
+    "llm_ivf_bcast",
+    "rl_user_ema_scan",
+    "rl_user_sessions",
 ]
 
 
@@ -69,12 +74,14 @@ def main() -> None:
     for t in TABLE_NAMES:
         load_table(spark, SF_DIR, t).count()
 
-    # best-of-N per query with the DataFrame cache cleared between runs:
+    # median-of-N per query with the DataFrame cache cleared between runs:
     # removes scheduler/JIT noise without letting a repeat ride persisted
     # frames (which would measure cache hits, not query cost)
+    from statistics import median
+
     from data_engineering_project_utn_spark.plans import reference_events as _re
 
-    n_reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    n_reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
     timings: dict[str, float] = {}
     rep_times: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
@@ -87,7 +94,7 @@ def main() -> None:
             df = q.build(spark, SF_DIR)
             n = df.count()
             reps.append(round(time.perf_counter() - t0, 3))
-        timings[name] = min(reps)
+        timings[name] = round(median(reps), 3)
         rep_times[name] = reps
         print(
             f"# {name}: {timings[name]:.3f}s ({n} rows) reps={reps}",
@@ -106,7 +113,7 @@ def main() -> None:
         print(f"# extended {name}: {extended[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    # relative spread per query: (max-min)/best — >0.3 means the environment
+    # relative spread per query: (max-min)/min — >0.3 means the environment
     # was noisy enough that round-over-round totals shouldn't be trusted
     spread = {
         name: round((max(r) - min(r)) / min(r), 3) if min(r) > 0 else 0.0
@@ -124,6 +131,7 @@ def main() -> None:
                 "reps": rep_times,
                 "rep_spread": spread,
                 "n_reps": n_reps,
+                "stat": "median",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -334,11 +334,22 @@ def _free_local_checkpoint(df: DataFrame) -> None:
     blocks once the JVM-side reference is GC'd.  The frame is unusable
     afterwards; only call on a round's labels after the next round's
     convergence check has consumed them.
+
+    The fallback logs at debug level so a Spark upgrade that moves the
+    private surface is visible, and the release test asserts the
+    persistent-RDD count actually drops — a silent revert to O(rounds·N)
+    storage growth fails CI instead of shipping (ADVICE r04).
     """
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:  # noqa: BLE001 - deliberate: GC/ContextCleaner fallback
-        pass
+    except Exception as exc:  # noqa: BLE001 - deliberate: ContextCleaner fallback
+        import logging
+
+        logging.getLogger(__name__).debug(
+            "localCheckpoint release fell back to ContextCleaner GC "
+            "(private plan surface changed?): %s",
+            exc,
+        )
 
 
 def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:

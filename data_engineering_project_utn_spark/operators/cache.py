@@ -53,7 +53,14 @@ class ResultCache:
         self._clock = clock
         self._entries: dict[str, tuple[float, DataFrame]] = {}
         self._lock = threading.Lock()
-        self._build_locks: dict[str, threading.Lock] = {}
+        # build locks are keyed (key, generation): after an invalidate()
+        # no new getter ever reuses a pre-invalidation lock object, so
+        # pruning can drop ALL old-generation locks without the
+        # popped-while-about-to-acquire race (two builders of one key) the
+        # plain key-keyed map had (ADVICE r04).  An in-flight holder of a
+        # dropped lock finishes normally — its result is voided by the
+        # generation check below anyway.
+        self._build_locks: dict[tuple[str, int], threading.Lock] = {}
         # single global generation, bumped by every invalidate(): a build
         # that started before any invalidation is never inserted (it may
         # have read pre-invalidation source data).  Global rather than
@@ -62,10 +69,23 @@ class ResultCache:
         # cardinality.  Cost: an invalidation racing an unrelated build
         # makes that one result uncached (next get rebuilds) — never wrong.
         self._generation = 0
-        # snapshots a raced build produced: kept persisted so the racing
-        # caller reads consistent materialized blocks (not a lazy recompute
-        # against post-invalidation sources); freed on the next invalidate.
-        self._orphans: list[DataFrame] = []
+        # (created_at, snapshot) a raced build produced: kept persisted so
+        # the racing caller reads consistent materialized blocks (not a
+        # lazy recompute against post-invalidation sources); freed on the
+        # next invalidate, or opportunistically by any get() once older
+        # than the TTL (the caller contract is per-request usage, so a
+        # TTL-aged orphan is as releasable as any expired snapshot —
+        # previously an invalidation-free session kept them forever).
+        self._orphans: list[tuple[float, DataFrame]] = []
+
+    def _drain_expired_orphans_locked(self) -> list[DataFrame]:
+        """Split off TTL-aged orphans (caller holds ``self._lock``; caller
+        unpersists OUTSIDE the lock)."""
+        now = self._clock()
+        expired = [s for t, s in self._orphans if now - t >= self.ttl]
+        if expired:
+            self._orphans = [(t, s) for t, s in self._orphans if now - t < self.ttl]
+        return expired
 
     def _fresh_hit(self, key: str) -> DataFrame | None:
         hit = self._entries.get(key)
@@ -81,10 +101,16 @@ class ResultCache:
         materialized, so every consumer within the TTL reads cached blocks.
         """
         with self._lock:
+            expired_orphans = self._drain_expired_orphans_locked()
             snapshot = self._fresh_hit(key)
-            if snapshot is not None:
-                return snapshot
-            build_lock = self._build_locks.setdefault(key, threading.Lock())
+            if snapshot is None:
+                build_lock = self._build_locks.setdefault(
+                    (key, self._generation), threading.Lock()
+                )
+        for orphan in expired_orphans:
+            orphan.unpersist()
+        if snapshot is not None:
+            return snapshot
         with build_lock:
             # another thread may have rebuilt while we waited for its lock
             with self._lock:
@@ -102,8 +128,9 @@ class ResultCache:
                     # pre-invalidation data.  Hand the MATERIALIZED snapshot
                     # to this caller (consistent blocks — unpersisting here
                     # would make their reads recompute against the replaced
-                    # source) but do NOT cache it; freed on next invalidate.
-                    self._orphans.append(fresh)
+                    # source) but do NOT cache it; freed on next invalidate
+                    # or once TTL-aged (get() drains).
+                    self._orphans.append((self._clock(), fresh))
                     stale = None
                 else:
                     stale = self._entries.get(key)
@@ -123,15 +150,13 @@ class ResultCache:
             dropped = [
                 entry for k in keys if (entry := self._entries.pop(k, None)) is not None
             ]
-            # prune idle build locks so high-cardinality key spaces don't
-            # leak them; a HELD lock stays (popping it would let a second
-            # builder run the same key concurrently)
-            for k in keys:
-                lk = self._build_locks.get(k)
-                if lk is not None and not lk.locked():
-                    self._build_locks.pop(k, None)
+            # every existing lock is now old-generation: no future getter
+            # can reuse one (locks are keyed (key, generation)), so drop
+            # them all — held or not — without enabling same-key duplicate
+            # builds.  In-flight holders finish and orphan themselves.
+            self._build_locks.clear()
             orphans, self._orphans = self._orphans, []
         for _, snapshot in dropped:
             snapshot.unpersist()
-        for snapshot in orphans:
+        for _, snapshot in orphans:
             snapshot.unpersist()

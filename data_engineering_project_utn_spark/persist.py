@@ -19,12 +19,24 @@ Two classes of pin, with different release rules:
   that fully materializes each batch's outputs — note the streaming
   incremental-dedup hook releases only perf pins for exactly this reason).
 
-Both registries are thread-safe (foreachBatch sinks run on stream
-execution threads).
+Between per-call and all-or-nothing there is ``pin_scope()``: a context
+manager that captures every correctness pin registered on the current
+thread inside the ``with`` block and unpersists them on exit.  A
+long-lived process that rebuilds pin-bearing queries repeatedly (the
+ResultCache-TTL dashboard loop) wraps each build-and-materialize in a
+scope so pinned executor storage is bounded by one build, not session
+lifetime.  The contract is the caller's: exit the scope only after fully
+materializing every result built on the scope's pins.  ``release_pin``
+is the single-frame equivalent.
+
+All registries are thread-safe (foreachBatch sinks run on stream
+execution threads); scopes are additionally thread-local, so concurrent
+builds never release each other's pins.
 """
 
 from __future__ import annotations
 
+import contextlib
 import threading
 
 from pyspark.sql import DataFrame
@@ -32,6 +44,13 @@ from pyspark.sql import DataFrame
 _LOCK = threading.Lock()
 _PERSISTED: list[DataFrame] = []
 _PINNED: list[DataFrame] = []
+_TL = threading.local()
+
+
+def _scope_stack() -> list[list[DataFrame]]:
+    if not hasattr(_TL, "stack"):
+        _TL.stack = []
+    return _TL.stack
 
 
 def track_persist(df: DataFrame) -> DataFrame:
@@ -45,11 +64,49 @@ def track_persist(df: DataFrame) -> DataFrame:
 def pin_for_correctness(df: DataFrame) -> DataFrame:
     """Persist ``df`` as a correctness pin: excluded from
     ``release_persisted()`` because recomputing it could change the answer
-    (e.g. resampled range-partition boundaries)."""
+    (e.g. resampled range-partition boundaries).  Inside a ``pin_scope()``
+    on this thread, the pin belongs to the scope (released at scope exit);
+    otherwise it lives until ``release_pin``/``release_all``."""
     handle = df.persist()
-    with _LOCK:
-        _PINNED.append(handle)
+    stack = _scope_stack()
+    if stack:
+        stack[-1].append(handle)
+    else:
+        with _LOCK:
+            _PINNED.append(handle)
     return handle
+
+
+@contextlib.contextmanager
+def pin_scope():
+    """Scope correctness pins to a block: every ``pin_for_correctness``
+    registered by THIS thread inside the block is unpersisted on exit.
+    Exit only after materializing every result built on the block's pins —
+    downstream lazy evaluation after exit would recompute (and for range
+    pins possibly resample) the unpinned frame."""
+    scope: list[DataFrame] = []
+    _scope_stack().append(scope)
+    try:
+        yield scope
+    finally:
+        _scope_stack().pop()
+        for h in scope:
+            h.unpersist()
+
+
+def release_pin(df: DataFrame) -> bool:
+    """Unpersist one globally-registered correctness pin (identity match).
+    Returns False if ``df`` is not a registered pin (already released, or
+    scope-owned).  Same caller contract as ``pin_scope`` exit."""
+    with _LOCK:
+        for i, h in enumerate(_PINNED):
+            if h is df:
+                del _PINNED[i]
+                break
+        else:
+            return False
+    df.unpersist()
+    return True
 
 
 def release_persisted() -> None:

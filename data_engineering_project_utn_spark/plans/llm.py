@@ -18,7 +18,7 @@ from data_engineering_project_utn_spark.llm import multimodal as mm
 from data_engineering_project_utn_spark.llm import sampling as sa
 from data_engineering_project_utn_spark.llm import similarity as sim
 from data_engineering_project_utn_spark.llm import text as tx
-from data_engineering_project_utn_spark.plans.registry import register
+from data_engineering_project_utn_spark.plans.registry import must_replace, register
 from data_engineering_project_utn_spark.tables import load_table
 
 # Oracle fragment: whitespace tokens, lowercased (== llm.text.tokens).
@@ -230,7 +230,8 @@ def llm_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_bottomk_neardup",
     priority=0,
-    oracle="WITH " + _MINHASH_CTES.replace(
+    oracle="WITH " + must_replace(
+        _MINHASH_CTES,
         """sig AS (SELECT doc_id, shset,
                    list_transform(range(0, 8),
                        i -> list_min(list_transform(hd,
@@ -263,7 +264,8 @@ def llm_bottomk_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_minhash_capped",
     priority=1,
-    oracle="WITH " + _MINHASH_CTES.replace(
+    oracle="WITH " + must_replace(
+        _MINHASH_CTES,
         """cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM bands a JOIN bands b
                ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
@@ -993,7 +995,8 @@ def llm_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_incremental_dedup",
     priority=1,
-    oracle="WITH " + _MINHASH_CTES.replace(
+    oracle="WITH " + must_replace(
+        _MINHASH_CTES,
         """cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM bands a JOIN bands b
                ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash

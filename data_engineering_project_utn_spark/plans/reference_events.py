@@ -38,7 +38,7 @@ from data_engineering_project_utn_spark.operators import histogram as hist_ops
 from data_engineering_project_utn_spark.operators import intervals as iv_ops
 from data_engineering_project_utn_spark.operators import live as live_ops
 from data_engineering_project_utn_spark.operators import workload as wl_ops
-from data_engineering_project_utn_spark.plans.registry import register
+from data_engineering_project_utn_spark.plans.registry import must_replace, register
 from data_engineering_project_utn_spark.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -615,7 +615,8 @@ def ri_decile_histogram_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ri_decile_percentrank",
     priority=1,
-    oracle=_DECILE_ORACLE.replace(
+    oracle=must_replace(
+        _DECILE_ORACLE,
         """NTILE(10) OVER (ORDER BY relative_to_next, instance_id, query_id, read_table_id)
                    AS bin""",
         """CAST(LEAST(FLOOR(percent_rank() OVER (ORDER BY relative_to_next,

@@ -44,6 +44,22 @@ class Query:
     priority: int = 100
 
 
+def must_replace(template: str, old: str, new: str) -> str:
+    """``str.replace`` that fails at import time when ``old`` is absent.
+
+    Oracle variants are built by substituting a CTE inside a shared SQL
+    fragment; if the source fragment drifts (whitespace, refactor), a bare
+    ``replace`` silently no-ops and the oracle reverts to the base
+    semantics — a wrong-but-plausible gate.  Drift must be a build error
+    (ADVICE r04)."""
+    out = template.replace(old, new)
+    if out == template:
+        raise ValueError(
+            f"oracle fragment drifted — replacement target not found: {old[:80]!r}"
+        )
+    return out
+
+
 def register(
     name: str,
     oracle: str | None = None,

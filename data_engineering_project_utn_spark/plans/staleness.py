@@ -84,10 +84,22 @@ def impl_files(fn: Callable) -> list[str]:
     return sorted(files)
 
 
+# Digest/ledger caches are keyed on (path, mtime_ns, size), so an in-process
+# edit (refresh_verified.py, a live-reload session) is picked up on the next
+# call instead of the first call's result sticking for process lifetime
+# (ADVICE r04).  A same-size same-mtime rewrite is the one undetectable case
+# — sub-mtime-resolution torn writes, not a workflow that occurs here.
+
+
 @lru_cache(maxsize=None)
-def _file_digest(rel_path: str) -> bytes:
+def _digest_at(rel_path: str, mtime_ns: int, size: int) -> bytes:
     with open(os.path.join(REPO_ROOT, rel_path), "rb") as fh:
         return hashlib.sha256(fh.read()).digest()
+
+
+def _file_digest(rel_path: str) -> bytes:
+    st = os.stat(os.path.join(REPO_ROOT, rel_path))
+    return _digest_at(rel_path, st.st_mtime_ns, st.st_size)
 
 
 def fingerprint(fn: Callable) -> str:
@@ -99,13 +111,29 @@ def fingerprint(fn: Callable) -> str:
     return h.hexdigest()[:16]
 
 
-@lru_cache(maxsize=1)
-def _ledger() -> dict:
+@lru_cache(maxsize=4)
+def _ledger_at(mtime_ns: int, size: int) -> dict:
     try:
         with open(LEDGER_PATH, encoding="utf-8") as fh:
             return json.load(fh)
     except (OSError, ValueError):
         return {}
+
+
+def _ledger() -> dict:
+    try:
+        st = os.stat(LEDGER_PATH)
+    except OSError:
+        return {}
+    return _ledger_at(st.st_mtime_ns, st.st_size)
+
+
+def clear_caches() -> None:
+    """Drop every memoized digest/ledger entry — for tests and long-lived
+    tools that bypass the mtime/size keying (e.g. restoring a file with
+    identical stat signature)."""
+    _digest_at.cache_clear()
+    _ledger_at.cache_clear()
 
 
 def is_stale(name: str, fn: Callable) -> bool:

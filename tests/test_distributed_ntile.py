@@ -116,3 +116,32 @@ def test_percent_rank_deciles_have_no_single_partition_stage(spark):
         """
     ).toPandas()
     assert got.values.tolist() == exp.values.tolist()
+
+
+def test_pin_scope_releases_correctness_pins(spark):
+    """A pin_scope() block must free every correctness pin registered inside
+    it on exit (ADVICE r04: the per-build pins of a long-lived dashboard
+    loop otherwise accumulate until release_all at teardown)."""
+    from data_engineering_project_utn_spark import persist as ps
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    pdf = pd.DataFrame({"v": [(i * 31) % 200 for i in range(400)], "id": range(400)})
+    with ps.pin_scope() as pins:
+        out = distributed_ntile(spark.createDataFrame(pdf), ["v", "id"], 10)
+        assert out.count() == 400  # materialize inside the scope
+        assert len(pins) == 1
+        assert jsc.getPersistentRDDs().size() > before
+    assert jsc.getPersistentRDDs().size() <= before
+
+
+def test_release_pin_frees_one_global_pin(spark):
+    """release_pin(df) frees exactly the given globally-registered pin."""
+    from data_engineering_project_utn_spark import persist as ps
+
+    pinned = ps.pin_for_correctness(spark.range(100))
+    pinned.count()
+    assert pinned.storageLevel.useMemory
+    assert ps.release_pin(pinned) is True
+    assert not pinned.storageLevel.useMemory
+    assert ps.release_pin(pinned) is False  # already released

@@ -642,6 +642,20 @@ class TestDedupProps:
             "per-round checkpoint blocks are leaking"
         )
 
+    def test_free_local_checkpoint_private_path_works(self, spark):
+        """_free_local_checkpoint must actually drop the checkpoint's
+        persistent RDD via the private plan surface — a Spark upgrade that
+        moves it would silently degrade to ContextCleaner GC (ADVICE r04:
+        this test turns that into a failure, not a leak)."""
+        import pandas as pd
+
+        jsc = spark.sparkContext._jsc.sc()
+        before = jsc.getPersistentRDDs().size()
+        df = spark.createDataFrame(pd.DataFrame({"x": range(16)})).localCheckpoint()
+        assert jsc.getPersistentRDDs().size() == before + 1
+        dd._free_local_checkpoint(df)
+        assert jsc.getPersistentRDDs().size() == before
+
     def test_incremental_neardup_is_asymmetric(self, spark):
         """incremental_neardup reports only incoming-vs-corpus pairs:
         corpus-internal and incoming-internal duplicates are out of scope

@@ -71,14 +71,39 @@ def test_ledger_mismatch_marks_stale(tmp_path, monkeypatch):
         json.dumps({name: {"round": "r99", "fingerprint": "0" * 16}})
     )
     monkeypatch.setattr(staleness, "LEDGER_PATH", str(ledger))
-    staleness._ledger.cache_clear()
+    staleness.clear_caches()
     try:
         assert is_stale(name, fn)  # fingerprint differs
         ledger.write_text(
             json.dumps({name: {"round": "r99", "fingerprint": fingerprint(fn)}})
         )
-        staleness._ledger.cache_clear()
+        staleness.clear_caches()
         assert not is_stale(name, fn)  # matches → fresh
         assert is_stale("never_verified_query", fn)  # absent → stale
     finally:
-        staleness._ledger.cache_clear()
+        staleness.clear_caches()
+
+
+def test_file_digest_tracks_in_process_edits(tmp_path, monkeypatch):
+    """The digest cache is keyed on (path, mtime, size): rewriting a file
+    in-process must yield a fresh fingerprint, not the first call's cached
+    one (ADVICE r04 — refresh_verified/live-reload sessions)."""
+    monkeypatch.setattr(staleness, "REPO_ROOT", str(tmp_path))
+    f = tmp_path / "mod.py"
+    f.write_text("x = 1\n")
+    d1 = staleness._file_digest("mod.py")
+    f.write_text("x = 2  # changed\n")
+    d2 = staleness._file_digest("mod.py")
+    assert d1 != d2
+
+
+def test_ledger_tracks_in_process_rewrite(tmp_path, monkeypatch):
+    monkeypatch.setattr(staleness, "LEDGER_PATH", str(tmp_path / "VERIFIED.json"))
+    staleness.clear_caches()
+    (tmp_path / "VERIFIED.json").write_text(json.dumps({"q": {"round": "r01"}}))
+    assert staleness._ledger() == {"q": {"round": "r01"}}
+    (tmp_path / "VERIFIED.json").write_text(
+        json.dumps({"q": {"round": "r02", "fingerprint": "abcd"}})
+    )
+    assert staleness._ledger()["q"]["round"] == "r02"
+    staleness.clear_caches()

@@ -359,6 +359,46 @@ class TestResultCacheInvalidation:
         assert calls == ["slow", "rebuild"]  # post-invalidate get rebuilt
         cache.invalidate()
 
+    def test_ttl_aged_orphans_drain_without_invalidate(self, spark):
+        """A snapshot orphaned by a mid-build invalidation must be freed by
+        any later get() once TTL-aged — an invalidation-free session
+        previously kept orphans persisted for its whole lifetime
+        (ADVICE r04)."""
+        import threading
+        import time as _time
+
+        from data_engineering_project_utn_spark.operators.cache import ResultCache
+
+        fake_now = [0.0]
+        cache = ResultCache(ttl_seconds=10.0, clock=lambda: fake_now[0])
+        gate = threading.Event()
+        started: list[int] = []
+        res: dict = {}
+
+        def slow_build():
+            started.append(1)
+            gate.wait(10)
+            return spark.range(10).groupBy((F.col("id") % 2).alias("k")).count()
+
+        t = threading.Thread(target=lambda: res.update(df=cache.get("h", slow_build)))
+        t.start()
+        for _ in range(100):
+            if started:
+                break
+            _time.sleep(0.05)
+        cache.invalidate("h")  # voids the in-flight build → orphan on finish
+        gate.set()
+        t.join()
+        orphan = res["df"]
+        assert orphan.storageLevel.useMemory  # still materialized for its caller
+        fake_now[0] = 11.0  # orphan now TTL-aged
+        cache.get(
+            "other",
+            lambda: spark.range(4).groupBy((F.col("id") % 2).alias("k")).count(),
+        )
+        assert not orphan.storageLevel.useMemory
+        cache.invalidate()
+
     def test_invalidate_all_tags_first_build_of_uncached_key(self, spark):
         """invalidate() with no key must also reject an in-flight FIRST
         build of a key that was never cached (review r04: a per-key-only

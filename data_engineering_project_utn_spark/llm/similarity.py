@@ -351,7 +351,14 @@ def knn_join(
       id hash (``lsh_blocks`` — similarity-preserving hashes cannot
       redistribute near-identical vectors), and each row *reprobes* its
       Hamming-1 sub-buckets to widen its peer sample — pair work per
-      bucket drops from count² to ~count·cap·(split_bits+1).
+      bucket drops from count² to ~count·cap·(split_bits+1).  The default
+      cap equals ``target_bucket_size``: duplicate-heavy corpora pile
+      near-identical vectors into buckets a few × the target, and a
+      looser cap (4×, round ≤4's default) left exactly those buckets
+      unsplit — measured 2.4× time per 2× rows at sf1→sf2, vs 2.0× (and
+      ~35 % faster absolute) with the cap at target.  For a bucket
+      around the cap, split-plus-reprobe costs about what the unsplit
+      bucket would (count·cap·2 ≈ count²), so healthy buckets don't pay.
 
     Passing ``n_planes`` explicitly (and leaving ``max_bucket_size`` None)
     reproduces the fixed-plane behavior exactly — the oracle-gated
@@ -364,7 +371,7 @@ def knn_join(
         embeddings = _track_persist(embeddings)
         n_planes = derive_n_planes(embeddings.count(), target_bucket_size)
         if max_bucket_size is None:
-            max_bucket_size = 4 * target_bucket_size
+            max_bucket_size = target_bucket_size
     pairs = blocked_pairs(
         embeddings, n_planes, max_bucket_size, id_col, vec_col, ordered=False
     )

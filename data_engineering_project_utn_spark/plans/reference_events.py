@@ -1070,6 +1070,49 @@ def rl_ema_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rl_producer_batches",
+    priority=1,
+    oracle="""
+    WITH ranked AS (
+        SELECT event_id, ts,
+               ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS rank0
+        FROM events
+    )
+    SELECT CAST(FLOOR(rank0 / 500) AS BIGINT) AS batch_id,
+           COUNT(*) AS n_rows,
+           MIN(ts) AS batch_start,
+           MAX(ts) AS batch_end
+    FROM ranked GROUP BY batch_id ORDER BY batch_id
+    """,
+    tags=("reference", "producer", "batching"),
+)
+def rl_producer_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The producer's replay batching made queryable: the reference assigns
+    ``batch_id = index // batch_size`` while feeding Kafka
+    (`Real Final APP/producer_Final.py:111`, batch col dropped before
+    send); this reconstructs the same assignment over a total (ts,
+    event_id) order and publishes the per-batch manifest (size, time
+    span).  The global index comes from operators/histogram.py
+    with_global_rank — range partition + broadcast offsets, no
+    single-partition window — so the batching is itself a distributed op,
+    not a driver enumeration."""
+    e = load_table(spark, sf_dir, "events")
+    ranked = hist_ops.with_global_rank(e.select("event_id", "ts"), ["ts", "event_id"])
+    return (
+        ranked.withColumn(
+            "batch_id", F.floor(F.col("_rank0") / F.lit(500)).cast("long")
+        )
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("ts").alias("batch_start"),
+            F.max("ts").alias("batch_end"),
+        )
+        .orderBy("batch_id")
+    )
+
+
+@register(
     "rl_user_ema_scan",
     priority=1,
     oracle="""

@@ -707,6 +707,39 @@ def llm_knn_join_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_embedding_neardup",
+    oracle="WITH " + _sigs_cte(4) + f""",
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_dot('a.embedding', 'b.embedding')}
+               / (sqrt({_dot('a.embedding', 'a.embedding')})
+                  * sqrt({_dot('b.embedding', 'b.embedding')})) AS cos_sim
+        FROM sigs a JOIN sigs b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos_sim FROM pairs
+    WHERE cos_sim >= 0.35
+    ORDER BY id_a, id_b
+    """,
+    tags=("llm", "similarity", "dedup"),
+)
+def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: every unordered vector pair
+    with cosine ≥ τ, LSH-blocked so candidates only meet inside their
+    4-plane sign bucket — the semantic-dedup stage of a training-data
+    pipeline (MinHash catches lexical dups, this catches paraphrases).
+
+    Same Σ|bucket|²-not-N² shape as ``llm_knn_join``; at 100 TB the
+    plane count comes from ``derive_n_planes`` and oversized buckets
+    split+reprobe (``blocked_pairs(max_bucket_size=...)``) — pinned here
+    to 4 fixed planes/no cap so the oracle replicates the exact blocking.
+    """
+    e = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
+    pairs = sim.blocked_pairs(e, n_planes=4, ordered=True)
+    return pairs.filter(F.col("cos_sim") >= 0.35).orderBy("id_a", "id_b")
+
+
+@register(
     "llm_lsh_multiprobe",
     oracle=f"""
     WITH {_SIGS_CTE},

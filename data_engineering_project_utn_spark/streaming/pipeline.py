@@ -66,6 +66,21 @@ def file_stream(
     return reader.load(path)
 
 
+def json_value_columns(raw: DataFrame, schema: T.StructType) -> DataFrame:
+    """The consumer-side message decode shared by every transport: a
+    ``value`` payload column → from_json(schema) → typed columns.
+
+    This is the declarative twin of the reference consumer's
+    ``json.loads`` + ``pd.DataFrame`` loop
+    (`Real Final APP/Dashboard_Live_Final.py:642-666`).  Kafka, the TCP
+    socket source, and the batch tests all funnel through this one parse,
+    so transport choice is config, not code.
+    """
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("r")
+    ).select("r.*")
+
+
 def kafka_json_stream(
     spark: SparkSession,
     brokers: str,
@@ -86,9 +101,35 @@ def kafka_json_stream(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    return raw.select(
-        F.from_json(F.col("value").cast("string"), schema).alias("r")
-    ).select("r.*")
+    return json_value_columns(raw, schema)
+
+
+def socket_json_stream(
+    spark: SparkSession,
+    host: str,
+    port: int,
+    schema: T.StructType,
+) -> DataFrame:
+    """TCP socket JSON source — the jar-free network transport twin of
+    ``kafka_json_stream`` (S4).
+
+    Spark's built-in socket source needs no connector jar, so it is the
+    one transport this container can actually move bytes through; the
+    integration test (`tests/test_streaming.py::TestSocketTransport`)
+    runs a real TCP server → this source → ``live_window_counters`` and
+    asserts parity with the batch aggregation, which is the strongest
+    end-to-end streaming-transport evidence available without a broker.
+    The parse after ``load()`` is byte-identical to the Kafka path
+    (``json_value_columns``).  Test-only transport: no offset replay, so
+    production stays on Kafka.
+    """
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    return json_value_columns(raw, schema)
 
 
 def to_kafka_json_sink(df: DataFrame, brokers: str, topic: str, checkpoint: str):

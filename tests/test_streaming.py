@@ -164,6 +164,82 @@ class TestKafkaConfigContract:
         q.stop()
 
 
+class TestSocketTransport:
+    """Real messages over a real network transport (S4/S5 end-to-end, the
+    closest this container gets to Kafka: no broker/connector jar exists,
+    so the built-in TCP socket source is the one transport that can move
+    bytes).  Producer side serializes rows with the Kafka-sink payload
+    builder (``io.to_json_rows``), ships them over TCP; consumer side is
+    ``socket_json_stream`` → the SAME ``json_value_columns`` parse the
+    Kafka source uses → ``live_window_counters``.  Parity with the batch
+    aggregation proves serialize → transport → parse → windowed-agg
+    round-trips losslessly."""
+
+    def test_json_roundtrip_over_tcp_matches_batch(self, spark, tmp_path):
+        import socket
+        import threading
+        import time
+
+        from data_engineering_project_utn_spark.sources import io as src_io
+
+        pdf = _event_pdf(90)
+        batch = spark.createDataFrame(pdf, EVENT_SCHEMA)
+        lines = [r["value"] for r in src_io.to_json_rows(batch).collect()]
+        payload = ("\n".join(lines) + "\n").encode()
+
+        server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        server.bind(("127.0.0.1", 0))
+        server.listen(1)
+        port = server.getsockname()[1]
+        done = threading.Event()
+
+        def serve():
+            conn, _ = server.accept()
+            try:
+                conn.sendall(payload)
+                done.wait(timeout=120)  # hold the connection open until asserted
+            finally:
+                conn.close()
+                server.close()
+
+        t = threading.Thread(target=serve, daemon=True)
+        t.start()
+
+        parsed = sp.socket_json_stream(spark, "127.0.0.1", port, EVENT_SCHEMA)
+        assert parsed.isStreaming
+        counters = sp.live_window_counters(parsed)
+        q = (
+            counters.writeStream.format("memory")
+            .queryName("sock_counters")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt_sock"))
+            .start()
+        )
+        try:
+            expected = sorted(
+                sp.live_window_counters(batch).collect(),
+                key=lambda r: r["start"],
+            )
+            n_expected = len(pdf)
+            deadline = time.time() + 90
+            got = []
+            while time.time() < deadline:
+                q.processAllAvailable()
+                got = sorted(
+                    spark.sql("SELECT * FROM sock_counters").collect(),
+                    key=lambda r: r["start"],
+                )
+                if sum(r["total_queries"] for r in got) >= n_expected:
+                    break
+                time.sleep(0.5)
+        finally:
+            done.set()
+            q.stop()
+
+        assert [tuple(r) for r in got] == [tuple(r) for r in expected]
+
+
 class TestReplayThrottling:
     def test_delay_arithmetic_matches_reference(self):
         """T8 pacing formula parity (`producer_Final.py:152-180`): Δt

@@ -122,3 +122,56 @@ def pack_sequences(
         before.alias("tokens_before"),
         F.floor(before / window_tokens).cast("long").alias("chunk_id"),
     )
+
+
+def mixture_weights(
+    docs: DataFrame,
+    target_shares: dict[str, float] | None = None,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain-mixture weights: per-source token statistics plus the
+    resampling weight that moves the corpus toward a target token mixture
+    (DoReMi/Pile-style domain weighting; uniform-over-sources by default).
+
+    ``weight = target_share / actual_share`` — >1 means the source is
+    under-represented (up-sample or epoch-repeat), <1 over-represented
+    (down-sample, e.g. feed the weight into ``stratified_sample`` rates).
+    ``sampled_tokens`` caps the weight at 1.0: the token budget this
+    source contributes under pure down-sampling.
+
+    Scale: one groupBy(source) aggregation (map-side partial sums of
+    per-doc token counts), then a single-row broadcast join for the
+    totals — source cardinality is model-size (tens to thousands), so
+    every post-aggregation step is trivially bounded.
+    """
+    per = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(text_col)).alias("tokens"),
+    )
+    totals = F.broadcast(
+        per.agg(
+            F.sum("tokens").alias("_total_tokens"),
+            F.count(F.lit(1)).alias("_n_sources"),
+        )
+    )
+    joined = per.crossJoin(totals)
+    if target_shares is None:
+        target = F.lit(1.0) / F.col("_n_sources").cast("double")
+    else:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in target_shares.items() for x in kv]
+        )
+        target = mapping[F.col("source")].cast("double")
+    actual = F.col("tokens").cast("double") / F.col("_total_tokens").cast("double")
+    weight = target / actual
+    return joined.select(
+        "source",
+        "n_docs",
+        "tokens",
+        actual.alias("actual_share"),
+        weight.alias("weight"),
+        (F.col("tokens").cast("double") * F.least(weight, F.lit(1.0))).alias(
+            "sampled_tokens"
+        ),
+    )

@@ -9,7 +9,7 @@ on their group key.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword langid heuristic.
@@ -91,3 +91,79 @@ def rolling_fingerprint(text: Column | str, n: int = 5) -> Column:
     """Document fingerprint = lexicographic min of md5(shingle) — a 1-perm
     MinHash over rolling n-gram windows (content-defined, order-sensitive)."""
     return F.array_min(F.transform(shingles(text, n), F.md5))
+
+
+def frequent_ngrams(
+    docs: DataFrame,
+    n: int = 3,
+    min_df: int = 5,
+    limit: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-frequent word n-grams — boilerplate candidates (the cross-
+    document repetition signal CCNet/RefinedWeb-style cleaning removes;
+    the reference has no corpus-level text analysis at all).
+
+    ``df`` counts *documents* containing the n-gram (shingles deduped
+    per-doc before the explode), so a single spammy document cannot
+    promote its own repetition into "boilerplate".  Output is bounded by
+    construction — ``min_df`` floor, then top-``limit`` on the total
+    order (df desc, ngram) — so downstream consumers may broadcast it.
+
+    Scale: explode + groupBy(ngram) partial-aggregates map-side; the
+    top-limit is a TakeOrdered, never a global sort.  At 100 TB swap the
+    exact df count for a count-min/heavy-hitter sketch per partition and
+    merge — the bounded-output contract is unchanged.
+    """
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("ngram"),
+    )
+    counts = sh.groupBy("ngram").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        counts.filter(F.col("df") >= min_df)
+        .orderBy(F.desc("df"), "ngram")
+        .limit(limit)
+    )
+
+
+def boilerplate_ratio(
+    docs: DataFrame,
+    n: int = 3,
+    min_df: int = 5,
+    limit: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document boilerplate share: the fraction of a doc's distinct
+    n-grams that are corpus-frequent (``frequent_ngrams``) — the doc-level
+    filter stage built on the corpus-level signal.
+
+    The frequent list is bounded (≤ ``limit`` rows) so it broadcasts; the
+    corpus side is one explode + two aggregations on the same shuffle key
+    (``id_col``) — no corpus-vs-corpus join at any scale.
+    """
+    freq = frequent_ngrams(docs, n, min_df, limit, text_col, id_col)
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("ngram"),
+    )
+    per_doc = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_ngrams"))
+    hits = (
+        sh.join(F.broadcast(freq.select("ngram")), "ngram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("boiler_ngrams"))
+    )
+    return (
+        per_doc.join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_ngrams"),
+            F.coalesce(F.col("boiler_ngrams"), F.lit(0)).alias("boiler_ngrams"),
+            (
+                F.coalesce(F.col("boiler_ngrams"), F.lit(0)).cast("double")
+                / F.col("n_ngrams").cast("double")
+            ).alias("boiler_ratio"),
+        )
+    )

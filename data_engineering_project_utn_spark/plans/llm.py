@@ -1275,3 +1275,99 @@ def llm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     every 16th (explode of a generated sequence; narrow, scan-speed)."""
     d = parallelize_compute(load_table(spark, sf_dir, "documents"))
     return mm.frame_sample(mm.with_binary_payload(d), every_n=16)
+
+
+# Oracle fragment: 3-gram shingle strings from token list ``t`` (mirrors
+# llm.text.shingles(n=3): same slice bounds, same space join).
+_SHINGLES3 = "list_transform(range(1, greatest(len(t) - 2, 1) + 1), i -> array_to_string(t[i:i+2], ' '))"
+
+# Shared CTEs: per-doc distinct 3-grams and their document frequency.
+_NGRAM_DF_CTES = f"""t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLES3})) AS ngram FROM t),
+    dfq AS (SELECT ngram, COUNT(*) AS df FROM sh GROUP BY ngram)"""
+
+
+@register(
+    "llm_boilerplate_ngrams",
+    oracle=f"""
+    WITH {_NGRAM_DF_CTES}
+    SELECT ngram, df FROM dfq
+    WHERE df >= 5
+    ORDER BY df DESC, ngram
+    LIMIT 100
+    """,
+    tags=("llm", "text", "boilerplate"),
+)
+def llm_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequent 3-grams (cross-document boilerplate detection, the
+    CCNet/RefinedWeb repetition signal): per-doc-distinct shingle explode →
+    df count → floor + bounded top-k on the total order (df desc, ngram).
+    Map-side partial aggregation; TakeOrdered, no global sort."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    return tx.frequent_ngrams(d, n=3, min_df=5, limit=100)
+
+
+@register(
+    "llm_doc_boilerplate",
+    oracle=f"""
+    WITH {_NGRAM_DF_CTES},
+    freq AS (SELECT ngram FROM dfq WHERE df >= 5 ORDER BY df DESC, ngram LIMIT 1000),
+    per_doc AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM sh GROUP BY doc_id),
+    hits AS (
+        SELECT sh.doc_id, COUNT(*) AS boiler_ngrams
+        FROM sh JOIN freq USING (ngram) GROUP BY sh.doc_id
+    )
+    SELECT p.doc_id, p.n_ngrams,
+           COALESCE(h.boiler_ngrams, 0) AS boiler_ngrams,
+           CAST(COALESCE(h.boiler_ngrams, 0) AS DOUBLE)
+               / CAST(p.n_ngrams AS DOUBLE) AS boiler_ratio
+    FROM per_doc p LEFT JOIN hits h USING (doc_id)
+    ORDER BY boiler_ratio DESC, p.doc_id
+    LIMIT 20
+    """,
+    tags=("llm", "text", "boilerplate"),
+)
+def llm_doc_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate share: fraction of a doc's distinct 3-grams
+    that sit in the bounded corpus-frequent list (broadcast), top-20 most
+    boilerplate-heavy docs — the doc-level filter built on
+    llm_boilerplate_ngrams' corpus-level signal.  Both aggregations share
+    the doc_id shuffle key; the frequent list is broadcast by construction."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    return (
+        tx.boilerplate_ratio(d, n=3, min_df=5, limit=1000)
+        .orderBy(F.desc("boiler_ratio"), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "llm_mixture_weights",
+    oracle=rf"""
+    WITH per AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(len({_TOKS})) AS BIGINT) AS tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(tokens) AS total_tokens, COUNT(*) AS n_sources FROM per)
+    SELECT source, n_docs, tokens,
+           CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS actual_share,
+           (1.0 / CAST(n_sources AS DOUBLE))
+               / (CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) AS weight,
+           CAST(tokens AS DOUBLE) * LEAST(
+               (1.0 / CAST(n_sources AS DOUBLE))
+                   / (CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)),
+               1.0) AS sampled_tokens
+    FROM per, tot
+    ORDER BY source
+    """,
+    tags=("llm", "curation", "mixture"),
+)
+def llm_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling weights toward a uniform-over-sources token
+    mix (DoReMi/Pile-style): one groupBy(source) token aggregation + a
+    single-row broadcast of the totals.  weight>1 = under-represented
+    (repeat/up-sample); sampled_tokens = the budget under pure
+    down-sampling (weight capped at 1)."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    return sa.mixture_weights(d).orderBy("source")

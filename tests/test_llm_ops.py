@@ -745,3 +745,49 @@ class TestDedupProps:
         )
         assert sigs[0] == sigs[1]
         assert sigs[2] != sigs[0]
+
+
+class TestMixtureAndBoilerplate:
+    def test_mixture_weights_custom_targets(self, spark):
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.llm import sampling as sa
+
+        pdf = pd.DataFrame(
+            {
+                "source": ["a"] * 6 + ["b"] * 2,
+                "text": ["w1 w2 w3 w4"] * 6 + ["w1 w2"] * 2,
+            }
+        )
+        docs = spark.createDataFrame(pdf)
+        out = sa.mixture_weights(docs, target_shares={"a": 0.5, "b": 0.5}).toPandas()
+        by = out.set_index("source")
+        # a: 24/28 tokens actual vs 0.5 target → down-weight; b: up-weight
+        assert abs(by.loc["a", "actual_share"] - 24 / 28) < 1e-12
+        assert by.loc["a", "weight"] < 1.0 < by.loc["b", "weight"]
+        # actual shares always sum to 1; capped budget never exceeds tokens
+        assert abs(out["actual_share"].sum() - 1.0) < 1e-12
+        assert (out["sampled_tokens"] <= out["tokens"] + 1e-9).all()
+
+    def test_frequent_ngrams_df_counts_docs_not_occurrences(self, spark):
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.llm import text as tx
+
+        # one doc repeats the trigram 5 times; df must still count it once
+        spam = " ".join(["x y z"] * 5)
+        pdf = pd.DataFrame(
+            {"doc_id": [1, 2, 3], "text": [spam, "x y z tail", "unrelated words here"]}
+        )
+        docs = spark.createDataFrame(pdf)
+        out = tx.frequent_ngrams(docs, n=3, min_df=2, limit=10).toPandas()
+        row = out[out["ngram"] == "x y z"]
+        assert not row.empty and int(row["df"].iloc[0]) == 2
+
+    def test_doc_boilerplate_plan_broadcasts_frequent_list(self, spark, sf_dir):
+        from data_engineering_project_utn_spark.plans import all_queries
+
+        df = all_queries()["llm_doc_boilerplate"].build(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan

@@ -1139,11 +1139,8 @@ def llm_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-gating a result a static oracle can't reproduce)."""
     e = parallelize_compute(load_table(spark, sf_dir, "embeddings")).persist()
     init = sim.train_ivf_centroids(e, k=8, n_iter=0)
-    trained = sim.train_ivf_centroids(e, k=8, n_iter=2)
-    obj0 = sim.avg_assigned_cosine(e, init)
-    obj2 = sim.avg_assigned_cosine(e, trained)
-    n = e.count()
-    cells_used = sim.ivf_cells(e, trained).select("cell").distinct().count()
+    trained = sim.train_ivf_centroids(e, k=8, n_iter=2, init=init)
+    n, cells_used, obj0, obj2 = sim.training_report(e, init, trained)
     e.unpersist()
     return spark.createDataFrame(
         [(n, 1 <= cells_used <= 8, obj2 >= obj0 - 1e-12)],

@@ -60,6 +60,10 @@ EXTENDED_QUERIES = [
     "llm_ivf_bcast",
     "rl_user_ema_scan",
     "rl_user_sessions",
+    "llm_embedding_neardup",
+    "llm_boilerplate_ngrams",
+    "llm_doc_boilerplate",
+    "llm_mixture_weights",
 ]
 
 

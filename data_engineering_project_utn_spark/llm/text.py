@@ -144,10 +144,23 @@ def boilerplate_ratio(
     corpus side is one explode + two aggregations on the same shuffle key
     (``id_col``) — no corpus-vs-corpus join at any scale.
     """
-    freq = frequent_ngrams(docs, n, min_df, limit, text_col, id_col)
-    sh = docs.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("ngram"),
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    # one persisted shingle explode feeds the df count, the per-doc
+    # denominator, and the hit join — without it the tokenize+explode
+    # (the expensive narrow work) runs three times
+    sh = track_persist(
+        docs.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("ngram"),
+        )
+    )
+    freq = (
+        sh.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .orderBy(F.desc("df"), "ngram")
+        .limit(limit)
     )
     per_doc = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_ngrams"))
     hits = (

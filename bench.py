@@ -64,6 +64,10 @@ EXTENDED_QUERIES = [
     "llm_boilerplate_ngrams",
     "llm_doc_boilerplate",
     "llm_mixture_weights",
+    "llm_vocab_coverage",
+    "llm_embedding_stats",
+    "llm_filtered_knn",
+    "llm_content_split",
 ]
 
 

@@ -175,3 +175,45 @@ def mixture_weights(
             "sampled_tokens"
         ),
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    train_rate: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/validation split keyed on the CONTENT hash, not the doc id —
+    exact duplicates always land in the same split, so a duplicated
+    document can never leak from train into validation (the split-leakage
+    failure mode doc-id hashing invites in deduplicated-but-not-perfectly
+    corpora).
+
+    Returns per-split audit counts: docs, distinct contents, and
+    ``contents_in_both_splits`` — structurally 0 (the split is a function
+    of the content hash) and *computed* rather than asserted, so the
+    invariant is visible in the gated output.  Pure projection + two
+    aggregations; the per-content frame groups on the md5 (one shuffle).
+    """
+    thr = rate_threshold(train_rate)
+    h = F.md5(F.col(text_col))
+    tagged = docs.select(
+        F.col(id_col),
+        h.alias("_content"),
+        F.when(h < F.lit(thr), F.lit("train")).otherwise(F.lit("val")).alias("split"),
+    )
+    per_content = tagged.groupBy("_content").agg(
+        F.countDistinct("split").alias("_n_splits"),
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.min("split").alias("split"),
+    )
+    leaked = per_content.filter(F.col("_n_splits") > 1).count()
+    return (
+        per_content.groupBy("split")
+        .agg(
+            F.sum("_n_docs").alias("n_docs"),
+            F.count(F.lit(1)).alias("distinct_contents"),
+        )
+        .withColumn("contents_in_both_splits", F.lit(int(leaked)).cast("long"))
+        .orderBy("split")
+    )

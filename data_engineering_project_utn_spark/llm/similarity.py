@@ -759,3 +759,51 @@ def knn_lsh(
             F.col(id_col), sim.alias("cos_sim")
         )
     return out.orderBy(F.desc("cos_sim"), id_col).limit(k)
+
+
+def embedding_dim_stats(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension corpus statistics (n, mean, variance, min, max) —
+    the preprocessing pass behind embedding centering/whitening before
+    ANN indexing or quantizer training.
+
+    One posexplode + one groupBy(dim): d·P partial rows, d output rows
+    (model-size).  Determinism: values are quantized to 1e-7 fixed point
+    (float32's own decimal precision) with FLOOR — a tie-free rounding both
+    engines implement identically, unlike decimal-cast HALF_UP/HALF_EVEN
+    divergence on arbitrary doubles — and the quantized integers accumulate
+    exactly in DECIMAL(38,0), so sums are bit-identical at any partitioning
+    and in any engine.  iv² ≤ 1e14 stays exactly representable pre-sum.
+    The variance is the one-pass E[x²]−E[x]² form on those exact sums,
+    every double op mirrored in the oracle SQL; min/max use the raw values
+    (no accumulation, no rounding site).
+    """
+    x = F.col("v").cast("double")
+    iv = F.floor(x * F.lit(10000000.0))  # long; exact fixed-point value·1e7
+    per_dim = (
+        embeddings.select(F.posexplode(F.col(vec_col)).alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(iv.cast("decimal(38,0)")).alias("_s"),
+            F.sum((iv * iv).cast("decimal(38,0)")).alias("_sq"),
+            F.min(x).alias("min_v"),
+            F.max(x).alias("max_v"),
+        )
+    )
+    mean = (
+        F.col("_s").cast("double") / F.lit(10000000.0)
+    ) / F.col("n").cast("double")
+    ex2 = (
+        F.col("_sq").cast("double") / F.lit(100000000000000.0)
+    ) / F.col("n").cast("double")
+    return per_dim.select(
+        "dim",
+        "n",
+        mean.alias("mean_v"),
+        (ex2 - mean * mean).alias("var_v"),
+        "min_v",
+        "max_v",
+    )

@@ -9,7 +9,7 @@ on their group key.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword langid heuristic.
@@ -178,5 +178,46 @@ def boilerplate_ratio(
                 F.coalesce(F.col("boiler_ngrams"), F.lit(0)).cast("double")
                 / F.col("n_ngrams").cast("double")
             ).alias("boiler_ratio"),
+        )
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    top_k: int = 1000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary induction with cumulative corpus coverage: the top-``top_k``
+    tokens by occurrence count, each with the fraction of ALL token
+    occurrences a vocabulary truncated at that rank would cover — the
+    curve that sizes a tokenizer's vocab.
+
+    Scale: token counts partial-aggregate map-side; the top-k is a
+    TakeOrdered on the total order (count desc, token), so only ``top_k``
+    rows (model-size, like IVF centroids) ever reach the cumulative
+    window — that window runs on vocab-size data, never on the corpus.
+    Totals ride a single-row broadcast; the cumulative sum is exact
+    integer arithmetic, divided once at the end.
+    """
+    tok = docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    total = F.broadcast(counts.agg(F.sum("n_occurrences").alias("_total")))
+    top = counts.orderBy(F.desc("n_occurrences"), "token").limit(top_k)
+    w = (
+        Window.orderBy(F.desc("n_occurrences"), "token")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("cum_occurrences", F.sum("n_occurrences").over(w))
+        .crossJoin(total)
+        .select(
+            "rank",
+            "token",
+            "n_occurrences",
+            (
+                F.col("cum_occurrences").cast("double")
+                / F.col("_total").cast("double")
+            ).alias("cum_coverage"),
         )
     )

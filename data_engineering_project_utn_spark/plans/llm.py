@@ -1368,3 +1368,125 @@ def llm_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     down-sampling (weight capped at 1)."""
     d = parallelize_compute(load_table(spark, sf_dir, "documents"))
     return sa.mixture_weights(d).orderBy("source")
+
+
+@register(
+    "llm_vocab_coverage",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT unnest({_TOKS}) AS token FROM documents
+    ),
+    counts AS (SELECT token, COUNT(*) AS n_occurrences FROM tok GROUP BY token),
+    tot AS (SELECT CAST(SUM(n_occurrences) AS BIGINT) AS total FROM counts),
+    top AS (
+        SELECT token, n_occurrences,
+               ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token) AS rank,
+               SUM(n_occurrences) OVER (ORDER BY n_occurrences DESC, token
+                                        ROWS UNBOUNDED PRECEDING) AS cum
+        FROM counts ORDER BY n_occurrences DESC, token LIMIT 50
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, token, n_occurrences,
+           CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_coverage
+    FROM top, tot
+    ORDER BY rank
+    """,
+    tags=("llm", "text", "vocab"),
+)
+def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary sizing curve: top-50 tokens by occurrence with
+    cumulative corpus coverage.  Corpus side is one partial-aggregated
+    count + TakeOrdered; the cumulative window runs on the 50-row
+    (model-size) vocab only."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    return tx.vocab_coverage(d, top_k=50)
+
+
+@register(
+    "llm_embedding_stats",
+    oracle="""
+    WITH x AS (
+        SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v,
+               CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 10000000.0) AS BIGINT) AS iv
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    per AS (
+        SELECT dim, COUNT(*) AS n,
+               SUM(CAST(iv AS DECIMAL(38,0))) AS s,
+               SUM(CAST(iv * iv AS DECIMAL(38,0))) AS sq,
+               MIN(v) AS min_v, MAX(v) AS max_v
+        FROM x GROUP BY dim
+    )
+    SELECT CAST(dim AS INTEGER) AS dim, n,
+           (CAST(s AS DOUBLE) / 10000000.0) / CAST(n AS DOUBLE) AS mean_v,
+           (CAST(sq AS DOUBLE) / 100000000000000.0) / CAST(n AS DOUBLE)
+               - ((CAST(s AS DOUBLE) / 10000000.0) / CAST(n AS DOUBLE))
+                 * ((CAST(s AS DOUBLE) / 10000000.0) / CAST(n AS DOUBLE)) AS var_v,
+           min_v, max_v
+    FROM per
+    ORDER BY dim
+    """,
+    tags=("llm", "similarity", "profile"),
+)
+def llm_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (centering/whitening pass before
+    ANN indexing): posexplode + groupBy(dim), exact-decimal sums so means
+    and variances are bit-identical at any partitioning; d output rows."""
+    e = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
+    return sim.embedding_dim_stats(e).orderBy("dim")
+
+
+@register(
+    "llm_filtered_knn",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           {_dot('q.qv', 'e.embedding')}
+           / (sqrt({_dot('q.qv', 'q.qv')}) * sqrt({_dot('e.embedding', 'e.embedding')}))
+               AS cos_sim
+    FROM embeddings e, q
+    WHERE e.label = 1 AND e.vec_id <> q.q_id
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+    tags=("llm", "similarity", "filtered"),
+)
+def llm_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered exact ANN (the RAG workload: nearest neighbors
+    *within a predicate*): the label filter is applied to the corpus scan
+    BEFORE the broadcast-query join, so candidate cost is the filtered
+    partition, not the corpus."""
+    e = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    return sim.knn_brute(e.filter(F.col("label") == 1), q, k=10)
+
+
+@register(
+    "llm_content_split",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT doc_id, md5(text) AS c,
+               CASE WHEN md5(text) < '{sa.rate_threshold(0.8)}' THEN 'train' ELSE 'val' END AS split
+        FROM documents
+    ),
+    per AS (
+        SELECT c, COUNT(DISTINCT split) AS ns, COUNT(*) AS nd, MIN(split) AS split
+        FROM tagged GROUP BY c
+    ),
+    leak AS (SELECT CAST(COUNT(*) FILTER (ns > 1) AS BIGINT) AS l FROM per)
+    SELECT split, CAST(SUM(nd) AS BIGINT) AS n_docs,
+           COUNT(*) AS distinct_contents, l AS contents_in_both_splits
+    FROM per, leak
+    GROUP BY split, l
+    ORDER BY split
+    """,
+    tags=("llm", "curation", "split"),
+)
+def llm_content_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split audit: the split key is the CONTENT
+    hash, so exact duplicates can never straddle train and validation; the
+    gated output carries the computed (not asserted) leak count, which is
+    structurally zero."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    return sa.leakage_safe_split(d, train_rate=0.8)

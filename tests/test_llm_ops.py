@@ -791,3 +791,65 @@ class TestMixtureAndBoilerplate:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestCurationRound5:
+    def test_vocab_coverage_monotone_and_bounded(self, spark, sf_dir):
+        from data_engineering_project_utn_spark.llm import text as tx
+        from data_engineering_project_utn_spark.tables import load_table
+
+        d = load_table(spark, sf_dir, "documents")
+        out = tx.vocab_coverage(d, top_k=25).orderBy("rank").toPandas()
+        assert (out["cum_coverage"].diff().dropna() > 0).all()  # strictly rising
+        assert out["cum_coverage"].iloc[-1] <= 1.0 + 1e-12
+        # counts ranked desc
+        assert (out["n_occurrences"].diff().dropna() <= 0).all()
+
+    def test_leakage_safe_split_duplicates_stay_together(self, spark):
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.llm import sampling as sa
+
+        # 50 distinct contents, each duplicated 3x under different doc_ids
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(150),
+                "text": [f"content number {i % 50} with words" for i in range(150)],
+            }
+        )
+        out = sa.leakage_safe_split(spark.createDataFrame(pdf), 0.5).toPandas()
+        assert (out["contents_in_both_splits"] == 0).all()
+        assert out["n_docs"].sum() == 150
+        assert out["distinct_contents"].sum() == 50
+        # every content's 3 copies land in ONE split: docs = 3x contents per split
+        assert (out["n_docs"] == 3 * out["distinct_contents"]).all()
+
+    def test_embedding_stats_sane(self, spark, sf_dir):
+        from data_engineering_project_utn_spark.llm import similarity as sim
+        from data_engineering_project_utn_spark.tables import load_table
+
+        e = load_table(spark, sf_dir, "embeddings")
+        out = sim.embedding_dim_stats(e).toPandas()
+        assert len(out) == 64 and (out["n"] == out["n"].iloc[0]).all()
+        assert (out["var_v"] >= -1e-12).all()
+        assert (out["min_v"] <= out["mean_v"] + 1e-7).all()
+        assert (out["mean_v"] <= out["max_v"] + 1e-7).all()
+
+    def test_filtered_knn_respects_predicate(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from data_engineering_project_utn_spark.plans import all_queries
+        from data_engineering_project_utn_spark.tables import load_table
+
+        ids = {
+            r["vec_id"]
+            for r in all_queries()["llm_filtered_knn"].build(spark, sf_dir).collect()
+        }
+        allowed = {
+            r["vec_id"]
+            for r in load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("label") == 1)
+            .select("vec_id")
+            .collect()
+        }
+        assert ids <= allowed and ids

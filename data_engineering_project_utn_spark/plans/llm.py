@@ -1490,3 +1490,63 @@ def llm_content_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     structurally zero."""
     d = parallelize_compute(load_table(spark, sf_dir, "documents"))
     return sa.leakage_safe_split(d, train_rate=0.8)
+
+
+# Incremental (incoming % 3 = 0 vs corpus) minhash CTEs with the token CTE
+# renamed tkm so they can coexist with _QUALITY_CTES (which owns ``tk``).
+_INC_MINHASH_CTES = must_replace(
+    must_replace(
+        must_replace(
+            _MINHASH_CTES,
+            """cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id),""",
+            """cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+              AND a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0),""",
+        ),
+        "tk AS (SELECT doc_id,",
+        "tkm AS (SELECT doc_id,",
+    ),
+    "FROM tk),",
+    "FROM tkm),",
+)
+
+
+@register(
+    "llm_curation_gate",
+    oracle="WITH " + _INC_MINHASH_CTES + ",\n    " + _QUALITY_CTES + """,
+    flagged AS (SELECT DISTINCT doc_a AS doc_id FROM j WHERE jaccard > 0.5)
+    SELECT q.doc_id, q.quality FROM q
+    WHERE q.doc_id % 3 = 0
+      AND q.quality >= 0.4
+      AND q.doc_id NOT IN (SELECT doc_id FROM flagged)
+    ORDER BY q.doc_id
+    """,
+    tags=("llm", "curation", "gate"),
+)
+def llm_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed continuous-ingestion curation gate, batch twin of
+    streaming ``make_curation_batch_fn``: incoming docs (doc_id % 3 = 0,
+    the crawl batch) are near-dup-checked against the corpus at rest
+    (asymmetric band join — never corpus²), quality-gated (≥ 0.4), and the
+    survivors emitted with their scores.  Flagging runs on the full batch,
+    independent of the quality gate, so per-micro-batch acceptance unions
+    to exactly this one-shot result (streaming parity tested)."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    incoming = d.filter(F.col("doc_id") % 3 == 0)
+    corpus = d.filter(F.col("doc_id") % 3 != 0)
+    flagged = (
+        dd.incremental_neardup(incoming, corpus, threshold=0.5)
+        .select(F.col("doc_new").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        incoming.withColumn("quality", tx.quality_score(F.col("text")))
+        .filter(F.col("quality") >= 0.4)
+        .join(flagged, "doc_id", "left_anti")
+        .select("doc_id", "quality")
+        .orderBy("doc_id")
+    )

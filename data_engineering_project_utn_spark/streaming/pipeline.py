@@ -741,3 +741,49 @@ class IncrementalHistoricalPipeline:
             .trigger(**trigger_kwargs)
             .start()
         )
+
+
+def make_curation_batch_fn(
+    corpus: DataFrame,
+    accept_sink: Callable[[DataFrame, int], None],
+    min_quality: float = 0.4,
+    threshold: float = 0.5,
+    **neardup_kwargs: Any,
+):
+    """foreachBatch function for streaming corpus curation — the composed
+    continuous-ingestion shape of a training-data pipeline: each incoming
+    micro-batch of documents is
+
+    1. near-dup-checked against the corpus at rest
+       (``llm.dedup.incremental_neardup`` — asymmetric band join, never
+       corpus²),
+    2. quality-gated (``llm.text.quality_score`` ≥ ``min_quality``), and
+    3. the surviving docs handed to ``accept_sink(accepted_df, batch_id)``
+       with their quality scores attached.
+
+    Near-dup flagging is computed on the full batch (not the post-gate
+    subset) so acceptance is independent of batching: the union of
+    per-batch accepted sets equals the one-shot batch curation over all
+    batches at once (tested), exactly like ``incremental_dedup_batch_fn``.
+    The batch twin is the oracle-gated ``llm_curation_gate`` query.
+    """
+    from data_engineering_project_utn_spark.llm import text as tx
+    from data_engineering_project_utn_spark.llm.dedup import incremental_neardup
+    from data_engineering_project_utn_spark.persist import release_persisted
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        pairs = incremental_neardup(
+            batch_df, corpus, threshold=threshold, **neardup_kwargs
+        )
+        flagged = pairs.select(F.col("doc_new").alias("doc_id")).distinct()
+        accepted = (
+            batch_df.withColumn("quality", tx.quality_score(F.col("text")))
+            .filter(F.col("quality") >= min_quality)
+            .join(flagged, "doc_id", "left_anti")
+        )
+        try:
+            accept_sink(accepted, batch_id)
+        finally:
+            release_persisted()
+
+    return process

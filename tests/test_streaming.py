@@ -1037,3 +1037,81 @@ class TestIncrementalHistoricalPipeline:
         e = exp.select(*key).toPandas().sort_values(key).reset_index(drop=True)
         assert len(g) == len(e) > 0
         assert g.equals(e)
+
+
+class TestCurationStream:
+    def test_per_batch_accepted_union_equals_one_shot(self, spark, tmp_path):
+        """Streaming curation (near-dup gate + quality gate): union of
+        per-micro-batch accepted docs == the batch twin's one-shot result
+        (the oracle-gated llm_curation_gate semantics)."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from data_engineering_project_utn_spark.llm import text as tx
+        from data_engineering_project_utn_spark.llm.dedup import incremental_neardup
+
+        base = "a long enough shared document body with many words " * 3
+        rich = (
+            "the market of ideas is open and it is a fair trade of thought "
+            "to reason in the open air with many distinct words "
+        )
+        corpus = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2],
+                    "text": [base, "other corpus content entirely unrelated here"],
+                }
+            )
+        )
+        inc = pd.DataFrame(
+            {
+                "doc_id": [10, 11, 12, 13],
+                "text": [base, rich, base + " slightly extended", rich + " again and again"],
+            }
+        )
+        in_dir = str(tmp_path / "cur_in")
+        doc_schema = "doc_id long, text string"
+        spark.createDataFrame(inc.iloc[:2], doc_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        spark.createDataFrame(inc.iloc[2:], doc_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+        got: dict = {}
+
+        def sink(accepted_df, batch_id):
+            for r in accepted_df.collect():
+                got[r["doc_id"]] = r["quality"]
+
+        stream = (
+            spark.readStream.schema(doc_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                sp.make_curation_batch_fn(corpus, sink, min_quality=0.3, threshold=0.5)
+            )
+            .option("checkpointLocation", str(tmp_path / "cur_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        all_inc = spark.createDataFrame(inc, doc_schema)
+        flagged = (
+            incremental_neardup(all_inc, corpus, threshold=0.5)
+            .select(F.col("doc_new").alias("doc_id"))
+            .distinct()
+        )
+        one_shot = {
+            r["doc_id"]: r["quality"]
+            for r in all_inc.withColumn("quality", tx.quality_score(F.col("text")))
+            .filter(F.col("quality") >= 0.3)
+            .join(flagged, "doc_id", "left_anti")
+            .collect()
+        }
+        assert got == one_shot
+        assert 10 not in got  # verbatim dup of corpus doc 1 rejected
+        assert 11 in got  # fresh, quality-passing doc accepted

@@ -162,7 +162,10 @@ def mixture_weights(
         mapping = F.create_map(
             *[F.lit(x) for kv in target_shares.items() for x in kv]
         )
-        target = mapping[F.col("source")].cast("double")
+        # a source absent from target_shares gets target 0 → weight 0
+        # (dropped from the mixture) — explicit, instead of a NULL weight
+        # silently propagating into downstream sampling rates
+        target = F.coalesce(mapping[F.col("source")].cast("double"), F.lit(0.0))
     actual = F.col("tokens").cast("double") / F.col("_total_tokens").cast("double")
     weight = target / actual
     return joined.select(

@@ -853,3 +853,52 @@ class TestCurationRound5:
             .collect()
         }
         assert ids <= allowed and ids
+
+    def test_mixture_weights_missing_source_dropped_not_null(self, spark):
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.llm import sampling as sa
+
+        pdf = pd.DataFrame(
+            {"source": ["a"] * 3 + ["b"] * 3, "text": ["w1 w2"] * 6}
+        )
+        out = (
+            sa.mixture_weights(
+                spark.createDataFrame(pdf), target_shares={"a": 1.0}
+            )
+            .toPandas()
+            .set_index("source")
+        )
+        assert out.loc["b", "weight"] == 0.0  # explicit drop, not NULL
+        assert out.loc["b", "sampled_tokens"] == 0.0
+        assert out.loc["a", "weight"] == 2.0
+
+    def test_vocab_coverage_vocab_smaller_than_top_k(self, spark):
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.llm import text as tx
+
+        pdf = pd.DataFrame({"text": ["x y", "y x", "x"]})
+        out = tx.vocab_coverage(spark.createDataFrame(pdf), top_k=100).toPandas()
+        assert len(out) == 2  # only two tokens exist
+        assert abs(out["cum_coverage"].iloc[-1] - 1.0) < 1e-12
+
+    def test_curation_gate_empty_incoming(self, spark):
+        import pandas as pd
+
+        from pyspark.sql import functions as F
+
+        from data_engineering_project_utn_spark.llm import text as tx
+        from data_engineering_project_utn_spark.llm.dedup import incremental_neardup
+
+        corpus = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "text": ["some corpus body here"]})
+        )
+        empty = corpus.filter(F.lit(False))
+        pairs = incremental_neardup(empty, corpus, threshold=0.5)
+        assert pairs.count() == 0
+        accepted = (
+            empty.withColumn("quality", tx.quality_score(F.col("text")))
+            .filter(F.col("quality") >= 0.0)
+        )
+        assert accepted.count() == 0

@@ -46,9 +46,16 @@ def ingestion_intervals(
     ingestion *event* appears multiple times; intervals are computed over
     distinct events (the reference's SELECT DISTINCT does the same dedup).
     """
+    # one exchange, not two: partitioning on the WINDOW key first lets the
+    # dedup aggregate ride it (HashPartitioning on a subset of the dedup
+    # keys satisfies its ClusteredDistribution — duplicates of a group
+    # share (instance, table), so they co-locate), and the lead() window
+    # then reuses the same partitioning.  Without this, dropDuplicates
+    # plans its own full-key shuffle below the window's shuffle.
     events = (
         flat.filter(F.col("query_type").isin(*ingestion_types))
         .select("instance_id", "query_id", "write_table_id", "arrival_timestamp")
+        .repartition("instance_id", "write_table_id")
         .dropDuplicates(["instance_id", "query_id", "write_table_id", "arrival_timestamp"])
     )
     w = Window.partitionBy("instance_id", "write_table_id").orderBy(

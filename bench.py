@@ -68,6 +68,9 @@ EXTENDED_QUERIES = [
     "llm_embedding_stats",
     "llm_filtered_knn",
     "llm_content_split",
+    "llm_curation_gate",
+    "llm_embedding_neardup_auto",
+    "llm_pipeline_manifest",
 ]
 
 

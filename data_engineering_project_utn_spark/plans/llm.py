@@ -1550,3 +1550,133 @@ def llm_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "quality")
         .orderBy("doc_id")
     )
+
+
+def _sigs_cte_dynamic(target_bucket_size: int) -> str:
+    """sigs CTE with the plane count DERIVED from the corpus size — the SQL
+    twin of llm.similarity.derive_n_planes (ceil(log2(N/target)) clamped to
+    [1,24]), so the auto-sized scale path is value-gated, not just the
+    pinned-plane plans.  Same hyperplane arithmetic as ``_sigs_cte``."""
+    return f"""np AS (
+        SELECT LEAST(24, GREATEST(1, CAST(CEIL(LOG2(
+                   CAST(COUNT(*) AS DOUBLE) / {target_bucket_size}.0)) AS INTEGER))) AS p
+        FROM embeddings
+    ),
+    sigs AS (
+        SELECT vec_id, label, embedding,
+               list_sum(list_transform(range(0, (SELECT p FROM np)), pl -> CASE WHEN
+                   list_reduce(list_transform(list_zip(embedding, range(0, 64)),
+                       z -> CAST(z[1] AS DOUBLE) * CAST(((pl*31 + z[2]*17) % 7 - 3) AS DOUBLE)),
+                       (acc, x) -> acc + x) > 0
+                   THEN CAST(1 << pl AS BIGINT) ELSE 0 END)) AS bucket
+        FROM embeddings
+    )"""
+
+
+@register(
+    "llm_embedding_neardup_auto",
+    oracle="WITH " + _sigs_cte_dynamic(64) + f""",
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_dot('a.embedding', 'b.embedding')}
+               / (sqrt({_dot('a.embedding', 'a.embedding')})
+                  * sqrt({_dot('b.embedding', 'b.embedding')})) AS cos_sim
+        FROM sigs a JOIN sigs b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos_sim FROM pairs
+    WHERE cos_sim >= 0.35
+    ORDER BY id_a, id_b
+    """,
+    tags=("llm", "similarity", "dedup", "auto"),
+)
+def llm_embedding_neardup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUTO-SIZED embedding near-dup — the actual 100 TB path, oracle-
+    gated: the plane count derives from the corpus size
+    (``derive_n_planes``, target bucket 64) in BOTH engines, so expected
+    pair work stays ≈ N·target at any scale instead of a pinned plan's
+    Σ|bucket|² → N²/2^planes drift.  Answers the pinned-plane caveat on
+    ``llm_embedding_neardup``/``llm_knn_join``: the sizing logic itself is
+    now value-checked (the oracle recomputes ceil(log2(N/target)) from its
+    own COUNT), not only the fixed-plane projections of it."""
+    e = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    e = track_persist(e)
+    n_planes = sim.derive_n_planes(e.count(), target_bucket_size=64)
+    pairs = sim.blocked_pairs(e, n_planes, ordered=True)
+    return pairs.filter(F.col("cos_sim") >= 0.35).orderBy("id_a", "id_b")
+
+
+# _QUALITY_CTES with text + token list carried through to the final q CTE,
+# so downstream stages (dedup keeper, sharding, token totals) can reuse the
+# same gated rows without recomputing the tokenizer.
+_QUALITY_CTES_FULL = must_replace(
+    must_replace(
+        must_replace(
+            _QUALITY_CTES,
+            "tk AS (SELECT doc_id, lang, ",
+            "tk AS (SELECT doc_id, lang, text, ",
+        ),
+        "m AS (SELECT doc_id, lang,",
+        "m AS (SELECT doc_id, lang, text, t,",
+    ),
+    "q AS (SELECT doc_id, lang,",
+    "q AS (SELECT doc_id, lang, text, t,",
+)
+
+
+@register(
+    "llm_pipeline_manifest",
+    oracle="WITH " + _QUALITY_CTES_FULL + """,
+    g AS (SELECT doc_id, lang, text, t,
+                 ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM q WHERE quality >= 0.4),
+    k AS (SELECT doc_id, lang, t FROM g WHERE rn = 1),
+    s AS (SELECT doc_id, lang, t,
+                 CAST((ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) % 4
+                      AS INTEGER) AS shard
+          FROM k)
+    SELECT shard, COUNT(*) AS n_docs,
+           CAST(SUM(len(t)) AS BIGINT) AS total_tokens,
+           COUNT(DISTINCT lang) AS n_langs,
+           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+    FROM s GROUP BY shard ORDER BY shard
+    """,
+    tags=("llm", "curation", "pipeline"),
+)
+def llm_pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation pipeline in one gated plan — quality gate →
+    exact dedup (min-doc_id keeper per content hash) → deterministic
+    shuffle+shard (4 shards) → per-shard training manifest (docs, exact
+    token totals, language spread, id range).  Every stage is a previously
+    gated operator composed declaratively: Catalyst sees ONE plan, so
+    column pruning and shared scans cross stage boundaries — the
+    composition a user actually ships when they 'run the pipeline'.
+
+    Scale shape: quality gate is narrow; dedup is one shuffle on the
+    content hash; sharding is the distributed global rank (no
+    single-partition stage); the manifest is a 4-row aggregate."""
+    from pyspark.sql import Window as W
+
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    passed = d.withColumn("quality", tx.quality_score(F.col("text"))).filter(
+        F.col("quality") >= 0.4
+    )
+    rn = F.row_number().over(
+        W.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    )
+    kept = passed.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")
+    sharded = sa.shard_assignment(kept, n_shards=4)
+    n_tok = F.size(tx.tokens("text")).cast("long")
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tok).alias("total_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("shard")
+    )

@@ -76,3 +76,12 @@ def test_decile_headline_has_no_single_partition_stage(spark, sf_dir):
     assert "SinglePartition" not in headline
     window_twin = _plan(spark, sf_dir, "ri_decile_histogram_window")
     assert "SinglePartition" in window_twin
+
+
+def test_pipeline_manifest_no_single_partition(spark, sf_dir):
+    """The end-to-end curation composition must inherit the distributed
+    sharding machinery — a global-window row_number would plan an Exchange
+    SinglePartition (the one-reducer bottleneck)."""
+    plan = _plan(spark, sf_dir, "llm_pipeline_manifest")
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan

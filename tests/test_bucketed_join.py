@@ -55,3 +55,27 @@ def test_unbucketed_join_does_shuffle(spark):
         .toString()
     )
     assert "Exchange hashpartitioning" in plan
+
+
+def test_ivf_at_rest_partition_pruning(spark, sf_dir, tmp_path):
+    """SCALE.md's ANN-at-rest claim, executed: store the corpus partitioned
+    by IVF cell, and a probe of one cell must push the cell predicate into
+    the scan's PartitionFilters — reading nprobe cells' files, never the
+    corpus."""
+    from data_engineering_project_utn_spark.llm import similarity as sim
+    from data_engineering_project_utn_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = sim.train_ivf_centroids(e, k=4, n_iter=0)
+    cells = sim.ivf_cells(e, cents)
+    path = str(tmp_path / "corpus_by_cell")
+    cells.write.partitionBy("cell").parquet(path)
+
+    at_rest = spark.read.parquet(path)
+    target = cells.groupBy("cell").count().orderBy("cell").first()["cell"]
+    probe = at_rest.filter(F.col("cell") == int(target))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    scan = next(ln for ln in plan.splitlines() if "FileScan" in ln)
+    assert "PartitionFilters" in scan and "cell" in scan.split("PartitionFilters", 1)[1]
+    # pruned read returns exactly the in-memory cell's rows
+    assert probe.count() == cells.filter(F.col("cell") == int(target)).count() > 0

@@ -202,3 +202,71 @@ def test_with_global_rank_partition_count_invariant(spark, n_rows, parts):
     expected_rank = {doc: r for r, doc in enumerate(expected_order)}
     assert (got["_total"] == n_rows).all()
     assert got.set_index("id")["_rank0"].to_dict() == expected_rank
+
+
+_texts = st.lists(
+    st.text(alphabet="ab xyz", min_size=1, max_size=30),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(texts=_texts, rate=st.sampled_from([0.0, 0.3, 0.8, 1.0]))
+@_settings
+def test_leakage_safe_split_invariants(spark, texts, rate):
+    """For ANY corpus and rate: no content hash straddles splits, doc
+    totals are preserved, and per-split docs ≥ distinct contents."""
+    from data_engineering_project_utn_spark.llm import sampling as sa
+
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = sa.leakage_safe_split(
+        spark.createDataFrame(pdf, "doc_id long, text string"), rate
+    ).toPandas()
+    assert (out["contents_in_both_splits"] == 0).all()
+    assert out["n_docs"].sum() == len(texts)
+    assert out["distinct_contents"].sum() == len(set(texts))
+    assert (out["n_docs"] >= out["distinct_contents"]).all()
+
+
+@given(texts=_texts, top_k=st.sampled_from([1, 3, 100]))
+@_settings
+def test_vocab_coverage_invariants(spark, texts, top_k):
+    """Coverage is strictly increasing in rank, ≤ 1, and reaches exactly 1
+    when the truncation covers the whole vocabulary."""
+    from data_engineering_project_utn_spark.llm import text as tx
+
+    pdf = pd.DataFrame({"text": texts})
+    out = (
+        tx.vocab_coverage(spark.createDataFrame(pdf, "text string"), top_k=top_k)
+        .orderBy("rank")
+        .toPandas()
+    )
+    assert len(out) >= 1
+    assert (out["cum_coverage"].diff().dropna() > 0).all()
+    assert out["cum_coverage"].iloc[-1] <= 1.0 + 1e-12
+    vocab = {t for s in texts for t in s.lower().split()}
+    if top_k >= len(vocab):
+        assert abs(out["cum_coverage"].iloc[-1] - 1.0) < 1e-12
+
+
+@given(
+    n=st.sampled_from([1, 7, 50]),
+    n_shards=st.sampled_from([1, 4, 9]),
+)
+@_settings
+def test_shard_then_manifest_balance(spark, n, n_shards):
+    """Composition law: sharding then counting gives shard sizes that
+    differ by ≤ 1 and sum to N, for any N and shard count."""
+    from data_engineering_project_utn_spark.llm import sampling as sa
+
+    pdf = pd.DataFrame({"doc_id": range(n), "text": ["w"] * n})
+    counts = (
+        sa.shard_assignment(
+            spark.createDataFrame(pdf, "doc_id long, text string"), n_shards
+        )
+        .groupBy("shard")
+        .count()
+        .toPandas()["count"]
+    )
+    assert counts.sum() == n
+    assert counts.max() - counts.min() <= 1

@@ -1115,3 +1115,30 @@ class TestCurationStream:
         assert got == one_shot
         assert 10 not in got  # verbatim dup of corpus doc 1 rejected
         assert 11 in got  # fresh, quality-passing doc accepted
+
+    def test_curation_batch_replay_deterministic(self, spark):
+        """foreachBatch is at-least-once: a retried (batch_df, batch_id)
+        must accept the identical doc set with identical scores, so a sink
+        keyed on (batch_id, doc_id) overwrites idempotently."""
+        import pandas as pd
+
+        corpus = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "text": ["corpus body of words here"]})
+        )
+        batch = spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": [10, 11], "text": ["fresh doc one", "fresh doc two"]}
+            )
+        )
+        seen: list = []
+        fn = sp.make_curation_batch_fn(
+            corpus,
+            lambda df, bid: seen.append(
+                {(bid, r["doc_id"], r["quality"]) for r in df.collect()}
+            ),
+            min_quality=0.0,
+            threshold=0.5,
+        )
+        fn(batch, 0)
+        fn(batch, 0)  # replay after a simulated failure
+        assert seen[0] == seen[1] and seen[0]

@@ -71,6 +71,7 @@ EXTENDED_QUERIES = [
     "llm_curation_gate",
     "llm_embedding_neardup_auto",
     "llm_pipeline_manifest",
+    "llm_mixture_apply",
 ]
 
 

@@ -220,3 +220,43 @@ def leakage_safe_split(
         .withColumn("contents_in_both_splits", F.lit(int(leaked)).cast("long"))
         .orderBy("split")
     )
+
+
+def apply_mixture(
+    docs: DataFrame,
+    target_shares: dict[str, float] | None = None,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize the mixture: every doc gets ``n_copies`` =
+    floor(weight) + (1 if its hash falls under the fractional part) —
+    up-sampling repeats docs (epoch repetition), down-sampling keeps a
+    deterministic subset, and in expectation every source lands exactly on
+    its target share.  Returns docs (minus dropped ones) with ``weight``
+    and ``n_copies`` columns; explode ``sequence(1, n_copies)`` downstream
+    to physically repeat rows.
+
+    The fractional draw reuses the ``stratified_sample`` mechanism —
+    md5(doc id) compared against a hex threshold — but with the threshold
+    computed per-row from the source's fractional weight
+    (format('%08x', floor(frac·2³²)) + zero padding), so it stays a pure
+    column expression, deterministic and engine-reproducible.  One
+    broadcast join of the (model-size) weight table; no shuffle of the
+    corpus.
+    """
+    w = mixture_weights(docs, target_shares, source_col, text_col)
+    joined = docs.join(
+        F.broadcast(w.select(F.col("source").alias(source_col), "weight")),
+        source_col,
+    )
+    whole = F.floor(F.col("weight")).cast("long")
+    frac = F.col("weight") - F.floor(F.col("weight"))
+    thresh = F.concat(
+        F.format_string("%08x", F.floor(frac * F.lit(4294967296.0)).cast("long")),
+        F.lit("0" * 24),
+    )
+    extra = F.when(doc_hash(id_col) < thresh, F.lit(1)).otherwise(F.lit(0))
+    return joined.withColumn("n_copies", (whole + extra).cast("long")).filter(
+        F.col("n_copies") > 0
+    )

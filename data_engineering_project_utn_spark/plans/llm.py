@@ -1680,3 +1680,60 @@ def llm_pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "llm_mixture_apply",
+    oracle=rf"""
+    WITH per AS (
+        SELECT source, CAST(SUM(len({_TOKS})) AS BIGINT) AS tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(tokens) AS total_tokens, COUNT(*) AS n_sources FROM per),
+    wt AS (
+        SELECT source,
+               (1.0 / CAST(n_sources AS DOUBLE))
+                   / (CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) AS weight
+        FROM per, tot
+    ),
+    d AS (SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tok FROM documents),
+    j AS (
+        SELECT d.doc_id, d.source, d.n_tok, wt.weight,
+               CAST(FLOOR(wt.weight) AS BIGINT)
+               + CASE WHEN md5(CAST(d.doc_id AS VARCHAR)) <
+                      printf('%08x', CAST(FLOOR((wt.weight - FLOOR(wt.weight))
+                                                * 4294967296.0) AS BIGINT))
+                      || repeat('0', 24)
+                 THEN 1 ELSE 0 END AS n_copies
+        FROM d JOIN wt USING (source)
+    )
+    SELECT source, MIN(weight) AS weight,
+           COUNT(*) AS n_docs_kept,
+           CAST(SUM(n_copies) AS BIGINT) AS n_rows_out,
+           CAST(SUM(n_copies * n_tok) AS BIGINT) AS tokens_out
+    FROM j WHERE n_copies > 0
+    GROUP BY source ORDER BY source
+    """,
+    tags=("llm", "curation", "mixture"),
+)
+def llm_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture MATERIALIZATION (the step after llm_mixture_weights): each
+    doc gets floor(weight) copies plus a deterministic hash-fraction extra,
+    so up-weighted sources epoch-repeat and down-weighted sources thin —
+    in expectation every source lands on its target token share.  Gated
+    output is the per-source post-apply manifest (kept docs, emitted rows,
+    emitted tokens).  Corpus side: one broadcast join + narrow arithmetic,
+    no shuffle until the model-size summary."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    ap = sa.apply_mixture(d)
+    n_tok = F.size(tx.tokens("text")).cast("long")
+    return (
+        ap.groupBy("source")
+        .agg(
+            F.min("weight").alias("weight"),
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_copies").alias("n_rows_out"),
+            F.sum(F.col("n_copies") * n_tok).alias("tokens_out"),
+        )
+        .orderBy("source")
+    )

@@ -902,3 +902,34 @@ class TestCurationRound5:
             .filter(F.col("quality") >= 0.0)
         )
         assert accepted.count() == 0
+
+    def test_apply_mixture_moves_toward_target(self, spark):
+        import pandas as pd
+
+        from pyspark.sql import functions as F
+
+        from data_engineering_project_utn_spark.llm import sampling as sa
+
+        # source a: 80% of tokens; b: 20%.  Uniform target = 50/50.
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(100),
+                "source": ["a"] * 80 + ["b"] * 20,
+                "text": ["w1 w2 w3 w4"] * 100,
+            }
+        )
+        docs = spark.createDataFrame(pdf)
+        ap = sa.apply_mixture(docs)
+        out = (
+            ap.groupBy("source")
+            .agg(F.sum("n_copies").alias("rows_out"))
+            .toPandas()
+            .set_index("source")
+        )
+        # b up-samples (weight 2.5): every b doc emits >= 2 copies
+        assert out.loc["b", "rows_out"] >= 40
+        # a down-samples (weight 0.625): fewer rows than docs, none dropped to 0 unfairly
+        assert out.loc["a", "rows_out"] < 80
+        # post-apply shares are closer to 50/50 than the 80/20 input
+        share_a = out.loc["a", "rows_out"] / out["rows_out"].sum()
+        assert abs(share_a - 0.5) < abs(0.8 - 0.5)

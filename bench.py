@@ -72,6 +72,7 @@ EXTENDED_QUERIES = [
     "llm_embedding_neardup_auto",
     "llm_pipeline_manifest",
     "llm_mixture_apply",
+    "llm_knn_join_auto",
 ]
 
 

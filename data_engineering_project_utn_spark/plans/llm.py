@@ -643,19 +643,22 @@ def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_join(e, k=5, n_planes=6)
 
 
-@register(
-    "llm_knn_join_capped",
-    oracle="WITH " + _sigs_cte(2) + f""",
-    hot AS (
+def _capped_knn_tail(cap: int, k: int) -> str:
+    """The split-cap + Hamming-1-reprobe k-NN join CTE chain, parameterized
+    on the bucket cap and k — mirrors llm/similarity.lsh_blocks/knn_join
+    operation-for-operation (integer bit-length split sizing, id-mix
+    sub-bucket hash, probe flips).  Shared by the pinned capped query and
+    the auto-sized query so the split arithmetic has ONE SQL definition."""
+    return f"""hot AS (
         SELECT bucket, COUNT(*) AS cnt FROM sigs GROUP BY bucket
-        HAVING COUNT(*) > 64
+        HAVING COUNT(*) > {cap}
     ),
     blk AS (
         SELECT s.vec_id, s.embedding, s.bucket,
                CASE WHEN h.cnt IS NULL THEN 0
-                    WHEN CAST(FLOOR((h.cnt + 63) / 64.0) AS BIGINT) <= 1 THEN 0
+                    WHEN CAST(FLOOR((h.cnt + {cap - 1}) / {cap}.0) AS BIGINT) <= 1 THEN 0
                     ELSE LEAST(length(bin(
-                        CAST(FLOOR((h.cnt + 63) / 64.0) AS BIGINT) - 1)), 8)
+                        CAST(FLOOR((h.cnt + {cap - 1}) / {cap}.0) AS BIGINT) - 1)), 8)
                END AS split_bits
         FROM sigs s LEFT JOIN hot h USING (bucket)
     ),
@@ -690,8 +693,13 @@ def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pairs
     )
     SELECT id_a, id_b, cos_sim, CAST(rank AS BIGINT) AS rank
-    FROM ranked WHERE rank <= 3
-    """,
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@register(
+    "llm_knn_join_capped",
+    oracle="WITH " + _sigs_cte(2) + ",\n" + _capped_knn_tail(cap=64, k=3),
     tags=("llm", "similarity", "knnjoin", "capped"),
 )
 def llm_knn_join_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1737,3 +1745,20 @@ def llm_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "llm_knn_join_auto",
+    oracle="WITH " + _sigs_cte_dynamic(256) + ",\n" + _capped_knn_tail(cap=256, k=5),
+    tags=("llm", "similarity", "knnjoin", "auto"),
+)
+def llm_knn_join_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULLY AUTO k-NN join — derived plane count AND split cap, i.e.
+    the exact configuration the 10x/2x scaling probes measure as the 100 TB
+    path (BENCH_sf1.json: 1.97x per 2x rows) — now value-gated: the oracle
+    recomputes ceil(log2(N/256)) from its own COUNT and replicates the
+    split+reprobe arithmetic via the same SQL tail as the pinned capped
+    query.  Nothing about the scale path is un-gated anymore: sizing,
+    splitting, and reprobing all hash-match DuckDB at three SFs."""
+    e = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
+    return sim.knn_join(e, k=5)

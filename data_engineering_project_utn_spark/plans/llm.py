@@ -1762,3 +1762,41 @@ def llm_knn_join_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     splitting, and reprobing all hash-match DuckDB at three SFs."""
     e = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
     return sim.knn_join(e, k=5)
+
+
+@register(
+    "llm_embedding_dedup_clusters",
+    oracle="WITH RECURSIVE " + _sigs_cte(4) + f""",
+    cpairs AS (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        FROM sigs a JOIN sigs b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {_dot('a.embedding', 'b.embedding')}
+              / (sqrt({_dot('a.embedding', 'a.embedding')})
+                 * sqrt({_dot('b.embedding', 'b.embedding')})) >= 0.35
+    ),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM cpairs
+              UNION SELECT doc_b, doc_a FROM cpairs),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS keeper_doc
+    FROM reach GROUP BY src ORDER BY doc_id
+    """,
+    tags=("llm", "dedup", "clusters", "similarity"),
+)
+def llm_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup decision step: connected components over the
+    embedding-cosine near-dup pairs (llm_embedding_neardup's blocking),
+    each component keeping its min vec_id — the paraphrase-cluster twin of
+    the lexical llm_dedup_clusters, sharing the same label-propagation
+    operator and recursive-CTE oracle shape."""
+    e = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
+    pairs = (
+        sim.blocked_pairs(e, n_planes=4, ordered=True)
+        .filter(F.col("cos_sim") >= 0.35)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    )
+    return dd.dedup_clusters(pairs).orderBy("doc_id")

@@ -26,7 +26,7 @@ from data_engineering_project_utn_spark.session import get_spark  # noqa: E402
 from tests.oracle_harness import compare  # noqa: E402
 
 
-def main(sf_dir: str, out_path: str) -> int:
+def main(sf_dir: str, out_path: str, round_label: str = "r05") -> int:
     spark = get_spark(app_name="utn-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
@@ -49,7 +49,7 @@ def main(sf_dir: str, out_path: str) -> int:
             }
     total = round(time.perf_counter() - t0, 1)
     record = {
-        "round": "r05",
+        "round": round_label,
         "sf": sf_dir,
         "queries_checked": checked,
         "fails": fails,
@@ -65,4 +65,4 @@ def main(sf_dir: str, out_path: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], *sys.argv[3:4]))

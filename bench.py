@@ -73,6 +73,7 @@ EXTENDED_QUERIES = [
     "llm_pipeline_manifest",
     "llm_mixture_apply",
     "llm_knn_join_auto",
+    "llm_embedding_dedup_clusters",
 ]
 
 

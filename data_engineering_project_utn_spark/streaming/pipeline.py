@@ -787,3 +787,31 @@ def make_curation_batch_fn(
             release_persisted()
 
     return process
+
+
+def make_tcp_json_sink_batch_fn(host: str, port: int, columns: list[str] | None = None):
+    """foreachBatch TCP JSON sink — the jar-free outbound twin of
+    ``to_kafka_json_sink`` (S5): each micro-batch is serialized with the
+    SAME payload builder the Kafka sink uses (``sources.io.to_json_rows``:
+    row → single JSON ``value`` with ISO timestamps) and shipped over a
+    real TCP connection, one message per line.
+
+    The serialized frame is collected per batch on the driver before the
+    socket write — correct for the metric-sized aggregates this sink
+    carries (the reference publishes dashboard aggregates, not raw
+    events); a raw-event fan-out would instead use ``foreachPartition``
+    executor-side connections.  Integration test:
+    ``TestSocketTransport.test_sink_roundtrip_over_tcp``.
+    """
+    import socket as _socket
+
+    from data_engineering_project_utn_spark.sources.io import to_json_rows
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        lines = [r["value"] for r in to_json_rows(batch_df, columns).collect()]
+        if not lines:
+            return
+        with _socket.create_connection((host, port), timeout=30) as conn:
+            conn.sendall(("\n".join(lines) + "\n").encode())
+
+    return process

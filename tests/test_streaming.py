@@ -1142,3 +1142,72 @@ class TestCurationStream:
         fn(batch, 0)
         fn(batch, 0)  # replay after a simulated failure
         assert seen[0] == seen[1] and seen[0]
+
+
+class TestSocketSink:
+    """Outbound twin of TestSocketTransport: a streaming query's batches are
+    serialized with the Kafka-sink payload builder and shipped over a real
+    TCP connection; the receiver's parsed lines must equal the batch
+    serialization of the same data — the full sink path (serialize →
+    network) executed, jar-free."""
+
+    def test_sink_roundtrip_over_tcp(self, spark, tmp_path):
+        import json
+        import socket
+        import threading
+
+        from data_engineering_project_utn_spark.sources import io as src_io
+
+        pdf = _event_pdf(30)
+        path = str(tmp_path / "sink_events")
+        spark.createDataFrame(pdf, EVENT_SCHEMA).coalesce(1).write.parquet(path)
+
+        server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        server.bind(("127.0.0.1", 0))
+        server.listen(2)
+        port = server.getsockname()[1]
+        received: list[str] = []
+        done = threading.Event()
+
+        def serve():
+            try:
+                while not done.is_set():
+                    server.settimeout(60)
+                    try:
+                        conn, _ = server.accept()
+                    except socket.timeout:
+                        break
+                    with conn:
+                        buf = b""
+                        while chunk := conn.recv(65536):
+                            buf += chunk
+                        received.extend(
+                            ln for ln in buf.decode().splitlines() if ln
+                        )
+            finally:
+                server.close()
+
+        t = threading.Thread(target=serve, daemon=True)
+        t.start()
+
+        stream = sp.file_stream(spark, path, EVENT_SCHEMA)
+        q = (
+            stream.writeStream.foreachBatch(
+                sp.make_tcp_json_sink_batch_fn("127.0.0.1", port)
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt_tcp_sink"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        done.set()
+        t.join(timeout=10)
+
+        batch = spark.read.schema(EVENT_SCHEMA).parquet(path)
+        expected = {r["value"] for r in src_io.to_json_rows(batch).collect()}
+        got = set(received)
+        assert got == expected and len(received) == len(pdf)
+        # messages are valid JSON with the full column set
+        sample = json.loads(received[0])
+        assert set(sample) == {f.name for f in EVENT_SCHEMA.fields}

@@ -807,3 +807,19 @@ def embedding_dim_stats(
         "min_v",
         "max_v",
     )
+
+
+def derive_ivf_k(n_rows: int) -> int:
+    """Coarse-quantizer size from corpus size: 2^ceil(log2(sqrt(N))) —
+    the standard k ≈ √N IVF sizing rounded up to a power of two — clamped
+    to [4, 65536].  At 100 TB (~10¹⁰ vectors) this yields ~65k centroids,
+    exactly the regime the broadcast-packed scoring path exists for
+    (``_LITERAL_CENTROID_MAX`` dispatch).  Mirrored digit-for-digit by the
+    ``llm_ivf_auto`` oracle (LEAST/GREATEST/POW/CEIL/LOG2/SQRT over the
+    same COUNT), so the sizing rule itself is value-gated cross-engine.
+    """
+    import math
+
+    if n_rows <= 1:
+        return 4
+    return min(65536, max(4, 2 ** math.ceil(math.log2(math.sqrt(n_rows)))))

@@ -1800,3 +1800,36 @@ def llm_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
     )
     return dd.dedup_clusters(pairs).orderBy("doc_id")
+
+
+@register(
+    "llm_ivf_auto",
+    oracle="""
+    SELECT COUNT(*) AS n_vectors,
+           LEAST(65536, GREATEST(4, CAST(POW(2, CEIL(LOG2(SQRT(
+               CAST(COUNT(*) AS DOUBLE))))) AS INTEGER))) AS k_derived,
+           TRUE AS cells_bounded, TRUE AS objective_improved
+    FROM embeddings
+    """,
+    tags=("llm", "similarity", "ivf", "auto"),
+)
+def llm_ivf_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTO-SIZED IVF: the quantizer size derives from the corpus
+    (k = 2^ceil(log2(√N)), the standard √N rule) in BOTH engines — the
+    oracle value-checks the sizing from its own COUNT, completing the
+    auto-path gating story (planes: llm_*_auto; split cap:
+    llm_knn_join_auto; quantizer size: here).  Invariant gate on the
+    actual training run (cells ≤ k, objective never worse than init),
+    same as llm_ivf_trained."""
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    e = track_persist(parallelize_compute(load_table(spark, sf_dir, "embeddings")))
+    n = e.count()
+    k = sim.derive_ivf_k(n)
+    init = sim.train_ivf_centroids(e, k=k, n_iter=0)
+    trained = sim.train_ivf_centroids(e, k=k, n_iter=1, init=init)
+    n2, cells_used, obj0, obj1 = sim.training_report(e, init, trained)
+    return spark.createDataFrame(
+        [(n2, k, 1 <= cells_used <= k, obj1 >= obj0 - 1e-12)],
+        "n_vectors bigint, k_derived int, cells_bounded boolean, objective_improved boolean",
+    )

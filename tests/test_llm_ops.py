@@ -933,3 +933,11 @@ class TestCurationRound5:
         # post-apply shares are closer to 50/50 than the 80/20 input
         share_a = out.loc["a", "rows_out"] / out["rows_out"].sum()
         assert abs(share_a - 0.5) < abs(0.8 - 0.5)
+
+    def test_derive_ivf_k_rule(self, spark):
+        from data_engineering_project_utn_spark.llm.similarity import derive_ivf_k
+
+        assert derive_ivf_k(1) == 4
+        assert derive_ivf_k(500) == 32          # sqrt=22.4 -> 2^5
+        assert derive_ivf_k(2000) == 64         # sqrt=44.7 -> 2^6
+        assert derive_ivf_k(10**10) == 65536    # clamped at the 100 TB regime

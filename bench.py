@@ -74,6 +74,7 @@ EXTENDED_QUERIES = [
     "llm_mixture_apply",
     "llm_knn_join_auto",
     "llm_embedding_dedup_clusters",
+    "llm_ivf_auto",
 ]
 
 

@@ -382,12 +382,15 @@ def knn_join(
 
 
 #: Above this centroid count, IVF scoring switches from plan literals to a
-#: broadcast-joined packed centroid array.  Literal plans win codegen at
-#: small k but grow O(k·d) literal nodes — at the 65k-centroid scale of a
-#: 100 TB coarse quantizer the plan itself becomes a multi-hundred-MB
-#: analysis bottleneck, while the packed array is *data* shipped once per
-#: executor via a broadcast hash join.
-_LITERAL_CENTROID_MAX = 1024
+#: broadcast-joined packed centroid array.  Literal plans win codegen only
+#: at very small k: each centroid adds d literal nodes, and MEASURED at
+#: k=64·d=64 the literal plan's Catalyst analysis alone cost ~9 s per query
+#: (llm_ivf_auto 11.7 s literal vs 2.6 s packed at sf0.1) — far below the
+#: 65k-centroid regime where the plan would be a multi-hundred-MB analysis
+#: bottleneck.  The packed array is *data* shipped once per executor via a
+#: broadcast hash join, with a stable plan shape codegen caches across
+#: calls.  Both paths are bit-identical (shared oracles, tested).
+_LITERAL_CENTROID_MAX = 16
 
 
 def _centroid_rows(

@@ -26,20 +26,11 @@ from data_engineering_project_utn_spark.llm.text import shingles, tokens
 from data_engineering_project_utn_spark.persist import track_persist
 
 
-def parallelize_compute(df: DataFrame) -> DataFrame:
-    """Spread compute-heavy narrow projections across all cores.
-
-    Higher-order-function expressions (transform/aggregate lambdas) are
-    interpreted, not codegen'd — a single-file parquet input otherwise runs
-    the whole signature computation in ONE task (measured 6 s → 1.3 s at
-    sf0.1).  At cluster scale inputs arrive multi-partition and this is a
-    no-op; locally it's the difference between 1 core and 32.
-    """
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+# parallelize_compute moved to llm.compute (it is family-neutral); the
+# re-export keeps existing imports working.
+from data_engineering_project_utn_spark.llm.compute import (  # noqa: F401,E402
+    parallelize_compute,
+)
 
 
 def content_hash(text: Column | str) -> Column:

@@ -1,0 +1,421 @@
+"""Corpus-curation plan family (reports, selection, sampling, sharding,
+packing, mixture, splits, curation gate, pipeline manifest)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_engineering_project_utn_spark.llm import dedup as dd
+from data_engineering_project_utn_spark.llm import sampling as sa
+from data_engineering_project_utn_spark.llm import text as tx
+from data_engineering_project_utn_spark.llm.compute import parallelize_compute
+# module-object import so the staleness closure includes llm_shared.py —
+# the fragment names below are plain strings, which the closure BFS cannot
+# follow on their own (plans/staleness.py walks modules and callables)
+from data_engineering_project_utn_spark.plans import llm_shared as _llm_shared  # noqa: F401
+from data_engineering_project_utn_spark.plans.llm_shared import (
+    _MINHASH_CTES,
+    _QUALITY_CTES,
+    _TOKS,
+)
+from data_engineering_project_utn_spark.plans.registry import must_replace, register
+from data_engineering_project_utn_spark.tables import load_table
+
+@register(
+    "llm_corpus_report",
+    priority=1,
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, lang, source, text, {_TOKS} AS t FROM documents)
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(t)) AS BIGINT) AS total_tokens,
+           COUNT(DISTINCT md5(text)) AS distinct_content,
+           CAST(MIN(len(t)) AS BIGINT) AS min_tokens,
+           CAST(MAX(len(t)) AS BIGINT) AS max_tokens
+    FROM tk GROUP BY lang, source ORDER BY lang, source
+    """,
+    tags=("llm", "curation", "report"),
+)
+def llm_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card rollup: per (lang, source) stratum — doc counts,
+    exact token totals (integer sums, engine-independent), distinct-content
+    count (exact dup rate), token-length extremes.  One shuffle on the
+    stratum key; the mixture table every curation pipeline publishes."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    n_tok = F.size(tx.tokens("text")).cast("long")
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tok).alias("total_tokens"),
+            F.countDistinct(F.md5("text")).alias("distinct_content"),
+            F.min(n_tok).alias("min_tokens"),
+            F.max(n_tok).alias("max_tokens"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_SAMPLE_RATES = {"en": 0.25, "de": 1.0, "zh": 0.5}
+_SAMPLE_DEFAULT = 0.1
+
+
+@register(
+    "llm_quality_topk_per_lang",
+    priority=1,
+    oracle="WITH " + _QUALITY_CTES + """
+    SELECT lang, doc_id, quality, rank FROM (
+        SELECT lang, doc_id, quality,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY quality DESC, doc_id) AS rank
+        FROM q)
+    WHERE rank <= 20
+    """,
+    tags=("llm", "curation", "selection"),
+)
+def llm_quality_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection under a per-stratum budget: the top-20 docs per lang
+    by quality score — the "keep the best N per slice" pass that follows
+    scoring in a curation pipeline.  Per-stratum window (shuffle on lang,
+    heap-free row_number with a total order: quality desc, doc_id), never a
+    global sort; the quality expression is the already-gated
+    llm_quality_scores arithmetic, so the ordering is engine-exact."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    scored = d.select("lang", "doc_id", tx.quality_score("text").alias("quality"))
+    w = Window.partitionBy("lang").orderBy(F.desc("quality"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("lang", "doc_id", "quality", "rank")
+    )
+
+
+@register(
+    "llm_stratified_sample",
+    priority=1,
+    oracle=f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE md5(CAST(doc_id AS VARCHAR)) <
+          CASE WHEN lang = 'de' THEN '{sa.rate_threshold(1.0)}'
+               WHEN lang = 'en' THEN '{sa.rate_threshold(0.25)}'
+               WHEN lang = 'zh' THEN '{sa.rate_threshold(0.5)}'
+               ELSE '{sa.rate_threshold(0.1)}' END
+    """,
+    tags=("llm", "curation", "sampling"),
+)
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the data-mixture knob of a
+    training pipeline (downsample crawl-like strata, keep books-like ones).
+    Keep iff md5(doc_id) under the stratum's hex rate threshold: pure
+    projection+filter, scan-speed at any corpus size, no RNG state, exact
+    across engines (lexicographic hex compare ≡ numeric at equal length;
+    see llm/sampling.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return sa.stratified_sample(
+        d, _SAMPLE_RATES, strata_col="lang", default_rate=_SAMPLE_DEFAULT
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "llm_shard_assignment",
+    priority=1,
+    oracle="""
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+           CAST((row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) % 8
+                AS INTEGER) AS shard
+    FROM documents
+    """,
+    tags=("llm", "curation", "shuffle"),
+)
+def llm_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + round-robin sharding: every training
+    run reads byte-identical shards (md5 order is the permutation — no RNG
+    state to lose).  The global rank is the distributed range-partition
+    machinery (with_global_rank — no single-partition window; the oracle's
+    row_number() is the semantics, not the plan), shard sizes differ by ≤1."""
+    d = load_table(spark, sf_dir, "documents")
+    return sa.shard_assignment(d, n_shards=8).select("doc_id", "shuffle_key", "shard")
+
+
+@register(
+    "llm_pack_sequences",
+    priority=1,
+    oracle=f"""
+    WITH t AS (SELECT source AS stream, doc_id,
+                      CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+               FROM documents),
+    c AS (SELECT stream, doc_id, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                     AS tokens_before
+          FROM t)
+    SELECT stream, doc_id, n_tokens, tokens_before,
+           CAST(FLOOR(tokens_before / 2048) AS BIGINT) AS chunk_id
+    FROM c
+    """,
+    tags=("llm", "curation", "packing"),
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: docs laid head-to-tail per stream,
+    cut every 2048 tokens; a doc's chunk is the window its first token lands
+    in.  Integer window-cumsum arithmetic — exact, engine-independent; one
+    shuffle on the stream key (shard-grained at scale; see
+    llm/sampling.py pack_sequences)."""
+    d = load_table(spark, sf_dir, "documents")
+    return sa.pack_sequences(d, window_tokens=2048, stream_col="source")
+
+
+@register(
+    "llm_mixture_weights",
+    oracle=rf"""
+    WITH per AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(len({_TOKS})) AS BIGINT) AS tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(tokens) AS total_tokens, COUNT(*) AS n_sources FROM per)
+    SELECT source, n_docs, tokens,
+           CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS actual_share,
+           (1.0 / CAST(n_sources AS DOUBLE))
+               / (CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) AS weight,
+           CAST(tokens AS DOUBLE) * LEAST(
+               (1.0 / CAST(n_sources AS DOUBLE))
+                   / (CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)),
+               1.0) AS sampled_tokens
+    FROM per, tot
+    ORDER BY source
+    """,
+    tags=("llm", "curation", "mixture"),
+)
+def llm_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling weights toward a uniform-over-sources token
+    mix (DoReMi/Pile-style): one groupBy(source) token aggregation + a
+    single-row broadcast of the totals.  weight>1 = under-represented
+    (repeat/up-sample); sampled_tokens = the budget under pure
+    down-sampling (weight capped at 1)."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    return sa.mixture_weights(d).orderBy("source")
+
+
+@register(
+    "llm_content_split",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT doc_id, md5(text) AS c,
+               CASE WHEN md5(text) < '{sa.rate_threshold(0.8)}' THEN 'train' ELSE 'val' END AS split
+        FROM documents
+    ),
+    per AS (
+        SELECT c, COUNT(DISTINCT split) AS ns, COUNT(*) AS nd, MIN(split) AS split
+        FROM tagged GROUP BY c
+    ),
+    leak AS (SELECT CAST(COUNT(*) FILTER (ns > 1) AS BIGINT) AS l FROM per)
+    SELECT split, CAST(SUM(nd) AS BIGINT) AS n_docs,
+           COUNT(*) AS distinct_contents, l AS contents_in_both_splits
+    FROM per, leak
+    GROUP BY split, l
+    ORDER BY split
+    """,
+    tags=("llm", "curation", "split"),
+)
+def llm_content_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split audit: the split key is the CONTENT
+    hash, so exact duplicates can never straddle train and validation; the
+    gated output carries the computed (not asserted) leak count, which is
+    structurally zero."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    return sa.leakage_safe_split(d, train_rate=0.8)
+
+
+# Incremental (incoming % 3 = 0 vs corpus) minhash CTEs with the token CTE
+# renamed tkm so they can coexist with _QUALITY_CTES (which owns ``tk``).
+
+
+_INC_MINHASH_CTES = must_replace(
+    must_replace(
+        must_replace(
+            _MINHASH_CTES,
+            """cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id),""",
+            """cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+              AND a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0),""",
+        ),
+        "tk AS (SELECT doc_id,",
+        "tkm AS (SELECT doc_id,",
+    ),
+    "FROM tk),",
+    "FROM tkm),",
+)
+
+
+@register(
+    "llm_curation_gate",
+    oracle="WITH " + _INC_MINHASH_CTES + ",\n    " + _QUALITY_CTES + """,
+    flagged AS (SELECT DISTINCT doc_a AS doc_id FROM j WHERE jaccard > 0.5)
+    SELECT q.doc_id, q.quality FROM q
+    WHERE q.doc_id % 3 = 0
+      AND q.quality >= 0.4
+      AND q.doc_id NOT IN (SELECT doc_id FROM flagged)
+    ORDER BY q.doc_id
+    """,
+    tags=("llm", "curation", "gate"),
+)
+def llm_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed continuous-ingestion curation gate, batch twin of
+    streaming ``make_curation_batch_fn``: incoming docs (doc_id % 3 = 0,
+    the crawl batch) are near-dup-checked against the corpus at rest
+    (asymmetric band join — never corpus²), quality-gated (≥ 0.4), and the
+    survivors emitted with their scores.  Flagging runs on the full batch,
+    independent of the quality gate, so per-micro-batch acceptance unions
+    to exactly this one-shot result (streaming parity tested)."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    incoming = d.filter(F.col("doc_id") % 3 == 0)
+    corpus = d.filter(F.col("doc_id") % 3 != 0)
+    flagged = (
+        dd.incremental_neardup(incoming, corpus, threshold=0.5)
+        .select(F.col("doc_new").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        incoming.withColumn("quality", tx.quality_score(F.col("text")))
+        .filter(F.col("quality") >= 0.4)
+        .join(flagged, "doc_id", "left_anti")
+        .select("doc_id", "quality")
+        .orderBy("doc_id")
+    )
+
+
+# _QUALITY_CTES with text + token list carried through to the final q CTE,
+# so downstream stages (dedup keeper, sharding, token totals) can reuse the
+# same gated rows without recomputing the tokenizer.
+_QUALITY_CTES_FULL = must_replace(
+    must_replace(
+        must_replace(
+            _QUALITY_CTES,
+            "tk AS (SELECT doc_id, lang, ",
+            "tk AS (SELECT doc_id, lang, text, ",
+        ),
+        "m AS (SELECT doc_id, lang,",
+        "m AS (SELECT doc_id, lang, text, t,",
+    ),
+    "q AS (SELECT doc_id, lang,",
+    "q AS (SELECT doc_id, lang, text, t,",
+)
+
+
+@register(
+    "llm_pipeline_manifest",
+    oracle="WITH " + _QUALITY_CTES_FULL + """,
+    g AS (SELECT doc_id, lang, text, t,
+                 ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM q WHERE quality >= 0.4),
+    k AS (SELECT doc_id, lang, t FROM g WHERE rn = 1),
+    s AS (SELECT doc_id, lang, t,
+                 CAST((ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) % 4
+                      AS INTEGER) AS shard
+          FROM k)
+    SELECT shard, COUNT(*) AS n_docs,
+           CAST(SUM(len(t)) AS BIGINT) AS total_tokens,
+           COUNT(DISTINCT lang) AS n_langs,
+           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+    FROM s GROUP BY shard ORDER BY shard
+    """,
+    tags=("llm", "curation", "pipeline"),
+)
+def llm_pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation pipeline in one gated plan — quality gate →
+    exact dedup (min-doc_id keeper per content hash) → deterministic
+    shuffle+shard (4 shards) → per-shard training manifest (docs, exact
+    token totals, language spread, id range).  Every stage is a previously
+    gated operator composed declaratively: Catalyst sees ONE plan, so
+    column pruning and shared scans cross stage boundaries — the
+    composition a user actually ships when they 'run the pipeline'.
+
+    Scale shape: quality gate is narrow; dedup is one shuffle on the
+    content hash; sharding is the distributed global rank (no
+    single-partition stage); the manifest is a 4-row aggregate."""
+    from pyspark.sql import Window as W
+
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    passed = d.withColumn("quality", tx.quality_score(F.col("text"))).filter(
+        F.col("quality") >= 0.4
+    )
+    rn = F.row_number().over(
+        W.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    )
+    kept = passed.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")
+    sharded = sa.shard_assignment(kept, n_shards=4)
+    n_tok = F.size(tx.tokens("text")).cast("long")
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tok).alias("total_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("shard")
+    )
+
+
+@register(
+    "llm_mixture_apply",
+    oracle=rf"""
+    WITH per AS (
+        SELECT source, CAST(SUM(len({_TOKS})) AS BIGINT) AS tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(tokens) AS total_tokens, COUNT(*) AS n_sources FROM per),
+    wt AS (
+        SELECT source,
+               (1.0 / CAST(n_sources AS DOUBLE))
+                   / (CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) AS weight
+        FROM per, tot
+    ),
+    d AS (SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tok FROM documents),
+    j AS (
+        SELECT d.doc_id, d.source, d.n_tok, wt.weight,
+               CAST(FLOOR(wt.weight) AS BIGINT)
+               + CASE WHEN md5(CAST(d.doc_id AS VARCHAR)) <
+                      printf('%08x', CAST(FLOOR((wt.weight - FLOOR(wt.weight))
+                                                * 4294967296.0) AS BIGINT))
+                      || repeat('0', 24)
+                 THEN 1 ELSE 0 END AS n_copies
+        FROM d JOIN wt USING (source)
+    )
+    SELECT source, MIN(weight) AS weight,
+           COUNT(*) AS n_docs_kept,
+           CAST(SUM(n_copies) AS BIGINT) AS n_rows_out,
+           CAST(SUM(n_copies * n_tok) AS BIGINT) AS tokens_out
+    FROM j WHERE n_copies > 0
+    GROUP BY source ORDER BY source
+    """,
+    tags=("llm", "curation", "mixture"),
+)
+def llm_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture MATERIALIZATION (the step after llm_mixture_weights): each
+    doc gets floor(weight) copies plus a deterministic hash-fraction extra,
+    so up-weighted sources epoch-repeat and down-weighted sources thin —
+    in expectation every source lands on its target token share.  Gated
+    output is the per-source post-apply manifest (kept docs, emitted rows,
+    emitted tokens).  Corpus side: one broadcast join + narrow arithmetic,
+    no shuffle until the model-size summary."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    ap = sa.apply_mixture(d)
+    n_tok = F.size(tx.tokens("text")).cast("long")
+    return (
+        ap.groupBy("source")
+        .agg(
+            F.min("weight").alias("weight"),
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_copies").alias("n_rows_out"),
+            F.sum(F.col("n_copies") * n_tok).alias("tokens_out"),
+        )
+        .orderBy("source")
+    )

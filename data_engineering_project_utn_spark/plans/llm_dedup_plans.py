@@ -1,0 +1,322 @@
+"""Lexical-dedup plan family (exact, MinHash/LSH, bottom-k, SimHash,
+n-gram Jaccard, clustering, incremental, decontamination)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_project_utn_spark.llm import dedup as dd
+from data_engineering_project_utn_spark.llm import text as tx
+from data_engineering_project_utn_spark.llm.compute import parallelize_compute
+# module-object import so the staleness closure includes llm_shared.py —
+# the fragment names below are plain strings, which the closure BFS cannot
+# follow on their own (plans/staleness.py walks modules and callables)
+from data_engineering_project_utn_spark.plans import llm_shared as _llm_shared  # noqa: F401
+from data_engineering_project_utn_spark.plans.llm_shared import (
+    _MINHASH_CTES,
+    _SH3,
+    _SHINGLES,
+    _TOKS,
+)
+from data_engineering_project_utn_spark.plans.registry import must_replace, register
+from data_engineering_project_utn_spark.tables import load_table
+
+@register(
+    "llm_dedup_summary",
+    oracle=f"""
+    SELECT COUNT(*) AS total_docs,
+           COUNT(DISTINCT md5(text)) AS distinct_content,
+           COUNT(DISTINCT md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')))
+               AS distinct_normalized,
+           COUNT(*) - COUNT(DISTINCT md5(text)) AS exact_dups,
+           COUNT(*) - COUNT(DISTINCT md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')))
+               AS normalized_dups
+    FROM documents
+    """,
+    tags=("llm", "dedup", "bench"),
+)
+def llm_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact + normalized (order/case-invariant) dedup accounting.
+
+    Hash-groupBy dedup: one shuffle on a 128-bit digest — the exact-dedup
+    baseline for corpus hygiene at any scale (count-distinct here is
+    partial-aggregated; swap to approx_count_distinct at 100 TB if ±1% ok).
+    """
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    return d.agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.countDistinct(dd.content_hash("text")).alias("distinct_content"),
+        F.countDistinct(dd.normalized_hash("text")).alias("distinct_normalized"),
+        (F.count(F.lit(1)) - F.countDistinct(dd.content_hash("text"))).alias("exact_dups"),
+        (F.count(F.lit(1)) - F.countDistinct(dd.normalized_hash("text"))).alias(
+            "normalized_dups"
+        ),
+    )
+
+
+@register(
+    "llm_minhash_neardup",
+    priority=0,
+    oracle="WITH " + _MINHASH_CTES + """
+    SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard > 0.5
+    """,
+    tags=("llm", "dedup", "minhash", "bench"),
+)
+def llm_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate detection, exact-Jaccard verified.
+
+    shingle(5-gram) → 8-perm minhash → 4 bands → bucket self-join →
+    Jaccard > 0.5.  Only same-bucket docs are ever compared — the shuffle
+    key space is the band buckets, never all-pairs (see llm/dedup.py).
+    """
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    # max_bucket_size=None pins the EXACT pair set this oracle models at
+    # every SF (the skew cap is opt-in; its oracle twin is llm_minhash_capped)
+    return dd.minhash_neardup(d, k=8, bands=4, n=5, threshold=0.5, max_bucket_size=None)
+
+
+@register(
+    "llm_bottomk_neardup",
+    priority=0,
+    oracle="WITH " + must_replace(
+        _MINHASH_CTES,
+        """sig AS (SELECT doc_id, shset,
+                   list_transform(range(0, 8),
+                       i -> list_min(list_transform(hd,
+                           h -> substring(h, i*4 + 1, 32) || substring(h, 1, i*4)))) AS sg
+            FROM sh),
+    bands AS (SELECT doc_id, shset, r.b AS band_idx,
+                     md5(array_to_string(sg[r.b*2+1 : r.b*2+2], '|')) AS band_hash
+              FROM sig, range(0, 4) r(b)),""",
+        """sig AS (SELECT doc_id, shset,
+                   list_sort(list_distinct(hd))[1:16] AS sg
+            FROM sh),
+    bands AS (SELECT doc_id, shset, r.b AS band_idx,
+                     md5(array_to_string(sg[r.b+1 : r.b+1], '|')) AS band_hash
+              FROM sig, range(0, 16) r(b)
+              WHERE md5(array_to_string(sg[r.b+1 : r.b+1], '|')) <> md5('')),""",
+    ) + """
+    SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard > 0.5
+    """,
+    tags=("llm", "dedup", "bottomk", "bench"),
+)
+def llm_bottomk_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-16 sketch near-dup — the cheap-signature alternative to the
+    8-perm rotation family (one sort vs 8 interpreted passes; measured
+    254/256 of the rotation family's verified pairs at ~40 % cost on
+    sf0.1).  Same exact-Jaccard verification gate."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    return dd.bottomk_neardup(d, k=16, n=5, threshold=0.5, max_bucket_size=None)
+
+
+@register(
+    "llm_minhash_capped",
+    priority=1,
+    oracle="WITH " + must_replace(
+        _MINHASH_CTES,
+        """cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id),""",
+        """bsize AS (SELECT band_idx, band_hash, COUNT(*) AS cnt
+              FROM bands GROUP BY band_idx, band_hash),
+    healthy AS (SELECT b.* FROM bands b JOIN bsize s
+                  ON b.band_idx = s.band_idx AND b.band_hash = s.band_hash
+                 WHERE s.cnt <= 2),
+    hot AS (SELECT b.* FROM bands b JOIN bsize s
+              ON b.band_idx = s.band_idx AND b.band_hash = s.band_hash
+             WHERE s.cnt > 2),
+    chained AS (SELECT doc_id AS doc_a,
+                       lead(doc_id) OVER (PARTITION BY band_idx, band_hash
+                                          ORDER BY doc_id) AS doc_b
+                FROM hot),
+    cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM healthy a JOIN healthy b
+                   ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+                  AND a.doc_id < b.doc_id
+                 UNION ALL
+                 SELECT doc_a, doc_b FROM chained WHERE doc_b IS NOT NULL)),""",
+    ) + """
+    SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard > 0.5
+    """,
+    tags=("llm", "dedup", "minhash", "skew"),
+)
+def llm_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The duplicate-skew-hardened MinHash path, cap forced to 2 so the
+    chain-pairing branch actually executes at sf0.01 (real default: 256 —
+    never reached by healthy banding): band buckets over the cap emit only
+    (doc, successor-by-id) pairs instead of all pairs, bounding candidate
+    work to O(|bucket|) at the duplicate-heavy corpora dedup exists for.
+    The oracle reproduces the size split, the chain window, and the union
+    operation-for-operation."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    return dd.minhash_neardup(d, k=8, bands=4, n=5, threshold=0.5, max_bucket_size=2)
+
+
+@register(
+    "llm_dedup_clusters",
+    priority=0,
+    oracle="WITH RECURSIVE " + _MINHASH_CTES + """
+    , pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard > 0.5),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS keeper_doc
+    FROM reach GROUP BY src ORDER BY doc_id
+    """,
+    tags=("llm", "dedup", "clusters", "iterative"),
+)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup *decision* step: connected components over the MinHash
+    near-dup pairs; every component keeps its min doc_id.  Iterative label
+    propagation in Spark (O(component-diameter) joins) vs the oracle's
+    recursive-CTE transitive closure — identical integer fixpoint."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    pairs = dd.minhash_neardup(d, k=8, bands=4, n=5, threshold=0.5, max_bucket_size=None)
+    return dd.dedup_clusters(pairs).orderBy("doc_id")
+
+
+
+@register(
+    "llm_ngram_jaccard",
+    priority=0,
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, lang, source, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, lang, source, list_distinct({_SH3}) AS s FROM tk),
+    p AS (SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (CAST(len(a.s) + len(b.s) AS DOUBLE)
+                    - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)) AS jaccard
+          FROM sh a JOIN sh b
+            ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+    SELECT lang, source, id_a, id_b, jaccard FROM p WHERE jaccard > 0.1
+    """,
+    tags=("llm", "dedup", "jaccard"),
+)
+def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise exact 3-gram Jaccard within (lang, source) blocks.
+
+    Blocking is the scale contract: shingle sets are built once per doc
+    (never per pair), and the pair space is Σ|block|² — at 100 TB the block
+    key becomes an LSH band (llm_minhash_neardup) instead of metadata, but
+    the operator shape is identical."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    sh = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(tx.shingles("text", 3)).alias("s"),
+    )
+    a = sh.select(
+        "lang", "source", F.col("doc_id").alias("id_a"), F.col("s").alias("sa")
+    )
+    b = sh.select(
+        "lang", "source", F.col("doc_id").alias("id_b"), F.col("s").alias("sb")
+    )
+    pairs = a.join(b, ["lang", "source"]).filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
+    union = (F.size(F.col("sa")) + F.size(F.col("sb"))).cast("double") - inter
+    return pairs.select(
+        "lang", "source", "id_a", "id_b", (inter / union).alias("jaccard")
+    ).filter(F.col("jaccard") > 0.1)
+
+
+@register(
+    "llm_simhash",
+    priority=0,
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents),
+    tb AS (SELECT doc_id,
+                  list_transform(toks, t -> list_reduce(
+                      list_transform(string_split(substring(md5(t), 1, 4), ''),
+                                     c -> strpos('0123456789abcdef', c) - 1),
+                      (a, x) -> a * 16 + x)) AS tok_bits
+           FROM tk),
+    sg AS (SELECT doc_id,
+                  CAST(list_sum(list_transform(range(0, 16), b -> CASE WHEN
+                      list_sum(list_transform(tok_bits, v ->
+                          CASE WHEN CAST(FLOOR(v / POW(2, b)) AS BIGINT) % 2 = 1
+                               THEN 1 ELSE -1 END)) > 0
+                      THEN CAST(POW(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+           FROM tb)
+    SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_doc
+    FROM sg GROUP BY simhash ORDER BY simhash
+    """,
+    tags=("llm", "dedup", "simhash"),
+)
+def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signatures + signature-collision groups (near-dup by
+    Hamming-0).  The oracle reproduces conv(hex,16,10) as a char fold, so
+    the full bit-arithmetic path is value-checked."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    sigs = d.select("doc_id", dd.simhash16("text").alias("simhash"))
+    return (
+        sigs.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc"))
+        .orderBy("simhash")
+    )
+
+
+@register(
+    "llm_incremental_dedup",
+    priority=1,
+    oracle="WITH " + must_replace(
+        _MINHASH_CTES,
+        """cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id),""",
+        """cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+              AND a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0),""",
+    ) + """
+    SELECT doc_a AS doc_new, doc_b AS doc_existing, jaccard
+    FROM j WHERE jaccard > 0.5
+    """,
+    tags=("llm", "dedup", "incremental"),
+)
+def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup shape: a new batch (every 3rd doc plays the
+    incoming crawl) checked against the already-ingested corpus via an
+    asymmetric band-bucket join — never a corpus×corpus self-join (see
+    llm/dedup.py incremental_neardup).  Same signature family and exact-
+    Jaccard verification as llm_minhash_neardup; the oracle splits its
+    band CTE into the same incoming/existing sides."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    incoming = d.filter(F.col("doc_id") % 3 == 0)
+    corpus = d.filter(F.col("doc_id") % 3 != 0)
+    return dd.incremental_neardup(incoming, corpus, threshold=0.5)
+
+
+@register(
+    "llm_decontamination",
+    priority=1,
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, list_distinct(list_transform({_SH3}, s -> md5(s))) AS s
+           FROM tk),
+    bench AS (SELECT DISTINCT u.sh FROM sh, UNNEST(s) u(sh) WHERE doc_id % 97 = 0)
+    SELECT DISTINCT d.doc_id FROM sh d, UNNEST(d.s) u(sh)
+    WHERE d.doc_id % 97 <> 0 AND u.sh IN (SELECT sh FROM bench)
+    ORDER BY doc_id
+    """,
+    tags=("llm", "curation", "decontamination"),
+)
+def llm_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval overlap scrub: corpus docs sharing any n-gram shingle with
+    the benchmark set (here: every 97th doc plays the eval suite; n=3 for
+    these short synthetic docs — production uses 13).  Corpus side is a
+    narrow digest projection; the tiny benchmark shingle set broadcasts
+    into a left-semi join — scan-speed flagging, no corpus shuffle (see
+    llm/dedup.py contaminated_doc_ids)."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    benchmark = d.filter(F.col("doc_id") % 97 == 0)
+    return dd.contaminated_doc_ids(corpus, benchmark, n=3).orderBy("doc_id")

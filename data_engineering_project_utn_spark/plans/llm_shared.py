@@ -1,0 +1,71 @@
+"""Shared DuckDB-oracle SQL fragments for the LLM plan families.
+
+One definition per formula (tokenizer, shingles, quality score, minhash
+chain, vector dot) so a gate can never drift from its siblings — family
+modules import these; editing a shared fragment correctly marks every
+dependent query stale (plans/staleness.py), while editing one family's
+module stales only that family (the reason plans/llm.py was split).
+"""
+
+from __future__ import annotations
+
+
+# Oracle fragment: whitespace tokens, lowercased (== llm.text.tokens).
+_TOKS = r"string_split_regex(lower(text), '\s+')"
+# Oracle fragment: 5-gram shingle strings from token list ``t``.
+_SHINGLES = "list_transform(range(1, greatest(len(t) - 4, 1) + 1), i -> array_to_string(t[i:i+4], ' '))"
+# Oracle fragment: sequential-fold dot product of two lists (matches
+# llm.similarity.dot: left fold, init 0 absorbed by first addition).
+def _dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)"
+    )
+
+
+# Oracle fragment: 3-gram shingles from token list ``t`` (mirrors
+# llm.text.shingles(n=3): inclusive slice of 3 tokens, short docs → 1 shingle).
+_SH3 = "list_transform(range(1, greatest(len(t) - 2, 1) + 1), i -> array_to_string(t[i:i+2], ' '))"
+
+
+# Oracle fragment: per-doc quality score CTEs (== llm.text.quality_score —
+# stopword list, 100-token saturation cap, 0.4/0.3/0.3 weights).  Shared by
+# every oracle that orders or filters on quality, so the formula can't
+# drift between gates.  Emits CTEs tk/m/q; q has (doc_id, lang, quality).
+_QUALITY_CTES = f"""tk AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+    m AS (SELECT doc_id, lang,
+                 CAST(len(t) AS BIGINT) AS n,
+                 CAST(len(list_filter(t, x -> list_contains(['the','a','and','of','to','in','is','it'], x))) AS BIGINT) AS stop,
+                 CAST(len(list_distinct(t)) AS BIGINT) AS uniq
+          FROM tk),
+    q AS (SELECT doc_id, lang,
+                 0.4 * LEAST(CAST(n AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * (CAST(stop AS DOUBLE) / CAST(n AS DOUBLE))
+               + 0.3 * (CAST(uniq AS DOUBLE) / CAST(n AS DOUBLE)) AS quality
+          FROM m)"""
+
+
+_MINHASH_CTES = f"""tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id,
+                  list_transform({_SHINGLES}, s -> md5(s)) AS hd,
+                  list_distinct({_SHINGLES}) AS shset
+           FROM tk),
+    sig AS (SELECT doc_id, shset,
+                   list_transform(range(0, 8),
+                       i -> list_min(list_transform(hd,
+                           h -> substring(h, i*4 + 1, 32) || substring(h, 1, i*4)))) AS sg
+            FROM sh),
+    bands AS (SELECT doc_id, shset, r.b AS band_idx,
+                     md5(array_to_string(sg[r.b*2+1 : r.b*2+2], '|')) AS band_hash
+              FROM sig, range(0, 4) r(b)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id),
+    j AS (SELECT c.doc_a, c.doc_b,
+                 CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
+                 / (CAST(len(sa.shset) + len(sb.shset) AS DOUBLE)
+                    - CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)) AS jaccard
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b)"""

@@ -1,0 +1,304 @@
+"""Text-analysis plan family (tokens, quality, langid, fingerprints,
+PII, repetition, BPE, boilerplate, vocabulary)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_project_utn_spark.llm import text as tx
+from data_engineering_project_utn_spark.llm.compute import parallelize_compute
+# module-object import so the staleness closure includes llm_shared.py —
+# the fragment names below are plain strings, which the closure BFS cannot
+# follow on their own (plans/staleness.py walks modules and callables)
+from data_engineering_project_utn_spark.plans import llm_shared as _llm_shared  # noqa: F401
+from data_engineering_project_utn_spark.plans.llm_shared import (
+    _QUALITY_CTES,
+    _SH3,
+    _SHINGLES,
+    _TOKS,
+)
+from data_engineering_project_utn_spark.plans.registry import register
+from data_engineering_project_utn_spark.tables import load_table
+
+@register(
+    "llm_token_stats",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, lang, source, n_chars, {_TOKS} AS t FROM documents)
+    SELECT doc_id, lang, source, n_chars,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+           CAST(len(list_filter(t, x -> list_contains(['the','a','and','of','to','in','is','it'], x))) AS BIGINT)
+               AS n_stopwords
+    FROM tk
+    """,
+    tags=("llm", "text"),
+)
+def llm_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counting (whitespace tokenizer) — narrow
+    projection, scan-speed at any scale."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        tx.token_count("text").alias("n_tokens"),
+        tx.distinct_token_count("text").alias("n_distinct_tokens"),
+        tx.stopword_count("text", "en").alias("n_stopwords"),
+    )
+
+
+@register(
+    "llm_quality_scores",
+    oracle="WITH " + _QUALITY_CTES + """
+    SELECT doc_id, quality FROM q
+    """,
+    tags=("llm", "text", "bench"),
+)
+def llm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length saturation + stopword share + lexical
+    diversity (C4/Gopher-style heuristic filters, deterministic form)."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    return d.select("doc_id", tx.quality_score("text").alias("quality"))
+
+
+@register(
+    "llm_langid",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+    s AS (SELECT doc_id, lang,
+            CAST(len(list_filter(t, x -> list_contains(['the','a','and','of','to','in','is','it'], x))) AS BIGINT) AS s_en,
+            CAST(len(list_filter(t, x -> list_contains(['el','la','de','que','y','en','un','es'], x))) AS BIGINT) AS s_es,
+            CAST(len(list_filter(t, x -> list_contains(['der','die','das','und','ist','von','ein','zu'], x))) AS BIGINT) AS s_de,
+            CAST(len(list_filter(t, x -> list_contains(['le','la','de','et','un','est','que','en'], x))) AS BIGINT) AS s_fr
+          FROM tk),
+    p AS (SELECT doc_id, lang,
+            CASE WHEN GREATEST(s_en, s_es, s_de, s_fr) <= 0 THEN 'und'
+                 WHEN s_en = GREATEST(s_en, s_es, s_de, s_fr) THEN 'en'
+                 WHEN s_es = GREATEST(s_en, s_es, s_de, s_fr) THEN 'es'
+                 WHEN s_de = GREATEST(s_en, s_es, s_de, s_fr) THEN 'de'
+                 ELSE 'fr' END AS predicted
+          FROM s)
+    SELECT lang, predicted, COUNT(*) AS n FROM p GROUP BY lang, predicted
+    """,
+    tags=("llm", "text", "langid"),
+)
+def llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID vs the labeled lang column
+    (confusion-matrix counts).  Tie-break: first of (en, es, de, fr)."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    return (
+        d.select("lang", tx.predicted_lang("text").alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "llm_fingerprints",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents)
+    SELECT doc_id,
+           list_min(list_transform({_SHINGLES}, s -> md5(s))) AS fingerprint,
+           CAST(len({_SHINGLES}) AS BIGINT) AS n_shingles
+    FROM tk
+    """,
+    tags=("llm", "dedup", "fingerprint"),
+)
+def llm_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 5-gram document fingerprint (1-perm MinHash): lexicographic
+    min of shingle digests."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        tx.rolling_fingerprint("text", 5).alias("fingerprint"),
+        F.size(tx.shingles("text", 5)).cast("long").alias("n_shingles"),
+    )
+
+
+@register(
+    "llm_pii_scrub",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '(https?://\S+)|(\S+@\S+\.\S+)')) AS BIGINT)
+               AS n_redactions,
+           CAST(len(regexp_replace(text, '(https?://\S+)|(\S+@\S+\.\S+)',
+                                   '<REDACTED>', 'g')) AS BIGINT) AS n_chars_scrubbed
+    FROM documents
+    """,
+    tags=("llm", "text", "scrub"),
+)
+def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/email scrubbing — the PII-redaction pass every training-data
+    pipeline runs before tokenization.  Pure regexp projection: scan-speed,
+    no shuffle; the redaction count + scrubbed length are value-checked."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    pat = r"(https?://\S+)|(\S+@\S+\.\S+)"
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0))
+        .cast("long")
+        .alias("n_redactions"),
+        F.length(F.regexp_replace(F.col("text"), pat, "<REDACTED>"))
+        .cast("long")
+        .alias("n_chars_scrubbed"),
+    )
+
+
+@register(
+    "llm_repetition",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, {_SH3} AS s FROM tk)
+    SELECT doc_id,
+           CAST(len(s) AS BIGINT) AS n_shingles,
+           CAST(len(list_distinct(s)) AS BIGINT) AS n_distinct_shingles,
+           1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / CAST(len(s) AS DOUBLE)
+               AS rep_ratio
+    FROM sh
+    """,
+    tags=("llm", "text", "quality"),
+)
+def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate 3-gram fraction (Gopher-style repetition filter): share of
+    shingles that repeat within the doc.  High rep_ratio → boilerplate /
+    degenerate text; a standard pre-training quality gate."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    s = tx.shingles("text", 3)
+    n = F.size(s).cast("long")
+    nd = F.size(F.array_distinct(s)).cast("long")
+    return d.select(
+        "doc_id",
+        n.alias("n_shingles"),
+        nd.alias("n_distinct_shingles"),
+        (F.lit(1.0) - nd.cast("double") / n.cast("double")).alias("rep_ratio"),
+    )
+
+
+@register(
+    "llm_bpe_tokens",
+    oracle=r"""
+    WITH tk AS (SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9_]+|[^\sa-z0-9_]') AS t
+                FROM documents)
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+           CAST(len(list_filter(t, x -> NOT regexp_matches(x, '[a-z0-9_]'))) AS BIGINT)
+               AS n_punct
+    FROM tk
+    """,
+    tags=("llm", "text", "tokenizer"),
+)
+def llm_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization (word pieces + single punctuation marks —
+    the pre-tokenizer split GPT-style BPE vocabularies assume), counted per
+    doc.  Complements the whitespace tokenizer in llm_token_stats."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    t = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(r"[a-z0-9_]+|[^\sa-z0-9_]"), 0
+    )
+    return d.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_distinct"),
+        F.size(F.filter(t, lambda x: ~x.rlike("[a-z0-9_]"))).cast("long").alias(
+            "n_punct"
+        ),
+    )
+
+
+# Oracle fragment: 3-gram shingle strings from token list ``t`` (mirrors
+# llm.text.shingles(n=3): same slice bounds, same space join).
+_SHINGLES3 = "list_transform(range(1, greatest(len(t) - 2, 1) + 1), i -> array_to_string(t[i:i+2], ' '))"
+
+# Shared CTEs: per-doc distinct 3-grams and their document frequency.
+_NGRAM_DF_CTES = f"""t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLES3})) AS ngram FROM t),
+    dfq AS (SELECT ngram, COUNT(*) AS df FROM sh GROUP BY ngram)"""
+
+
+@register(
+    "llm_boilerplate_ngrams",
+    oracle=f"""
+    WITH {_NGRAM_DF_CTES}
+    SELECT ngram, df FROM dfq
+    WHERE df >= 5
+    ORDER BY df DESC, ngram
+    LIMIT 100
+    """,
+    tags=("llm", "text", "boilerplate"),
+)
+def llm_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequent 3-grams (cross-document boilerplate detection, the
+    CCNet/RefinedWeb repetition signal): per-doc-distinct shingle explode →
+    df count → floor + bounded top-k on the total order (df desc, ngram).
+    Map-side partial aggregation; TakeOrdered, no global sort."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    return tx.frequent_ngrams(d, n=3, min_df=5, limit=100)
+
+
+@register(
+    "llm_doc_boilerplate",
+    oracle=f"""
+    WITH {_NGRAM_DF_CTES},
+    freq AS (SELECT ngram FROM dfq WHERE df >= 5 ORDER BY df DESC, ngram LIMIT 1000),
+    per_doc AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM sh GROUP BY doc_id),
+    hits AS (
+        SELECT sh.doc_id, COUNT(*) AS boiler_ngrams
+        FROM sh JOIN freq USING (ngram) GROUP BY sh.doc_id
+    )
+    SELECT p.doc_id, p.n_ngrams,
+           COALESCE(h.boiler_ngrams, 0) AS boiler_ngrams,
+           CAST(COALESCE(h.boiler_ngrams, 0) AS DOUBLE)
+               / CAST(p.n_ngrams AS DOUBLE) AS boiler_ratio
+    FROM per_doc p LEFT JOIN hits h USING (doc_id)
+    ORDER BY boiler_ratio DESC, p.doc_id
+    LIMIT 20
+    """,
+    tags=("llm", "text", "boilerplate"),
+)
+def llm_doc_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate share: fraction of a doc's distinct 3-grams
+    that sit in the bounded corpus-frequent list (broadcast), top-20 most
+    boilerplate-heavy docs — the doc-level filter built on
+    llm_boilerplate_ngrams' corpus-level signal.  Both aggregations share
+    the doc_id shuffle key; the frequent list is broadcast by construction."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    return (
+        tx.boilerplate_ratio(d, n=3, min_df=5, limit=1000)
+        .orderBy(F.desc("boiler_ratio"), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "llm_vocab_coverage",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT unnest({_TOKS}) AS token FROM documents
+    ),
+    counts AS (SELECT token, COUNT(*) AS n_occurrences FROM tok GROUP BY token),
+    tot AS (SELECT CAST(SUM(n_occurrences) AS BIGINT) AS total FROM counts),
+    top AS (
+        SELECT token, n_occurrences,
+               ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token) AS rank,
+               SUM(n_occurrences) OVER (ORDER BY n_occurrences DESC, token
+                                        ROWS UNBOUNDED PRECEDING) AS cum
+        FROM counts ORDER BY n_occurrences DESC, token LIMIT 50
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, token, n_occurrences,
+           CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_coverage
+    FROM top, tot
+    ORDER BY rank
+    """,
+    tags=("llm", "text", "vocab"),
+)
+def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary sizing curve: top-50 tokens by occurrence with
+    cumulative corpus coverage.  Corpus side is one partial-aggregated
+    count + TakeOrdered; the cumulative window runs on the 50-row
+    (model-size) vocab only."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    return tx.vocab_coverage(d, top_k=50)

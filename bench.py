@@ -75,6 +75,7 @@ EXTENDED_QUERIES = [
     "llm_knn_join_auto",
     "llm_embedding_dedup_clusters",
     "llm_ivf_auto",
+    "llm_bpe_train",
 ]
 
 

@@ -221,3 +221,84 @@ def vocab_coverage(
             ).alias("cum_coverage"),
         )
     )
+
+
+def train_bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+) -> list[tuple[int, str, str, int]]:
+    """Train byte-pair-encoding merges on the corpus vocabulary — tokenizer
+    induction, the step BEFORE ``bpe`` application.
+
+    Classic word-level BPE: words (whitespace tokens, lowercased) weighted
+    by occurrence count; each round counts adjacent symbol pairs, merges
+    the most frequent (ties broken by pair string ascending), rewrites
+    every word's symbol sequence, repeats.  Returns
+    ``[(merge_idx, left, right, pair_count), ...]``.
+
+    Engine-reproducible by construction: symbol sequences are SPACE-PADDED
+    STRINGS and a merge is one ``replace(' L R ', ' LR ')`` — leftmost
+    non-overlapping replacement, the exact greedy-left-to-right convention
+    BPE defines, with identical semantics in Spark and DuckDB — so the
+    whole training run is value-gated in SQL (``llm_bpe_train``), not just
+    invariant-checked.  (No end-of-word marker: merges may cross the last
+    symbol boundary only within a word, which is the textbook formulation
+    minus the ``</w>`` refinement.  One more documented variant: the
+    replace pattern consumes BOTH delimiter spaces, so an immediately
+    repeated pair — ``e r e r`` — merges alternate occurrences in one
+    round and the rest in later rounds; both engines share the behavior
+    exactly, so the gate stays bit-exact.)
+
+    Scale: the vocabulary frame (word, count) is the working set — corpus
+    text is touched ONCE (groupBy word); each round is one pair-explode +
+    count over vocab-size data and collects a single row (the argmax
+    pair), i.e. model-size driver traffic like the IVF trainer.
+    """
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    vocab = track_persist(
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.concat(
+                F.lit(" "), F.concat_ws(" ", F.split(F.col("w"), "")), F.lit(" ")
+            ).alias("seq"),
+            "cnt",
+        )
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    cur = vocab
+    for i in range(n_merges):
+        toks = F.split(F.trim(F.col("seq")), " ")
+        pairs = F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        top = (
+            cur.select(F.explode(pairs).alias("pair"), "cnt")
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, n = top[0]["pair"], int(top[0]["n"])
+        left, right = pair.split(" ", 1)
+        merges.append((i, left, right, n))
+        cur = track_persist(
+            cur.select(
+                F.replace(
+                    F.col("seq"),
+                    F.lit(f" {left} {right} "),
+                    F.lit(f" {left}{right} "),
+                ).alias("seq"),
+                "cnt",
+            )
+        )
+    return merges

@@ -302,3 +302,61 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     (model-size) vocab only."""
     d = parallelize_compute(load_table(spark, sf_dir, "documents"))
     return tx.vocab_coverage(d, top_k=50)
+
+
+def _bpe_round(prev_seq_cte: str, top_cte: str, next_seq_cte: str | None) -> str:
+    """One unrolled BPE round: pair-count argmax over the previous
+    sequences, then (optionally) the merged sequences for the next round.
+    Same pair construction and leftmost-non-overlapping ``replace`` as
+    llm.text.train_bpe_merges."""
+    sql = f"""{top_cte} AS (
+        SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+            SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS pair, cnt
+            FROM (SELECT string_split(trim(seq), ' ') AS tk, cnt FROM {prev_seq_cte})
+        ) GROUP BY pair ORDER BY n DESC, pair LIMIT 1
+    )"""
+    if next_seq_cte:
+        sql += f""",
+    {next_seq_cte} AS (
+        SELECT replace(seq, ' ' || (SELECT pair FROM {top_cte}) || ' ',
+                       ' ' || replace((SELECT pair FROM {top_cte}), ' ', '') || ' ') AS seq, cnt
+        FROM {prev_seq_cte}
+    )"""
+    return sql
+
+
+@register(
+    "llm_bpe_train",
+    oracle=rf"""
+    WITH w AS (
+        SELECT w, COUNT(*) AS cnt
+        FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+        WHERE w <> '' GROUP BY w
+    ),
+    s0 AS (SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS seq, cnt FROM w),
+    {_bpe_round('s0', 't1', 's1')},
+    {_bpe_round('s1', 't2', 's2')},
+    {_bpe_round('s2', 't3', None)}
+    SELECT 0 AS merge_idx, string_split(pair, ' ')[1] AS left_sym,
+           string_split(pair, ' ')[2] AS right_sym, n AS pair_count FROM t1
+    UNION ALL SELECT 1, string_split(pair, ' ')[1], string_split(pair, ' ')[2], n FROM t2
+    UNION ALL SELECT 2, string_split(pair, ' ')[1], string_split(pair, ' ')[2], n FROM t3
+    ORDER BY merge_idx
+    """,
+    tags=("llm", "text", "tokenizer", "iterative"),
+)
+def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge TRAINING (tokenizer induction — the llm_bpe_tokens
+    apply-step's upstream): three distributed merge rounds over the
+    weighted vocabulary; the oracle unrolls the identical rounds in SQL
+    (same pair fold, same argmax tie-break, same leftmost-non-overlapping
+    replace), so an iterative training algorithm is value-gated end-to-end
+    — the BPE analogue of the k-means-gated llm_ivf_trained, but bit-exact
+    rather than invariant-checked.  Corpus text is scanned once (vocab
+    groupBy); each round works on vocab-size data and collects one row."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    merges = tx.train_bpe_merges(d, n_merges=3)
+    return spark.createDataFrame(
+        [(i, l, r, n) for i, l, r, n in merges],
+        "merge_idx int, left_sym string, right_sym string, pair_count bigint",
+    )

@@ -1,1255 +1,16 @@
-"""Reference-semantics queries, exercised on the driver's ``events`` table.
+"""Event-plane plan families, split for staleness granularity (see
+plans/llm.py): the historical (ri_*) and live (rl_*) families fingerprint
+independently; shared plumbing (events_as_flat, oracle CTE chain, the
+memoized output_table) lives in ``plans.events_shared``.
 
-The reference's analytical planes operate on the Redset query log.  The
-driver's correctness gate runs on its own synthetic tables, so we map
-``events`` onto the Redset shape once (``events_as_flat`` ≡ the ``flat``
-CTE in every oracle) and then run the *actual operator library* —
-``operators.intervals`` / ``workload`` / ``histogram`` / ``live`` / ``ema``
-— through the oracle gate.  The Redset-native paths (cleaning, explode)
-are covered by pytest fixtures (FIXTURES.md) since the driver tables have
-no dirty CSV-list columns.
-
-Mapping (arbitrary but fixed; chosen so every downstream operator has
-non-degenerate output — e.g. tables 5-9 receive no transforms, giving the
->80 %-select classifier both populated arms):
-
-    instance_id  = user_id % 4
-    query_id     = event_id
-    query_type   = purchase→insert, signup→copy, error→update, view/click→select
-    write_table_id = floor(value) % 5 for updates, % 10 otherwise
-    read_table_id  = floor(value*7) % 10
-    arrival_timestamp = ts
-
-Documented divergence from the reference (SURVEY.md §7.2): the reference's
-select-share predicate ``select_count / NULLIF(transform_count +
-select_count, 0) > 0.8`` NULL-propagates for never-transformed tables and
-silently drops them — contradicting its stated intent ("tables where more
-than 80 % of the queries are select").  We COALESCE transform_count to 0,
-so pure-select tables classify as analytical.
+Kept as the import point ``plans/__init__``/bench/tools use; the
+``_OUTPUT_TABLE_CACHE`` alias preserves the bench/probe cache-clear hook.
 """
 
-from __future__ import annotations
-
-from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark.sql import functions as F
-
-from data_engineering_project_utn_spark.operators import ema as ema_ops
-from data_engineering_project_utn_spark.operators import histogram as hist_ops
-from data_engineering_project_utn_spark.operators import intervals as iv_ops
-from data_engineering_project_utn_spark.operators import live as live_ops
-from data_engineering_project_utn_spark.operators import workload as wl_ops
-from data_engineering_project_utn_spark.plans.registry import must_replace, register
-from data_engineering_project_utn_spark.tables import load_table
-
-# ---------------------------------------------------------------------------
-# Shared events→Redset mapping (Spark side + oracle CTE, kept in lockstep)
-# ---------------------------------------------------------------------------
-
-FLAT_CTE = """
-WITH flat AS (
-    SELECT
-        user_id % 4 AS instance_id,
-        event_id AS query_id,
-        CASE WHEN event_type = 'error' THEN CAST(FLOOR(value) AS BIGINT) % 5
-             ELSE CAST(FLOOR(value) AS BIGINT) % 10 END AS write_table_id,
-        CAST(FLOOR(value * 7) AS BIGINT) % 10 AS read_table_id,
-        ts AS arrival_timestamp,
-        CASE event_type
-            WHEN 'purchase' THEN 'insert'
-            WHEN 'signup' THEN 'copy'
-            WHEN 'error' THEN 'update'
-            ELSE 'select'
-        END AS query_type
-    FROM events
+from data_engineering_project_utn_spark.plans import events_shared  # noqa: F401
+from data_engineering_project_utn_spark.plans import events_historical_plans  # noqa: F401
+from data_engineering_project_utn_spark.plans import events_live_plans  # noqa: F401
+from data_engineering_project_utn_spark.plans.events_shared import (  # noqa: F401
+    _OUTPUT_TABLE_CACHE,
+    events_as_flat,
 )
-"""
-
-INTERVALS_CTE = FLAT_CTE + """
-, intervals AS (
-    SELECT instance_id, query_id, write_table_id,
-           arrival_timestamp AS ingest_ts,
-           LEAD(arrival_timestamp) OVER (
-               PARTITION BY instance_id, write_table_id
-               ORDER BY arrival_timestamp, query_id) AS next_ingest_ts
-    FROM flat
-    WHERE query_type IN ('insert', 'copy')
-)
-"""
-
-# As-of merge formulation (mirrors operators.intervals.output_table): union
-# boundary + query rows, carry the latest interval struct forward with one
-# window pass — linear, vs the reference's quadratic bracket join.
-OUTPUT_CTE = INTERVALS_CTE + """
-, m AS (
-    SELECT instance_id,
-           CASE WHEN query_type = 'select' THEN read_table_id
-                ELSE write_table_id END AS match_table,
-           arrival_timestamp AS ts, 1 AS kind,
-           query_id, query_type, write_table_id, read_table_id,
-           CAST(NULL AS STRUCT(l TIMESTAMP, n TIMESTAMP)) AS iv
-    FROM flat WHERE query_type NOT IN ('insert', 'copy')
-    UNION ALL
-    SELECT instance_id, write_table_id AS match_table, ingest_ts AS ts, 0 AS kind,
-           NULL AS query_id, NULL AS query_type,
-           NULL AS write_table_id, NULL AS read_table_id,
-           struct_pack(l := ingest_ts, n := next_ingest_ts) AS iv
-    FROM intervals
-), ann AS (
-    SELECT *, last_value(iv IGNORE NULLS) OVER (
-               PARTITION BY instance_id, match_table ORDER BY ts, kind
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS biv
-    FROM m
-), output_t AS (
-    SELECT DISTINCT
-        instance_id, query_id, query_type, write_table_id, read_table_id,
-        ts AS arrival_timestamp,
-        biv.l AS last_write_table_insert,
-        biv.n AS next_write_table_insert
-    FROM ann WHERE kind = 1 AND biv IS NOT NULL
-    UNION ALL
-    SELECT f.instance_id, f.query_id, f.query_type,
-           f.write_table_id, f.read_table_id, f.arrival_timestamp,
-           i.ingest_ts, i.next_ingest_ts
-    FROM flat f
-    JOIN intervals i
-      ON f.instance_id = i.instance_id
-     AND f.query_id = i.query_id
-     AND f.write_table_id = i.write_table_id
-    WHERE f.query_type IN ('insert', 'copy')
-)
-"""
-
-WORKLOAD_CTE = OUTPUT_CTE + """
-, selects AS (
-    SELECT instance_id, read_table_id AS table_id, COUNT(*) AS select_count
-    FROM output_t WHERE query_type = 'select'
-    GROUP BY instance_id, read_table_id
-), transforms AS (
-    SELECT instance_id, write_table_id AS table_id, COUNT(*) AS transform_count
-    FROM output_t WHERE query_type IN ('update', 'delete')
-    GROUP BY instance_id, write_table_id
-), workload AS (
-    SELECT instance_id, table_id, transform_count, select_count
-    FROM selects FULL OUTER JOIN transforms USING (instance_id, table_id)
-), analytical AS (
-    SELECT instance_id, table_id,
-           CAST(select_count AS DOUBLE)
-             / (COALESCE(transform_count, 0) + select_count) AS percentage_select_queries
-    FROM workload
-    WHERE CAST(select_count AS DOUBLE)
-          / (COALESCE(transform_count, 0) + select_count) > 0.80
-)
-"""
-
-
-def events_as_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events → FLATTENED_SCHEMA-shaped frame (the ``flat`` CTE, in Spark)."""
-    e = load_table(spark, sf_dir, "events")
-    tid = F.floor(F.col("value")).cast("long")
-    qtype = (
-        F.when(F.col("event_type") == "purchase", F.lit("insert"))
-        .when(F.col("event_type") == "signup", F.lit("copy"))
-        .when(F.col("event_type") == "error", F.lit("update"))
-        .otherwise(F.lit("select"))
-    )
-    return e.select(
-        (F.col("user_id") % 4).alias("instance_id"),
-        F.col("event_id").alias("query_id"),
-        F.when(qtype == "update", tid % 5).otherwise(tid % 10).alias("write_table_id"),
-        (F.floor(F.col("value") * 7).cast("long") % 10).alias("read_table_id"),
-        F.col("ts").alias("arrival_timestamp"),
-        qtype.alias("query_type"),
-    )
-
-
-_OUTPUT_TABLE_CACHE: dict[tuple[int, str], DataFrame] = {}
-
-
-def _output_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """output_table is the shared input of five registered queries, and each
-    consumer references it more than once in its own plan — without
-    persistence Spark recomputes the window+union+dedup chain per reference.
-    Memoize one persisted copy per (session, sf_dir); inputs are immutable
-    parquet, so reuse is semantics-preserving (the cache() the reference
-    gets from DuckDB table materialization, SURVEY §4.1)."""
-    key = (id(spark), sf_dir)
-    if key not in _OUTPUT_TABLE_CACHE:
-        flat = events_as_flat(spark, sf_dir)
-        _OUTPUT_TABLE_CACHE[key] = iv_ops.output_table(
-            flat, iv_ops.ingestion_intervals(flat)
-        ).persist()
-    return _OUTPUT_TABLE_CACHE[key]
-
-
-# ---------------------------------------------------------------------------
-# Historical plane (SURVEY §2.3/§2.4/§2.5: J1-J5, A7, A19, W1, W2, F1-F5, F9)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "ri_ingestion_intervals",
-    oracle=INTERVALS_CTE + "SELECT * FROM intervals",
-    tags=("reference", "historical", "window", "bench"),
-)
-def ri_ingestion_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of next-ingestion intervals via lead() — replaces the reference's
-    O(n²) self-join (J1/J2 → W2; `Dashboard_Historical_Final.py:216-238`,
-    `Dashboard/update_tables.py:55-78`)."""
-    flat = events_as_flat(spark, sf_dir)
-    return iv_ops.ingestion_intervals(flat).select(
-        "instance_id",
-        "query_id",
-        "write_table_id",
-        F.col("current_timestamp").alias("ingest_ts"),
-        F.col("next_timestamp").alias("next_ingest_ts"),
-    )
-
-
-@register(
-    "ri_ingestion_intervals_salted",
-    oracle=INTERVALS_CTE + "SELECT * FROM intervals",
-    tags=("reference", "historical", "window", "skew", "scale"),
-)
-def ri_ingestion_intervals_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The skew-salted as-of window (bucket-split + boundary repair,
-    operators/intervals.ingestion_intervals_salted) held to the IDENTICAL
-    oracle as the plain window — the driver verifies the hot-key scale
-    path end-to-end."""
-    flat = events_as_flat(spark, sf_dir)
-    return iv_ops.ingestion_intervals_salted(flat, salt_interval="1 day").select(
-        "instance_id",
-        "query_id",
-        "write_table_id",
-        F.col("current_timestamp").alias("ingest_ts"),
-        F.col("next_timestamp").alias("next_ingest_ts"),
-    )
-
-
-@register(
-    "ri_output_freshness",
-    oracle=OUTPUT_CTE + """
-    SELECT instance_id, query_id, query_type, write_table_id, read_table_id,
-           arrival_timestamp, last_write_table_insert, next_write_table_insert,
-           (epoch_us(arrival_timestamp) - epoch_us(last_write_table_insert)) / 1000.0
-               AS time_since_last_ingest_ms,
-           (epoch_us(next_write_table_insert) - epoch_us(arrival_timestamp)) / 1000.0
-               AS time_to_next_ingest_ms
-    FROM output_t
-    """,
-    tags=("reference", "historical", "intervaljoin", "bench"),
-)
-def ri_output_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The output_table interval/theta join (J4) + UNION ALL add-back (O8) +
-    EPOCH_MS freshness deltas (F1) — `Dashboard_Historical_Final.py:241-312`.
-    Equality arms (instance, table) keep it a shuffled hash join; the time
-    bracket is a post-join filter."""
-    return _output_table(spark, sf_dir)
-
-
-@register(
-    "ri_workload_count",
-    oracle=WORKLOAD_CTE + "SELECT instance_id, table_id, transform_count, select_count FROM workload",
-    tags=("reference", "historical", "fullouter"),
-)
-def ri_workload_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """tables_workload_count view: FULL OUTER JOIN of select vs transform
-    counts with COALESCE'd keys (J3/A3; `Dashboard_Historical_Final.py:66-99`)."""
-    return wl_ops.tables_workload_count(_output_table(spark, sf_dir))
-
-
-@register(
-    "ri_analytical_tables",
-    oracle=WORKLOAD_CTE + "SELECT instance_id, table_id, percentage_select_queries FROM analytical",
-    tags=("reference", "historical", "classifier"),
-)
-def ri_analytical_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """>80 %-select classifier (A19 ratio-of-aggregates with NULLIF guard;
-    `Dashboard_Historical_Final.py:354-366`)."""
-    wl = wl_ops.tables_workload_count(_output_table(spark, sf_dir))
-    return wl_ops.analytical_tables(wl).select(
-        "instance_id", "table_id", "percentage_select_queries"
-    )
-
-
-@register(
-    "ri_ingestion_freshness",
-    oracle=WORKLOAD_CTE + """
-    SELECT instance_id, read_table_id,
-           CAST(SUM(epoch_us(arrival_timestamp) - epoch_us(last_write_table_insert)) AS DOUBLE)
-               / COUNT(*) / 1000000.0 AS avg_time_since_last_ingest_s,
-           CAST(SUM(epoch_us(next_write_table_insert) - epoch_us(arrival_timestamp)) AS DOUBLE)
-               / COUNT(next_write_table_insert) / 1000000.0 AS avg_time_to_next_ingest_s
-    FROM output_t
-    WHERE query_type = 'select'
-      AND read_table_id IN (SELECT table_id FROM analytical)
-    GROUP BY instance_id, read_table_id
-    ORDER BY read_table_id, instance_id
-    LIMIT 12
-    """,
-    tags=("reference", "historical", "semijoin", "bench"),
-)
-def ri_ingestion_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-(instance, table) ingestion freshness for analytical tables
-    (J7 semi-join + A7 multi-key AVG + O4 limit;
-    `Dashboard_Historical_Final.py:338-412`).  Averages accumulate exact µs
-    integers (sum of longs via decimal) — order-independent, see registry
-    determinism contract."""
-    out = _output_table(spark, sf_dir)
-    wl = wl_ops.tables_workload_count(out)
-    keys = (
-        wl_ops.analytical_tables(wl)
-        .select(F.col("table_id").alias("read_table_id"))
-        .distinct()
-    )
-    since_us = F.unix_micros(F.col("arrival_timestamp")) - F.unix_micros(
-        F.col("last_write_table_insert")
-    )
-    to_next_us = F.unix_micros(F.col("next_write_table_insert")) - F.unix_micros(
-        F.col("arrival_timestamp")
-    )
-    return (
-        out.filter(F.col("query_type") == "select")
-        .join(F.broadcast(keys), on="read_table_id", how="left_semi")
-        .groupBy("instance_id", "read_table_id")
-        .agg(
-            (
-                F.sum(since_us.cast("decimal(25,0)")).cast("double")
-                / F.count(F.lit(1))
-                / F.lit(1000000.0)
-            ).alias("avg_time_since_last_ingest_s"),
-            (
-                F.sum(to_next_us.cast("decimal(25,0)")).cast("double")
-                / F.count(to_next_us)
-                / F.lit(1000000.0)
-            ).alias("avg_time_to_next_ingest_s"),
-        )
-        .orderBy("read_table_id", "instance_id")
-        .limit(12)
-        .select(
-            "instance_id",
-            "read_table_id",
-            "avg_time_since_last_ingest_s",
-            "avg_time_to_next_ingest_s",
-        )
-    )
-
-
-@register(
-    "ri_freshness_alarm",
-    oracle=OUTPUT_CTE + """
-    , d AS (
-        SELECT instance_id, read_table_id,
-               (epoch_us(arrival_timestamp) - epoch_us(last_write_table_insert)) / 1000.0
-                   AS since_ms,
-               (epoch_us(next_write_table_insert) - epoch_us(arrival_timestamp)) / 1000.0
-                   AS to_next_ms
-        FROM output_t WHERE query_type = 'select'
-    )
-    SELECT instance_id, read_table_id,
-           CAST(SUM(CAST(since_ms AS DECIMAL(30,6))) AS DOUBLE) / COUNT(since_ms)
-               AS avg_since_ms,
-           CAST(SUM(CAST(to_next_ms AS DECIMAL(30,6))) AS DOUBLE) / COUNT(to_next_ms)
-               AS avg_to_next_ms
-    FROM d
-    GROUP BY instance_id, read_table_id
-    HAVING CAST(SUM(CAST(since_ms AS DECIMAL(30,6))) AS DOUBLE) / COUNT(since_ms)
-         > CAST(SUM(CAST(to_next_ms AS DECIMAL(30,6))) AS DOUBLE) / COUNT(to_next_ms)
-    """,
-    tags=("reference", "historical", "having"),
-)
-def ri_freshness_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Staleness alarm — tables whose average time-since-ingest exceeds
-    their average time-to-next-ingest (A11 HAVING variant;
-    `Dashboard/update_tables.py:242-264`)."""
-    return wl_ops.freshness_alarm(_output_table(spark, sf_dir))
-
-
-@register(
-    "rl_stress_level",
-    oracle="""
-    WITH s AS (SELECT CAST(FLOOR(value * 1000) AS BIGINT) AS execution_duration_ms
-               FROM events)
-    SELECT CAST(SUM(execution_duration_ms) AS DOUBLE) * 100.0
-           / CAST(NULLIF(MAX(execution_duration_ms) * COUNT(*), 0) AS DOUBLE)
-               AS stress_level_pct
-    FROM s
-    """,
-    tags=("reference", "live", "stress"),
-)
-def rl_stress_level(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stress-level percentage total/(max·n)·100 (F19;
-    `Dashboard/streamlit_app.py:364-366`).  Durations quantized to integer
-    ms so the sum is exact (order-independent) at any parallelism."""
-    e = load_table(spark, sf_dir, "events")
-    stress = e.select(
-        (F.floor(F.col("value") * 1000)).cast("long").alias("execution_duration_ms")
-    )
-    return live_ops.stress_level(stress)
-
-
-@register(
-    "rl_cached_success_rate",
-    oracle="""
-    WITH m AS (SELECT value > 50 AS was_cached, event_type = 'error' AS was_aborted
-               FROM events)
-    SELECT COUNT(CASE WHEN was_cached AND NOT was_aborted THEN 1 END) * 100.0
-           / NULLIF(COUNT(CASE WHEN was_cached THEN 1 END), 0)
-               AS cached_success_rate_pct
-    FROM m
-    """,
-    tags=("reference", "live", "ratio"),
-)
-def rl_cached_success_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cached-query success rate (F20; `Dashboard/streamlit_app.py:378`) —
-    boolean flags derived from events (value>50 ≅ cached, error ≅ aborted)
-    so both CASE arms are populated."""
-    e = load_table(spark, sf_dir, "events")
-    m = e.select(
-        (F.col("value") > 50).alias("was_cached"),
-        (F.col("event_type") == "error").alias("was_aborted"),
-    )
-    return live_ops.cached_success_rate(m)
-
-
-@register(
-    "ri_clean_roundtrip",
-    oracle="""
-    WITH raw AS (
-        SELECT CASE WHEN event_id % 37 = 0 THEN 'NULL'
-                    ELSE CAST(user_id AS VARCHAR) END AS instance_id,
-               CAST(event_id AS VARCHAR) AS query_id,
-               CASE WHEN event_id % 41 = 0 THEN 'not-a-date'
-                    ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS arrival_timestamp,
-               event_type AS query_type,
-               CASE WHEN event_id % 43 = 0 THEN ''
-                    ELSE CAST(value AS VARCHAR) END AS compile_duration_ms,
-               CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'f' END AS was_aborted
-        FROM events
-    )
-    SELECT COALESCE(TRY_CAST(NULLIF(instance_id, 'NULL') AS BIGINT), -1) AS instance_id,
-           COALESCE(TRY_CAST(query_id AS BIGINT), -1) AS query_id,
-           COALESCE(CASE WHEN TRY_CAST(arrival_timestamp AS TIMESTAMP)
-                              BETWEEN TIMESTAMP '1677-09-22' AND TIMESTAMP '2262-04-11'
-                         THEN TRY_CAST(arrival_timestamp AS TIMESTAMP) END,
-                    TIMESTAMP '1970-01-01') AS arrival_timestamp,
-           COALESCE(NULLIF(query_type, 'NULL'), 'UNKNOWN') AS query_type,
-           COALESCE(TRY_CAST(NULLIF(compile_duration_ms, '') AS DOUBLE), 0)
-               AS compile_duration_ms,
-           CASE WHEN lower(was_aborted) IN ('true', '1', 't') THEN TRUE
-                WHEN lower(was_aborted) IN ('false', '0', 'f') THEN FALSE
-                ELSE FALSE END AS was_aborted
-    FROM raw
-    """,
-    tags=("reference", "clean", "schema", "bench"),
-)
-def ri_clean_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The cleaning layer (F13-F16, §1.4) under the driver gate: stringify
-    events (the shape of JSON-decoded Kafka rows) with deterministically
-    injected dirt — 'NULL' ids, unparseable timestamps, empty numerics,
-    mixed booleans — then ``clean_redset`` back to canonical types.  The
-    oracle reproduces every coercion+default rule in SQL.  Doubles survive
-    because each engine round-trips its *own* string formatting."""
-    from data_engineering_project_utn_spark.operators.clean import clean_redset
-
-    e = load_table(spark, sf_dir, "events")
-    raw = e.select(
-        F.when(F.col("event_id") % 37 == 0, F.lit("NULL"))
-        .otherwise(F.col("user_id").cast("string"))
-        .alias("instance_id"),
-        F.col("event_id").cast("string").alias("query_id"),
-        F.when(F.col("event_id") % 41 == 0, F.lit("not-a-date"))
-        .otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
-        .alias("arrival_timestamp"),
-        F.col("event_type").alias("query_type"),
-        F.when(F.col("event_id") % 43 == 0, F.lit(""))
-        .otherwise(F.col("value").cast("string"))
-        .alias("compile_duration_ms"),
-        F.when(F.col("event_id") % 2 == 0, F.lit("true"))
-        .otherwise(F.lit("f"))
-        .alias("was_aborted"),
-    )
-    return clean_redset(raw).select(
-        "instance_id",
-        "query_id",
-        "arrival_timestamp",
-        "query_type",
-        "compile_duration_ms",
-        "was_aborted",
-    )
-
-
-@register(
-    "ri_flatten_roundtrip",
-    oracle="""
-    WITH raw AS (
-        SELECT user_id % 4 AS instance_id,
-               event_id AS query_id,
-               ts AS arrival_timestamp,
-               event_type AS query_type,
-               CASE WHEN event_id % 29 = 0 THEN '[]'
-                    WHEN event_id % 31 = 0 THEN CAST(CAST(FLOOR(value) AS BIGINT) % 10 AS VARCHAR) || ',bad,999999'
-                    ELSE CAST(CAST(FLOOR(value) AS BIGINT) % 10 AS VARCHAR) || ','
-                         || CAST(CAST(FLOOR(value * 7) AS BIGINT) % 10 AS VARCHAR) END
-                   AS read_table_ids,
-               CAST(CAST(FLOOR(value) AS BIGINT) % 5 AS VARCHAR) AS write_table_ids
-        FROM events
-    ),
-    flat AS (
-        SELECT instance_id, query_id, arrival_timestamp, query_type,
-               TRY_CAST(u.tok AS BIGINT) AS read_table_id,
-               TRY_CAST(write_table_ids AS BIGINT) AS write_table_id
-        FROM raw,
-             LATERAL UNNEST(string_split(regexp_replace(read_table_ids, '[\\[\\]\\s]', '', 'g'), ',')) u(tok)
-    )
-    SELECT instance_id, query_id, arrival_timestamp, query_type,
-           write_table_id, read_table_id
-    FROM flat
-    """,
-    tags=("reference", "flatten", "explode"),
-)
-def ri_flatten_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The CSV-id explode (F10, the reference's only UDTF-ish op) under the
-    driver gate: synthesize CSV-encoded id lists from events — including
-    empty '[]' lists, bad tokens, and 999999 sentinels — then
-    ``flatten_table_ids``.  pandas-explode parity: empty lists keep a
-    null row (explode_outer), bad tokens → null ids."""
-    from data_engineering_project_utn_spark.operators.flatten import flatten_table_ids
-
-    e = load_table(spark, sf_dir, "events")
-    tid = F.floor(F.col("value")).cast("long")
-    raw = e.select(
-        (F.col("user_id") % 4).alias("instance_id"),
-        F.col("event_id").alias("query_id"),
-        F.col("ts").alias("arrival_timestamp"),
-        F.col("event_type").alias("query_type"),
-        F.when(F.col("event_id") % 29 == 0, F.lit("[]"))
-        .when(
-            F.col("event_id") % 31 == 0,
-            F.concat((tid % 10).cast("string"), F.lit(",bad,999999")),
-        )
-        .otherwise(
-            F.concat(
-                (tid % 10).cast("string"),
-                F.lit(","),
-                (F.floor(F.col("value") * 7).cast("long") % 10).cast("string"),
-            )
-        )
-        .alias("read_table_ids"),
-        (tid % 5).cast("string").alias("write_table_ids"),
-    )
-    return flatten_table_ids(raw).select(
-        "instance_id",
-        "query_id",
-        "arrival_timestamp",
-        "query_type",
-        "write_table_id",
-        "read_table_id",
-    )
-
-
-_DECILE_ORACLE = WORKLOAD_CTE + """
-    , rel AS (
-        SELECT DISTINCT instance_id, query_id, read_table_id,
-               ((epoch_us(arrival_timestamp) - epoch_us(last_write_table_insert)) / 1000.0)
-             / ((epoch_us(next_write_table_insert) - epoch_us(last_write_table_insert)) / 1000.0)
-               AS relative_to_next
-        FROM output_t
-        WHERE query_type = 'select'
-          AND next_write_table_insert IS NOT NULL
-          AND read_table_id IN (SELECT table_id FROM analytical)
-    ), bins AS (
-        SELECT instance_id, read_table_id,
-               NTILE(10) OVER (ORDER BY relative_to_next, instance_id, query_id, read_table_id)
-                   AS bin
-        FROM rel
-    )
-    SELECT instance_id, read_table_id, bin, COUNT(*) AS n_queries
-    FROM bins
-    GROUP BY instance_id, read_table_id, bin
-    ORDER BY instance_id, read_table_id, bin
-    """
-
-
-def _decile_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = _output_table(spark, sf_dir)
-    wl = wl_ops.tables_workload_count(out)
-    analytical = wl_ops.analytical_tables(wl)
-    return hist_ops.relative_to_next(out, analytical).filter(
-        F.col("relative_to_next").isNotNull()
-    )
-
-
-@register(
-    "ri_decile_histogram",
-    oracle=_DECILE_ORACLE,
-    tags=("reference", "historical", "ntile", "bench"),
-)
-def ri_decile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Relative-ingestion-position NTILE(10) histogram (F9/W1/A12;
-    `Dashboard_Historical_Final.py:428-528`).  Null-next rows (no later
-    ingestion) are excluded — their relative position is undefined and
-    NULL-ordering differs between engines.  Runs the *distributed* NTILE
-    (no single-partition stage — asserted in test_plans.py); the window
-    twin below pins the small-data strategy under the same oracle."""
-    rel = _decile_rel(spark, sf_dir)
-    return hist_ops.decile_histogram(rel).withColumnRenamed("count", "n_queries")
-
-
-@register(
-    "ri_decile_histogram_window",
-    priority=1,
-    oracle=_DECILE_ORACLE,
-    tags=("reference", "historical", "ntile"),
-)
-def ri_decile_histogram_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same histogram through the plain global-window NTILE (one reducer —
-    wins below the ~10M-row crossover), held to the identical oracle so the
-    driver verifies both strategies stay bit-identical.  (Formerly the
-    headline; the scale-safe distributed plan is benched now.)"""
-    rel = _decile_rel(spark, sf_dir)
-    return hist_ops.decile_histogram(rel, distributed=False).withColumnRenamed(
-        "count", "n_queries"
-    )
-
-
-@register(
-    "ri_decile_percentrank",
-    priority=1,
-    oracle=must_replace(
-        _DECILE_ORACLE,
-        """NTILE(10) OVER (ORDER BY relative_to_next, instance_id, query_id, read_table_id)
-                   AS bin""",
-        """CAST(LEAST(FLOOR(percent_rank() OVER (ORDER BY relative_to_next,
-                     instance_id, query_id, read_table_id) * 10) + 1, 10) AS INTEGER)
-                   AS bin""",
-    ),
-    tags=("reference", "historical", "percentrank"),
-)
-def ri_decile_percentrank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The percent-rank decile convention under its own value gate: bucket =
-    floor(pct·10)+1 clipped, computed via the distributed global rank
-    (range partition + broadcast offsets — no single-partition window; see
-    operators/histogram.py decile_by_percent_rank).  The oracle runs DuckDB's
-    actual percent_rank() over the same total order, so the rank machinery
-    and the boundary arithmetic are both value-checked — keeping the 100×
-    scale path continuously verified, not just pytest-exercised."""
-    rel = _decile_rel(spark, sf_dir)
-    return hist_ops.decile_by_percent_rank(rel).withColumnRenamed("count", "n_queries")
-
-
-# ---------------------------------------------------------------------------
-# Live plane (SURVEY §2.2/§2.4/§2.6: A1-A6, A15-A17, O2-O3, F6-F7, F11-F12)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "rl_event_counters",
-    oracle="""
-    SELECT COUNT(*) AS total_events,
-           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
-           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS errors,
-           COUNT(CASE WHEN event_type IN ('view', 'click') THEN 1 END) AS reads,
-           COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signups
-    FROM events
-    """,
-    tags=("reference", "live", "agg"),
-)
-def rl_event_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar conditional counters (A1-A4; `Dashboard_Live_Final.py:230-237`)."""
-    e = load_table(spark, sf_dir, "events")
-    return e.agg(
-        F.count(F.lit(1)).alias("total_events"),
-        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
-        F.count(F.when(F.col("event_type") == "error", 1)).alias("errors"),
-        F.count(F.when(F.col("event_type").isin("view", "click"), 1)).alias("reads"),
-        F.count(F.when(F.col("event_type") == "signup", 1)).alias("signups"),
-    )
-
-
-@register(
-    "rl_top_events_by_value",
-    oracle="""
-    SELECT event_id, user_id, value,
-           CAST(FLOOR(value * 1000 / 60000) AS BIGINT) || ':' ||
-           LPAD(CAST(CAST(FLOOR((value * 1000 % 60000) / 1000) AS BIGINT) AS VARCHAR), 2, '0')
-               AS duration_display
-    FROM (SELECT DISTINCT event_id, user_id, value FROM events)
-    ORDER BY value DESC, event_id
-    LIMIT 10
-    """,
-    tags=("reference", "live", "topk"),
-)
-def rl_top_events_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 leaderboard with DISTINCT + m:ss display formatting
-    (O2 + F6/F7; `Dashboard_Live_Final.py:339-357`).  TakeOrdered — no
-    global sort; total order via event_id tiebreaker."""
-    e = load_table(spark, sf_dir, "events")
-    ms = F.col("value") * 1000
-    mins = F.floor(ms / 60000).cast("long")
-    secs = F.floor((ms % 60000) / 1000).cast("long")
-    return (
-        e.select("event_id", "user_id", "value")
-        .distinct()
-        .orderBy(F.desc("value"), "event_id")
-        .limit(10)
-        .withColumn(
-            "duration_display",
-            F.concat(
-                mins.cast("string"), F.lit(":"), F.lpad(secs.cast("string"), 2, "0")
-            ),
-        )
-    )
-
-
-@register(
-    "rl_top_users",
-    oracle="""
-    SELECT user_id, COUNT(*) AS query_count
-    FROM events
-    GROUP BY user_id
-    ORDER BY query_count DESC, user_id
-    LIMIT 5
-    """,
-    tags=("reference", "live", "topk"),
-)
-def rl_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 users by event count (A6/O3; `Dashboard_Live_Final.py:404-410`)."""
-    e = load_table(spark, sf_dir, "events")
-    return live_ops.leaderboard_user_queries(
-        e.select(F.col("user_id")), k=5
-    ).withColumnRenamed("count", "query_count")
-
-
-@register(
-    "rl_type_distribution",
-    oracle="""
-    SELECT event_type, COUNT(*) AS n
-    FROM events GROUP BY event_type ORDER BY n DESC, event_type
-    """,
-    tags=("reference", "live", "agg"),
-)
-def rl_type_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Categorical distribution (A16; `Dashboard_Live_Final.py:452-459`)."""
-    e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("n"), "event_type")
-    )
-
-
-@register(
-    "rl_hourly_activity",
-    oracle="""
-    SELECT date_trunc('hour', ts) AS hour_ts, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
-    FROM events GROUP BY 1
-    """,
-    tags=("reference", "live", "agg"),
-)
-def rl_hourly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hourly activity rollup (F12/A13-A14; `Dashboard_updated.py:188`)."""
-    e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy(F.date_trunc("hour", "ts").alias("hour_ts"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("total_value"),
-        )
-    )
-
-
-@register(
-    "rl_value_buckets",
-    oracle="""
-    SELECT CASE WHEN value < 100 THEN 'Short'
-                WHEN value < 1000 THEN 'Medium'
-                ELSE 'Long' END AS bucket,
-           COUNT(*) AS n
-    FROM events GROUP BY 1
-    """,
-    tags=("reference", "live", "bucketing"),
-)
-def rl_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """pd.cut-style fixed binning (F11; `Dashboard_updated.py:181-184`)."""
-    from data_engineering_project_utn_spark.functions.scalar import bucket_duration
-
-    e = load_table(spark, sf_dir, "events")
-    return (
-        e.withColumn("bucket", bucket_duration("value"))
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-
-
-@register(
-    "rl_mmss_format",
-    priority=1,
-    oracle="""
-    WITH d AS (SELECT event_id, CAST(FLOOR(value * 1000) AS BIGINT) AS duration_ms
-               FROM events)
-    SELECT event_id, duration_ms,
-           CAST(CAST(FLOOR(duration_ms / 60000) AS BIGINT) AS VARCHAR) || ':' ||
-           lpad(CAST(CAST(FLOOR((duration_ms % 60000) / 1000.0) AS BIGINT) AS VARCHAR), 2, '0')
-               AS duration_mmss
-    FROM d
-    ORDER BY duration_ms DESC, event_id
-    LIMIT 20
-    """,
-    tags=("reference", "live", "format"),
-)
-def rl_mmss_format(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """m:ss duration formatting (F6/F7; `Kafka/ddb_wrappers.py:354-361`
-    FLOOR/LPAD SQL and `Dashboard_Live_Final.py:352-354` Python lambda —
-    here one codegen'd Column expression) over the longest 20 durations
-    (total order: duration desc, event_id)."""
-    from data_engineering_project_utn_spark.functions.scalar import mmss
-
-    e = load_table(spark, sf_dir, "events")
-    d = e.select(
-        "event_id", F.floor(F.col("value") * 1000).cast("long").alias("duration_ms")
-    )
-    return (
-        d.withColumn("duration_mmss", mmss("duration_ms"))
-        .orderBy(F.desc("duration_ms"), "event_id")
-        .limit(20)
-    )
-
-
-@register(
-    "rl_user_categories",
-    oracle="""
-    SELECT user_id,
-           COUNT(DISTINCT event_type) AS type_count,
-           CASE WHEN COUNT(DISTINCT event_type) <= 2 THEN 'Local'
-                WHEN COUNT(DISTINCT event_type) <= 5 THEN 'Regional'
-                ELSE 'Global' END AS category
-    FROM events GROUP BY user_id
-    """,
-    tags=("reference", "live", "distinctagg"),
-)
-def rl_user_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct-count categorizer (A15/F17; `live_updates_duckdb.py:124-136`
-    — a Python row-UDF there, a codegen'd CASE WHEN here)."""
-    from data_engineering_project_utn_spark.functions.scalar import categorize_cluster
-
-    e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy("user_id")
-        .agg(F.countDistinct("event_type").alias("type_count"))
-        .withColumn("category", categorize_cluster("type_count"))
-    )
-
-
-@register(
-    "rl_purchase_rate",
-    oracle="""
-    SELECT user_id,
-           COUNT(CASE WHEN event_type = 'purchase' AND value > 50 THEN 1 END) * 100.0
-             / NULLIF(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END), 0)
-               AS big_purchase_pct
-    FROM events GROUP BY user_id
-    """,
-    tags=("reference", "live", "ratio"),
-)
-def rl_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ratio-of-conditional-counts with NULLIF guard (A19/F4/F20;
-    `Dashboard/streamlit_app.py:378`)."""
-    e = load_table(spark, sf_dir, "events")
-    big = F.count(F.when((F.col("event_type") == "purchase") & (F.col("value") > 50), 1))
-    alln = F.count(F.when(F.col("event_type") == "purchase", 1))
-    return e.groupBy("user_id").agg(
-        (big * F.lit(100.0) / F.nullif(alln, F.lit(0))).alias("big_purchase_pct")
-    )
-
-
-@register(
-    "rl_stress_ema",
-    oracle="""
-    SELECT
-        list_reduce(list_transform(l, x -> CAST(x AS DOUBLE)),
-                    (acc, x) -> 0.02 * x + (1.0 - 0.02) * acc) AS ema_short,
-        list_reduce(list_transform(l, x -> CAST(x AS DOUBLE)),
-                    (acc, x) -> 0.005 * x + (1.0 - 0.005) * acc) AS ema_long,
-        len(l) AS n_obs
-    FROM (SELECT list(value ORDER BY ts, event_id) AS l FROM events)
-    """,
-    tags=("reference", "live", "ema"),
-)
-def rl_stress_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The stress-index EMA (F18/W4/T7; `Dashboard_Live_Final.py:577-624`,
-    α=0.02 short / 0.005 long, seeded by the first observation).
-
-    Batch form: JVM-side aggregate() fold over the event-time-ordered value
-    list — identical left fold to the DuckDB ``list_reduce`` oracle, so the
-    result is bit-exact.  Streaming form: streaming.stateful_ema.
-    """
-    e = load_table(spark, sf_dir, "events")
-    pairs = F.array_sort(
-        F.collect_list(F.struct(F.col("ts").alias("o"), F.col("event_id").alias("q"), F.col("value").alias("v")))
-    )
-    values = F.transform(pairs, lambda s: s["v"].cast("double"))
-    return e.agg(
-        ema_ops.ema_expr(values, 0.02).alias("ema_short"),
-        ema_ops.ema_expr(values, 0.005).alias("ema_long"),
-        F.count(F.lit(1)).alias("n_obs"),
-    )
-
-
-@register(
-    "rl_user_ema",
-    oracle="""
-    SELECT user_id,
-           list_reduce(list_transform(list(value ORDER BY ts, event_id), x -> CAST(x AS DOUBLE)),
-                       (acc, x) -> 0.02 * x + (1.0 - 0.02) * acc) AS ema,
-           COUNT(*) AS n_obs
-    FROM events GROUP BY user_id
-    """,
-    tags=("reference", "live", "ema"),
-)
-def rl_user_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keyed EMA fold (F18 generalized per key — one shuffle on the key,
-    in-group ordered fold)."""
-    e = load_table(spark, sf_dir, "events")
-    pairs = F.array_sort(
-        F.collect_list(
-            F.struct(F.col("ts").alias("o"), F.col("event_id").alias("q"), F.col("value").alias("v"))
-        )
-    )
-    values = F.transform(pairs, lambda s: s["v"].cast("double"))
-    return e.groupBy("user_id").agg(
-        ema_ops.ema_expr(values, 0.02).alias("ema"),
-        F.count(F.lit(1)).alias("n_obs"),
-    )
-
-
-@register(
-    "rl_duration_percentiles",
-    priority=1,
-    oracle="""
-    SELECT event_type,
-           COUNT(*) AS n,
-           quantile_cont(value, 0.5) AS p50,
-           quantile_cont(value, 0.95) AS p95,
-           quantile_cont(value, 0.99) AS p99
-    FROM events GROUP BY event_type ORDER BY event_type
-    """,
-    tags=("reference", "live", "percentile"),
-)
-def rl_duration_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact per-type value percentiles — the latency-distribution view the
-    reference's dashboards lack entirely (SURVEY §2.4: no median/percentile
-    anywhere).  Spark's exact ``percentile`` matches DuckDB's
-    ``quantile_cont`` interpolation bit-for-bit (probed).  Exact percentile
-    buffers each group's values — bounded here by the event_type domain; at
-    100 TB switch to ``approx_percentile`` (t-digest, no buffering)."""
-    e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr("percentile(value, 0.5)").alias("p50"),
-            F.expr("percentile(value, 0.95)").alias("p95"),
-            F.expr("percentile(value, 0.99)").alias("p99"),
-        )
-        .orderBy("event_type")
-    )
-
-
-_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
-
-
-@register(
-    "rl_hourly_type_pivot",
-    priority=1,
-    oracle="SELECT EXTRACT(hour FROM ts) AS hour, "
-    + ", ".join(
-        f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}"
-        for t in _EVENT_TYPES
-    )
-    + " FROM events GROUP BY hour ORDER BY hour",
-    tags=("reference", "live", "pivot"),
-)
-def rl_hourly_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hour × event-type pivot (the wide layout dashboards chart directly).
-    Explicit pivot values keep the plan deterministic — no extra
-    distinct-scan job to discover columns, and a stable schema at any SF;
-    absent combinations coalesce to 0 like the oracle's conditional
-    counts."""
-    e = load_table(spark, sf_dir, "events")
-    wide = (
-        e.groupBy(F.hour("ts").alias("hour"))
-        .pivot("event_type", list(_EVENT_TYPES))
-        .count()
-    )
-    return wide.select(
-        "hour",
-        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
-    ).orderBy("hour")
-
-
-def _profile_oracle() -> str:
-    """UNION ALL per events column, mirroring operators/profile.py:
-    extremes only for types whose string rendering is engine-canonical."""
-    cols = {
-        "event_id": True,
-        "ts": False,
-        "user_id": True,
-        "event_type": True,
-        "value": False,
-        "props": True,
-    }
-    parts = []
-    for c, extremes in cols.items():
-        mn = f"CAST(MIN({c}) AS VARCHAR)" if extremes else "CAST(NULL AS VARCHAR)"
-        mx = f"CAST(MAX({c}) AS VARCHAR)" if extremes else "CAST(NULL AS VARCHAR)"
-        parts.append(
-            f'SELECT \'{c}\' AS "column", COUNT(*) AS n_rows,'
-            f" COUNT({c}) AS n_nonnull, COUNT(*) - COUNT({c}) AS n_null,"
-            f" COUNT(DISTINCT {c}) AS n_distinct,"
-            f" {mn} AS min_value, {mx} AS max_value FROM events"
-        )
-    return " UNION ALL ".join(parts) + ' ORDER BY "column"'
-
-
-@register(
-    "rl_events_profile",
-    priority=1,
-    oracle=_profile_oracle(),
-    tags=("reference", "profiling", "introspection"),
-)
-def rl_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schema-introspected one-pass column profiler (S15 generalized: the
-    reference eyeballs row counts/previews per table; this publishes the
-    data-quality summary — null rates, cardinalities, extremes — as a
-    queryable frame).  All aggregates evaluate in one scan; extremes are
-    emitted only for types whose string form is engine-canonical (see
-    operators/profile.py)."""
-    from data_engineering_project_utn_spark.operators.profile import profile_columns
-
-    e = load_table(spark, sf_dir, "events")
-    return profile_columns(e)
-
-
-@register(
-    "rl_ema_scan",
-    priority=1,
-    oracle="""
-    SELECT COUNT(value) AS n_obs, TRUE AS scan_matches_sequential FROM events
-    """,
-    tags=("reference", "live", "ema", "scale"),
-)
-def rl_ema_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The segmented-scan EMA (operators/ema.py ema_scan — parallel affine
-    composition for one hot key, no single-task fold) under a tolerance
-    gate.  Its FP regrouping is ulp-divergent from the sequential fold by
-    design, so a bit-exact oracle can't apply; instead the query computes
-    BOTH the scan and the sequential JVM fold (itself bit-gated via
-    rl_stress_ema) and returns whether they agree to 1e-9 relative — the
-    driver then value-checks (n_obs, TRUE), failing if the scan ever drifts
-    beyond tolerance.
-    """
-    e = load_table(spark, sf_dir, "events")
-    scan_val = ema_ops.ema_scan(e, "ts", "value", alpha=0.02)
-    pairs = F.array_sort(
-        F.collect_list(F.struct(F.col("ts").alias("o"), F.col("value").alias("v")))
-    )
-    values = F.transform(pairs, lambda s: s["v"].cast("double"))
-    (seq_row,) = e.agg(
-        ema_ops.ema_expr(values, 0.02).alias("seq"),
-        F.count("value").alias("n_obs"),
-    ).collect()
-    seq_val, n_obs = seq_row["seq"], seq_row["n_obs"]
-    if scan_val is None or seq_val is None:
-        matches = scan_val is None and seq_val is None
-    else:
-        matches = abs(scan_val - seq_val) <= 1e-9 * max(1.0, abs(seq_val))
-    return spark.createDataFrame(
-        [(n_obs, bool(matches))], "n_obs bigint, scan_matches_sequential boolean"
-    )
-
-
-@register(
-    "rl_producer_batches",
-    priority=1,
-    oracle="""
-    WITH ranked AS (
-        SELECT event_id, ts,
-               ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS rank0
-        FROM events
-    )
-    SELECT CAST(FLOOR(rank0 / 500) AS BIGINT) AS batch_id,
-           COUNT(*) AS n_rows,
-           MIN(ts) AS batch_start,
-           MAX(ts) AS batch_end
-    FROM ranked GROUP BY batch_id ORDER BY batch_id
-    """,
-    tags=("reference", "producer", "batching"),
-)
-def rl_producer_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The producer's replay batching made queryable: the reference assigns
-    ``batch_id = index // batch_size`` while feeding Kafka
-    (`Real Final APP/producer_Final.py:111`, batch col dropped before
-    send); this reconstructs the same assignment over a total (ts,
-    event_id) order and publishes the per-batch manifest (size, time
-    span).  The global index comes from operators/histogram.py
-    with_global_rank — range partition + broadcast offsets, no
-    single-partition window — so the batching is itself a distributed op,
-    not a driver enumeration."""
-    e = load_table(spark, sf_dir, "events")
-    ranked = hist_ops.with_global_rank(e.select("event_id", "ts"), ["ts", "event_id"])
-    return (
-        ranked.withColumn(
-            "batch_id", F.floor(F.col("_rank0") / F.lit(500)).cast("long")
-        )
-        .groupBy("batch_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.min("ts").alias("batch_start"),
-            F.max("ts").alias("batch_end"),
-        )
-        .orderBy("batch_id")
-    )
-
-
-@register(
-    "rl_user_ema_scan",
-    priority=1,
-    oracle="""
-    SELECT COUNT(DISTINCT user_id) AS n_keys, TRUE AS scan_matches_sequential
-    FROM events
-    """,
-    tags=("reference", "live", "ema", "scale"),
-)
-def rl_user_ema_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-key segmented-scan EMA (operators/ema.py ema_scan_by_key — the
-    hot-key-safe twin of rl_user_ema: two distributed fold levels, state
-    per task bounded by rows-per-key/num_segments, nothing per-key on the
-    driver) under the rl_ema_scan-style tolerance gate.  The query runs
-    BOTH the segmented scan and the sequential per-key fold (itself
-    bit-gated via rl_user_ema), joins them on the key, and returns whether
-    every key agrees to 1e-9 relative — the driver value-checks
-    (n_keys, TRUE), failing if any key ever drifts beyond tolerance."""
-    e = load_table(spark, sf_dir, "events")
-    scan = ema_ops.ema_scan_by_key(
-        e, ["user_id"], "ts", "value", alpha=0.02, num_segments=8
-    )
-    seq = ema_ops.ema_by_key(e, ["user_id"], "ts", "value", alpha=0.02)
-    joined = scan.alias("a").join(seq.alias("b"), "user_id", "full")
-    ok = (
-        F.col("a.ema").isNull() & F.col("b.ema").isNull()
-    ) | (
-        F.abs(F.col("a.ema") - F.col("b.ema"))
-        <= F.lit(1e-9) * F.greatest(F.lit(1.0), F.abs(F.col("b.ema")))
-    )
-    (row,) = joined.agg(
-        F.count(F.lit(1)).alias("n_keys"),
-        F.sum(
-            F.when(ok & (F.col("a.n_obs") == F.col("b.n_obs")), 0).otherwise(1)
-        ).alias("n_bad"),
-    ).collect()
-    return spark.createDataFrame(
-        [(row["n_keys"], bool(row["n_bad"] == 0))],
-        "n_keys bigint, scan_matches_sequential boolean",
-    )
-
-
-@register(
-    "rl_trailing_avg",
-    oracle="""
-    SELECT user_id, event_id, ts,
-           CAST(SUM(CAST(value AS DECIMAL(14,2))) OVER w AS DOUBLE)
-               / COUNT(*) OVER w AS trailing_avg_100
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
-    """,
-    tags=("reference", "live", "window"),
-)
-def rl_trailing_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded trailing window — the dashboard's last-100-points buffer as a
-    window aggregate (W5; `Dashboard_Live_Final.py:177-184`).  Decimal
-    accumulation keeps the sliding sum exact at every offset."""
-    e = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-99, Window.currentRow)
-    )
-    return e.select(
-        "user_id",
-        "event_id",
-        "ts",
-        (
-            F.sum(F.col("value").cast("decimal(14,2)")).over(w).cast("double")
-            / F.count(F.lit(1)).over(w)
-        ).alias("trailing_avg_100"),
-    )
-
-
-@register(
-    "rl_user_sessions",
-    priority=1,
-    oracle="""
-    WITH marked AS (
-        SELECT user_id, event_id, ts,
-               CASE WHEN LAG(ts) OVER w IS NULL
-                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800 * 1000000
-                    THEN 1 ELSE 0 END AS new_session
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    sess AS (
-        SELECT user_id, event_id, ts,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS session_id
-        FROM marked
-    )
-    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-           COUNT(*) AS n_events,
-           MIN(ts) AS session_start,
-           MAX(ts) AS session_end,
-           CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS DOUBLE) / 1000000.0
-               AS duration_s
-    FROM sess
-    GROUP BY user_id, session_id
-    ORDER BY user_id, session_id
-    """,
-    tags=("reference", "sessionization", "window"),
-)
-def rl_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (beyond the reference, which has no session
-    windows — SURVEY §2.8): a new session starts after a >30-min silence;
-    session id = running count of session starts per user (lag + cumulative
-    sum over one partitioned window — both window functions share the same
-    shuffle on user_id), then per-session rollup.  The same op batch-side
-    that Structured Streaming's ``session_window`` computes on streams;
-    duration arithmetic stays in exact integer µs until the final divide."""
-    e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
-    new_session = F.when(
-        gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1
-    ).otherwise(0)
-    sess = e.select(
-        "user_id",
-        "event_id",
-        "ts",
-        F.sum(new_session)
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("long")
-        .alias("session_id"),
-    )
-    return (
-        sess.groupBy("user_id", "session_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
-            (
-                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).cast("double")
-                / 1_000_000.0
-            ).alias("duration_s"),
-        )
-        .orderBy("user_id", "session_id")
-    )

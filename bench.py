@@ -76,6 +76,9 @@ EXTENDED_QUERIES = [
     "llm_embedding_dedup_clusters",
     "llm_ivf_auto",
     "llm_bpe_train",
+    "llm_bpe_compression",
+    "rl_value_outliers",
+    "rl_json_props",
 ]
 
 

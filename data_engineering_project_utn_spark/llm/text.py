@@ -257,18 +257,7 @@ def train_bpe_merges(
     """
     from data_engineering_project_utn_spark.persist import track_persist
 
-    vocab = track_persist(
-        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            F.concat(
-                F.lit(" "), F.concat_ws(" ", F.split(F.col("w"), "")), F.lit(" ")
-            ).alias("seq"),
-            "cnt",
-        )
-    )
+    vocab = track_persist(bpe_vocab_frame(docs, text_col))
     merges: list[tuple[int, str, str, int]] = []
     cur = vocab
     for i in range(n_merges):
@@ -302,3 +291,38 @@ def train_bpe_merges(
             )
         )
     return merges
+
+
+def bpe_vocab_frame(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The weighted-vocabulary working frame BPE trains and applies on:
+    (seq, cnt) with seq the space-padded character sequence of each
+    distinct word.  Corpus text is touched once (groupBy word)."""
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.concat(
+                F.lit(" "), F.concat_ws(" ", F.split(F.col("w"), "")), F.lit(" ")
+            ).alias("seq"),
+            "cnt",
+        )
+    )
+
+
+def bpe_apply_merges(
+    vocab: DataFrame, merges: list[tuple[int, str, str, int]]
+) -> DataFrame:
+    """Apply trained merges to the vocabulary frame, in training order —
+    the same leftmost-non-overlapping ``replace`` the trainer used, so
+    applying reproduces the trainer's final state exactly."""
+    cur = vocab
+    for _, left, right, _ in merges:
+        cur = cur.select(
+            F.replace(
+                F.col("seq"), F.lit(f" {left} {right} "), F.lit(f" {left}{right} ")
+            ).alias("seq"),
+            "cnt",
+        )
+    return cur

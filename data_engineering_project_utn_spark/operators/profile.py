@@ -74,3 +74,68 @@ def profile_columns(
         )
         .orderBy("column")
     )
+
+
+def value_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    z_thresh: float = 3.0,
+    top_n: int = 20,
+    scale: float = 10000.0,
+) -> DataFrame:
+    """Grouped z-score anomaly detection: per-group mean/std from exact
+    fixed-point sums (values floored to 1e-7 — the tie-free quantization
+    ``llm.similarity.embedding_dim_stats`` uses, so the stats are
+    bit-identical at any partitioning and in any engine), then the top-N
+    rows whose value exceeds mean + z·std, ranked by z.
+
+    One aggregation (group cardinality output) broadcast back over one
+    scan — the data-quality monitor every ingest pipeline runs; no second
+    shuffle of the fact table.
+    """
+    x = F.col(value_col).cast("double")
+    iv = F.floor(x * F.lit(scale))
+    sq_scale = scale * scale
+    stats = (
+        df.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(iv.cast("decimal(38,0)")).alias("_s"),
+            F.sum((iv * iv).cast("decimal(38,0)")).alias("_sq"),
+        )
+        .select(
+            group_col,
+            (
+                (F.col("_s").cast("double") / F.lit(scale))
+                / F.col("_n").cast("double")
+            ).alias("_mean"),
+            F.sqrt(
+                (F.col("_sq").cast("double") / F.lit(sq_scale))
+                / F.col("_n").cast("double")
+                - (
+                    (F.col("_s").cast("double") / F.lit(scale))
+                    / F.col("_n").cast("double")
+                )
+                * (
+                    (F.col("_s").cast("double") / F.lit(scale))
+                    / F.col("_n").cast("double")
+                )
+            ).alias("_std"),
+        )
+    )
+    z = (x - F.col("_mean")) / F.col("_std")
+    return (
+        df.join(F.broadcast(stats), group_col)
+        .filter(z > F.lit(z_thresh))
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            x.alias(value_col),
+            F.col("_mean").alias("group_mean"),
+            z.alias("zscore"),
+        )
+        .orderBy(F.desc("zscore"), id_col)
+        .limit(top_n)
+    )

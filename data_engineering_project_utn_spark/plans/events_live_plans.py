@@ -671,3 +671,80 @@ def rl_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+@register(
+    "rl_value_outliers",
+    oracle="""
+    WITH st AS (
+        SELECT event_type, COUNT(*) AS n,
+               SUM(CAST(CAST(FLOOR(value * 10000.0) AS BIGINT) AS DECIMAL(38,0))) AS s,
+               SUM(CAST(CAST(FLOOR(value * 10000.0) AS BIGINT)
+                        * CAST(FLOOR(value * 10000.0) AS BIGINT) AS DECIMAL(38,0))) AS sq
+        FROM events GROUP BY event_type
+    ),
+    m AS (
+        SELECT event_type,
+               (CAST(s AS DOUBLE) / 10000.0) / CAST(n AS DOUBLE) AS mean_v,
+               SQRT((CAST(sq AS DOUBLE) / 100000000.0) / CAST(n AS DOUBLE)
+                    - ((CAST(s AS DOUBLE) / 10000.0) / CAST(n AS DOUBLE))
+                      * ((CAST(s AS DOUBLE) / 10000.0) / CAST(n AS DOUBLE))) AS std_v
+        FROM st
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           m.mean_v AS group_mean,
+           (e.value - m.mean_v) / m.std_v AS zscore
+    FROM events e JOIN m USING (event_type)
+    WHERE (e.value - m.mean_v) / m.std_v > 3.0
+    ORDER BY zscore DESC, e.event_id
+    LIMIT 20
+    """,
+    tags=("live", "profile", "anomaly"),
+)
+def rl_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score anomaly detection (the ingest-pipeline data-quality
+    monitor): exact fixed-point group stats (tie-free 1e-7 quantization, so
+    mean/std hash-match DuckDB bit-exactly) broadcast over one scan;
+    top-20 events above mean + 3 std, ranked by z."""
+    from data_engineering_project_utn_spark.operators.profile import value_outliers
+
+    e = load_table(spark, sf_dir, "events")
+    return value_outliers(
+        e, group_col="event_type", value_col="value", id_col="event_id"
+    )
+
+
+@register(
+    "rl_json_props",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           COUNT(*) FILTER (json_extract_string(props, '$.k') IS NULL) AS n_unparsed
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("live", "json", "semistructured"),
+)
+def rl_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload parsing (the Kafka-consumer surface in
+    batch): the JSON ``props`` column parsed with ``get_json_object`` —
+    JVM-side Jackson, no UDF — and aggregated per type with exact integer
+    sums; unparseable payloads surface as a count instead of vanishing.
+    At scale this is the scan-speed schema-on-read path (at rest, promote
+    hot JSON fields to columns)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            F.count(F.when(k.isNull(), 1)).alias("n_unparsed"),
+        )
+        .orderBy("event_type")
+    )

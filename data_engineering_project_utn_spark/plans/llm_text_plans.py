@@ -360,3 +360,64 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, l, r, n) for i, l, r, n in merges],
         "merge_idx int, left_sym string, right_sym string, pair_count bigint",
     )
+
+
+@register(
+    "llm_bpe_compression",
+    oracle=rf"""
+    WITH w AS (
+        SELECT w, COUNT(*) AS cnt
+        FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+        WHERE w <> '' GROUP BY w
+    ),
+    s0 AS (SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS seq, cnt FROM w),
+    {_bpe_round('s0', 't1', 's1')},
+    {_bpe_round('s1', 't2', 's2')},
+    {_bpe_round('s2', 't3', 's3')}
+    , agg_b AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+               CAST(SUM(cnt * len(string_split(trim(seq), ' '))) AS BIGINT) AS symbols_before
+        FROM s0
+    ),
+    agg_a AS (
+        SELECT CAST(SUM(cnt * len(string_split(trim(seq), ' '))) AS BIGINT) AS symbols_after
+        FROM s3
+    )
+    SELECT vocab_size, symbols_before, symbols_after,
+           CAST(symbols_after AS DOUBLE) / CAST(symbols_before AS DOUBLE)
+               AS compression_ratio
+    FROM agg_b, agg_a
+    """,
+    tags=("llm", "text", "tokenizer"),
+)
+def llm_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the TRAINED merges back to the corpus vocabulary and measure
+    the compression they buy: weighted symbol totals before vs after the
+    three merges (train → apply composition; ``bpe_apply_merges`` uses the
+    exact replace the trainer used, so the applied state equals the
+    trainer's final state).  One corpus scan (vocab groupBy); the apply is
+    three narrow projections over vocab-size data."""
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    vocab = track_persist(tx.bpe_vocab_frame(d))
+    merges = tx.train_bpe_merges(d, n_merges=3)
+    after = tx.bpe_apply_merges(vocab, merges)
+    n_sym = lambda c: F.size(F.split(F.trim(c), " ")).cast("long")  # noqa: E731
+    joined = vocab.select(
+        (F.col("cnt") * n_sym(F.col("seq"))).alias("_b"), "cnt"
+    ).agg(
+        F.count(F.lit(1)).alias("vocab_size"), F.sum("_b").alias("symbols_before")
+    )
+    after_agg = after.select((F.col("cnt") * n_sym(F.col("seq"))).alias("_a")).agg(
+        F.sum("_a").alias("symbols_after")
+    )
+    return joined.crossJoin(F.broadcast(after_agg)).select(
+        "vocab_size",
+        "symbols_before",
+        "symbols_after",
+        (
+            F.col("symbols_after").cast("double")
+            / F.col("symbols_before").cast("double")
+        ).alias("compression_ratio"),
+    )

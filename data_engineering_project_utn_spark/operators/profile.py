@@ -128,7 +128,10 @@ def value_outliers(
     z = (x - F.col("_mean")) / F.col("_std")
     return (
         df.join(F.broadcast(stats), group_col)
-        .filter(z > F.lit(z_thresh))
+        # std > 0 guard: a zero-variance group would make z NaN, and NaN
+        # comparison semantics differ between engines (Spark orders NaN
+        # greatest; IEEE says false) — excluded identically on both sides
+        .filter((F.col("_std") > 0) & (z > F.lit(z_thresh)))
         .select(
             F.col(id_col),
             F.col(group_col),

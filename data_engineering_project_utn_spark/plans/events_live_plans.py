@@ -695,7 +695,7 @@ def rl_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
            m.mean_v AS group_mean,
            (e.value - m.mean_v) / m.std_v AS zscore
     FROM events e JOIN m USING (event_type)
-    WHERE (e.value - m.mean_v) / m.std_v > 3.0
+    WHERE m.std_v > 0 AND (e.value - m.mean_v) / m.std_v > 3.0
     ORDER BY zscore DESC, e.event_id
     LIMIT 20
     """,

@@ -941,3 +941,24 @@ class TestCurationRound5:
         assert derive_ivf_k(500) == 32          # sqrt=22.4 -> 2^5
         assert derive_ivf_k(2000) == 64         # sqrt=44.7 -> 2^6
         assert derive_ivf_k(10**10) == 65536    # clamped at the 100 TB regime
+
+    def test_value_outliers_zero_variance_group_excluded(self, spark):
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.operators.profile import value_outliers
+
+        pdf = pd.DataFrame(
+            {
+                "event_id": range(40),
+                "event_type": ["const"] * 20 + ["var"] * 20,
+                "value": [5.0] * 20 + [float(i) for i in range(19)] + [1000.0],
+            }
+        )
+        out = value_outliers(
+            spark.createDataFrame(pdf), "event_type", "value", "event_id",
+            z_thresh=3.0,
+        ).toPandas()
+        # the constant group yields NaN z-scores -> must be excluded entirely
+        assert (out["event_type"] == "var").all()
+        # the planted outlier is flagged
+        assert 39 in set(out["event_id"])

@@ -79,6 +79,7 @@ EXTENDED_QUERIES = [
     "llm_bpe_compression",
     "rl_value_outliers",
     "rl_json_props",
+    "llm_embedding_dedup_clusters_auto",
 ]
 
 

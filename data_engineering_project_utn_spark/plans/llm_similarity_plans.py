@@ -721,3 +721,45 @@ def llm_ivf_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n, k, 1 <= cells_used <= k, obj1 >= obj0 - 1e-12)],
         "n_vectors bigint, k_derived int, cells_bounded boolean, objective_improved boolean",
     )
+
+
+@register(
+    "llm_embedding_dedup_clusters_auto",
+    oracle="WITH RECURSIVE " + _sigs_cte_dynamic(64) + f""",
+    cpairs AS (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        FROM sigs a JOIN sigs b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {_dot('a.embedding', 'b.embedding')}
+              / (sqrt({_dot('a.embedding', 'a.embedding')})
+                 * sqrt({_dot('b.embedding', 'b.embedding')})) >= 0.35
+    ),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM cpairs
+              UNION SELECT doc_b, doc_a FROM cpairs),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS keeper_doc
+    FROM reach GROUP BY src ORDER BY doc_id
+    """,
+    tags=("llm", "dedup", "clusters", "similarity", "auto"),
+)
+def llm_embedding_dedup_clusters_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUTO-SIZED semantic dedup clusters — derived plane count
+    (target bucket 64, recomputed from COUNT in the oracle), so the
+    pair space stays ≈ N·target at any corpus size where the 4-plane
+    pinned twin grows N²/16 (measured 2.7× per 2× rows at sf2).  Same
+    CC keeper selection and recursive-CTE oracle as the pinned twin."""
+    from data_engineering_project_utn_spark.llm.compute import parallelize_compute as _pc
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    e = track_persist(_pc(load_table(spark, sf_dir, "embeddings")))
+    n_planes = sim.derive_n_planes(e.count(), target_bucket_size=64)
+    pairs = (
+        sim.blocked_pairs(e, n_planes, ordered=True)
+        .filter(F.col("cos_sim") >= 0.35)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    )
+    return dd.dedup_clusters(pairs).orderBy("doc_id")

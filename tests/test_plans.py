@@ -85,3 +85,33 @@ def test_pipeline_manifest_no_single_partition(spark, sf_dir):
     plan = _plan(spark, sf_dir, "llm_pipeline_manifest")
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "ri_decile_histogram",       # distributed NTILE + range partition
+        "rl_ema_scan",               # segmented-scan EMA composition
+        "llm_embedding_stats",       # fixed-point decimal sums
+        "llm_mixture_apply",         # hash-threshold resampling
+        "llm_bpe_train",             # iterative merge training
+    ],
+)
+def test_partitioning_independence(spark, sf_dir, name):
+    """The determinism contract, tested head-on: the same query must be
+    BIT-IDENTICAL under different shuffle-partition counts (different
+    partial-aggregation trees, different range boundaries)."""
+    from tests.oracle_harness import canonicalize
+
+    q = QUERIES[name]
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = canonicalize(q.build(spark, sf_dir).toPandas())
+        spark.catalog.clearCache()
+        spark.conf.set("spark.sql.shuffle.partitions", "11")
+        b = canonicalize(q.build(spark, sf_dir).toPandas())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+        spark.catalog.clearCache()
+    assert a == b

@@ -115,3 +115,16 @@ def test_partitioning_independence(spark, sf_dir, name):
         spark.conf.set("spark.sql.shuffle.partitions", orig)
         spark.catalog.clearCache()
     assert a == b
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["llm_knn_join_auto", "llm_embedding_neardup_auto", "llm_embedding_dedup_clusters_auto"],
+)
+def test_auto_lsh_paths_no_quadratic_join(spark, sf_dir, name):
+    """The auto-sized LSH paths must stay equi-joins on block keys — a
+    BNLJ/cartesian would silently reintroduce the N² pair space the
+    derived sizing exists to prevent."""
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

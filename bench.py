@@ -80,6 +80,7 @@ EXTENDED_QUERIES = [
     "rl_value_outliers",
     "rl_json_props",
     "llm_embedding_dedup_clusters_auto",
+    "llm_cm_heavy_hitters",
 ]
 
 

@@ -421,3 +421,72 @@ def llm_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("symbols_before").cast("double")
         ).alias("compression_ratio"),
     )
+
+
+# Oracle fragment: the count-min bucket — first 8 md5 hex chars of
+# "<d>:<token>" folded to an int (same char fold the SimHash gate proved
+# ≡ Spark's conv(hex,16,10)), mod the sketch width.
+def _cm_bucket_sql(item: str, d: str, width: int) -> str:
+    return (
+        "list_reduce(list_transform(string_split(substring("
+        f"md5(CAST({d} AS VARCHAR) || ':' || {item}), 1, 8), ''), "
+        "c -> strpos('0123456789abcdef', c) - 1), (a, x) -> a * 16 + x) "
+        f"% {width}"
+    )
+
+
+@register(
+    "llm_cm_heavy_hitters",
+    oracle=rf"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),
+    exact AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+              FROM tok GROUP BY token),
+    top AS (SELECT token, exact_cnt FROM exact
+            ORDER BY exact_cnt DESC, token LIMIT 20),
+    cm AS (
+        SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+            SELECT u.d AS d, {_cm_bucket_sql('token', 'u.d', 512)} AS bucket
+            FROM tok, unnest([0, 1, 2]) u(d)
+        ) GROUP BY d, bucket
+    ),
+    qh AS (
+        SELECT t.token, t.exact_cnt, u.d AS d,
+               {_cm_bucket_sql('t.token', 'u.d', 512)} AS bucket
+        FROM top t, unnest([0, 1, 2]) u(d)
+    )
+    SELECT qh.token, qh.exact_cnt,
+           CAST(MIN(cm.cnt) AS BIGINT) AS cm_estimate,
+           CAST(MIN(cm.cnt) - qh.exact_cnt AS BIGINT) AS overestimate
+    FROM qh JOIN cm USING (d, bucket)
+    GROUP BY qh.token, qh.exact_cnt
+    ORDER BY qh.exact_cnt DESC, qh.token
+    """,
+    tags=("llm", "text", "sketch"),
+)
+def llm_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters — the documented petabyte-scale swap
+    for exact frequency counts, made real AND bit-gated: the D·W counter
+    sketch (a grouped aggregation whose map-side partial agg IS the sketch
+    merge), point estimates for the top-20 true tokens, and the
+    overestimate each suffers (≥ 0 by construction, the one-sided CM error
+    bound visible in the gated output).  The oracle rebuilds the identical
+    sketch from the same seeded md5 buckets."""
+    from data_engineering_project_utn_spark.llm import sketch as sk
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    tok = track_persist(d.select(F.explode(tx.tokens(F.col("text"))).alias("token")))
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), "token").limit(20)
+    counters = sk.cm_counters(tok, "token", depth=3, width=512)
+    est = sk.cm_estimates(counters, top.select("token"), "token", depth=3, width=512)
+    return (
+        top.join(est, "token")
+        .select(
+            "token",
+            "exact_cnt",
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("exact_cnt")).alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_cnt"), "token")
+    )

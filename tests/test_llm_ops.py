@@ -962,3 +962,37 @@ class TestCurationRound5:
         assert (out["event_type"] == "var").all()
         # the planted outlier is flagged
         assert 39 in set(out["event_id"])
+
+    def test_cm_sketch_merges_exactly(self, spark):
+        import pandas as pd
+
+        from pyspark.sql import functions as F
+
+        from data_engineering_project_utn_spark.llm import sketch as sk
+
+        pdf = pd.DataFrame({"token": [f"t{i % 17}" for i in range(300)]})
+        items = spark.createDataFrame(pdf)
+        full = sk.cm_counters(items, "token").toPandas().set_index(["d", "bucket"])["cnt"]
+        # deterministic split by token suffix; a ∪ b == items, a ∩ b == ∅
+        a = items.filter(F.col("token").isin([f"t{i}" for i in range(9)]))
+        b = items.filter(~F.col("token").isin([f"t{i}" for i in range(9)]))
+        ca = sk.cm_counters(a, "token").toPandas().set_index(["d", "bucket"])["cnt"]
+        cb = sk.cm_counters(b, "token").toPandas().set_index(["d", "bucket"])["cnt"]
+        merged = ca.add(cb, fill_value=0).astype(int)
+        assert merged.sort_index().equals(full.sort_index().astype(int))
+
+    def test_cm_estimate_never_undercounts(self, spark):
+        import pandas as pd
+
+        from pyspark.sql import functions as F
+
+        from data_engineering_project_utn_spark.llm import sketch as sk
+
+        pdf = pd.DataFrame({"token": [f"w{i % 101}" for i in range(1000)]})
+        items = spark.createDataFrame(pdf)
+        counters = sk.cm_counters(items, "token", depth=3, width=64)  # narrow: collisions certain
+        exact = items.groupBy("token").agg(F.count(F.lit(1)).alias("exact"))
+        est = sk.cm_estimates(counters, exact.select("token"), "token", depth=3, width=64)
+        j = exact.join(est, "token").toPandas()
+        assert (j["cm_estimate"] >= j["exact"]).all()
+        assert (j["cm_estimate"] > j["exact"]).any()  # width 64 forces collisions

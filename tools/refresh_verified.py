@@ -73,6 +73,17 @@ def main(argv: list[str]) -> int:
 
     with open(os.path.join(REPO_ROOT, correctness_path), encoding="utf-8") as fh:
         rows = json.load(fh)
+    if "queries_checked" in rows and "fails" in rows:
+        # A tools/sweep.py record: every oracle-bearing registry query that is
+        # not listed in ``fails`` passed the atomic full-registry sweep.
+        # Synthesize per-query green rows so the sweep attests the entries the
+        # driver's per-round budget did not re-check.
+        fails = set(rows["fails"])
+        rows = {
+            name: {"err": None, "sweep_match": True}
+            for name, q in all_queries().items()
+            if q.oracle is not None and name not in fails
+        }
 
     try:
         with open(staleness.LEDGER_PATH, encoding="utf-8") as fh:

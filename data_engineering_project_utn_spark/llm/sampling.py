@@ -197,6 +197,12 @@ def leakage_safe_split(
     of the content hash) and *computed* rather than asserted, so the
     invariant is visible in the gated output.  Pure projection + two
     aggregations; the per-content frame groups on the md5 (one shuffle).
+
+    Lazy like every other builder: the leak count is a broadcast
+    single-row aggregate cross-joined into the plan (not an eager
+    ``.count()``), so the returned frame is one job over one read of the
+    input — the audit column can never disagree with the rows it annotates
+    if the source changes between jobs.
     """
     thr = rate_threshold(train_rate)
     h = F.md5(F.col(text_col))
@@ -210,14 +216,28 @@ def leakage_safe_split(
         F.count(F.lit(1)).alias("_n_docs"),
         F.min("split").alias("split"),
     )
-    leaked = per_content.filter(F.col("_n_splits") > 1).count()
+    leaked = F.broadcast(
+        per_content.agg(
+            F.sum((F.col("_n_splits") > 1).cast("long")).alias(
+                "contents_in_both_splits"
+            )
+        )
+    )
     return (
         per_content.groupBy("split")
         .agg(
             F.sum("_n_docs").alias("n_docs"),
             F.count(F.lit(1)).alias("distinct_contents"),
         )
-        .withColumn("contents_in_both_splits", F.lit(int(leaked)).cast("long"))
+        .crossJoin(leaked)
+        .select(
+            "split",
+            "n_docs",
+            "distinct_contents",
+            F.coalesce(F.col("contents_in_both_splits"), F.lit(0))
+            .cast("long")
+            .alias("contents_in_both_splits"),
+        )
         .orderBy("split")
     )
 

@@ -59,7 +59,12 @@ def cm_estimates(
     width: int = 512,
 ) -> DataFrame:
     """Point estimates for the query items: min over the D counters each
-    item hashes to.  ``counters`` is model-size → broadcast join."""
+    item hashes to.  ``counters`` is model-size → broadcast join.
+
+    The join is LEFT with ``coalesce(cnt, 0)``: canonical count-min reads
+    an empty bucket as 0, so an item absent from the corpus estimates 0
+    instead of disappearing (or worse, taking an inflated min over only
+    its populated buckets)."""
     c = F.col(item_col)
     q = queries.select(
         item_col,
@@ -75,7 +80,7 @@ def cm_estimates(
         ).alias("s"),
     ).select(item_col, "s.d", "s.bucket")
     return (
-        q.join(F.broadcast(counters), ["d", "bucket"])
+        q.join(F.broadcast(counters), ["d", "bucket"], "left")
         .groupBy(item_col)
-        .agg(F.min("cnt").alias("cm_estimate"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_estimate"))
     )

@@ -86,10 +86,16 @@ def value_outliers(
     scale: float = 10000.0,
 ) -> DataFrame:
     """Grouped z-score anomaly detection: per-group mean/std from exact
-    fixed-point sums (values floored to 1e-7 — the tie-free quantization
-    ``llm.similarity.embedding_dim_stats`` uses, so the stats are
-    bit-identical at any partitioning and in any engine), then the top-N
-    rows whose value exceeds mean + z·std, ranked by z.
+    fixed-point sums (values floored to a 1/``scale`` grid — 1e-4 at the
+    default ``scale=10000`` — the same tie-free quantization idea as
+    ``llm.similarity.embedding_dim_stats``, so the stats are bit-identical
+    at any partitioning and in any engine), then the top-N rows whose
+    value exceeds mean + z·std, ranked by z.
+
+    The square is taken in decimal, not int64: ``iv*iv`` as LongType wraps
+    silently past 2^63 (|value| ≳ 9.6e5 at the default scale), so each
+    factor is cast to decimal(18,0) first — exact for |value| up to
+    1e14/scale, which covers e.g. microsecond durations.
 
     One aggregation (group cardinality output) broadcast back over one
     scan — the data-quality monitor every ingest pipeline runs; no second
@@ -97,13 +103,14 @@ def value_outliers(
     """
     x = F.col(value_col).cast("double")
     iv = F.floor(x * F.lit(scale))
+    ivd = iv.cast("decimal(18,0)")
     sq_scale = scale * scale
     stats = (
         df.groupBy(group_col)
         .agg(
             F.count(F.lit(1)).alias("_n"),
-            F.sum(iv.cast("decimal(38,0)")).alias("_s"),
-            F.sum((iv * iv).cast("decimal(38,0)")).alias("_sq"),
+            F.sum(ivd).alias("_s"),
+            F.sum(ivd * ivd).alias("_sq"),
         )
         .select(
             group_col,

@@ -678,9 +678,9 @@ def rl_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH st AS (
         SELECT event_type, COUNT(*) AS n,
-               SUM(CAST(CAST(FLOOR(value * 10000.0) AS BIGINT) AS DECIMAL(38,0))) AS s,
-               SUM(CAST(CAST(FLOOR(value * 10000.0) AS BIGINT)
-                        * CAST(FLOOR(value * 10000.0) AS BIGINT) AS DECIMAL(38,0))) AS sq
+               SUM(CAST(FLOOR(value * 10000.0) AS DECIMAL(18,0))) AS s,
+               SUM(CAST(FLOOR(value * 10000.0) AS DECIMAL(18,0))
+                   * CAST(FLOOR(value * 10000.0) AS DECIMAL(18,0))) AS sq
         FROM events GROUP BY event_type
     ),
     m AS (
@@ -703,8 +703,9 @@ def rl_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rl_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type z-score anomaly detection (the ingest-pipeline data-quality
-    monitor): exact fixed-point group stats (tie-free 1e-7 quantization, so
-    mean/std hash-match DuckDB bit-exactly) broadcast over one scan;
+    monitor): exact fixed-point group stats (tie-free 1e-4 quantization —
+    scale=10000, squared in decimal so large magnitudes can't wrap int64 —
+    so mean/std hash-match DuckDB bit-exactly) broadcast over one scan;
     top-20 events above mean + 3 std, ranked by z."""
     from data_engineering_project_utn_spark.operators.profile import value_outliers
 

@@ -963,6 +963,39 @@ class TestCurationRound5:
         # the planted outlier is flagged
         assert 39 in set(out["event_id"])
 
+    def test_value_outliers_large_magnitudes_no_int64_wrap(self, spark):
+        """iv² past 2^63 (|value| ≳ 9.6e5 at scale=10000) must square in
+        decimal, not wrap as a long — microsecond-duration magnitudes."""
+        import math
+
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.operators.profile import value_outliers
+
+        base = [3.6e9 + i * 1e6 for i in range(19)]  # ~hour-long durations in us
+        vals = base + [3.6e13]  # one outlier 4 orders up
+        pdf = pd.DataFrame(
+            {
+                "event_id": range(20),
+                "event_type": ["dur"] * 20,
+                "value": vals,
+            }
+        )
+        out = value_outliers(
+            spark.createDataFrame(pdf), "event_type", "value", "event_id",
+            z_thresh=3.0,
+        ).toPandas()
+        # expected stats on the same 1e-4 quantization grid, exact in Python ints
+        iv = [math.floor(v * 10000.0) for v in vals]
+        n = len(iv)
+        mean = (sum(iv) / 10000.0) / n
+        var = (sum(x * x for x in iv) / 1e8) / n - mean * mean
+        std = math.sqrt(var)
+        assert set(out["event_id"]) == {19}
+        got = out.set_index("event_id").loc[19]
+        assert abs(got["group_mean"] - mean) < abs(mean) * 1e-12
+        assert abs(got["zscore"] - (3.6e13 - mean) / std) < 1e-9 * abs(got["zscore"])
+
     def test_cm_sketch_merges_exactly(self, spark):
         import pandas as pd
 
@@ -996,3 +1029,51 @@ class TestCurationRound5:
         j = exact.join(est, "token").toPandas()
         assert (j["cm_estimate"] >= j["exact"]).all()
         assert (j["cm_estimate"] > j["exact"]).any()  # width 64 forces collisions
+
+    def test_cm_estimate_absent_item_reads_empty_bucket_as_zero(self, spark):
+        """Canonical count-min: a query item can land in all-empty buckets
+        and must estimate from them (0), not vanish via an inner join or
+        min only over its populated buckets."""
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.llm import sketch as sk
+
+        corpus = spark.createDataFrame(pd.DataFrame({"token": ["a", "b", "c"] * 5}))
+        # wide sketch: 3 distinct corpus tokens fill at most 9 of 4096 buckets,
+        # so an absent probe almost surely hits >= 1 empty bucket per row
+        counters = sk.cm_counters(corpus, "token", depth=3, width=4096)
+        probes = spark.createDataFrame(
+            pd.DataFrame({"token": ["a", "definitely-not-in-corpus"]})
+        )
+        est = (
+            sk.cm_estimates(counters, probes, "token", depth=3, width=4096)
+            .toPandas()
+            .set_index("token")["cm_estimate"]
+        )
+        assert set(est.index) == {"a", "definitely-not-in-corpus"}  # nothing vanishes
+        assert est["a"] == 5
+        assert est["definitely-not-in-corpus"] == 0
+
+    def test_leakage_safe_split_is_lazy(self, spark):
+        """The builder must not trigger a job: the leak-count audit column
+        rides the returned plan (broadcast single-row agg), so the frame is
+        one job over one read of the input."""
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.llm import sampling as sa
+
+        sc = spark.sparkContext
+        pdf = pd.DataFrame(
+            {"doc_id": range(60), "text": [f"doc {i % 20}" for i in range(60)]}
+        )
+        df = spark.createDataFrame(pdf)
+        group = "leakage-split-lazy-check"
+        sc.setJobGroup(group, "builder must not run jobs")
+        try:
+            out = sa.leakage_safe_split(df, 0.5)
+            assert sc.statusTracker().getJobIdsForGroup(group) == []
+        finally:
+            sc.setJobGroup(None, None)
+        res = out.toPandas()
+        assert (res["contents_in_both_splits"] == 0).all()
+        assert res["n_docs"].sum() == 60

@@ -34,6 +34,7 @@ watermark horizon.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable, Iterable
 from typing import Any
 
@@ -310,12 +311,29 @@ class RunningTopK:
     (A `complete`-mode orderBy/limit is rejected by Spark for
     non-aggregated streams, and a collect_list-based aggregation would
     hold ALL rows in state; the k-row accumulator is the right design.)
+
+    ``state_path`` makes the accumulator restart-recoverable: after each
+    batch the k rows are written to parquet via atomic rename, and a new
+    instance pointed at the same path restores them before consuming —
+    the leaderboard twin of Spark's own checkpointed aggregation state.
+    foreachBatch is at-least-once, so the merge deduplicates exact
+    full-row duplicates to stay idempotent under batch replay (rows that
+    carry an event id/timestamp are never collapsed by this; give rows a
+    unique id column if bit-identical duplicate events are meaningful).
     """
 
-    def __init__(self, order_col: str = "compile_duration_ms", k: int = 10):
+    def __init__(
+        self,
+        order_col: str = "compile_duration_ms",
+        k: int = 10,
+        state_path: str | None = None,
+    ):
         self.order_col = order_col
         self.k = k
+        self.state_path = state_path
         self.top: pd.DataFrame | None = None
+        if state_path is not None and os.path.exists(state_path):
+            self.top = pd.read_parquet(state_path)
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         batch_top = (
@@ -327,10 +345,15 @@ class RunningTopK:
             else batch_top
         )
         self.top = (
-            merged.sort_values(self.order_col, ascending=False, kind="mergesort")
+            merged.drop_duplicates()
+            .sort_values(self.order_col, ascending=False, kind="mergesort")
             .head(self.k)
             .reset_index(drop=True)
         )
+        if self.state_path is not None:
+            tmp = f"{self.state_path}.tmp-{batch_id}"
+            self.top.to_parquet(tmp)
+            os.replace(tmp, self.state_path)
 
     def start(self, stream: DataFrame, checkpoint: str, **trigger_kwargs):
         if not trigger_kwargs:
@@ -799,9 +822,10 @@ def make_tcp_json_sink_batch_fn(host: str, port: int, columns: list[str] | None 
     The serialized frame is collected per batch on the driver before the
     socket write — correct for the metric-sized aggregates this sink
     carries (the reference publishes dashboard aggregates, not raw
-    events); a raw-event fan-out would instead use ``foreachPartition``
-    executor-side connections.  Integration test:
-    ``TestSocketTransport.test_sink_roundtrip_over_tcp``.
+    events).  For raw-event volume use the executor-side twin
+    ``make_tcp_json_sink_partition_fn`` (per-partition connections, no
+    driver collect).  Integration test:
+    ``TestSocketSink.test_sink_roundtrip_over_tcp``.
     """
     import socket as _socket
 
@@ -815,3 +839,126 @@ def make_tcp_json_sink_batch_fn(host: str, port: int, columns: list[str] | None 
             conn.sendall(("\n".join(lines) + "\n").encode())
 
     return process
+
+
+def make_tcp_json_sink_partition_fn(
+    host: str,
+    port: int,
+    columns: list[str] | None = None,
+    chunk_bytes: int = 1 << 20,
+):
+    """Executor-side foreachBatch TCP JSON sink — the raw-event fan-out
+    twin of ``make_tcp_json_sink_batch_fn``.
+
+    Serialization is identical (``sources.io.to_json_rows``: row → one
+    JSON ``value`` line, the Kafka-sink payload); the write is
+    ``foreachPartition``: each task opens its own connection and streams
+    its partition's lines in ``chunk_bytes`` buffers, so **no row ever
+    crosses the driver** — the scale-safe shape for raw-event volume
+    (a Kafka sink is one producer per task in exactly the same way;
+    reference fan-out: `producer_Final.py:50-76`).  Empty partitions open
+    no connection; connection count per micro-batch = non-empty
+    partitions.  Test asserts the driver path is bypassed:
+    ``TestSocketSink.test_partition_sink_is_executor_side``.
+    """
+    from data_engineering_project_utn_spark.sources.io import to_json_rows
+
+    def _send(rows: Iterable) -> None:
+        import socket as _socket
+
+        conn = None
+        buf: list[str] = []
+        size = 0
+        try:
+            for r in rows:
+                if conn is None:  # lazily: empty partition → no connection
+                    conn = _socket.create_connection((host, port), timeout=30)
+                buf.append(r["value"])
+                size += len(r["value"]) + 1
+                if size >= chunk_bytes:
+                    conn.sendall(("\n".join(buf) + "\n").encode())
+                    buf, size = [], 0
+            if conn is not None and buf:
+                conn.sendall(("\n".join(buf) + "\n").encode())
+        finally:
+            if conn is not None:
+                conn.close()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        to_json_rows(batch_df, columns).foreachPartition(_send)
+
+    return process
+
+
+def start_live_plane(
+    raw_stream: DataFrame,
+    checkpoint_root: str,
+    counters_sink: Callable[[DataFrame, int], None] | None = None,
+    counters_query_name: str = "live_counters",
+    order_col: str = "execution_duration_ms",
+    k: int = 5,
+    window_duration: str = "60 seconds",
+    watermark: str = "2 minutes",
+    trigger: dict | None = None,
+) -> dict[str, Any]:
+    """Wire the reference's full live plane as one composed pipeline —
+    the Aggregate View loop of `Real Final APP/Dashboard_Main.py` /
+    `Dashboard_Live_Final.py:93-210`:
+
+        transport → JSON decode   (caller: ``socket_json_stream`` /
+                                   ``kafka_json_stream`` — same parse)
+        → ``clean_redset``         (consumer-side hygiene, string→typed)
+        → ``live_window_counters`` (the 60 s TTL tables)  → memory table
+                                    [+ optional foreachBatch sink, e.g.
+                                     ``make_tcp_json_sink_batch_fn``]
+        → ``RunningTopK``          (the sorted-deque leaderboard)
+
+    Three streaming queries over the one decoded stream — the idiomatic
+    Spark shape for one topic feeding several live tables (each query
+    owns its checkpoint under ``checkpoint_root``, so cadences and
+    recovery are independent, exactly like the reference's per-table
+    refresh loop).  N.B. with a per-query-connection transport (socket
+    source) the producer must serve one replay per query, just as a
+    Kafka topic serves each consumer group its own read.
+
+    Returns ``{"counters_query", "sink_query" (None if no sink),
+    "topk_query", "topk"}`` — caller owns ``stop()``.  Integration test
+    (live TCP transport end-to-end + checkpoint recovery):
+    ``tests/test_streaming.py::TestLivePlaneEndToEnd``.
+    """
+    from data_engineering_project_utn_spark.operators.clean import clean_redset
+
+    trigger = trigger or {"processingTime": "1 second"}
+    cleaned = clean_redset(raw_stream)
+    counters = live_window_counters(
+        cleaned, window_duration=window_duration, watermark=watermark
+    )
+    counters_query = (
+        counters.writeStream.format("memory")
+        .queryName(counters_query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{checkpoint_root}/counters")
+        .trigger(**trigger)
+        .start()
+    )
+    sink_query = None
+    if counters_sink is not None:
+        sink_query = (
+            counters.writeStream.foreachBatch(counters_sink)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{checkpoint_root}/counters_sink")
+            .trigger(**trigger)
+            .start()
+        )
+    topk = RunningTopK(
+        order_col=order_col,
+        k=k,
+        state_path=f"{checkpoint_root}/topk_state.parquet",
+    )
+    topk_query = topk.start(cleaned, f"{checkpoint_root}/topk", **trigger)
+    return {
+        "counters_query": counters_query,
+        "sink_query": sink_query,
+        "topk_query": topk_query,
+        "topk": topk,
+    }

@@ -1211,3 +1211,385 @@ class TestSocketSink:
         # messages are valid JSON with the full column set
         sample = json.loads(received[0])
         assert set(sample) == {f.name for f in EVENT_SCHEMA.fields}
+
+    def test_partition_sink_is_executor_side(self, spark, tmp_path):
+        """foreachPartition TCP sink: every row arrives intact AND the
+        connection count equals the non-empty partitions of the batch —
+        one connection per task, which is only possible if each task ships
+        its own partition (the driver-collect path would open exactly one
+        connection per micro-batch)."""
+        import socket
+        import threading
+
+        from data_engineering_project_utn_spark.sources import io as src_io
+
+        pdf = _event_pdf(80)
+        path = str(tmp_path / "psink_events")
+        # 4 files -> the availableNow batch scans 4 partitions
+        spark.createDataFrame(pdf, EVENT_SCHEMA).repartition(4).write.parquet(path)
+
+        server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        server.bind(("127.0.0.1", 0))
+        server.listen(16)
+        port = server.getsockname()[1]
+        received: list[str] = []
+        n_connections = [0]
+        lock = threading.Lock()
+        done = threading.Event()
+
+        def handle(conn):
+            with conn:
+                buf = b""
+                while chunk := conn.recv(65536):
+                    buf += chunk
+            with lock:
+                received.extend(ln for ln in buf.decode().splitlines() if ln)
+
+        def serve():
+            try:
+                while not done.is_set():
+                    server.settimeout(60)
+                    try:
+                        conn, _ = server.accept()
+                    except socket.timeout:
+                        break
+                    with lock:
+                        n_connections[0] += 1
+                    threading.Thread(target=handle, args=(conn,), daemon=True).start()
+            finally:
+                server.close()
+
+        t = threading.Thread(target=serve, daemon=True)
+        t.start()
+
+        stream = sp.file_stream(spark, path, EVENT_SCHEMA)
+        q = (
+            stream.writeStream.foreachBatch(
+                sp.make_tcp_json_sink_partition_fn("127.0.0.1", port)
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt_psink"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        import time
+
+        deadline = time.time() + 30
+        while time.time() < deadline and len(received) < len(pdf):
+            time.sleep(0.2)
+        done.set()
+
+        batch = spark.read.schema(EVENT_SCHEMA).parquet(path)
+        expected = {r["value"] for r in src_io.to_json_rows(batch).collect()}
+        assert set(received) == expected and len(received) == len(pdf)
+        # executor-side evidence: one connection per non-empty partition
+        assert n_connections[0] >= 2
+
+
+RAW_STRING_SCHEMA = T.StructType(
+    [
+        T.StructField("instance_id", T.StringType()),
+        T.StructField("user_id", T.StringType()),
+        T.StructField("query_id", T.StringType()),
+        T.StructField("arrival_timestamp", T.StringType()),
+        T.StructField("compile_duration_ms", T.StringType()),
+        T.StructField("execution_duration_ms", T.StringType()),
+        T.StructField("was_aborted", T.StringType()),
+        T.StructField("was_cached", T.StringType()),
+    ]
+)
+
+REDSET_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("instance_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("query_id", T.LongType()),
+        T.StructField("arrival_timestamp", T.TimestampType()),
+        T.StructField("compile_duration_ms", T.DoubleType()),
+        T.StructField("execution_duration_ms", T.LongType()),
+        T.StructField("was_aborted", T.BooleanType()),
+        T.StructField("was_cached", T.BooleanType()),
+    ]
+)
+
+
+def _redset_pdf(n: int = 100) -> pd.DataFrame:
+    """Producer-shaped redset rows: unique query_id, second-aligned
+    timestamps (lossless through the ISO JSON serialization)."""
+    return pd.DataFrame(
+        {
+            "instance_id": [i % 3 for i in range(n)],
+            "user_id": [i % 7 for i in range(n)],
+            "query_id": list(range(n)),
+            "arrival_timestamp": pd.date_range("2024-03-01", periods=n, freq="10s"),
+            "compile_duration_ms": [float((i * 37) % 9000) for i in range(n)],
+            # 937 coprime to 4000 -> distinct values scattered across the
+            # full range (the all-data top-5 spans both replay phases)
+            "execution_duration_ms": [100 + (i * 937) % 4000 for i in range(n)],
+            "was_aborted": [i % 7 == 0 for i in range(n)],
+            "was_cached": [i % 3 == 0 for i in range(n)],
+        }
+    )
+
+
+class TestLivePlaneEndToEnd:
+    """The reference's full live plane, executed as one wired pipeline
+    (`Real Final APP/Dashboard_Main.py` Aggregate View loop /
+    `Dashboard_Live_Final.py:93-210`): replay producer → network transport
+    → JSON decode → clean_redset → 60 s window counters (memory table +
+    TCP JSON sink) ∥ RunningTopK leaderboard.  Two tests split the claims
+    by what each transport can prove:
+
+    * live TCP (socket source): serialize → wire → parse → clean →
+      stateful window agg → outbound TCP sink, all while the bytes really
+      move — parity with the identical batch composition over the same
+      payload.
+    * checkpoint recovery: the same ``start_live_plane`` wiring on the
+      replayable file source (Spark documents the socket source as
+      fault-intolerant, so restart semantics are only defined for
+      replayable sources — same reason production runs Kafka): stop after
+      phase 1, restart against the same checkpoints, and the restored
+      window state + restored leaderboard state must absorb phase 2 into
+      exactly the all-data batch answer.
+    """
+
+    def _expected(self, spark, lines):
+        """Batch composition over the same payload lines, byte-identical
+        transforms: decode → clean → counters / top-5."""
+        raw = spark.createDataFrame([(ln,) for ln in lines], "value string")
+        decoded = sp.json_value_columns(raw, RAW_STRING_SCHEMA)
+        from data_engineering_project_utn_spark.operators.clean import clean_redset
+
+        cleaned = clean_redset(decoded)
+        counters = {
+            tuple(r)
+            for r in sp.live_window_counters(cleaned).collect()
+        }
+        top5 = sorted(
+            (r["query_id"], r["execution_duration_ms"])
+            for r in cleaned.orderBy(
+                F.desc("execution_duration_ms"), "query_id"
+            ).limit(5).collect()
+        )
+        return counters, top5
+
+    def test_live_plane_over_tcp_matches_batch(self, spark, tmp_path):
+        import json
+        import socket
+        import threading
+        import time
+
+        from data_engineering_project_utn_spark.sources import io as src_io
+
+        pdf = _redset_pdf(100)
+        typed = spark.createDataFrame(pdf, REDSET_EVENT_SCHEMA)
+        lines = [r["value"] for r in src_io.to_json_rows(typed).collect()]
+        payload = ("\n".join(lines) + "\n").encode()
+
+        # replay producer: serves the full payload to EVERY consumer
+        # connection (each streaming query is its own consumer, exactly
+        # like consumer groups on one Kafka topic)
+        producer = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        producer.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        producer.bind(("127.0.0.1", 0))
+        producer.listen(8)
+        p_port = producer.getsockname()[1]
+        done = threading.Event()
+
+        def produce():
+            conns = []
+            try:
+                while not done.is_set():
+                    producer.settimeout(1)
+                    try:
+                        conn, _ = producer.accept()
+                    except socket.timeout:
+                        continue
+                    conn.sendall(payload)
+                    conns.append(conn)  # hold open until asserted
+            finally:
+                for c in conns:
+                    c.close()
+                producer.close()
+
+        # receiver for the outbound counters sink: per-connection groups
+        receiver = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        receiver.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        receiver.bind(("127.0.0.1", 0))
+        receiver.listen(8)
+        r_port = receiver.getsockname()[1]
+        groups: list[list[str]] = []
+        glock = threading.Lock()
+
+        def receive():
+            try:
+                while not done.is_set():
+                    receiver.settimeout(1)
+                    try:
+                        conn, _ = receiver.accept()
+                    except socket.timeout:
+                        continue
+                    with conn:
+                        buf = b""
+                        while chunk := conn.recv(65536):
+                            buf += chunk
+                    with glock:
+                        groups.append(
+                            [ln for ln in buf.decode().splitlines() if ln]
+                        )
+            finally:
+                receiver.close()
+
+        threading.Thread(target=produce, daemon=True).start()
+        threading.Thread(target=receive, daemon=True).start()
+
+        raw = sp.socket_json_stream(spark, "127.0.0.1", p_port, RAW_STRING_SCHEMA)
+        plane = sp.start_live_plane(
+            raw,
+            str(tmp_path / "lp_ckpt"),
+            counters_sink=sp.make_tcp_json_sink_batch_fn("127.0.0.1", r_port),
+            counters_query_name="lp_tcp_counters",
+            k=5,
+        )
+        exp_counters, exp_top5 = self._expected(spark, lines)
+        n = len(pdf)
+        try:
+            deadline = time.time() + 120
+            got_counters: set = set()
+            got_top5: list = []
+            last_group: list[str] = []
+            while time.time() < deadline:
+                got_counters = {
+                    tuple(r) for r in spark.sql(
+                        "SELECT * FROM lp_tcp_counters"
+                    ).collect()
+                }
+                if plane["topk"].top is not None:
+                    got_top5 = sorted(
+                        zip(
+                            plane["topk"].top["query_id"],
+                            plane["topk"].top["execution_duration_ms"],
+                        )
+                    )
+                with glock:
+                    last_group = groups[-1] if groups else []
+                if (
+                    got_counters == exp_counters
+                    and got_top5 == exp_top5
+                    and len(last_group) == len(exp_counters)
+                ):
+                    break
+                time.sleep(0.5)
+        finally:
+            for key in ("counters_query", "sink_query", "topk_query"):
+                if plane[key] is not None:
+                    plane[key].stop()
+            done.set()
+
+        # window counters: streaming complete-mode table == batch answer
+        assert got_counters == exp_counters
+        # leaderboard: running top-5 == batch top-5
+        assert got_top5 == exp_top5
+        # outbound sink: the last shipped batch is the full counter set,
+        # parsed back from the wire
+        shipped = {
+            (
+                d["start"],
+                d["end"],
+                d["total_queries"],
+                d["aborted_queries"],
+                d["cached_queries"],
+                d["successful_queries"],
+            )
+            for d in (json.loads(ln) for ln in last_group)
+        }
+        expected_shipped = {
+            (
+                r[0].strftime("%Y-%m-%dT%H:%M:%S"),
+                r[1].strftime("%Y-%m-%dT%H:%M:%S"),
+                r[2],
+                r[3],
+                r[4],
+                r[5],
+            )
+            for r in exp_counters
+        }
+        assert shipped == expected_shipped
+
+    def test_live_plane_checkpoint_recovery(self, spark, tmp_path):
+        import time
+
+        pdf = _redset_pdf(100)
+        src = str(tmp_path / "lp_rec_src")
+        ckpt = str(tmp_path / "lp_rec_ckpt")
+        spark.createDataFrame(pdf.iloc[:60], REDSET_EVENT_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+        def run_phase(qname):
+            stream = sp.file_stream(
+                spark, src, REDSET_EVENT_SCHEMA, max_files_per_trigger=1
+            )
+            plane = sp.start_live_plane(
+                stream,
+                ckpt,
+                counters_query_name=qname,
+                k=5,
+                trigger={"availableNow": True},
+            )
+            plane["counters_query"].awaitTermination(120)
+            plane["topk_query"].awaitTermination(120)
+            for key in ("counters_query", "sink_query", "topk_query"):
+                if plane[key] is not None:
+                    plane[key].stop()
+            return plane
+
+        plane1 = run_phase("lp_rec_phase1")
+        time.sleep(0.2)
+        assert (
+            sum(
+                r["total_queries"]
+                for r in spark.sql("SELECT * FROM lp_rec_phase1").collect()
+            )
+            == 60
+        )
+        assert plane1["topk"].top is not None  # state file written
+
+        # phase 2: new data lands, new session of the same plane resumes
+        # from the same checkpoints — window state and leaderboard state
+        # must both carry over
+        spark.createDataFrame(pdf.iloc[60:], REDSET_EVENT_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        plane2 = run_phase("lp_rec_phase2")
+        time.sleep(0.2)
+
+        from data_engineering_project_utn_spark.operators.clean import clean_redset
+
+        all_clean = clean_redset(spark.createDataFrame(pdf, REDSET_EVENT_SCHEMA))
+        exp_counters = {
+            tuple(r) for r in sp.live_window_counters(all_clean).collect()
+        }
+        got_counters = {
+            tuple(r) for r in spark.sql("SELECT * FROM lp_rec_phase2").collect()
+        }
+        assert got_counters == exp_counters
+
+        exp_top5 = sorted(
+            (r["query_id"], r["execution_duration_ms"])
+            for r in all_clean.orderBy(
+                F.desc("execution_duration_ms"), "query_id"
+            ).limit(5).collect()
+        )
+        got_top5 = sorted(
+            zip(
+                plane2["topk"].top["query_id"],
+                plane2["topk"].top["execution_duration_ms"],
+            )
+        )
+        assert got_top5 == exp_top5
+        # the restored leaderboard must include phase-1 rows the phase-2
+        # batches never saw — proves it recovered, not recomputed
+        phase2_ids = set(pdf.iloc[60:]["query_id"])
+        assert any(qid not in phase2_ids for qid, _ in got_top5)

@@ -24,6 +24,8 @@ from collections.abc import Callable
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
+from data_engineering_project_utn_spark.persist import pin_scope
+
 
 class ResultCache:
     """TTL-bounded memo of materialized query results.
@@ -119,9 +121,15 @@ class ResultCache:
                     return snapshot
                 gen_at_start = self._generation
             # build outside the registry lock: a slow rebuild must not block
-            # get() on other keys
-            fresh = build().persist(StorageLevel.MEMORY_AND_DISK)
-            fresh.count()  # materialize once, at refresh time
+            # get() on other keys.  pin_scope: correctness pins the build
+            # registers (e.g. with_global_rank's range-partition pin under
+            # a decile/shard query) are freed as soon as the snapshot is
+            # materialized — the snapshot's own blocks carry the answer, so
+            # a TTL loop rebuilding pin-bearing queries holds pinned
+            # storage for one build, not session lifetime.
+            with pin_scope():
+                fresh = build().persist(StorageLevel.MEMORY_AND_DISK)
+                fresh.count()  # materialize once, at refresh time
             with self._lock:
                 if self._generation != gen_at_start:
                     # invalidate() ran mid-build: this snapshot may have read

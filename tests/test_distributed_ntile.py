@@ -8,7 +8,10 @@ import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from data_engineering_project_utn_spark.operators.histogram import distributed_ntile
+from data_engineering_project_utn_spark.operators.histogram import (
+    decile_histogram,
+    distributed_ntile,
+)
 
 
 def _compare(spark, pdf, order_cols, n_bins, parts):
@@ -133,6 +136,37 @@ def test_pin_scope_releases_correctness_pins(spark):
         assert len(pins) == 1
         assert jsc.getPersistentRDDs().size() > before
     assert jsc.getPersistentRDDs().size() <= before
+
+
+def test_result_cache_build_scopes_pins(spark):
+    """ResultCache.get wraps build+materialize in pin_scope: after a
+    pin-bearing decile build, the range-partition correctness pin is freed
+    and only the snapshot's own blocks remain — the TTL dashboard loop no
+    longer accumulates pinned storage across rebuilds (ADVICE r04 #1,
+    final call site)."""
+    from data_engineering_project_utn_spark.operators.cache import ResultCache
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    pdf = pd.DataFrame(
+        {
+            "relative_to_next": [(i * 31) % 200 / 200.0 for i in range(400)],
+            "instance_id": [i % 3 for i in range(400)],
+            "query_id": range(400),
+            "read_table_id": [i % 5 for i in range(400)],
+        }
+    )
+    rel = spark.createDataFrame(pdf)
+    cache = ResultCache(ttl_seconds=600)
+    snap = cache.get("decile", lambda: decile_histogram(rel, distributed=True))
+    # exactly ONE new persisted RDD: the snapshot (the build's internal
+    # range-partition pin was scope-released after materialization)
+    assert jsc.getPersistentRDDs().size() == before + 1
+    assert snap.storageLevel.useMemory
+    # the snapshot reads consistent materialized blocks after pin release
+    assert snap.count() > 0
+    cache.invalidate()
+    assert jsc.getPersistentRDDs().size() == before
 
 
 def test_release_pin_frees_one_global_pin(spark):

@@ -81,6 +81,7 @@ EXTENDED_QUERIES = [
     "rl_json_props",
     "llm_embedding_dedup_clusters_auto",
     "llm_cm_heavy_hitters",
+    "llm_cm_extract",
 ]
 
 

@@ -84,3 +84,45 @@ def cm_estimates(
         .groupBy(item_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_estimate"))
     )
+
+
+def cm_merge(*counter_frames: DataFrame) -> DataFrame:
+    """Merge sketches built with identical (depth, width, seeds): counters
+    sum per (d, bucket).  This is the union-then-groupBy spelling of the
+    same merge the map-side partial aggregation performs inside one build —
+    merged(A) ⊎ merged(B) ≡ sketch(A ∪ B) exactly, which is what makes the
+    sketch shard-parallel at any scale (per-shard sketches, model-size
+    merge; the cross-engine gate ``llm_cm_extract`` proves it bit-exactly
+    against a single-pass oracle sketch)."""
+    from functools import reduce
+
+    u = reduce(lambda a, b: a.unionByName(b), counter_frames)
+    return u.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_heavy_hitters(
+    counters: DataFrame,
+    candidates: DataFrame,
+    item_col: str,
+    epsilon: float,
+    depth: int = 3,
+    width: int = 512,
+) -> DataFrame:
+    """Heavy-hitter extraction: candidates whose estimate ≥ ε·N, with N
+    (the stream length) read from the sketch itself — row 0's counters sum
+    to N, so no second pass over the data.  One-sided: every item with
+    true count ≥ ε·N is guaranteed in the output (CM never undercounts);
+    false positives are bounded by the e/W overcount.  ``candidates`` is
+    the item domain to probe (CM is not invertible — at scale keep the
+    candidate set alongside the sketch, e.g. per-shard local top-k).
+
+    Output: item, cm_estimate, threshold (ε·N as double — use an exactly
+    representable ε like 1/256 for cross-engine bit-parity)."""
+    n_total = counters.filter(F.col("d") == 0).agg(F.sum("cnt").alias("_n"))
+    est = cm_estimates(counters, candidates, item_col, depth, width)
+    thresh = F.lit(epsilon) * F.col("_n").cast("double")
+    return (
+        est.crossJoin(F.broadcast(n_total))
+        .filter(F.col("cm_estimate").cast("double") >= thresh)
+        .select(item_col, "cm_estimate", thresh.alias("threshold"))
+    )

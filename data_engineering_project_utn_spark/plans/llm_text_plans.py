@@ -490,3 +490,71 @@ def llm_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_cnt"), "token")
     )
+
+
+@register(
+    "llm_cm_extract",
+    oracle=rf"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),
+    cm AS (
+        SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+            SELECT u.d AS d, {_cm_bucket_sql('token', 'u.d', 512)} AS bucket
+            FROM tok, unnest([0, 1, 2]) u(d)
+        ) GROUP BY d, bucket
+    ),
+    n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM cm WHERE d = 0),
+    cand AS (SELECT DISTINCT token FROM tok),
+    qh AS (
+        SELECT c.token, u.d AS d,
+               {_cm_bucket_sql('c.token', 'u.d', 512)} AS bucket
+        FROM cand c, unnest([0, 1, 2]) u(d)
+    ),
+    est AS (
+        SELECT qh.token, CAST(MIN(COALESCE(cm.cnt, 0)) AS BIGINT) AS cm_estimate
+        FROM qh LEFT JOIN cm USING (d, bucket) GROUP BY qh.token
+    ),
+    exact AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+              FROM tok GROUP BY token)
+    SELECT est.token, est.cm_estimate, exact.exact_cnt,
+           CAST(n.n_total AS DOUBLE) / 256 AS threshold
+    FROM est CROSS JOIN n JOIN exact ON est.token = exact.token
+    WHERE CAST(est.cm_estimate AS DOUBLE) >= CAST(n.n_total AS DOUBLE) / 256
+    ORDER BY est.cm_estimate DESC, est.token
+    """,
+    tags=("llm", "text", "sketch"),
+)
+def llm_cm_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy-hitter EXTRACTION over a MERGED sketch — the
+    shard-parallel shape: the corpus is split in two (doc_id parity), each
+    half builds its own D·W sketch, ``cm_merge`` sums the counters, and
+    ``cm_heavy_hitters`` keeps candidates whose estimate ≥ ε·N with N read
+    from the merged sketch's row 0 (no second data pass) and ε = 1/256
+    (exactly representable → cross-engine bit-parity).  The oracle builds
+    ONE single-pass sketch over the whole corpus, so a green gate IS the
+    mergeability proof: sketch(A) ⊎ sketch(B) ≡ sketch(A ∪ B), counter for
+    counter.  At 100 TB: per-shard sketches are map-side partial aggs,
+    the merge moves ≤ D·W rows per shard, candidates come from per-shard
+    local top-k unions, and the extraction is one broadcast join —
+    nothing here scales with corpus size except the narrow token scan."""
+    from data_engineering_project_utn_spark.llm import sketch as sk
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+
+    def toks(frame: DataFrame) -> DataFrame:
+        return frame.select(F.explode(tx.tokens(F.col("text"))).alias("token"))
+
+    merged = sk.cm_merge(
+        sk.cm_counters(toks(d.filter(F.col("doc_id") % 2 == 0)), "token"),
+        sk.cm_counters(toks(d.filter(F.col("doc_id") % 2 == 1)), "token"),
+    )
+    all_tok = track_persist(toks(d))
+    hitters = sk.cm_heavy_hitters(
+        merged, all_tok.distinct(), "token", epsilon=1.0 / 256.0
+    )
+    exact = all_tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return (
+        hitters.join(exact, "token")
+        .select("token", "cm_estimate", "exact_cnt", "threshold")
+        .orderBy(F.desc("cm_estimate"), "token")
+    )

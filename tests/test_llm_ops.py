@@ -1030,6 +1030,51 @@ class TestCurationRound5:
         assert (j["cm_estimate"] >= j["exact"]).all()
         assert (j["cm_estimate"] > j["exact"]).any()  # width 64 forces collisions
 
+    def test_cm_merge_dataframe_equals_single_pass_sketch(self, spark):
+        """cm_merge over per-shard counter frames must equal the one-pass
+        sketch of the union, counter for counter (the DataFrame-level twin
+        of the pandas merge identity above)."""
+        import pandas as pd
+
+        from pyspark.sql import functions as F
+
+        from data_engineering_project_utn_spark.llm import sketch as sk
+
+        pdf = pd.DataFrame({"token": [f"t{i % 23}" for i in range(400)], "i": range(400)})
+        items = spark.createDataFrame(pdf)
+        full = sk.cm_counters(items, "token").toPandas().set_index(["d", "bucket"])["cnt"]
+        merged = (
+            sk.cm_merge(
+                sk.cm_counters(items.filter(F.col("i") % 2 == 0), "token"),
+                sk.cm_counters(items.filter(F.col("i") % 2 == 1), "token"),
+            )
+            .toPandas()
+            .set_index(["d", "bucket"])["cnt"]
+        )
+        assert merged.sort_index().astype(int).equals(full.sort_index().astype(int))
+
+    def test_cm_heavy_hitters_one_sided(self, spark):
+        """Extraction never misses a true heavy hitter (CM never
+        undercounts), and threshold = eps * N with N read from the sketch."""
+        import pandas as pd
+
+        from pyspark.sql import functions as F
+
+        from data_engineering_project_utn_spark.llm import sketch as sk
+
+        # skewed stream: t0 dominates
+        toks = ["hot"] * 500 + [f"cold{i % 40}" for i in range(500)]
+        items = spark.createDataFrame(pd.DataFrame({"token": toks}))
+        counters = sk.cm_counters(items, "token", depth=3, width=64)
+        out = sk.cm_heavy_hitters(
+            counters, items.distinct(), "token", epsilon=0.25, depth=3, width=64
+        ).toPandas()
+        assert "hot" in set(out["token"])  # true hitter (500/1000 >= 0.25) present
+        assert (out["threshold"] == 0.25 * 1000).all()
+        exact = items.groupBy("token").agg(F.count(F.lit(1)).alias("c")).toPandas()
+        true_hitters = set(exact[exact["c"] >= 250]["token"])
+        assert true_hitters <= set(out["token"])  # one-sided: no false negatives
+
     def test_cm_estimate_absent_item_reads_empty_bucket_as_zero(self, spark):
         """Canonical count-min: a query item can land in all-empty buckets
         and must estimate from them (0), not vanish via an inner join or

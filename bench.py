@@ -82,6 +82,7 @@ EXTENDED_QUERIES = [
     "llm_embedding_dedup_clusters_auto",
     "llm_cm_heavy_hitters",
     "llm_cm_extract",
+    "llm_hll_distinct",
 ]
 
 

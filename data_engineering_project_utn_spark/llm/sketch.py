@@ -9,9 +9,19 @@ min-over-rows and can only OVERcount (≤ true + εN with ε ≈ e/W at
 standard depth) — the documented swap for exact heavy-hitter counts at
 scans where a full groupBy's key space is the bottleneck (SCALE.md).
 
-Hashing is md5-derived (seeded by row index), so the whole sketch —
-build, estimate, error — is reproducible in SQL oracles via the same
-hex-char fold the SimHash gate uses.
+HyperLogLog (Flajolet et al.): m registers, each the max leading-zero
+rank ρ of the items hashing into it.  Here the register frame is a
+grouped MAX on (first-hex-chars bucket, ρ from the md5 tail) — partial
+MAX map-side is the sketch merge, registers never exceed m rows, two
+corpora merge by per-register max.  The estimator numerator
+Σ 2^(R−M_j) is accumulated as exact integers in decimal (R = 61 caps ρ
+at the 60 hash bits used), so the whole estimate is a deterministic
+function of the register values — cross-engine bit-reproducible, unlike
+library HLLs whose float harmonic sums are fold-order-dependent.
+
+Hashing is md5-derived (seeded by row index), so every sketch here —
+build, merge, estimate, error — is reproducible in SQL oracles via the
+same hex-char fold the SimHash gate uses.
 """
 
 from __future__ import annotations
@@ -125,4 +135,108 @@ def cm_heavy_hitters(
         est.crossJoin(F.broadcast(n_total))
         .filter(F.col("cm_estimate").cast("double") >= thresh)
         .select(item_col, "cm_estimate", thresh.alias("threshold"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+# ρ is computed from 60 md5 tail bits (hex chars 3..17); an all-zero tail
+# caps at 61 (= 60 zero bits + 1), so 2^(CAP − ρ) always fits a BIGINT.
+HLL_RHO_CAP = 61
+
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def hll_alpha(m: int) -> float:
+    """Standard HLL bias constant (Flajolet et al. 2007)."""
+    return _HLL_ALPHA.get(m, 0.7213 / (1 + 1.079 / m))
+
+
+def _hll_rho(item: Column) -> Column:
+    """Leading-zero rank of the 60-bit md5 tail, via string ops that DuckDB
+    mirrors verbatim (regexp strip of leading '0' chars + a 16-way CASE for
+    the partial zeros inside the first nonzero hex char)."""
+    tail = F.substring(F.md5(item), 3, 15)
+    stripped = F.regexp_replace(tail, "^0+", "")
+    nz4 = (F.lit(15) - F.length(stripped)) * 4  # whole zero hex chars, in bits
+    first = F.substring(stripped, 1, 1)
+    partial = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    return F.when(F.length(stripped) == 0, F.lit(HLL_RHO_CAP)).otherwise(
+        nz4 + partial + 1
+    )
+
+
+def hll_registers(items: DataFrame, item_col: str, b: int = 6) -> DataFrame:
+    """Build the register frame: (bucket, M) with M = max ρ per bucket —
+    ≤ 2^b rows at any corpus size; the grouped MAX's map-side partial agg
+    IS the sketch merge.  Bucket = first two md5 hex chars mod m (256 is a
+    multiple of every m ≤ 256, so the fold stays uniform)."""
+    m = 1 << b
+    c = F.col(item_col)
+    h = F.md5(c)
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % m
+    return (
+        items.select(bucket.alias("bucket"), _hll_rho(c).alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("M"))
+    )
+
+
+def hll_merge(*register_frames: DataFrame) -> DataFrame:
+    """Merge register frames built with the same b: per-register max —
+    hll(A) ⊔ hll(B) ≡ hll(A ∪ B) exactly (max is idempotent/commutative,
+    so the merge also absorbs replays for free)."""
+    from functools import reduce
+
+    u = reduce(lambda a, b: a.unionByName(b), register_frames)
+    return u.groupBy("bucket").agg(F.max("M").alias("M"))
+
+
+def hll_estimate(registers: DataFrame, b: int = 6) -> DataFrame:
+    """Single-row cardinality estimate from a register frame.
+
+    Every accumulation is exact: the harmonic-mean numerator
+    Σ_j 2^(CAP − M_j) is a sum of BIGINT powers of two in DECIMAL(38,0)
+    (order-independent — library HLLs sum 2^−M as doubles, which is
+    fold-order-dependent and therefore not reproducible), and empty
+    registers enter as M = 0 via a left join against the full 0..m−1
+    domain.  The only floating steps are the final constant-folded
+    multiply/divide chain (same literals, same left-assoc order in the
+    SQL oracle) and — on the small-range branch only — one ``ln`` whose
+    cross-engine ULP risk is absorbed by rounding the estimate to a
+    BIGINT.  Output: hll_estimate, n_empty_registers, numerator."""
+    m = 1 << b
+    spark = registers.sparkSession
+    domain = spark.range(m).select(F.col("id").cast("long").alias("bucket"))
+    full = domain.join(registers, "bucket", "left").select(
+        F.coalesce(F.col("M"), F.lit(0)).alias("M")
+    )
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_CAP} - M)")
+    agg = full.agg(
+        F.sum(term.cast("decimal(38,0)")).alias("numerator"),
+        F.sum((F.col("M") == 0).cast("long")).alias("n_empty_registers"),
+    )
+    e_raw = (
+        F.lit(hll_alpha(m))
+        * F.lit(float(m))
+        * F.lit(float(m))
+        * F.lit(float(1 << HLL_RHO_CAP))
+        / F.col("numerator").cast("double")
+    )
+    small = (e_raw <= F.lit(2.5 * m)) & (F.col("n_empty_registers") > 0)
+    linear = F.lit(float(m)) * F.log(
+        F.lit(float(m)) / F.col("n_empty_registers").cast("double")
+    )
+    est = F.when(small, linear).otherwise(e_raw)
+    return agg.select(
+        F.round(est).cast("bigint").alias("hll_estimate"),
+        "n_empty_registers",
+        "numerator",
     )

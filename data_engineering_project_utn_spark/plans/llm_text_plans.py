@@ -558,3 +558,104 @@ def llm_cm_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token", "cm_estimate", "exact_cnt", "threshold")
         .orderBy(F.desc("cm_estimate"), "token")
     )
+
+
+# HLL oracle fragments: the 2-hex-char bucket fold and the tail
+# leading-zero rank, identical string ops to sketch.hll_registers.
+# m = 256 (b=8): the two bucket hex chars ARE the register index, and the
+# alpha literal is the repr of the exact Python float the Spark side
+# folds, so both engines parse the identical double.
+_HLL_M = 256
+_HLL_ALPHA_LIT = repr(0.7213 / (1 + 1.079 / _HLL_M))
+_HLL_BUCKET_SQL = (
+    "list_reduce(list_transform(string_split(substring(md5(text), 1, 2), ''), "
+    f"c -> strpos('0123456789abcdef', c) - 1), (a, x) -> a * 16 + x) % {_HLL_M}"
+)
+# every factor cast to DOUBLE: DuckDB parses bare numeric literals as
+# DECIMAL and would fold this chain in (overflowing) decimal arithmetic,
+# while Spark folds doubles — the casts make both engines run the same
+# left-assoc IEEE chain on the same parsed doubles
+_HLL_RAW_SQL = (
+    f"CAST({_HLL_ALPHA_LIT} AS DOUBLE) * CAST(256 AS DOUBLE) * "
+    "CAST(256 AS DOUBLE) * CAST(2305843009213693952 AS DOUBLE)"
+    " / CAST(numerator AS DOUBLE)"
+)
+
+
+@register(
+    "llm_hll_distinct",
+    oracle=rf"""
+    WITH hashed AS (
+        SELECT {_HLL_BUCKET_SQL} AS bucket,
+               regexp_replace(substring(md5(text), 3, 15), '^0+', '') AS stripped
+        FROM documents
+    ),
+    rho AS (
+        SELECT bucket,
+               CASE WHEN length(stripped) = 0 THEN 61
+                    ELSE (15 - length(stripped)) * 4 +
+                         CASE substring(stripped, 1, 1)
+                              WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                              WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                              WHEN '7' THEN 1 ELSE 0 END + 1
+               END AS rho
+        FROM hashed
+    ),
+    regs AS (SELECT bucket, MAX(rho) AS M FROM rho GROUP BY bucket),
+    filled AS (SELECT COALESCE(r.M, 0) AS M FROM range(0, {_HLL_M}) g(bucket)
+               LEFT JOIN regs r ON r.bucket = g.bucket),
+    agg AS (SELECT SUM(CAST(CAST(1 AS BIGINT) << (61 - M) AS DECIMAL(38,0)))
+                       AS numerator,
+                   SUM(CASE WHEN M = 0 THEN 1 ELSE 0 END) AS n_empty
+            FROM filled),
+    est AS (
+        SELECT CAST(ROUND(CASE WHEN {_HLL_RAW_SQL} <= 640.0 AND n_empty > 0
+                               THEN 256.0 * ln(256.0 / CAST(n_empty AS DOUBLE))
+                               ELSE {_HLL_RAW_SQL} END) AS BIGINT)
+                   AS hll_estimate,
+               CAST(n_empty AS BIGINT) AS n_empty_registers
+        FROM agg
+    ),
+    ex AS (SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS exact_distinct
+           FROM documents)
+    SELECT ex.exact_distinct, est.hll_estimate, est.n_empty_registers,
+           (CAST(est.hll_estimate AS DOUBLE) - CAST(ex.exact_distinct AS DOUBLE))
+             / CAST(ex.exact_distinct AS DOUBLE) AS rel_error
+    FROM est CROSS JOIN ex
+    """,
+    tags=("llm", "text", "sketch"),
+)
+def llm_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-count over MERGED per-shard
+    sketches — the approx_count_distinct swap you can actually bit-gate:
+    registers are md5-derived (bucket = 2 hex chars mod 64, ρ = tail
+    leading-zero rank via string ops), the harmonic numerator accumulates
+    exact BIGINT powers of two in decimal (order-independent, unlike
+    library HLLs' float sums), and the corpus is split by doc_id parity
+    with per-half register frames merged by max — the oracle builds ONE
+    single-pass sketch, so a green gate proves hll(A) ⊔ hll(B) ≡
+    hll(A ∪ B).  Output carries the exact distinct count and the relative
+    error, so the sketch's accuracy (±~6.5 % at m=256) is visible in the
+    gated result; at sf0.001 the estimate lands on the linear-counting
+    branch (E ≤ 2.5m with empty registers), so both estimator regimes are
+    cross-engine-gated.  At 100 TB: registers ≤ 256 rows per shard,
+    map-side MAX partial agg IS the merge — the scan is the only term
+    that scales."""
+    from data_engineering_project_utn_spark.llm import sketch as sk
+
+    d = load_table(spark, sf_dir, "documents")
+    regs = sk.hll_merge(
+        sk.hll_registers(d.filter(F.col("doc_id") % 2 == 0), "text", b=8),
+        sk.hll_registers(d.filter(F.col("doc_id") % 2 == 1), "text", b=8),
+    )
+    est = sk.hll_estimate(regs, b=8)
+    exact = d.agg(F.countDistinct("text").alias("exact_distinct"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "exact_distinct",
+        "hll_estimate",
+        "n_empty_registers",
+        (
+            (F.col("hll_estimate").cast("double") - F.col("exact_distinct").cast("double"))
+            / F.col("exact_distinct").cast("double")
+        ).alias("rel_error"),
+    )

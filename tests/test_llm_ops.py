@@ -1075,6 +1075,51 @@ class TestCurationRound5:
         true_hitters = set(exact[exact["c"] >= 250]["token"])
         assert true_hitters <= set(out["token"])  # one-sided: no false negatives
 
+    def test_hll_merge_equals_single_pass_and_absorbs_replays(self, spark):
+        """hll(A) ⊔ hll(B) must equal the single-pass sketch of A ∪ B,
+        register for register — and because the merge is MAX, replaying a
+        shard into the merge changes nothing (free idempotence)."""
+        import pandas as pd
+
+        from pyspark.sql import functions as F
+
+        from data_engineering_project_utn_spark.llm import sketch as sk
+
+        pdf = pd.DataFrame({"item": [f"doc-{i}" for i in range(3000)], "i": range(3000)})
+        items = spark.createDataFrame(pdf)
+        full = (
+            sk.hll_registers(items, "item", b=8)
+            .toPandas()
+            .set_index("bucket")["M"]
+            .sort_index()
+        )
+        a = items.filter(F.col("i") % 2 == 0)
+        b = items.filter(F.col("i") % 2 == 1)
+        ra, rb = sk.hll_registers(a, "item", b=8), sk.hll_registers(b, "item", b=8)
+        merged = sk.hll_merge(ra, rb).toPandas().set_index("bucket")["M"].sort_index()
+        assert merged.equals(full)
+        replayed = (
+            sk.hll_merge(ra, rb, ra)  # shard A replayed
+            .toPandas()
+            .set_index("bucket")["M"]
+            .sort_index()
+        )
+        assert replayed.equals(full)
+
+    def test_hll_estimate_accuracy(self, spark):
+        """m=256 keeps the estimate within a few σ (σ ≈ 6.5 %) of truth on
+        a 3000-distinct corpus, and the numerator stays exact decimal."""
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.llm import sketch as sk
+
+        items = spark.createDataFrame(
+            pd.DataFrame({"item": [f"doc-{i}" for i in range(3000)]})
+        )
+        out = sk.hll_estimate(sk.hll_registers(items, "item", b=8), b=8).collect()[0]
+        assert abs(out["hll_estimate"] - 3000) / 3000 < 0.2  # ~3σ
+        assert out["n_empty_registers"] == 0  # 3000 >> 256 registers
+
     def test_cm_estimate_absent_item_reads_empty_bucket_as_zero(self, spark):
         """Canonical count-min: a query item can land in all-empty buckets
         and must estimate from them (0), not vanish via an inner join or

@@ -240,3 +240,70 @@ def hll_estimate(registers: DataFrame, b: int = 6) -> DataFrame:
         "n_empty_registers",
         "numerator",
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def bloom_hash(item: Column, seed: int, m: int) -> Column:
+    """Bit position ``seed`` for ``item``: first 8 md5 hex chars of the
+    seeded digest as an int, mod ``m`` — the same engine-reproducible fold
+    as ``cm_hash`` with a distinct ``bf`` prefix so the two sketches'
+    hash families are decorrelated."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"bf{seed}:"), item)), 1, 8), 16, 10
+        ).cast("long")
+        % m
+    )
+
+
+def bloom_bits(items: DataFrame, item_col: str, m: int = 4096, k: int = 3) -> DataFrame:
+    """Build the filter: the DISTINCT set-bit positions — ≤ m rows at any
+    input size (model-size, broadcastable).  The distinct's map-side
+    partial dedup IS the sketch merge, and two filters built with the same
+    (m, k) merge by plain union+distinct: bits(A) ∪ bits(B) ≡ bits(A ∪ B),
+    the union-property Bloom filters are used for at scale (per-shard
+    build, model-size OR-merge)."""
+    c = F.col(item_col)
+    return (
+        items.select(
+            F.explode(F.array(*[bloom_hash(c, s, m) for s in range(k)])).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_merge(*bit_frames: DataFrame) -> DataFrame:
+    """OR-merge filters built with identical (m, k): union + distinct."""
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), bit_frames).distinct()
+
+
+def bloom_contains(
+    bits: DataFrame, candidates: DataFrame, item_col: str, m: int = 4096, k: int = 3
+) -> DataFrame:
+    """Membership probe: (item, maybe_present) — true iff ALL k of the
+    item's bit positions are set.  One-sided like every Bloom filter: a
+    member always probes true (no false negatives); a non-member probes
+    true with probability ≈ (1 − e^(−kn/m))^k.  The bit frame broadcasts
+    (≤ m rows), so the probe side is a narrow scan + one broadcast
+    left-join + a doc-key aggregation — the corpus never shuffles on
+    anything but its own id.  All of ``candidates``' columns are carried
+    through and grouped on, so composite keys (e.g. (doc_id, shingle))
+    probe row-for-row."""
+    c = F.col(item_col)
+    keys = list(candidates.columns)
+    probes = candidates.select(
+        *keys,
+        F.explode(F.array(*[bloom_hash(c, s, m) for s in range(k)])).alias("bit"),
+    )
+    marked = probes.join(
+        F.broadcast(bits.withColumn("_set", F.lit(1))), "bit", "left"
+    )
+    return marked.groupBy(*keys).agg(
+        (F.min(F.coalesce(F.col("_set"), F.lit(0))) == 1).alias("maybe_present")
+    )

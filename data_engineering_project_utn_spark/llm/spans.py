@@ -1,0 +1,130 @@
+"""Exact duplicated-substring span detection (suffix-array-style dedup,
+re-expressed as a positional n-gram index).
+
+Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+Better") remove *substrings* repeated across a corpus, not just whole
+near-duplicate documents — the reference pipeline's dedup layer stops at
+document granularity, so this is the span-level complement.  A distributed
+suffix array is impractical on Spark; the standard scalable equivalent is
+a positional n-gram index: a token position is "duplicated" iff it is
+covered by some n-gram that occurs ≥ 2 times corpus-wide.  That coverage
+union is computed exactly here:
+
+1. ``shingle_positions`` — narrow projection: every n-gram with its
+   1-based start position (posexplode of the shingle array).
+2. n-gram occurrence counts — ONE groupBy shuffle on the n-gram string
+   (map-side partial agg; at 100 TB substitute the count-min sketch in
+   ``llm/sketch.py`` for the exact counts if the n-gram key space itself
+   becomes the bottleneck — the ≥ 2 filter only ever *overcounts* with CM,
+   an acceptable one-sided error for dedup).
+3. join positions back to surviving n-grams — equi-join on the same key,
+   so AQE can ride the groupBy's partitioning.
+4. per-document interval union — a lag window + running-sum span id,
+   partitioned by doc_id: positions p, q chain into one span iff
+   q − p ≤ n − 1 (their covered intervals [p, p+n−1], [q, q+n−1] touch or
+   overlap), so span token counts are EXACT union sizes, never
+   double-counted.
+
+Nothing scales with corpus size beyond the narrow scan + two key-partition
+shuffles; there is no all-pairs stage anywhere (contrast MinHash candidate
+pairs in llm/dedup.py — this is a different axis: position-exact, not
+document-similarity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_engineering_project_utn_spark.llm import text as tx
+
+
+def shingle_positions(
+    docs: DataFrame, n: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, ntok, pos, sh): every n-gram shingle with its 1-based start
+    position.  Docs shorter than n tokens yield their whole text as the
+    single shingle at pos 1 (mirrors ``llm.text.shingles``)."""
+    toks = tx.tokens(text_col)
+    return (
+        docs.select(
+            F.col(id_col),
+            F.size(toks).cast("long").alias("ntok"),
+            F.posexplode(tx.shingles(text_col, n)).alias("pos0", "sh"),
+        )
+        .select(
+            id_col, "ntok", (F.col("pos0") + 1).cast("long").alias("pos"), "sh"
+        )
+    )
+
+
+def duplicated_span_frame(
+    docs: DataFrame,
+    n: int = 5,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal duplicated spans per document.
+
+    Output: (id, ntok, start_pos, end_pos, span_len) where
+    [start_pos, end_pos] is a maximal run of token positions covered by
+    n-grams occurring ≥ ``min_count`` times corpus-wide (within-doc repeats
+    count — self-repetition is duplication for LM training too).
+    ``end_pos`` is clamped to ntok for sub-n documents."""
+    sp = shingle_positions(docs, n, text_col, id_col)
+    dup_sh = (
+        sp.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") >= min_count)
+        .select("sh")
+    )
+    dup_pos = sp.join(dup_sh, "sh").select(id_col, "ntok", "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = (
+        F.when(F.col("pos") - F.lag("pos").over(w) <= n - 1, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("brk")
+    )
+    runs = dup_pos.select(id_col, "ntok", "pos", brk)
+    span_id = F.sum("brk").over(
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    spans = runs.select(id_col, "ntok", "pos", span_id.alias("span_id"))
+    start = F.min("pos").alias("start_pos")
+    end = F.least(F.max("pos") + n - 1, F.first("ntok")).alias("end_pos")
+    return (
+        spans.groupBy(id_col, "span_id")
+        .agg(F.first("ntok").alias("ntok"), start, end)
+        .select(
+            id_col,
+            "ntok",
+            "start_pos",
+            "end_pos",
+            (F.col("end_pos") - F.col("start_pos") + 1).alias("span_len"),
+        )
+    )
+
+
+def duplicated_span_stats(
+    docs: DataFrame,
+    n: int = 5,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplication accounting over the exact span union:
+    (id, n_spans, dup_tokens, total_tokens, dup_fraction).  dup_fraction
+    is one division of two exact BIGINTs → bit-identical cross-engine."""
+    spans = duplicated_span_frame(docs, n, min_count, text_col, id_col)
+    return spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_len").alias("dup_tokens"),
+        F.first("ntok").alias("total_tokens"),
+        (
+            F.sum("span_len").cast("double")
+            / F.first("ntok").cast("double")
+        ).alias("dup_fraction"),
+    )

@@ -326,3 +326,46 @@ def bpe_apply_merges(
             "cnt",
         )
     return cur
+
+
+def tfidf_frame(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    idf_scale: int = 10000,
+) -> DataFrame:
+    """Per-(doc, term) TF-IDF scores: (id, term, tf, doc_freq, score).
+
+    score = tf · ⌊N·idf_scale / df⌋ — the idf is a FIXED-POINT rational
+    (integer-divided BIGINT) instead of ln(N/df): monotone in N/df like the
+    log form, but exact integer arithmetic end-to-end, so scores (and any
+    top-k selected on them) are bit-identical across engines — the same
+    determinism trade the decimal-sum layer makes (functions/scalar.py).
+
+    Shape at scale: one explode scan → groupBy (doc, term) [shuffle 1,
+    map-side combined], term document-frequencies derived FROM that frame
+    (per-(doc,term) rows are unique, so df = count per term) [shuffle 2,
+    vocab-sized output], equi-join back on term, and a 1-row broadcast for
+    N.  No all-pairs, no window until a consumer asks for per-doc top-k."""
+    toks = tokens(text_col)
+    tf = (
+        docs.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n = docs.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "doc_freq",
+            (
+                F.col("tf")
+                * F.expr(f"(_n * CAST({idf_scale} AS BIGINT)) div doc_freq")
+            ).alias("score"),
+        )
+    )

@@ -320,3 +320,89 @@ def llm_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.filter(F.col("doc_id") % 97 != 0)
     benchmark = d.filter(F.col("doc_id") % 97 == 0)
     return dd.contaminated_doc_ids(corpus, benchmark, n=3).orderBy("doc_id")
+
+
+# Shared oracle CTE chain for the duplicated-substring-span family:
+# positional 5-gram index → corpus-duplicated n-grams (occurrence ≥ 2,
+# within-doc repeats count) → per-doc exact interval union via the
+# gap ≤ n−1 lag/running-sum merge (see llm/spans.py for the scale shape).
+_SPAN_CTES = f"""tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    shp AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS ntok,
+                  unnest({_SHINGLES}) AS s,
+                  unnest(list_transform(range(1, greatest(len(t) - 4, 1) + 1),
+                                        i -> CAST(i AS BIGINT))) AS pos
+            FROM tk),
+    dupsh AS (SELECT s FROM shp GROUP BY s HAVING COUNT(*) >= 2),
+    dp AS (SELECT shp.doc_id, shp.ntok, shp.pos FROM shp JOIN dupsh USING (s)),
+    runs AS (SELECT doc_id, ntok, pos,
+                    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4
+                         THEN 0 ELSE 1 END AS brk
+             FROM dp),
+    sp AS (SELECT doc_id, ntok, pos,
+                  SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS span_id
+           FROM runs),
+    spanagg AS (SELECT doc_id, span_id, any_value(ntok) AS ntok,
+                       MIN(pos) AS start_pos,
+                       LEAST(MAX(pos) + 4, any_value(ntok)) AS end_pos
+                FROM sp GROUP BY doc_id, span_id)"""
+
+
+@register(
+    "llm_dup_spans",
+    priority=2,
+    oracle=f"""
+    WITH {_SPAN_CTES},
+    st AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+                  CAST(SUM(end_pos - start_pos + 1) AS BIGINT) AS dup_tokens,
+                  any_value(ntok) AS total_tokens,
+                  CAST(SUM(end_pos - start_pos + 1) AS DOUBLE)
+                  / CAST(any_value(ntok) AS DOUBLE) AS dup_fraction
+           FROM spanagg GROUP BY doc_id)
+    SELECT * FROM st ORDER BY dup_fraction DESC, doc_id LIMIT 20
+    """,
+    tags=("llm", "dedup", "spans"),
+)
+def llm_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-SUBSTRING accounting (Lee et al. 2022 semantics at
+    n-gram granularity) — the span-level complement to the document-level
+    near-dup family: per-doc count of maximal duplicated spans, exact
+    union token coverage, and the duplicated fraction; top-20 most
+    duplicated documents.  Scale shape (llm/spans.py): narrow positional
+    scan, ONE groupBy on the n-gram key, an equi-join riding that
+    partitioning, then doc-partitioned windows — no all-pairs stage."""
+    from data_engineering_project_utn_spark.llm import spans as sn
+
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    return (
+        sn.duplicated_span_stats(d, n=5)
+        .orderBy(F.desc("dup_fraction"), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "llm_dup_span_list",
+    priority=2,
+    oracle=f"""
+    WITH {_SPAN_CTES}
+    SELECT doc_id, start_pos, end_pos,
+           CAST(end_pos - start_pos + 1 AS BIGINT) AS span_len
+    FROM spanagg
+    ORDER BY span_len DESC, doc_id, start_pos LIMIT 20
+    """,
+    tags=("llm", "dedup", "spans"),
+)
+def llm_dup_span_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The span frame itself — the longest 20 maximal duplicated spans
+    with their exact token extents, i.e. the cut list a span-level dedup
+    pass would feed back into the corpus rewrite."""
+    from data_engineering_project_utn_spark.llm import spans as sn
+
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    return (
+        sn.duplicated_span_frame(d, n=5)
+        .select("doc_id", "start_pos", "end_pos", "span_len")
+        .orderBy(F.desc("span_len"), "doc_id", "start_pos")
+        .limit(20)
+    )

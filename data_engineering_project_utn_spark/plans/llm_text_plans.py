@@ -659,3 +659,142 @@ def llm_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("exact_distinct").cast("double")
         ).alias("rel_error"),
     )
+
+
+@register(
+    "llm_tfidf_topk",
+    priority=2,
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    tok AS (SELECT doc_id, unnest(t) AS term FROM tk),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq
+           FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS _n FROM documents),
+    s AS (SELECT tf.doc_id, tf.term, tf.tf, df.doc_freq,
+                 tf.tf * ((n._n * CAST(10000 AS BIGINT)) // df.doc_freq) AS score
+          FROM tf JOIN df USING (term) CROSS JOIN n),
+    r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, term) AS rnk
+          FROM s)
+    SELECT doc_id, term, tf, doc_freq, CAST(score AS BIGINT) AS score,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 3
+    ORDER BY score DESC, doc_id, term LIMIT 50
+    """,
+    tags=("llm", "text", "tfidf"),
+)
+def llm_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF signature terms: per-doc top-3 by score, globally ranked —
+    the standard keyword/topic-signal layer of a corpus pipeline.  The idf
+    is a fixed-point rational ⌊N·10⁴/df⌋ (monotone in N/df like ln, but
+    exact BIGINT arithmetic → cross-engine bit-parity; see
+    llm/text.py tfidf_frame for the two-shuffle scale shape)."""
+    from pyspark.sql import Window
+
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    scores = tx.tfidf_frame(d)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scores.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy(F.desc("score"), "doc_id", "term")
+        .limit(50)
+    )
+
+
+# Oracle fragment: Bloom bit position — first 8 md5 hex chars of
+# "bf<seed>:<item>" folded to an int, mod the filter size (same char fold
+# as the count-min bucket, distinct prefix to decorrelate the families).
+def _bloom_bit_sql(item: str, seed: int, m: int) -> str:
+    return (
+        "list_reduce(list_transform(string_split(substring("
+        f"md5('bf{seed}:' || {item}), 1, 8), ''), "
+        "c -> strpos('0123456789abcdef', c) - 1), (a, x) -> a * 16 + x) "
+        f"% {m}"
+    )
+
+
+@register(
+    "llm_bloom_decontam",
+    priority=2,
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform({_SH3}, s -> md5(s)))) AS h
+           FROM tk),
+    bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0),
+    bits AS (SELECT DISTINCT bit FROM (
+        SELECT unnest([{_bloom_bit_sql('h', 0, 4096)},
+                       {_bloom_bit_sql('h', 1, 4096)},
+                       {_bloom_bit_sql('h', 2, 4096)}]) AS bit FROM bench)),
+    corpus AS (SELECT DISTINCT doc_id, h FROM sh WHERE doc_id % 97 <> 0),
+    probe AS (SELECT doc_id,
+                     CASE WHEN {_bloom_bit_sql('h', 0, 4096)} IN (SELECT bit FROM bits)
+                           AND {_bloom_bit_sql('h', 1, 4096)} IN (SELECT bit FROM bits)
+                           AND {_bloom_bit_sql('h', 2, 4096)} IN (SELECT bit FROM bits)
+                          THEN 1 ELSE 0 END AS bloom_hit,
+                     CASE WHEN h IN (SELECT h FROM bench) THEN 1 ELSE 0 END AS exact_hit
+              FROM corpus),
+    flag AS (SELECT doc_id, MAX(bloom_hit) AS bloom_hit, MAX(exact_hit) AS exact_hit
+             FROM probe GROUP BY doc_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus_docs,
+           CAST(SUM(bloom_hit) AS BIGINT) AS bloom_flagged,
+           CAST(SUM(exact_hit) AS BIGINT) AS exact_flagged,
+           CAST(SUM(CASE WHEN bloom_hit = 1 AND exact_hit = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS false_positive_docs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS bits_set
+    FROM flag
+    """,
+    tags=("llm", "text", "sketch", "decontamination"),
+)
+def llm_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination — the sketch-backed twin of
+    ``llm_decontamination``: the benchmark's 3-gram shingle set compresses
+    to a ≤ m-row bit frame (size independent of benchmark count — the
+    structure you'd ship to every scan at 100 TB instead of the raw
+    shingle strings), the corpus probes it via a broadcast left-join, and
+    the gate reports bloom-flagged vs exact-flagged docs side by side —
+    false_positive_docs ≥ 0 and NO false negatives is the one-sided Bloom
+    contract, visible cross-engine bit-exactly.  Merge property
+    (bits(A) ∪ bits(B) ≡ bits(A ∪ B)) is pytest-verified
+    (tests/test_llm_sketch.py)."""
+    from data_engineering_project_utn_spark.llm import sketch as sk
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    M, K = 4096, 3
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    sh = track_persist(
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.transform(tx.shingles("text", 3), F.md5))
+            ).alias("h"),
+        )
+    )
+    bench = sh.filter(F.col("doc_id") % 97 == 0).select("h").distinct()
+    bits = track_persist(sk.bloom_bits(bench, "h", m=M, k=K))
+    corpus = sh.filter(F.col("doc_id") % 97 != 0).distinct()
+    probed = sk.bloom_contains(bits, corpus, "h", m=M, k=K)
+    exact_ids = (
+        corpus.join(F.broadcast(bench), "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("exact_hit", F.lit(1))
+    )
+    flag = (
+        probed.groupBy("doc_id")
+        .agg(F.max(F.col("maybe_present").cast("long")).alias("bloom_hit"))
+        .join(F.broadcast(exact_ids), "doc_id", "left")
+        .select("bloom_hit", F.coalesce("exact_hit", F.lit(0)).alias("exact_hit"))
+    )
+    n_bits = bits.agg(F.count(F.lit(1)).alias("bits_set"))
+    return flag.agg(
+        F.count(F.lit(1)).alias("n_corpus_docs"),
+        F.sum("bloom_hit").alias("bloom_flagged"),
+        F.sum("exact_hit").alias("exact_flagged"),
+        F.sum(
+            ((F.col("bloom_hit") == 1) & (F.col("exact_hit") == 0)).cast("long")
+        ).alias("false_positive_docs"),
+    ).crossJoin(F.broadcast(n_bits))

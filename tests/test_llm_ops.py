@@ -1167,3 +1167,188 @@ class TestCurationRound5:
         res = out.toPandas()
         assert (res["contents_in_both_splits"] == 0).all()
         assert res["n_docs"].sum() == 60
+
+
+class TestDupSpans:
+    """Exact duplicated-substring span detection (llm/spans.py)."""
+
+    def _docs(self, spark, texts):
+        import pandas as pd
+
+        return spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        )
+
+    def test_fully_duplicated_pair_covers_whole_doc(self, spark):
+        from data_engineering_project_utn_spark.llm import spans as sn
+
+        t = "a b c d e f g h"
+        out = (
+            sn.duplicated_span_stats(self._docs(spark, [t, t]), n=5)
+            .toPandas()
+            .sort_values("doc_id")
+        )
+        assert len(out) == 2
+        assert (out["dup_tokens"] == 8).all()
+        assert (out["dup_fraction"] == 1.0).all()
+        assert (out["n_spans"] == 1).all()
+
+    def test_two_regions_split_by_unique_gap(self, spark):
+        """Shared prefix + shared suffix around differing middles → two
+        maximal spans with exact extents; boundary-crossing shingles are
+        unique per doc and must not bridge the gap."""
+        from data_engineering_project_utn_spark.llm import spans as sn
+
+        common1 = "c1 c2 c3 c4 c5"
+        common2 = "d1 d2 d3 d4 d5"
+        a = f"{common1} ua1 ua2 ua3 ua4 ua5 ua6 {common2}"
+        b = f"{common1} ub1 ub2 ub3 ub4 ub5 ub6 {common2}"
+        spans = (
+            sn.duplicated_span_frame(self._docs(spark, [a, b]), n=5)
+            .toPandas()
+            .sort_values(["doc_id", "start_pos"])
+        )
+        # per doc: tokens 1-5 and 12-16 duplicated, gap 6-11 unique
+        assert len(spans) == 4
+        for _, g in spans.groupby("doc_id"):
+            assert list(g["start_pos"]) == [1, 12]
+            assert list(g["end_pos"]) == [5, 16]
+            assert list(g["span_len"]) == [5, 5]
+
+    def test_within_doc_repeat_counts_as_duplication(self, spark):
+        from data_engineering_project_utn_spark.llm import spans as sn
+
+        t = "r1 r2 r3 r4 r5 zz1 zz2 zz3 zz4 zz5 zz6 r1 r2 r3 r4 r5"
+        out = sn.duplicated_span_stats(self._docs(spark, [t]), n=5).toPandas()
+        assert len(out) == 1
+        # both copies of the repeated 5-gram covered: [1,5] and [12,16]
+        assert int(out.loc[0, "n_spans"]) == 2
+        assert int(out.loc[0, "dup_tokens"]) == 10
+
+    def test_short_doc_clamps_to_ntok(self, spark):
+        from data_engineering_project_utn_spark.llm import spans as sn
+
+        out = (
+            sn.duplicated_span_frame(self._docs(spark, ["p q", "p q"]), n=5)
+            .toPandas()
+            .sort_values("doc_id")
+        )
+        assert (out["start_pos"] == 1).all()
+        assert (out["end_pos"] == 2).all()  # clamped to ntok, not 1+n-1
+
+    def test_unique_corpus_yields_no_spans(self, spark):
+        from data_engineering_project_utn_spark.llm import spans as sn
+
+        docs = self._docs(spark, ["u1 u2 u3 u4 u5 u6", "v1 v2 v3 v4 v5 v6"])
+        assert sn.duplicated_span_frame(docs, n=5).count() == 0
+
+
+class TestBloomFilter:
+    """Bloom-filter sketch (llm/sketch.py bloom_*)."""
+
+    def _frame(self, spark, vals, col="item"):
+        import pandas as pd
+
+        return spark.createDataFrame(pd.DataFrame({col: vals}))
+
+    def test_merge_equals_union_build(self, spark):
+        """bits(A) ∪ bits(B) ≡ bits(A ∪ B) — the OR-merge property that
+        makes per-shard builds equivalent to one global build."""
+        from data_engineering_project_utn_spark.llm import sketch as sk
+
+        a = self._frame(spark, [f"a{i}" for i in range(50)])
+        b = self._frame(spark, [f"b{i}" for i in range(50)])
+        merged = set(
+            r["bit"]
+            for r in sk.bloom_merge(
+                sk.bloom_bits(a, "item", m=512, k=3),
+                sk.bloom_bits(b, "item", m=512, k=3),
+            ).collect()
+        )
+        full = set(
+            r["bit"]
+            for r in sk.bloom_bits(a.unionByName(b), "item", m=512, k=3).collect()
+        )
+        assert merged == full
+
+    def test_no_false_negatives(self, spark):
+        from data_engineering_project_utn_spark.llm import sketch as sk
+
+        members = self._frame(spark, [f"m{i}" for i in range(200)])
+        bits = sk.bloom_bits(members, "item", m=256, k=3)  # saturated filter
+        probed = sk.bloom_contains(bits, members, "item", m=256, k=3).toPandas()
+        assert probed["maybe_present"].all()
+
+    def test_absent_item_rejected_at_generous_m(self, spark):
+        from data_engineering_project_utn_spark.llm import sketch as sk
+
+        members = self._frame(spark, ["x", "y", "z"])
+        bits = sk.bloom_bits(members, "item", m=1 << 20, k=3)
+        out = (
+            sk.bloom_contains(
+                bits, self._frame(spark, ["x", "not-a-member"]), "item", m=1 << 20, k=3
+            )
+            .toPandas()
+            .set_index("item")["maybe_present"]
+        )
+        assert bool(out["x"]) is True
+        # 3 members set <= 9 of 2^20 bits; deterministic md5 probe misses
+        assert bool(out["not-a-member"]) is False
+
+    def test_composite_key_probe_keeps_all_columns(self, spark):
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.llm import sketch as sk
+
+        bits = sk.bloom_bits(self._frame(spark, ["h1"], col="h"), "h", m=512, k=3)
+        cand = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2], "h": ["h1", "h2"]})
+        )
+        out = sk.bloom_contains(bits, cand, "h", m=512, k=3)
+        assert set(out.columns) == {"doc_id", "h", "maybe_present"}
+        rows = {r["doc_id"]: r["maybe_present"] for r in out.collect()}
+        assert rows[1] is True
+
+
+class TestTfIdf:
+    def test_scores_match_hand_computation(self, spark):
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.llm import text as tx
+
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [0, 1, 2],
+                    "text": ["cat dog cat", "dog fish", "fish fish bird"],
+                }
+            )
+        )
+        out = tx.tfidf_frame(docs).toPandas().set_index(["doc_id", "term"])
+        # N=3; df: cat 1, dog 2, fish 2, bird 1 (idf_fp: 30000, 15000)
+        assert int(out.loc[(0, "cat"), "score"]) == 2 * 30000
+        assert int(out.loc[(0, "dog"), "score"]) == 1 * 15000
+        assert int(out.loc[(2, "fish"), "score"]) == 2 * 15000
+        assert int(out.loc[(2, "bird"), "score"]) == 1 * 30000
+
+    def test_rare_term_outranks_ubiquitous_term(self, spark):
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.llm import text as tx
+
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [0, 1, 2, 3],
+                    "text": [
+                        "the unique1",
+                        "the filler2",
+                        "the filler3",
+                        "the filler4",
+                    ],
+                }
+            )
+        )
+        out = tx.tfidf_frame(docs).toPandas()
+        d0 = out[out["doc_id"] == 0].set_index("term")["score"]
+        assert d0["unique1"] > d0["the"]

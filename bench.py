@@ -83,6 +83,11 @@ EXTENDED_QUERIES = [
     "llm_cm_heavy_hitters",
     "llm_cm_extract",
     "llm_hll_distinct",
+    "llm_dup_spans",
+    "llm_dup_span_list",
+    "llm_span_scrub",
+    "llm_tfidf_topk",
+    "llm_bloom_decontam",
 ]
 
 

@@ -72,7 +72,13 @@ def duplicated_span_frame(
     n-grams occurring ≥ ``min_count`` times corpus-wide (within-doc repeats
     count — self-repetition is duplication for LM training too).
     ``end_pos`` is clamped to ntok for sub-n documents."""
-    sp = shingle_positions(docs, n, text_col, id_col)
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    # the positional frame feeds both the occurrence count and the join
+    # back — persist so the interpreted shingle explode runs once (perf
+    # pin: releasable any time, recompute is value-identical; at cluster
+    # scale prefer re-scanning over persisting a corpus-sized explode)
+    sp = track_persist(shingle_positions(docs, n, text_col, id_col))
     dup_sh = (
         sp.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("occ"))
@@ -127,4 +133,61 @@ def duplicated_span_stats(
             F.sum("span_len").cast("double")
             / F.first("ntok").cast("double")
         ).alias("dup_fraction"),
+    )
+
+
+def scrub_spans(
+    docs: DataFrame,
+    n: int = 5,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rewrite the corpus with duplicated spans REMOVED — the transform the
+    span frame exists to drive (Lee et al. cut duplicated substrings out of
+    the training text; this is the aggressive remove-every-occurrence
+    variant — pair with document-level exact dedup first if a canonical
+    copy of whole-doc duplicates should survive).
+
+    Output: (id, kept_tokens, removed_tokens, text) with ``text`` the
+    space-rejoin of the surviving tokens in original order (empty string
+    when a doc is fully duplicated).  Shape: the span frame's covered
+    positions explode to ≤ dup_tokens rows, anti-join the positional token
+    frame on (id, pos) — both sides partition on the doc key, no new
+    shuffle class beyond the span build itself."""
+    toks = tx.tokens(text_col)
+    tok_pos = docs.select(
+        F.col(id_col),
+        F.posexplode(toks).alias("pos0", "tok"),
+    ).select(id_col, (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
+    covered = duplicated_span_frame(docs, n, min_count, text_col, id_col).select(
+        id_col,
+        F.explode(F.sequence(F.col("start_pos"), F.col("end_pos"))).alias("pos"),
+    )
+    kept = tok_pos.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("kept_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                ),
+                lambda s: s["tok"],
+            ),
+        ).alias("text"),
+    )
+    base = docs.select(
+        F.col(id_col), F.size(tx.tokens(text_col)).cast("long").alias("ntok")
+    )
+    return (
+        base.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+            (F.col("ntok") - F.coalesce("kept_tokens", F.lit(0))).alias(
+                "removed_tokens"
+            ),
+            F.coalesce("text", F.lit("")).alias("text"),
+        )
     )

@@ -406,3 +406,53 @@ def llm_dup_span_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("span_len"), "doc_id", "start_pos")
         .limit(20)
     )
+
+
+@register(
+    "llm_span_scrub",
+    priority=2,
+    oracle=f"""
+    WITH {_SPAN_CTES},
+    tokpos AS (SELECT doc_id, unnest(t) AS tok,
+                      unnest(list_transform(range(1, len(t) + 1),
+                                            i -> CAST(i AS BIGINT))) AS pos
+               FROM tk),
+    cov AS (SELECT doc_id, unnest(range(start_pos, end_pos + 1)) AS pos
+            FROM spanagg),
+    kept AS (SELECT tp.doc_id, tp.pos, tp.tok
+             FROM tokpos tp LEFT JOIN cov
+               ON cov.doc_id = tp.doc_id AND cov.pos = tp.pos
+             WHERE cov.pos IS NULL),
+    reb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+                   string_agg(tok, ' ' ORDER BY pos) AS text
+            FROM kept GROUP BY doc_id),
+    base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS ntok FROM tk)
+    SELECT b.doc_id,
+           COALESCE(r.kept_tokens, 0) AS kept_tokens,
+           b.ntok - COALESCE(r.kept_tokens, 0) AS removed_tokens,
+           md5(COALESCE(r.text, '')) AS text_md5
+    FROM base b LEFT JOIN reb r USING (doc_id)
+    ORDER BY removed_tokens DESC, doc_id LIMIT 20
+    """,
+    tags=("llm", "dedup", "spans"),
+)
+def llm_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus REWRITE the span frame drives: duplicated spans cut out
+    of the text, surviving tokens re-joined in order — gated on the 20
+    most-scrubbed docs with an md5 of each rewritten text (full-content
+    witness without hauling the strings through the hash compare).  See
+    llm/spans.py scrub_spans for the doc-key-partitioned anti-join shape."""
+    from data_engineering_project_utn_spark.llm import spans as sn
+
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    return (
+        sn.scrub_spans(d, n=5)
+        .select(
+            "doc_id",
+            "kept_tokens",
+            "removed_tokens",
+            F.md5("text").alias("text_md5"),
+        )
+        .orderBy(F.desc("removed_tokens"), "doc_id")
+        .limit(20)
+    )

@@ -1352,3 +1352,56 @@ class TestTfIdf:
         out = tx.tfidf_frame(docs).toPandas()
         d0 = out[out["doc_id"] == 0].set_index("term")["score"]
         assert d0["unique1"] > d0["the"]
+
+
+class TestSpanScrub:
+    def _docs(self, spark, texts):
+        import pandas as pd
+
+        return spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        )
+
+    def test_fully_duplicated_docs_scrub_to_empty(self, spark):
+        from data_engineering_project_utn_spark.llm import spans as sn
+
+        t = "a b c d e f"
+        out = (
+            sn.scrub_spans(self._docs(spark, [t, t]), n=5)
+            .toPandas()
+            .sort_values("doc_id")
+        )
+        assert (out["kept_tokens"] == 0).all()
+        assert (out["removed_tokens"] == 6).all()
+        assert (out["text"] == "").all()
+
+    def test_unique_middle_survives_in_order(self, spark):
+        from data_engineering_project_utn_spark.llm import spans as sn
+
+        common1 = "c1 c2 c3 c4 c5"
+        common2 = "d1 d2 d3 d4 d5"
+        a = f"{common1} ua1 ua2 ua3 ua4 ua5 ua6 {common2}"
+        b = f"{common1} ub1 ub2 ub3 ub4 ub5 ub6 {common2}"
+        out = (
+            sn.scrub_spans(self._docs(spark, [a, b]), n=5)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out.loc[0, "text"] == "ua1 ua2 ua3 ua4 ua5 ua6"
+        assert out.loc[1, "text"] == "ub1 ub2 ub3 ub4 ub5 ub6"
+        assert (out["kept_tokens"] == 6).all()
+        assert (out["removed_tokens"] == 10).all()
+
+    def test_untouched_docs_roundtrip_verbatim(self, spark):
+        from data_engineering_project_utn_spark.llm import spans as sn
+
+        docs = ["u1 u2 u3 u4 u5 u6", "v1 v2 v3 v4 v5 v6"]
+        out = (
+            sn.scrub_spans(self._docs(spark, docs), n=5)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert list(out["text"]) == docs
+        assert (out["removed_tokens"] == 0).all()

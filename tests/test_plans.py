@@ -128,3 +128,22 @@ def test_auto_lsh_paths_no_quadratic_join(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize("name", ["llm_dup_spans", "llm_dup_span_list"])
+def test_span_dedup_stays_equi_join(spark, sf_dir, name):
+    """The positional n-gram index joins positions back to duplicated
+    n-grams on the n-gram string — an equi-join at every scale; a
+    BNLJ/cartesian would be an all-pairs regression."""
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_probe_broadcasts_bits_not_corpus(spark, sf_dir):
+    """The Bloom bit frame (≤ m rows) must broadcast into the probe join;
+    the corpus side must never plan a sort-merge against it (which would
+    shuffle the corpus on bit positions)."""
+    plan = _plan(spark, sf_dir, "llm_bloom_decontam")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # bits probe + exact semi

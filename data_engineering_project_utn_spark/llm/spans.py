@@ -86,6 +86,14 @@ def duplicated_span_frame(
         .select("sh")
     )
     dup_pos = sp.join(dup_sh, "sh").select(id_col, "ntok", "pos")
+    return _interval_union(dup_pos, n, id_col)
+
+
+def _interval_union(dup_pos: DataFrame, n: int, id_col: str) -> DataFrame:
+    """Merge duplicated n-gram start positions into maximal covered spans:
+    positions p, q chain iff q − p ≤ n − 1 (their intervals touch), so
+    Σ span_len is the EXACT size of the coverage union.  Both windows and
+    the final groupBy partition on the doc key — one shuffle class."""
     w = Window.partitionBy(id_col).orderBy("pos")
     brk = (
         F.when(F.col("pos") - F.lag("pos").over(w) <= n - 1, F.lit(0))
@@ -114,6 +122,47 @@ def duplicated_span_frame(
     )
 
 
+def incremental_span_frame(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicated spans of an INCOMING batch against a corpus at rest —
+    the production shape of span dedup: a new crawl batch is checked
+    without re-scanning corpus positions.
+
+    The corpus contributes only its aggregated n-gram count index
+    (|index| ≪ corpus positions — this is what a deployment stores at
+    rest, bucketed by the n-gram key, and maintains additively as batches
+    land).  An incoming n-gram is duplicated iff its occurrences in the
+    batch plus the index count reach 2, which is EXACTLY the global
+    occ ≥ 2 rule on corpus ∪ batch restricted to batch docs — the oracle
+    for ``llm_incremental_dup_spans`` proves that equivalence
+    cross-engine.  Corpus-side cost: one groupBy to the index, then an
+    equi-join against only the batch's n-grams; never corpus² and never
+    a second corpus scan per batch."""
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    sp_in = track_persist(shingle_positions(incoming, n, text_col, id_col))
+    idx_co = (
+        corpus.select(F.explode(tx.shingles(text_col, n)).alias("sh"))
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("corpus_occ"))
+    )
+    occ_in = sp_in.groupBy("sh").agg(F.count(F.lit(1)).alias("batch_occ"))
+    dup_sh = (
+        occ_in.join(idx_co, "sh", "left")
+        .filter(
+            F.col("batch_occ") + F.coalesce(F.col("corpus_occ"), F.lit(0)) >= 2
+        )
+        .select("sh")
+    )
+    dup_pos = sp_in.join(dup_sh, "sh").select(id_col, "ntok", "pos")
+    return _interval_union(dup_pos, n, id_col)
+
+
 def duplicated_span_stats(
     docs: DataFrame,
     n: int = 5,
@@ -124,7 +173,12 @@ def duplicated_span_stats(
     """Per-document duplication accounting over the exact span union:
     (id, n_spans, dup_tokens, total_tokens, dup_fraction).  dup_fraction
     is one division of two exact BIGINTs → bit-identical cross-engine."""
-    spans = duplicated_span_frame(docs, n, min_count, text_col, id_col)
+    return span_stats(duplicated_span_frame(docs, n, min_count, text_col, id_col), id_col)
+
+
+def span_stats(spans: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Aggregate a span frame to per-doc accounting (see
+    ``duplicated_span_stats``); also used by the incremental path."""
     return spans.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum("span_len").alias("dup_tokens"),

@@ -456,3 +456,39 @@ def llm_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("removed_tokens"), "doc_id")
         .limit(20)
     )
+
+
+@register(
+    "llm_incremental_dup_spans",
+    priority=2,
+    oracle=f"""
+    WITH {_SPAN_CTES},
+    st AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+                  CAST(SUM(end_pos - start_pos + 1) AS BIGINT) AS dup_tokens,
+                  any_value(ntok) AS total_tokens,
+                  CAST(SUM(end_pos - start_pos + 1) AS DOUBLE)
+                  / CAST(any_value(ntok) AS DOUBLE) AS dup_fraction
+           FROM spanagg WHERE doc_id % 5 = 0 GROUP BY doc_id)
+    SELECT * FROM st ORDER BY dup_fraction DESC, doc_id LIMIT 20
+    """,
+    tags=("llm", "dedup", "spans", "incremental"),
+)
+def llm_incremental_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental span dedup: every 5th doc plays the new crawl batch,
+    the rest the corpus at rest — checked against the corpus's aggregated
+    n-gram count INDEX (one groupBy; |index| ≪ corpus positions), not its
+    positions.  The oracle recomputes the GLOBAL occ ≥ 2 span union and
+    restricts to batch docs, so a green gate proves
+    batch-vs-index ≡ full-recompute-restricted-to-batch — the identity
+    that makes batching a schedule choice, not a semantics choice (same
+    argument as ``llm_incremental_dedup``)."""
+    from data_engineering_project_utn_spark.llm import spans as sn
+
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    incoming = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    return (
+        sn.span_stats(sn.incremental_span_frame(incoming, corpus, n=5))
+        .orderBy(F.desc("dup_fraction"), "doc_id")
+        .limit(20)
+    )

@@ -1405,3 +1405,49 @@ class TestSpanScrub:
         )
         assert list(out["text"]) == docs
         assert (out["removed_tokens"] == 0).all()
+
+
+class TestIncrementalSpans:
+    def _docs(self, spark, texts, ids=None):
+        import pandas as pd
+
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": ids or list(range(len(texts))), "text": texts}
+            )
+        )
+
+    def test_batch_doc_matching_corpus_is_flagged(self, spark):
+        from data_engineering_project_utn_spark.llm import spans as sn
+
+        t = "a b c d e f g"
+        out = sn.span_stats(
+            sn.incremental_span_frame(
+                self._docs(spark, [t], ids=[100]), self._docs(spark, [t], ids=[1])
+            )
+        ).toPandas()
+        assert list(out["doc_id"]) == [100]
+        assert int(out.loc[0, "dup_tokens"]) == 7
+
+    def test_corpus_only_duplication_does_not_flag_batch(self, spark):
+        from data_engineering_project_utn_spark.llm import spans as sn
+
+        dup = "x1 x2 x3 x4 x5 x6"
+        out = sn.incremental_span_frame(
+            self._docs(spark, ["u1 u2 u3 u4 u5 u6"], ids=[100]),
+            self._docs(spark, [dup, dup], ids=[1, 2]),
+        )
+        assert out.count() == 0
+
+    def test_within_batch_duplication_flags_without_corpus_hit(self, spark):
+        from data_engineering_project_utn_spark.llm import spans as sn
+
+        t = "w1 w2 w3 w4 w5"
+        out = sn.span_stats(
+            sn.incremental_span_frame(
+                self._docs(spark, [t, t], ids=[100, 101]),
+                self._docs(spark, ["z1 z2 z3 z4 z5 z6"], ids=[1]),
+            )
+        ).toPandas()
+        assert sorted(out["doc_id"]) == [100, 101]
+        assert (out["dup_fraction"] == 1.0).all()

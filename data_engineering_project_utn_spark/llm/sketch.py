@@ -307,3 +307,63 @@ def bloom_contains(
     return marked.groupBy(*keys).agg(
         (F.min(F.coalesce(F.col("_set"), F.lit(0))) == 1).alias("maybe_present")
     )
+
+
+def hll_registers_grouped(
+    items: DataFrame, item_col: str, group_cols: list[str], b: int = 6
+) -> DataFrame:
+    """Per-GROUP register frames: (group..., bucket, M) — ≤ m rows per
+    group at any size; one grouped MAX whose map-side partial agg is the
+    per-group sketch merge.  This is the 100 TB profiling shape: distinct
+    cardinality per domain/source/language in one scan, sketch state
+    m·|groups| rows total."""
+    m = 1 << b
+    c = F.col(item_col)
+    bucket = F.conv(F.substring(F.md5(c), 1, 2), 16, 10).cast("long") % m
+    return (
+        items.select(*group_cols, bucket.alias("bucket"), _hll_rho(c).alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("M"))
+    )
+
+
+def hll_estimate_grouped(
+    registers: DataFrame, group_cols: list[str], b: int = 6
+) -> DataFrame:
+    """Per-group cardinality estimates from a grouped register frame —
+    same exact-decimal numerator and linear-counting small-range branch as
+    ``hll_estimate``, with the 0..m−1 register domain completed per group
+    (groups × m rows, model-size both ways).  Output: (group...,
+    hll_estimate, n_empty_registers, numerator)."""
+    m = 1 << b
+    spark = registers.sparkSession
+    domain = spark.range(m).select(F.col("id").cast("long").alias("bucket"))
+    groups = registers.select(*group_cols).distinct()
+    full = (
+        groups.crossJoin(F.broadcast(domain))
+        .join(registers, [*group_cols, "bucket"], "left")
+        .select(*group_cols, F.coalesce(F.col("M"), F.lit(0)).alias("M"))
+    )
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_CAP} - M)")
+    agg = full.groupBy(*group_cols).agg(
+        F.sum(term.cast("decimal(38,0)")).alias("numerator"),
+        F.sum((F.col("M") == 0).cast("long")).alias("n_empty_registers"),
+    )
+    e_raw = (
+        F.lit(hll_alpha(m))
+        * F.lit(float(m))
+        * F.lit(float(m))
+        * F.lit(float(1 << HLL_RHO_CAP))
+        / F.col("numerator").cast("double")
+    )
+    small = (e_raw <= F.lit(2.5 * m)) & (F.col("n_empty_registers") > 0)
+    linear = F.lit(float(m)) * F.log(
+        F.lit(float(m)) / F.col("n_empty_registers").cast("double")
+    )
+    est = F.when(small, linear).otherwise(e_raw)
+    return agg.select(
+        *group_cols,
+        F.round(est).cast("bigint").alias("hll_estimate"),
+        "n_empty_registers",
+        "numerator",
+    )

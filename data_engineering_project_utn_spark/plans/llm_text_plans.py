@@ -798,3 +798,83 @@ def llm_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("bloom_hit") == 1) & (F.col("exact_hit") == 0)).cast("long")
         ).alias("false_positive_docs"),
     ).crossJoin(F.broadcast(n_bits))
+
+
+_HLL64_BUCKET_SQL = (
+    "list_reduce(list_transform(string_split(substring(md5(text), 1, 2), ''), "
+    "c -> strpos('0123456789abcdef', c) - 1), (a, x) -> a * 16 + x) % 64"
+)
+# m=64 raw-estimate chain, every factor DOUBLE-cast (same reason as
+# _HLL_RAW_SQL: keep both engines in the identical IEEE fold)
+_HLL64_RAW_SQL = (
+    "CAST(0.709 AS DOUBLE) * CAST(64 AS DOUBLE) * CAST(64 AS DOUBLE) * "
+    "CAST(2305843009213693952 AS DOUBLE) / CAST(numerator AS DOUBLE)"
+)
+
+
+@register(
+    "llm_hll_by_source",
+    priority=2,
+    oracle=rf"""
+    WITH hashed AS (
+        SELECT source, {_HLL64_BUCKET_SQL} AS bucket,
+               regexp_replace(substring(md5(text), 3, 15), '^0+', '') AS stripped
+        FROM documents
+    ),
+    rho AS (
+        SELECT source, bucket,
+               CASE WHEN length(stripped) = 0 THEN 61
+                    ELSE (15 - length(stripped)) * 4 +
+                         CASE substring(stripped, 1, 1)
+                              WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                              WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                              WHEN '7' THEN 1 ELSE 0 END + 1
+               END AS rho
+        FROM hashed
+    ),
+    regs AS (SELECT source, bucket, MAX(rho) AS M FROM rho GROUP BY source, bucket),
+    filled AS (SELECT s.source, COALESCE(r.M, 0) AS M
+               FROM (SELECT DISTINCT source FROM documents) s
+               CROSS JOIN range(0, 64) g(bucket)
+               LEFT JOIN regs r ON r.source = s.source AND r.bucket = g.bucket),
+    agg AS (SELECT source,
+                   SUM(CAST(CAST(1 AS BIGINT) << (61 - M) AS DECIMAL(38,0)))
+                       AS numerator,
+                   SUM(CASE WHEN M = 0 THEN 1 ELSE 0 END) AS n_empty
+            FROM filled GROUP BY source),
+    est AS (
+        SELECT source,
+               CAST(ROUND(CASE WHEN {_HLL64_RAW_SQL} <= 160.0 AND n_empty > 0
+                               THEN 64.0 * ln(64.0 / CAST(n_empty AS DOUBLE))
+                               ELSE {_HLL64_RAW_SQL} END) AS BIGINT)
+                   AS hll_estimate,
+               CAST(n_empty AS BIGINT) AS n_empty_registers
+        FROM agg
+    ),
+    ex AS (SELECT source, CAST(COUNT(DISTINCT text) AS BIGINT) AS exact_distinct
+           FROM documents GROUP BY source)
+    SELECT est.source, ex.exact_distinct, est.hll_estimate, est.n_empty_registers
+    FROM est JOIN ex USING (source)
+    ORDER BY source
+    """,
+    tags=("llm", "text", "sketch"),
+)
+def llm_hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP HyperLogLog — distinct content per source in ONE scan,
+    sketch state m·|sources| rows: the shape that profiles a 100 TB crawl
+    by domain without |domain|×countDistinct passes.  Registers group on
+    (source, bucket) (map-side MAX partial agg is still the merge), the
+    register domain is completed per group, and both estimator branches
+    run per group.  Exact per-source distincts ride along so the sketch
+    error is visible in the gated output."""
+    from data_engineering_project_utn_spark.llm import sketch as sk
+
+    d = load_table(spark, sf_dir, "documents")
+    regs = sk.hll_registers_grouped(d, "text", ["source"], b=6)
+    est = sk.hll_estimate_grouped(regs, ["source"], b=6)
+    exact = d.groupBy("source").agg(F.countDistinct("text").alias("exact_distinct"))
+    return (
+        est.join(exact, "source")
+        .select("source", "exact_distinct", "hll_estimate", "n_empty_registers")
+        .orderBy("source")
+    )

@@ -1451,3 +1451,47 @@ class TestIncrementalSpans:
         ).toPandas()
         assert sorted(out["doc_id"]) == [100, 101]
         assert (out["dup_fraction"] == 1.0).all()
+
+
+class TestGroupedHLL:
+    def test_grouped_matches_per_group_ungrouped(self, spark):
+        """The grouped estimate for each group must equal running the
+        ungrouped sketch on that group's rows alone — per-group register
+        isolation."""
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.llm import sketch as sk
+
+        pdf = pd.DataFrame(
+            {
+                "g": ["a"] * 300 + ["b"] * 50,
+                "item": [f"x{i}" for i in range(300)] + [f"y{i}" for i in range(50)],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        grouped = (
+            sk.hll_estimate_grouped(
+                sk.hll_registers_grouped(df, "item", ["g"], b=6), ["g"], b=6
+            )
+            .toPandas()
+            .set_index("g")["hll_estimate"]
+        )
+        for g in ("a", "b"):
+            solo = sk.hll_estimate(
+                sk.hll_registers(df.filter(df.g == g), "item", b=6), b=6
+            ).collect()[0]["hll_estimate"]
+            assert grouped[g] == solo
+
+    def test_grouped_accuracy_within_sigma(self, spark):
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.llm import sketch as sk
+
+        pdf = pd.DataFrame(
+            {"g": ["a"] * 2000, "item": [f"v{i}" for i in range(2000)]}
+        )
+        df = spark.createDataFrame(pdf)
+        out = sk.hll_estimate_grouped(
+            sk.hll_registers_grouped(df, "item", ["g"], b=6), ["g"], b=6
+        ).collect()[0]
+        assert abs(out["hll_estimate"] - 2000) / 2000 < 0.4  # ~3σ at m=64

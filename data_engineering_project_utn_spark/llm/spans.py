@@ -122,12 +122,27 @@ def _interval_union(dup_pos: DataFrame, n: int, id_col: str) -> DataFrame:
     )
 
 
+def ngram_count_index(
+    corpus: DataFrame, n: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """The corpus's at-rest n-gram occurrence index: (sh, corpus_occ) —
+    what a deployment persists (parquet, bucketed by ``sh``) and maintains
+    additively as batches land, so incremental span checks never re-scan
+    corpus positions."""
+    return (
+        corpus.select(F.explode(tx.shingles(text_col, n)).alias("sh"))
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("corpus_occ"))
+    )
+
+
 def incremental_span_frame(
     incoming: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None = None,
     n: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Duplicated spans of an INCOMING batch against a corpus at rest —
     the production shape of span dedup: a new crawl batch is checked
@@ -142,15 +157,15 @@ def incremental_span_frame(
     for ``llm_incremental_dup_spans`` proves that equivalence
     cross-engine.  Corpus-side cost: one groupBy to the index, then an
     equi-join against only the batch's n-grams; never corpus² and never
-    a second corpus scan per batch."""
+    a second corpus scan per batch.  Pass ``index`` (a
+    ``ngram_count_index`` frame, e.g. read back from parquet at rest) to
+    skip the corpus scan entirely — the streaming curation loop does."""
     from data_engineering_project_utn_spark.persist import track_persist
 
+    if (corpus is None) == (index is None):
+        raise ValueError("provide exactly one of corpus= or index=")
     sp_in = track_persist(shingle_positions(incoming, n, text_col, id_col))
-    idx_co = (
-        corpus.select(F.explode(tx.shingles(text_col, n)).alias("sh"))
-        .groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("corpus_occ"))
-    )
+    idx_co = index if index is not None else ngram_count_index(corpus, n, text_col)
     occ_in = sp_in.groupBy("sh").agg(F.count(F.lit(1)).alias("batch_occ"))
     dup_sh = (
         occ_in.join(idx_co, "sh", "left")

@@ -812,6 +812,77 @@ def make_curation_batch_fn(
     return process
 
 
+def make_index_probe_batch_fn(
+    span_index: DataFrame,
+    bloom_bits: DataFrame,
+    sink: Callable[[DataFrame, int], None],
+    n: int = 5,
+    bloom_m: int = 4096,
+    bloom_k: int = 3,
+):
+    """foreachBatch probe of the corpus's AT-REST index structures — the
+    production nightly-batch shape: new docs are checked against persisted,
+    model-size summaries of everything already ingested, never against the
+    corpus rows themselves.
+
+    Per micro-batch each doc gets:
+
+    * ``dup_tokens`` / ``total_tokens`` — exact duplicated-span coverage
+      vs the n-gram count index (``llm.spans.incremental_span_frame`` with
+      ``index=``: the parquet-backed ``ngram_count_index``, no corpus
+      re-scan), and
+    * ``contaminated`` — Bloom membership of any of its 3-gram shingles
+      (``llm.sketch.bloom_contains`` against the ≤ m-row bit frame; one
+      broadcast join, one-sided: misses nothing).
+
+    ``sink(result_df, batch_id)`` receives (doc_id, total_tokens,
+    dup_tokens, contaminated).  Batch-independence holds for the
+    corpus-vs-batch terms by the same asymmetry argument as
+    ``incremental_dedup_batch_fn``; within-batch duplication is
+    additionally detected inside each batch (a batch-schedule-dependent
+    *extra*, never a miss).
+    """
+    from data_engineering_project_utn_spark.llm import sketch as sk
+    from data_engineering_project_utn_spark.llm import spans as sn
+    from data_engineering_project_utn_spark.llm import text as tx
+    from data_engineering_project_utn_spark.persist import release_persisted
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        base = batch_df.select(
+            "doc_id", F.size(tx.tokens("text")).cast("long").alias("total_tokens")
+        )
+        spans = sn.incremental_span_frame(batch_df, n=n, index=span_index)
+        dup = spans.groupBy("doc_id").agg(F.sum("span_len").alias("dup_tokens"))
+        sh = batch_df.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.transform(tx.shingles("text", 3), F.md5))
+            ).alias("h"),
+        )
+        probed = sk.bloom_contains(bloom_bits, sh, "h", m=bloom_m, k=bloom_k)
+        flags = probed.groupBy("doc_id").agg(
+            F.max(F.col("maybe_present").cast("int")).cast("boolean").alias(
+                "contaminated"
+            )
+        )
+        result = (
+            base.join(dup, "doc_id", "left")
+            .join(flags, "doc_id", "left")
+            .select(
+                "doc_id",
+                "total_tokens",
+                F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+                F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+            )
+        )
+        try:
+            sink(result, batch_id)
+        finally:
+            release_persisted()
+
+    return process
+
+
 def make_tcp_json_sink_batch_fn(host: str, port: int, columns: list[str] | None = None):
     """foreachBatch TCP JSON sink — the jar-free outbound twin of
     ``to_kafka_json_sink`` (S5): each micro-batch is serialized with the

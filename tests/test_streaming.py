@@ -1593,3 +1593,133 @@ class TestLivePlaneEndToEnd:
         # batches never saw — proves it recovered, not recomputed
         phase2_ids = set(pdf.iloc[60:]["query_id"])
         assert any(qid not in phase2_ids for qid, _ in got_top5)
+
+
+class TestIndexProbeAtRest:
+    """The production nightly-batch shape: corpus summaries (n-gram count
+    index + Bloom bits) persisted as parquet at rest, new micro-batches
+    probed against the READ-BACK frames — no corpus rows touched."""
+
+    def test_stream_probe_matches_one_shot_batch(self, spark, tmp_path):
+        from data_engineering_project_utn_spark.llm import sketch as sk
+        from data_engineering_project_utn_spark.llm import spans as sn
+        from data_engineering_project_utn_spark.llm import text as tx
+
+        doc_schema = "doc_id long, text string"
+        corpus_texts = [
+            "c1 c2 c3 c4 c5 c6 c7",          # duplicated by incoming doc 100
+            "k1 k2 k3 k4 k5 k6",             # clean
+            "bench1 bench2 bench3 bench4",   # contamination source
+        ]
+        corpus = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2, 3], "text": corpus_texts}), doc_schema
+        )
+        inc = pd.DataFrame(
+            {
+                "doc_id": [100, 101, 102, 103],
+                "text": [
+                    "c1 c2 c3 c4 c5 c6 c7",              # dup of corpus 1
+                    "u1 u2 u3 u4 u5 u6 u7",              # clean, unique
+                    "zz bench1 bench2 bench3 qq",        # contaminated 3-gram
+                    "u1 u2 u3 u4 u5 u6 u7",              # dup WITHIN incoming
+                ],
+            }
+        )
+
+        # --- persist the at-rest structures, then read them back ---
+        idx_dir = str(tmp_path / "ngram_index")
+        bits_dir = str(tmp_path / "bloom_bits")
+        sn.ngram_count_index(corpus, n=5).write.parquet(idx_dir)
+        bench_sh = corpus.select(
+            F.explode(
+                F.array_distinct(F.transform(tx.shingles("text", 3), F.md5))
+            ).alias("h")
+        ).distinct()
+        sk.bloom_bits(bench_sh, "h", m=4096, k=3).write.parquet(bits_dir)
+        span_index = spark.read.parquet(idx_dir)
+        bloom_bits = spark.read.parquet(bits_dir)
+
+        in_dir = str(tmp_path / "docs_in")
+        spark.createDataFrame(inc.iloc[:2], doc_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        spark.createDataFrame(inc.iloc[2:], doc_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+        rows: dict = {}
+
+        def sink(df, batch_id):
+            for r in df.collect():
+                rows[r["doc_id"]] = (
+                    r["total_tokens"],
+                    r["dup_tokens"],
+                    r["contaminated"],
+                )
+
+        stream = (
+            spark.readStream.schema(doc_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                sp.make_index_probe_batch_fn(span_index, bloom_bits, sink)
+            )
+            .option("checkpointLocation", str(tmp_path / "probe_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        # full dup vs corpus index; bloom (built over ALL corpus shingles)
+        # also flags it — duplication IS contamination here
+        assert rows[100] == (7, 7, True)
+        assert rows[101][2] is False        # clean
+        assert rows[102][2] is True         # bloom flags the bench 3-gram
+        assert rows[102][1] == 0            # but no 5-gram span dup
+        # within-batch duplicate pair 101/103 landed in DIFFERENT micro-
+        # batches here, so neither sees the other (corpus-vs-batch terms
+        # are batch-independent; within-batch extras are schedule-local)
+        assert rows[103][1] == 0 and rows[101][1] == 0
+
+    def test_same_batch_within_duplication_detected(self, spark, tmp_path):
+        from data_engineering_project_utn_spark.llm import sketch as sk
+        from data_engineering_project_utn_spark.llm import spans as sn
+
+        doc_schema = "doc_id long, text string"
+        corpus = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "text": ["k1 k2 k3 k4 k5"]}), doc_schema
+        )
+        inc = pd.DataFrame(
+            {"doc_id": [100, 101], "text": ["w1 w2 w3 w4 w5"] * 2}
+        )
+        in_dir = str(tmp_path / "docs_in2")
+        spark.createDataFrame(inc, doc_schema).coalesce(1).write.parquet(in_dir)
+
+        span_index = sn.ngram_count_index(corpus, n=5)
+        bits = sk.bloom_bits(
+            corpus.select(F.md5("text").alias("h")), "h", m=4096, k=3
+        )
+        got: dict = {}
+
+        def sink(df, batch_id):
+            for r in df.collect():
+                got[r["doc_id"]] = r["dup_tokens"]
+
+        stream = (
+            spark.readStream.schema(doc_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                sp.make_index_probe_batch_fn(span_index, bits, sink)
+            )
+            .option("checkpointLocation", str(tmp_path / "probe_ckpt2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # both copies arrived in ONE micro-batch → mutual duplication seen
+        assert got == {100: 5, 101: 5}

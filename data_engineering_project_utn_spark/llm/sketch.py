@@ -367,3 +367,66 @@ def hll_estimate_grouped(
         "n_empty_registers",
         "numerator",
     )
+
+
+def cm_counters_grouped(
+    items: DataFrame,
+    item_col: str,
+    group_cols: list[str],
+    depth: int = 3,
+    width: int = 512,
+) -> DataFrame:
+    """Per-GROUP count-min sketches in one scan: (group..., d, bucket,
+    cnt), ≤ depth·width rows per group — the grouped twin of
+    ``cm_counters`` (same seeded buckets, so a group's slice IS the
+    sketch ``cm_counters`` would build on that group's rows alone)."""
+    c = F.col(item_col)
+    rows = items.select(
+        *group_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), cm_hash(c, d, width).alias("bucket")
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("s"),
+    ).select(*group_cols, "s.d", "s.bucket")
+    return rows.groupBy(*group_cols, "d", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cm_estimates_grouped(
+    counters: DataFrame,
+    queries: DataFrame,
+    item_col: str,
+    group_cols: list[str],
+    depth: int = 3,
+    width: int = 512,
+) -> DataFrame:
+    """Point estimates per (group, item): min over the D counters within
+    the item's group, empty buckets reading 0 (left join + coalesce, as in
+    ``cm_estimates``).  ``queries`` must carry the group columns."""
+    c = F.col(item_col)
+    q = queries.select(
+        *group_cols,
+        item_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), cm_hash(c, d, width).alias("bucket")
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("s"),
+    ).select(*group_cols, item_col, "s.d", "s.bucket")
+    return (
+        q.join(F.broadcast(counters), [*group_cols, "d", "bucket"], "left")
+        .groupBy(*group_cols, item_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_estimate"))
+    )

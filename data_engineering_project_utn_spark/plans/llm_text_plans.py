@@ -878,3 +878,70 @@ def llm_hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "exact_distinct", "hll_estimate", "n_empty_registers")
         .orderBy("source")
     )
+
+
+@register(
+    "llm_cm_by_source",
+    priority=2,
+    oracle=rf"""
+    WITH tok AS (SELECT source, unnest({_TOKS}) AS token FROM documents),
+    exact AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+              FROM tok GROUP BY source, token),
+    top AS (SELECT source, token, exact_cnt FROM (
+                SELECT source, token, exact_cnt,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY exact_cnt DESC, token) AS rnk
+                FROM exact) WHERE rnk <= 5),
+    cm AS (
+        SELECT source, d, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+            SELECT source, u.d AS d, {_cm_bucket_sql('token', 'u.d', 512)} AS bucket
+            FROM tok, unnest([0, 1, 2]) u(d)
+        ) GROUP BY source, d, bucket
+    ),
+    qh AS (
+        SELECT t.source, t.token, t.exact_cnt, u.d AS d,
+               {_cm_bucket_sql('t.token', 'u.d', 512)} AS bucket
+        FROM top t, unnest([0, 1, 2]) u(d)
+    )
+    SELECT qh.source, qh.token, qh.exact_cnt,
+           CAST(MIN(COALESCE(cm.cnt, 0)) AS BIGINT) AS cm_estimate
+    FROM qh LEFT JOIN cm USING (source, d, bucket)
+    GROUP BY qh.source, qh.token, qh.exact_cnt
+    ORDER BY qh.source, qh.exact_cnt DESC, qh.token
+    """,
+    tags=("llm", "text", "sketch"),
+)
+def llm_cm_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP count-min heavy hitters — token frequency profiling per
+    source in ONE scan, sketch state depth·width rows per group (the
+    grouped twin of ``llm_cm_heavy_hitters``, same seeded buckets): the
+    top-5 true tokens per source with their within-group CM estimates.
+    At 100 TB the per-(group, d, bucket) partial agg absorbs the token
+    stream map-side exactly like the global sketch."""
+    from pyspark.sql import Window
+    from data_engineering_project_utn_spark.llm import sketch as sk
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    tok = track_persist(
+        d.select("source", F.explode(tx.tokens(F.col("text"))).alias("token"))
+    )
+    exact = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("exact_cnt"), "token")
+    top = (
+        exact.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .drop("rnk")
+    )
+    counters = sk.cm_counters_grouped(tok, "token", ["source"], depth=3, width=512)
+    est = sk.cm_estimates_grouped(
+        counters, top.select("source", "token"), "token", ["source"],
+        depth=3, width=512,
+    )
+    return (
+        top.join(est, ["source", "token"])
+        .select("source", "token", "exact_cnt", "cm_estimate")
+        .orderBy("source", F.desc("exact_cnt"), "token")
+    )

@@ -1495,3 +1495,52 @@ class TestGroupedHLL:
             sk.hll_registers_grouped(df, "item", ["g"], b=6), ["g"], b=6
         ).collect()[0]
         assert abs(out["hll_estimate"] - 2000) / 2000 < 0.4  # ~3σ at m=64
+
+
+class TestGroupedCM:
+    def test_group_slice_equals_solo_sketch(self, spark):
+        """A group's slice of the grouped sketch must equal the sketch
+        built on that group's rows alone (same seeded buckets)."""
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.llm import sketch as sk
+
+        pdf = pd.DataFrame(
+            {
+                "g": ["a"] * 400 + ["b"] * 200,
+                "token": [f"w{i % 23}" for i in range(400)]
+                + [f"v{i % 11}" for i in range(200)],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        grouped = sk.cm_counters_grouped(df, "token", ["g"], depth=2, width=64)
+        for g in ("a", "b"):
+            solo = {
+                (r["d"], r["bucket"]): r["cnt"]
+                for r in sk.cm_counters(
+                    df.filter(df.g == g), "token", depth=2, width=64
+                ).collect()
+            }
+            sliced = {
+                (r["d"], r["bucket"]): r["cnt"]
+                for r in grouped.filter(grouped.g == g).collect()
+            }
+            assert sliced == solo
+
+    def test_grouped_estimates_never_undercount(self, spark):
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.llm import sketch as sk
+        from pyspark.sql import functions as F
+
+        pdf = pd.DataFrame(
+            {"g": ["a"] * 500, "token": [f"w{i % 31}" for i in range(500)]}
+        )
+        df = spark.createDataFrame(pdf)
+        counters = sk.cm_counters_grouped(df, "token", ["g"], depth=3, width=32)
+        exact = df.groupBy("g", "token").agg(F.count(F.lit(1)).alias("exact"))
+        est = sk.cm_estimates_grouped(
+            counters, exact.select("g", "token"), "token", ["g"], depth=3, width=32
+        )
+        j = exact.join(est, ["g", "token"]).toPandas()
+        assert (j["cm_estimate"] >= j["exact"]).all()

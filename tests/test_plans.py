@@ -95,6 +95,10 @@ def test_pipeline_manifest_no_single_partition(spark, sf_dir):
         "llm_embedding_stats",       # fixed-point decimal sums
         "llm_mixture_apply",         # hash-threshold resampling
         "llm_bpe_train",             # iterative merge training
+        "llm_dup_spans",             # positional index + interval union
+        "llm_span_scrub",            # ordered rejoin after anti-join
+        "llm_tfidf_topk",            # fixed-point idf + windowed top-k
+        "llm_hll_by_source",         # grouped sketch + decimal numerator
     ],
 )
 def test_partitioning_independence(spark, sf_dir, name):

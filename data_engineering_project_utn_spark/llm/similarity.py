@@ -826,3 +826,64 @@ def derive_ivf_k(n_rows: int) -> int:
     if n_rows <= 1:
         return 4
     return min(65536, max(4, 2 ** math.ceil(math.log2(math.sqrt(n_rows)))))
+
+
+def top_principal_direction(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    iters: int = 4,
+    x_scale: int = 10**6,
+    v_scale: int = 1 << 14,
+) -> "list[int]":
+    """Top principal direction of the (uncentered) embedding Gram matrix
+    by MATRIX-FREE power iteration: v ← Σ_rows x·(x·v), renormalized each
+    round — the d×d matrix is never materialized, so the pass scales to
+    any corpus (each round = one narrow per-row fold + ONE groupBy(dim)
+    shuffle producing d rows; cost is iters passes over the data, the same
+    multi-pass shape as the IVF Lloyd trainer).
+
+    Every step is EXACT integer arithmetic, so the result is
+    bit-reproducible at any partitioning and in any engine:
+
+    * x quantizes to ⌊x·1e6⌋ (requires |x| ≤ 2 — embeddings are
+      ~unit-norm; same documented bound style as ``embedding_dim_stats``),
+    * v is integer-valued with ‖v‖∞ = 2¹⁴, so per-row scores and the
+      xq·s products stay under 2⁶³ (≤ 4.3e18 at the bound),
+    * per-dim sums accumulate in DECIMAL(38,0) (DuckDB: HUGEINT),
+    * renormalization is integer: v_j ← sign(z_j)·(|z_j|·2¹⁴ ÷ max|z|)
+      with division applied to NON-NEGATIVES only (Python floors toward
+      −∞, SQL truncates toward 0 — they agree exactly on ≥ 0).
+
+    Returns the final fixed-point direction as a Python list of d ints
+    (model-size driver state, like the IVF centroid collects); the gated
+    query re-emits it as a (dim, v_fp) frame against an unrolled-round
+    SQL oracle."""
+    xq_arr = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(x_scale))).cast("long"),
+    )
+    base = _track_persist(embeddings.select(xq_arr.alias("xq")))
+    d = len(base.select("xq").first()["xq"])
+    vs = [v_scale] * d
+    for _ in range(iters):
+        varr = F.array(*[F.lit(v).cast("long") for v in vs])
+        s = F.aggregate(
+            F.zip_with(F.col("xq"), varr, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, e: acc + e,
+        )
+        z_rows = (
+            base.select(F.posexplode("xq").alias("dim", "x"), s.alias("s"))
+            .groupBy("dim")
+            .agg(F.sum((F.col("x") * F.col("s")).cast("decimal(38,0)")).alias("z"))
+            .collect()
+        )
+        z = {r["dim"]: int(r["z"]) for r in z_rows}
+        mz = max(abs(v) for v in z.values())
+        if mz == 0:
+            break
+        vs = [
+            (1 if z.get(j, 0) >= 0 else -1) * ((abs(z.get(j, 0)) * v_scale) // mz)
+            for j in range(d)
+        ]
+    return vs

@@ -763,3 +763,63 @@ def llm_embedding_dedup_clusters_auto(spark: SparkSession, sf_dir: str) -> DataF
         .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
     )
     return dd.dedup_clusters(pairs).orderBy("doc_id")
+
+
+def _power_iter_oracle(iters: int = 4, x_scale: int = 10**6, v_scale: int = 1 << 14) -> str:
+    """Unrolled power-iteration rounds (the BPE-style SQL-oracle pattern):
+    same integer quantization, HUGEINT-exact sums, and non-negative-only
+    integer renormalization as ``similarity.top_principal_direction``."""
+    ctes = [
+        f"""xq AS (SELECT vec_id, unnest(range(0, len(embedding))) AS dim,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {x_scale}.0) AS BIGINT) AS x
+        FROM embeddings)"""
+    ]
+    for t in range(1, iters + 1):
+        if t == 1:
+            ctes.append(
+                f"s1 AS (SELECT vec_id, SUM(x * {v_scale}) AS s FROM xq GROUP BY vec_id)"
+            )
+        else:
+            ctes.append(
+                f"s{t} AS (SELECT vec_id, SUM(x * v) AS s "
+                f"FROM xq JOIN v{t-1} USING (dim) GROUP BY vec_id)"
+            )
+        ctes.append(
+            f"z{t} AS (SELECT dim, SUM(CAST(x AS HUGEINT) * s) AS z "
+            f"FROM xq JOIN s{t} USING (vec_id) GROUP BY dim)"
+        )
+        ctes.append(f"m{t} AS (SELECT MAX(ABS(z)) AS mz FROM z{t})")
+        ctes.append(
+            f"v{t} AS (SELECT dim, CASE WHEN z >= 0 THEN (z * {v_scale}) // mz "
+            f"ELSE -((-z) * {v_scale} // mz) END AS v FROM z{t}, m{t})"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"\n    SELECT CAST(dim AS BIGINT) AS dim, "
+        f"CAST(v AS BIGINT) AS v_fp FROM v{iters} ORDER BY dim"
+    )
+
+
+@register(
+    "llm_top_component",
+    priority=2,
+    oracle=_power_iter_oracle(),
+    tags=("llm", "similarity", "linalg"),
+)
+def llm_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by MATRIX-FREE
+    power iteration (``similarity.top_principal_direction``): the d×d Gram
+    matrix is never materialized — each of the 4 rounds is one narrow
+    per-row fold plus one groupBy(dim) shuffle yielding d rows, so the
+    pass costs iters scans at ANY corpus size (the multi-pass shape of
+    the IVF Lloyd trainer).  All arithmetic is exact integers (see the
+    function docstring), so the fixed-point direction is bit-identical
+    across engines and partitionings — gated against a 4-round unrolled
+    SQL oracle.  The direction feeds PCA-style whitening/centering ahead
+    of ANN indexing."""
+    from data_engineering_project_utn_spark.llm import similarity as sim2
+
+    e = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
+    vs = sim2.top_principal_direction(e, iters=4)
+    return spark.createDataFrame(
+        [(j, int(v)) for j, v in enumerate(vs)], "dim long, v_fp long"
+    ).orderBy("dim")

@@ -1544,3 +1544,37 @@ class TestGroupedCM:
         )
         j = exact.join(est, ["g", "token"]).toPandas()
         assert (j["cm_estimate"] >= j["exact"]).all()
+
+
+class TestPowerIteration:
+    def test_converges_to_dominant_eigenvector(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.llm import similarity as sim
+
+        rng = np.random.default_rng(7)
+        X = rng.normal(size=(300, 8)) * 0.1
+        X[:, 3] += 0.8  # plant a dominant direction along e3
+        df = spark.createDataFrame(
+            pd.DataFrame({"embedding": [row.tolist() for row in X]})
+        )
+        vs = sim.top_principal_direction(df, iters=4)
+        v = np.array(vs, dtype=float)
+        v /= np.linalg.norm(v)
+        _, U = np.linalg.eigh(X.T @ X)
+        top = U[:, -1]
+        assert abs(float(v @ top)) > 0.999
+
+    def test_partitioning_invariant(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.llm import similarity as sim
+
+        rng = np.random.default_rng(11)
+        X = rng.normal(size=(120, 6))
+        pdf = pd.DataFrame({"embedding": [row.tolist() for row in X]})
+        a = sim.top_principal_direction(spark.createDataFrame(pdf).repartition(2))
+        b = sim.top_principal_direction(spark.createDataFrame(pdf).repartition(13))
+        assert a == b  # exact integer pipeline -> identical, not close

@@ -823,3 +823,63 @@ def llm_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(j, int(v)) for j, v in enumerate(vs)], "dim long, v_fp long"
     ).orderBy("dim")
+
+
+@register(
+    "llm_pca_explained",
+    priority=2,
+    oracle=_power_iter_oracle().replace(
+        "\n    SELECT CAST(dim AS BIGINT) AS dim, CAST(v AS BIGINT) AS v_fp FROM v4 ORDER BY dim",
+        """,
+    sf AS (SELECT vec_id, SUM(x * v) AS s FROM xq JOIN v4 USING (dim) GROUP BY vec_id),
+    ray AS (SELECT SUM(CAST(s AS HUGEINT) * s) AS a, COUNT(*) AS n FROM sf),
+    vv AS (SELECT SUM(CAST(v AS HUGEINT) * v) AS b FROM v4),
+    tr AS (SELECT SUM(CAST(x AS HUGEINT) * x) AS c FROM xq)
+    SELECT CAST(ray.n AS BIGINT) AS n_vectors,
+           CAST(ray.a AS DOUBLE) / (CAST(vv.b AS DOUBLE) * CAST(tr.c AS DOUBLE))
+               AS variance_explained
+    FROM ray, vv, tr""",
+    ),
+    tags=("llm", "similarity", "linalg"),
+)
+def llm_pca_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance explained by the power-iteration top component: the
+    Rayleigh quotient Σᵢ(xᵢ·u)² over the total energy Σᵢ‖xᵢ‖² — the
+    number that tells a pipeline whether PCA-reduction before ANN indexing
+    is worth it.  Every accumulation is exact integer (s², v'v, trace all
+    HUGEINT/decimal); only the final two casts and one divide are floating,
+    in the same literal order in both engines.  Composes the gated
+    ``llm_top_component`` direction — one extra narrow fold + three
+    scalar aggregates."""
+    from data_engineering_project_utn_spark.llm import similarity as sim2
+
+    e = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
+    vs = sim2.top_principal_direction(e, iters=4)
+    varr = F.array(*[F.lit(int(v)).cast("long") for v in vs])
+    xq = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long"),
+    )
+    s = F.aggregate(
+        F.zip_with(xq, varr, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, el: acc + el,
+    )
+    xx = F.aggregate(
+        F.transform(xq, lambda a: a * a),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, el: acc + el.cast("decimal(38,0)"),
+    )
+    agg = e.select(s.alias("s"), xx.alias("xx")).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum((F.col("s").cast("decimal(38,0)") * F.col("s"))).alias("a"),
+        F.sum("xx").alias("c"),
+    )
+    vv = sum(int(v) * int(v) for v in vs)
+    return agg.select(
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        (
+            F.col("a").cast("double")
+            / (F.lit(float(vv)) * F.col("c").cast("double"))
+        ).alias("variance_explained"),
+    )

@@ -1578,3 +1578,28 @@ class TestPowerIteration:
         a = sim.top_principal_direction(spark.createDataFrame(pdf).repartition(2))
         b = sim.top_principal_direction(spark.createDataFrame(pdf).repartition(13))
         assert a == b  # exact integer pipeline -> identical, not close
+
+
+class TestPCAExplained:
+    def test_planted_dominant_direction_dominates_energy(self, spark, sf_dir):
+        from data_engineering_project_utn_spark.plans import all_queries
+
+        out = all_queries()["llm_pca_explained"].build(spark, sf_dir).collect()[0]
+        assert 0.0 < out["variance_explained"] <= 1.0
+
+    def test_rank_one_data_explains_everything(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.llm import similarity as sim
+        from pyspark.sql import functions as F
+
+        u = np.array([3.0, 4.0, 0.0]) / 5.0
+        X = np.outer(np.linspace(0.1, 1.0, 50), u)  # exactly rank one
+        df = spark.createDataFrame(
+            pd.DataFrame({"embedding": [r.tolist() for r in X]})
+        )
+        vs = sim.top_principal_direction(df, iters=4)
+        v = np.array(vs, dtype=float)
+        v /= np.linalg.norm(v)
+        assert abs(abs(float(v @ u)) - 1.0) < 1e-3

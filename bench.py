@@ -88,6 +88,11 @@ EXTENDED_QUERIES = [
     "llm_span_scrub",
     "llm_tfidf_topk",
     "llm_bloom_decontam",
+    "llm_incremental_dup_spans",
+    "llm_hll_by_source",
+    "llm_cm_by_source",
+    "llm_top_component",
+    "llm_pca_explained",
 ]
 
 

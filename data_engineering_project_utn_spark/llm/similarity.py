@@ -864,16 +864,22 @@ def top_principal_direction(
     )
     base = _track_persist(embeddings.select(xq_arr.alias("xq")))
     d = len(base.select("xq").first()["xq"])
+    spark = embeddings.sparkSession
     vs = [v_scale] * d
     for _ in range(iters):
-        varr = F.array(*[F.lit(v).cast("long") for v in vs])
+        # ship v as broadcast DATA, not literals: the per-round plan is
+        # byte-identical, so Catalyst analysis + codegen are paid once
+        # across rounds (the same stable-plan trick as the IVF trainer's
+        # broadcast-packed centroid path)
+        vrow = spark.createDataFrame([([int(v) for v in vs],)], "v array<bigint>")
         s = F.aggregate(
-            F.zip_with(F.col("xq"), varr, lambda a, b: a * b),
+            F.zip_with(F.col("xq"), F.col("v"), lambda a, b: a * b),
             F.lit(0).cast("long"),
             lambda acc, e: acc + e,
         )
         z_rows = (
-            base.select(F.posexplode("xq").alias("dim", "x"), s.alias("s"))
+            base.crossJoin(F.broadcast(vrow))
+            .select(F.posexplode("xq").alias("dim", "x"), s.alias("s"))
             .groupBy("dim")
             .agg(F.sum((F.col("x") * F.col("s")).cast("decimal(38,0)")).alias("z"))
             .collect()

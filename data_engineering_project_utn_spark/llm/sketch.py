@@ -332,22 +332,22 @@ def hll_estimate_grouped(
 ) -> DataFrame:
     """Per-group cardinality estimates from a grouped register frame —
     same exact-decimal numerator and linear-counting small-range branch as
-    ``hll_estimate``, with the 0..m−1 register domain completed per group
-    (groups × m rows, model-size both ways).  Output: (group...,
-    hll_estimate, n_empty_registers, numerator)."""
+    ``hll_estimate``.  Empty registers are completed ARITHMETICALLY
+    instead of via a domain join: a present bucket always has M = ρ ≥ 1,
+    so every absent bucket contributes exactly 2^CAP to the numerator and
+    1 to n_empty — one groupBy, no self-join (which also keeps the frame
+    usable on streaming-sink tables, where a registers→registers join
+    trips attribute dedup).  Output: (group..., hll_estimate,
+    n_empty_registers, numerator)."""
     m = 1 << b
-    spark = registers.sparkSession
-    domain = spark.range(m).select(F.col("id").cast("long").alias("bucket"))
-    groups = registers.select(*group_cols).distinct()
-    full = (
-        groups.crossJoin(F.broadcast(domain))
-        .join(registers, [*group_cols, "bucket"], "left")
-        .select(*group_cols, F.coalesce(F.col("M"), F.lit(0)).alias("M"))
-    )
     term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_CAP} - M)")
-    agg = full.groupBy(*group_cols).agg(
-        F.sum(term.cast("decimal(38,0)")).alias("numerator"),
-        F.sum((F.col("M") == 0).cast("long")).alias("n_empty_registers"),
+    cap_term = F.lit(1 << HLL_RHO_CAP).cast("decimal(38,0)")
+    agg = registers.groupBy(*group_cols).agg(
+        (
+            F.sum(term.cast("decimal(38,0)"))
+            + (F.lit(m) - F.count(F.lit(1))).cast("decimal(38,0)") * cap_term
+        ).alias("numerator"),
+        (F.lit(m) - F.count(F.lit(1))).cast("long").alias("n_empty_registers"),
     )
     e_raw = (
         F.lit(hll_alpha(m))

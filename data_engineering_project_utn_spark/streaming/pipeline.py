@@ -249,6 +249,40 @@ def live_window_counters(
     )
 
 
+def windowed_hll_registers(
+    stream: DataFrame,
+    item_col: str,
+    ts_col: str = "arrival_timestamp",
+    window_duration: str = "60 seconds",
+    watermark: str = "2 minutes",
+    b: int = 6,
+) -> DataFrame:
+    """Streaming approximate-distinct: HyperLogLog registers per tumbling
+    event-time window — the grouped MAX on (window, bucket) IS the sketch,
+    so streaming state is ≤ 2^b rows per open window regardless of stream
+    rate (vs exact distinct whose state grows with cardinality), and
+    watermark expiry closes windows exactly like ``live_window_counters``.
+    Register updates are idempotent/commutative (max), so replays and
+    micro-batch boundaries cannot change the result — the streaming frame
+    equals ``llm.sketch.hll_registers_grouped`` over the same rows in
+    batch, bit-for-bit (tested), and estimates come from the same
+    ``hll_estimate_grouped`` on the sink side."""
+    from data_engineering_project_utn_spark.llm import sketch as sk
+
+    m = 1 << b
+    c = F.col(item_col).cast("string")
+    bucket = F.conv(F.substring(F.md5(c), 1, 2), 16, 10).cast("long") % m
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window_duration).alias("win"),
+            bucket.alias("bucket"),
+        )
+        .agg(F.max(sk._hll_rho(c)).alias("M"))
+        .select(F.col("win.start").alias("win_start"), "bucket", "M")
+    )
+
+
 def sessionize_stream(
     events: DataFrame,
     gap: str = "30 minutes",

@@ -1723,3 +1723,64 @@ class TestIndexProbeAtRest:
         q.awaitTermination(120)
         # both copies arrived in ONE micro-batch → mutual duplication seen
         assert got == {100: 5, 101: 5}
+
+
+class TestWindowedHLL:
+    def test_stream_registers_match_batch_and_estimate(self, spark, tmp_path):
+        """Streaming per-window HLL registers ≡ the batch grouped sketch
+        over the same rows (max is idempotent/commutative → micro-batch
+        boundaries are invisible), and the estimate from the streamed
+        registers tracks per-window exact distincts."""
+        from data_engineering_project_utn_spark.llm import sketch as sk
+
+        pdf = _event_pdf(120)  # 10s apart → 60s windows of 6 events
+        path = str(tmp_path / "hll_events")
+        spark.createDataFrame(pdf.iloc[:50], EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+        spark.createDataFrame(pdf.iloc[50:], EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+        stream = sp.file_stream(spark, path, EVENT_SCHEMA, max_files_per_trigger=1)
+        regs_stream = sp.windowed_hll_registers(
+            stream, "compile_duration_ms", b=6
+        )
+        _run_to_memory(regs_stream, "hll_regs", tmp_path, output_mode="complete")
+        streamed = {
+            (r["win_start"], r["bucket"]): r["M"]
+            for r in spark.table("hll_regs").collect()
+        }
+
+        batch = spark.read.schema(EVENT_SCHEMA).parquet(path)
+        batch_regs = sk.hll_registers_grouped(
+            batch.select(
+                F.window("arrival_timestamp", "60 seconds")["start"].alias(
+                    "win_start"
+                ),
+                F.col("compile_duration_ms").cast("string").alias("item"),
+            ),
+            "item",
+            ["win_start"],
+            b=6,
+        )
+        expected = {
+            (r["win_start"], r["bucket"]): r["M"] for r in batch_regs.collect()
+        }
+        assert streamed == expected  # bit-identical registers
+
+        est = sk.hll_estimate_grouped(
+            spark.table("hll_regs"), ["win_start"], b=6
+        ).toPandas().set_index("win_start")["hll_estimate"]
+        exact = (
+            batch.select(
+                F.window("arrival_timestamp", "60 seconds")["start"].alias("w"),
+                "compile_duration_ms",
+            )
+            .groupBy("w")
+            .agg(F.countDistinct("compile_duration_ms").alias("x"))
+            .toPandas()
+            .set_index("w")["x"]
+        )
+        for w, x in exact.items():
+            assert abs(int(est[w]) - int(x)) <= max(3, 0.5 * x)  # small-n HLL

@@ -260,3 +260,23 @@ def scrub_spans(
             F.coalesce("text", F.lit("")).alias("text"),
         )
     )
+
+
+def write_span_index_bucketed(
+    index: DataFrame, table_name: str, path: str, buckets: int = 64
+) -> None:
+    """Persist the n-gram count index BUCKETED on the n-gram key — the
+    at-rest layout for incremental span dedup at scale: per-batch probes
+    join on ``sh``, and a bucketed index satisfies that clustering from
+    disk, so the (corpus-sized) index is NEVER re-shuffled per batch —
+    only the incoming batch exchanges (plan-asserted in
+    ``test_bucketed_join.test_span_index_bucketed_probe``).  Maintain it
+    additively: union new batches' counts and rewrite per partition, or
+    compact periodically."""
+    (
+        index.write.bucketBy(buckets, "sh")
+        .sortBy("sh")
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(table_name)
+    )

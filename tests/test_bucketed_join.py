@@ -79,3 +79,53 @@ def test_ivf_at_rest_partition_pruning(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in scan and "cell" in scan.split("PartitionFilters", 1)[1]
     # pruned read returns exactly the in-memory cell's rows
     assert probe.count() == cells.filter(F.col("cell") == int(target)).count() > 0
+
+
+def test_span_index_bucketed_probe(spark, tmp_path_factory):
+    """The at-rest n-gram index layout: bucketed on the n-gram key, a
+    batch probe join reads the index WITHOUT an exchange above its scan —
+    only the (small) incoming side shuffles.  This is what makes
+    per-batch incremental span dedup affordable when the index is
+    corpus-sized."""
+    import pandas as pd
+
+    from data_engineering_project_utn_spark.llm import spans as sn
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(40),
+                "text": [f"w{i} w{i+1} w{i+2} w{i+3} w{i+4} w{i+5}" for i in range(40)],
+            }
+        )
+    )
+    wh = tmp_path_factory.mktemp("span_wh")
+    spark.sql("DROP TABLE IF EXISTS span_idx_at_rest")
+    sn.write_span_index_bucketed(
+        sn.ngram_count_index(corpus, n=5),
+        "span_idx_at_rest",
+        str(wh / "span_idx"),
+        buckets=8,
+    )
+    idx = spark.table("span_idx_at_rest")
+
+    incoming = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [100], "text": ["w3 w4 w5 w6 w7 w8"]})
+    )
+    spans = sn.incremental_span_frame(incoming, n=5, index=idx)
+    plan = spans._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+    # exactly the incoming side's exchanges — the index scan itself must
+    # not be followed by a hash exchange (bucketing satisfies the join)
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line and "span_idx" in line:
+            raise AssertionError(f"index side shuffled: {line}")
+    # and the probe still computes the right answer
+    got = spans.collect()
+    assert len(got) == 1 and got[0]["span_len"] == 6
+
+    control = sn.incremental_span_frame(
+        incoming, n=5, index=sn.ngram_count_index(corpus, n=5)
+    )
+    cplan = control._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" not in cplan

@@ -93,6 +93,7 @@ EXTENDED_QUERIES = [
     "llm_cm_by_source",
     "llm_top_component",
     "llm_pca_explained",
+    "llm_tfidf_cosine_pairs",
 ]
 
 

@@ -369,3 +369,91 @@ def tfidf_frame(
             ).alias("score"),
         )
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    idf_scale: int = 10000,
+    idf_cap: int = 10**8,
+    max_block_df: int = 10,
+    min_cosine: float = 0.5,
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity join — the inverted-index lexical
+    twin of the MinHash (Jaccard) and dense-embedding (cosine) near-dup
+    paths: (id_a, id_b, cosine) for candidate pairs sharing at least one
+    RARE term, scored by exact sparse cosine.
+
+    Blocking: the inverted index is only expanded for terms with
+    df ≤ ``max_block_df`` — pair space Σ_rare df² ≤ max_block_df·Σ df,
+    never corpus² (stopword postings are never pair-expanded; a doc pair
+    sharing ONLY ubiquitous terms is not a near-dup candidate by
+    construction).  Scoring touches candidate pairs × the left doc's terms
+    only.
+
+    Determinism: weights are exact ints w = tf·min(⌊N·idf_scale/df⌋,
+    idf_cap) (the cap bounds w² ≤ (tf·cap)² for DECIMAL(38) exactness at
+    any corpus size — idf saturation, the standard smoothing), dots and
+    norms accumulate in DECIMAL(38,0), and the only floating step is the
+    final dot/√(na)·√(nb) with exact-int operands — bit-identical
+    cross-engine."""
+    tf = (
+        docs.select(F.col(id_col).alias("did"), F.explode(tokens(text_col)).alias("term"))
+        .groupBy("did", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n = docs.agg(F.count(F.lit(1)).alias("_n"))
+    w = tf.join(df, "term").crossJoin(F.broadcast(n)).select(
+        "did",
+        "term",
+        (
+            F.col("tf")
+            * F.least(
+                F.expr(f"(_n * CAST({idf_scale} AS BIGINT)) div doc_freq"),
+                F.lit(idf_cap).cast("long"),
+            )
+        ).alias("w"),
+        "doc_freq",
+    )
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    w = track_persist(w)
+    norms = w.groupBy("did").agg(
+        F.sum((F.col("w").cast("decimal(38,0)") * F.col("w"))).alias("nn")
+    )
+    rare = w.filter(F.col("doc_freq") <= max_block_df).select("did", "term")
+    cand = (
+        rare.alias("a")
+        .join(rare.alias("b"), "term")
+        .filter(F.col("a.did") < F.col("b.did"))
+        .select(F.col("a.did").alias("id_a"), F.col("b.did").alias("id_b"))
+        .distinct()
+    )
+    wa = w.select(F.col("did").alias("id_a"), "term", F.col("w").alias("wa"))
+    wb = w.select(F.col("did").alias("id_b"), "term", F.col("w").alias("wb"))
+    dots = (
+        cand.join(wa, "id_a")
+        .join(wb, ["id_b", "term"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum((F.col("wa").cast("decimal(38,0)") * F.col("wb"))).alias("dot"))
+    )
+    na = norms.select(F.col("did").alias("id_a"), F.col("nn").alias("na"))
+    nb = norms.select(F.col("did").alias("id_b"), F.col("nn").alias("nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na").cast("double"))
+                    * F.sqrt(F.col("nb").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )

@@ -945,3 +945,55 @@ def llm_cm_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "token", "exact_cnt", "cm_estimate")
         .orderBy("source", F.desc("exact_cnt"), "token")
     )
+
+
+@register(
+    "llm_tfidf_cosine_pairs",
+    priority=2,
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    tok AS (SELECT doc_id AS did, unnest(t) AS term FROM tk),
+    tf AS (SELECT did, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY did, term),
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq
+            FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS _n FROM documents),
+    w AS (SELECT did, term,
+                 tf * LEAST((n._n * CAST(10000 AS BIGINT)) // doc_freq,
+                            CAST(100000000 AS BIGINT)) AS w,
+                 doc_freq
+          FROM tf JOIN dfq USING (term) CROSS JOIN n),
+    norms AS (SELECT did, SUM(CAST(w AS HUGEINT) * w) AS nn FROM w GROUP BY did),
+    rare AS (SELECT did, term FROM w WHERE doc_freq <= 10),
+    cand AS (SELECT DISTINCT a.did AS id_a, b.did AS id_b
+             FROM rare a JOIN rare b USING (term) WHERE a.did < b.did),
+    dots AS (SELECT c.id_a, c.id_b, SUM(CAST(wa.w AS HUGEINT) * wb.w) AS dot
+             FROM cand c
+             JOIN w wa ON wa.did = c.id_a
+             JOIN w wb ON wb.did = c.id_b AND wb.term = wa.term
+             GROUP BY c.id_a, c.id_b),
+    res AS (SELECT d.id_a, d.id_b,
+                   CAST(d.dot AS DOUBLE)
+                   / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE)))
+                       AS cosine
+            FROM dots d
+            JOIN norms na ON na.did = d.id_a
+            JOIN norms nb ON nb.did = d.id_b)
+    SELECT id_a, id_b, cosine FROM res WHERE cosine >= 0.5
+    ORDER BY cosine DESC, id_a, id_b LIMIT 20
+    """,
+    tags=("llm", "text", "tfidf", "dedup"),
+)
+def llm_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine near-dup pairs — the inverted-index lexical
+    similarity join (see ``llm/text.py tfidf_cosine_pairs``): candidates
+    blocked on rare terms (df ≤ 10, pair space Σ_rare df², never
+    corpus²), exact-integer sparse dots/norms, one floating divide at the
+    end.  Third similarity axis next to MinHash-Jaccard and
+    dense-embedding cosine; top-20 pairs."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    return (
+        tx.tfidf_cosine_pairs(d)
+        .orderBy(F.desc("cosine"), "id_a", "id_b")
+        .limit(20)
+    )

@@ -1603,3 +1603,49 @@ class TestPCAExplained:
         v = np.array(vs, dtype=float)
         v /= np.linalg.norm(v)
         assert abs(abs(float(v @ u)) - 1.0) < 1e-3
+
+
+class TestTfIdfCosinePairs:
+    def test_identical_docs_cosine_one(self, spark):
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.llm import text as tx
+
+        t = "alpha beta gamma delta"
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2, 3], "text": [t, t, "zz yy xx ww"]})
+        )
+        out = tx.tfidf_cosine_pairs(docs, min_cosine=0.0).toPandas()
+        pair = out[(out["id_a"] == 1) & (out["id_b"] == 2)]
+        assert len(pair) == 1 and abs(pair.iloc[0]["cosine"] - 1.0) < 1e-12
+
+    def test_blocking_requires_shared_rare_term(self, spark):
+        """Docs sharing only a ubiquitous term (df > max_block_df) are
+        never candidates — the stopword posting is not pair-expanded."""
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.llm import text as tx
+
+        texts = [f"the unique{i}a unique{i}b" for i in range(12)]
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(12), "text": texts})
+        )
+        out = tx.tfidf_cosine_pairs(docs, max_block_df=10, min_cosine=0.0)
+        assert out.count() == 0  # 'the' has df=12 > 10; nothing else shared
+
+    def test_partial_overlap_scores_between_zero_and_one(self, spark):
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.llm import text as tx
+
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2],
+                    "text": ["alpha beta gamma", "alpha beta zeta"],
+                }
+            )
+        )
+        out = tx.tfidf_cosine_pairs(docs, min_cosine=0.0).toPandas()
+        assert len(out) == 1
+        assert 0.0 < out.iloc[0]["cosine"] < 1.0

@@ -94,6 +94,7 @@ EXTENDED_QUERIES = [
     "llm_top_component",
     "llm_pca_explained",
     "llm_tfidf_cosine_pairs",
+    "llm_pagerank",
 ]
 
 

@@ -1,0 +1,74 @@
+"""Iterative graph analytics over document-similarity graphs.
+
+Connected components (label propagation, ``llm/dedup.dedup_clusters``)
+answers "which docs are the same"; PageRank here answers "which docs are
+CENTRAL" — e.g. rank keeper candidates inside a near-dup neighborhood, or
+surface hub documents in a lexical-overlap graph.  The implementation is
+the standard synchronous power-method PageRank re-expressed as
+DataFrame rounds, in FIXED-POINT integer arithmetic so results are
+bit-reproducible across engines and partitionings (the same determinism
+trade as BPE training and the PCA power iteration):
+
+* ranks are integers at ``scale`` (10⁶),
+* the damping factor is the rational 17/20 (= 0.85 exactly),
+* per-edge contributions use truncating division ``r div deg`` on
+  NON-NEGATIVE operands (Spark ``div``, DuckDB ``//`` and Python ``//``
+  all agree on ≥ 0),
+* the update is r' = ((den−num)·scale + num·Σ contrib) div den — exact
+  integers end-to-end, no floating step anywhere.
+
+Scale shape: each round is one equi-join of edges against the rank frame
+(shuffle on the node key) plus a grouped sum — the canonical distributed
+PageRank round.  Rounds are unrolled (fixed iteration count), so the SQL
+oracle chains the identical CTEs; for long chains at cluster scale add
+``localCheckpoint`` lineage truncation per round exactly as
+``dedup_clusters`` does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def undirect(pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b") -> DataFrame:
+    """(a, b) pair list → symmetric edge frame (src, dst)."""
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    return fwd.unionByName(rev)
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = 10**6,
+    damp_num: int = 17,
+    damp_den: int = 20,
+) -> DataFrame:
+    """Fixed-point PageRank over a symmetric (src, dst) edge frame.
+
+    Nodes are those with ≥ 1 edge (an undirected graph has no dangling
+    nodes, so no leaked mass to redistribute).  Returns (node, rank_fp)
+    with rank_fp an exact integer at ``scale``."""
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").alias("node"))
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("r"))
+    base = (damp_den - damp_num) * scale
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"), F.expr("r div deg").alias("c"))
+        )
+        m = contrib.groupBy("node").agg(F.sum("c").cast("long").alias("m"))
+        ranks = (
+            nodes.join(m, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"CAST(({base} + {damp_num} * coalesce(m, CAST(0 AS BIGINT)))"
+                    f" div {damp_den} AS BIGINT)"
+                ).alias("r"),
+            )
+        )
+    return ranks.select("node", F.col("r").alias("rank_fp"))

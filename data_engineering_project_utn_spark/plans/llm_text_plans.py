@@ -997,3 +997,80 @@ def llm_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "id_a", "id_b")
         .limit(20)
     )
+
+
+def _pagerank_oracle(iters: int = 3, scale: int = 10**6) -> str:
+    """Unrolled fixed-point PageRank rounds over the rare-term document
+    graph (same CTE prefix as the sparse-cosine blocking)."""
+    base = 3 * scale  # (20-17)·scale
+    ctes = [
+        f"tk AS (SELECT doc_id, {_TOKS} AS t FROM documents)",
+        "tok AS (SELECT doc_id AS did, unnest(t) AS term FROM tk)",
+        "tf AS (SELECT did, term FROM tok GROUP BY did, term)",
+        "dfq AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term)",
+        "rare AS (SELECT did, term FROM tf JOIN dfq USING (term) WHERE doc_freq <= 10)",
+        """cand AS (SELECT DISTINCT a.did AS id_a, b.did AS id_b
+             FROM rare a JOIN rare b USING (term) WHERE a.did < b.did)""",
+        """edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+             UNION ALL SELECT id_b, id_a FROM cand)""",
+        "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src)",
+        f"r0 AS (SELECT src AS node, CAST({scale} AS BIGINT) AS r FROM deg)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""c{t} AS (SELECT e.dst AS node, CAST(SUM(r.r // d.deg) AS BIGINT) AS m
+             FROM edges e JOIN r{t-1} r ON r.node = e.src
+             JOIN deg d ON d.src = e.src GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""r{t} AS (SELECT n.node,
+                    CAST(({base} + 17 * COALESCE(c{t}.m, 0)) // 20 AS BIGINT) AS r
+             FROM (SELECT src AS node FROM deg) n
+             LEFT JOIN c{t} ON c{t}.node = n.node)"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT node AS doc_id, r AS rank_fp FROM r{iters}"
+        " ORDER BY rank_fp DESC, node LIMIT 20"
+    )
+
+
+@register(
+    "llm_pagerank",
+    priority=2,
+    oracle=_pagerank_oracle(),
+    tags=("llm", "graph"),
+)
+def llm_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the rare-term document-overlap graph
+    (``llm/graph.py``) — hub documents by lexical-overlap centrality, the
+    ranking complement to connected-components keeper selection.  Three
+    unrolled synchronous rounds, exact integers end-to-end (17/20 damping,
+    truncating division on non-negatives) — bit-gated against the chained
+    CTE oracle.  Each round is one edges⨝ranks equi-join + grouped sum:
+    the canonical distributed PageRank shape."""
+    from data_engineering_project_utn_spark.llm import graph as gr
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    tf = d.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("term")).distinct()
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    rare = tf.join(dfq.filter(F.col("doc_freq") <= 10), "term").select(
+        "doc_id", "term"
+    )
+    cand = (
+        rare.alias("a")
+        .join(rare.alias("b"), "term")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    edges = track_persist(gr.undirect(cand))
+    return (
+        gr.pagerank(edges, iters=3)
+        .select(F.col("node").alias("doc_id"), "rank_fp")
+        .orderBy(F.desc("rank_fp"), "doc_id")
+        .limit(20)
+    )

@@ -1649,3 +1649,59 @@ class TestTfIdfCosinePairs:
         out = tx.tfidf_cosine_pairs(docs, min_cosine=0.0).toPandas()
         assert len(out) == 1
         assert 0.0 < out.iloc[0]["cosine"] < 1.0
+
+
+class TestPageRank:
+    def _edges(self, spark, pairs):
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.llm import graph as gr
+
+        df = spark.createDataFrame(
+            pd.DataFrame(pairs, columns=["id_a", "id_b"])
+        )
+        return gr.undirect(df)
+
+    def test_star_center_outranks_leaves(self, spark):
+        from data_engineering_project_utn_spark.llm import graph as gr
+
+        edges = self._edges(spark, [(0, i) for i in range(1, 6)])
+        ranks = (
+            gr.pagerank(edges, iters=3)
+            .toPandas()
+            .set_index("node")["rank_fp"]
+        )
+        assert all(ranks[0] > ranks[i] for i in range(1, 6))
+
+    def test_symmetric_ring_all_equal(self, spark):
+        from data_engineering_project_utn_spark.llm import graph as gr
+
+        ring = [(i, (i + 1) % 6) for i in range(6)]
+        ranks = gr.pagerank(self._edges(spark, ring), iters=3).toPandas()
+        assert ranks["rank_fp"].nunique() == 1
+
+    def test_matches_float_pagerank_direction(self, spark):
+        """Fixed-point ranks must order nodes the same way as a float
+        reference implementation on an asymmetric graph."""
+        from data_engineering_project_utn_spark.llm import graph as gr
+
+        pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (4, 0)]
+        ranks = (
+            gr.pagerank(self._edges(spark, pairs), iters=3)
+            .toPandas()
+            .set_index("node")["rank_fp"]
+        )
+        # float reference, same synchronous update
+        import collections
+
+        adj = collections.defaultdict(set)
+        for a, b in pairs:
+            adj[a].add(b)
+            adj[b].add(a)
+        r = {n: 1.0 for n in adj}
+        for _ in range(3):
+            m = {n: sum(r[u] / len(adj[u]) for u in adj[n]) for n in adj}
+            r = {n: 0.15 + 0.85 * m[n] for n in adj}
+        ref_order = sorted(r, key=lambda n: (-r[n], n))
+        got_order = sorted(ranks.index, key=lambda n: (-ranks[n], n))
+        assert got_order == ref_order

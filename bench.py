@@ -95,6 +95,7 @@ EXTENDED_QUERIES = [
     "llm_pca_explained",
     "llm_tfidf_cosine_pairs",
     "llm_pagerank",
+    "llm_second_component",
 ]
 
 

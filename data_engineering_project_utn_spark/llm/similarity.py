@@ -893,3 +893,82 @@ def top_principal_direction(
             for j in range(d)
         ]
     return vs
+
+
+def second_principal_direction(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    iters: int = 4,
+    x_scale: int = 10**6,
+    v_scale: int = 1 << 14,
+    v2_scale: int = 1 << 12,
+) -> "tuple[list[int], list[int]]":
+    """Second principal direction by DEFLATION, still exact-integer: run
+    ``top_principal_direction`` for v₁, project every row onto v₁'s
+    orthogonal complement IN INTEGERS —
+
+        x⊥_j = x_j·(v₁ᵀv₁) − v₁_j·(v₁ᵀx),  requantized by ÷(v₁ᵀv₁)
+
+    (sign-split truncating division, so Python//SQL agree) — then run the
+    same power rounds on the deflated rows at a narrower v₂ scale (2¹²)
+    chosen so every product stays under 2⁶³ (deflated entries can reach
+    ~2·x_scale·‖x‖∞).  Deflation is a NARROW per-row projection — no new
+    shuffle class; total cost 2·iters scans + one ``first()``.
+
+    Returns (v1_fp, v2_fp) at scales (2¹⁴, 2¹²).  v₂ ⊥ v₁ up to
+    quantization (integer-exact orthogonality is tested to ≤ 1e-3
+    relative)."""
+    v1 = top_principal_direction(embeddings, vec_col, iters, x_scale, v_scale)
+    vv = sum(int(v) * int(v) for v in v1)
+    spark = embeddings.sparkSession
+    xq_arr = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(x_scale))).cast("long"),
+    )
+    v1row = spark.createDataFrame([([int(v) for v in v1],)], "v1 array<bigint>")
+    s_row = F.aggregate(
+        F.zip_with(F.col("_xq"), F.col("v1"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc + e,
+    )
+    # deflation + sign-split truncating requantization by vv
+    # (non-negative division only — Python // and SQL // agree there)
+    base2 = _track_persist(
+        embeddings.select(xq_arr.alias("_xq"))
+        .crossJoin(F.broadcast(v1row))
+        .select(F.col("_xq"), s_row.alias("_s"), F.col("v1"))
+        .select(
+            F.expr(
+                f"transform(zip_with(_xq, v1, (xj, vj) -> xj * CAST({vv} AS BIGINT)"
+                " - vj * _s), t -> CASE WHEN t >= 0 THEN"
+                f" t div CAST({vv} AS BIGINT) ELSE -((-t) div CAST({vv} AS BIGINT))"
+                " END)"
+            ).alias("xq")
+        )
+    )
+    d = len(v1)
+    vs = [v2_scale] * d
+    for _ in range(iters):
+        vrow = spark.createDataFrame([([int(v) for v in vs],)], "v array<bigint>")
+        s = F.aggregate(
+            F.zip_with(F.col("xq"), F.col("v"), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, e: acc + e,
+        )
+        z_rows = (
+            base2.crossJoin(F.broadcast(vrow))
+            .select(F.posexplode("xq").alias("dim", "x"), s.alias("s"))
+            .groupBy("dim")
+            .agg(F.sum((F.col("x") * F.col("s")).cast("decimal(38,0)")).alias("z"))
+            .collect()
+        )
+        z = {r["dim"]: int(r["z"]) for r in z_rows}
+        mz = max(abs(v) for v in z.values())
+        if mz == 0:
+            break
+        vs = [
+            (1 if z.get(j, 0) >= 0 else -1)
+            * ((abs(z.get(j, 0)) * v2_scale) // mz)
+            for j in range(d)
+        ]
+    return [int(v) for v in v1], [int(v) for v in vs]

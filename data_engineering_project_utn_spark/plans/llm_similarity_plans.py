@@ -770,27 +770,27 @@ def _power_iter_oracle(iters: int = 4, x_scale: int = 10**6, v_scale: int = 1 <<
     same integer quantization, HUGEINT-exact sums, and non-negative-only
     integer renormalization as ``similarity.top_principal_direction``."""
     ctes = [
-        f"""xq AS (SELECT vec_id, unnest(range(0, len(embedding))) AS dim,
+        f"""xq AS MATERIALIZED (SELECT vec_id, unnest(range(0, len(embedding))) AS dim,
                CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {x_scale}.0) AS BIGINT) AS x
         FROM embeddings)"""
     ]
     for t in range(1, iters + 1):
         if t == 1:
             ctes.append(
-                f"s1 AS (SELECT vec_id, SUM(x * {v_scale}) AS s FROM xq GROUP BY vec_id)"
+                f"s1 AS MATERIALIZED (SELECT vec_id, SUM(x * {v_scale}) AS s FROM xq GROUP BY vec_id)"
             )
         else:
             ctes.append(
-                f"s{t} AS (SELECT vec_id, SUM(x * v) AS s "
+                f"s{t} AS MATERIALIZED (SELECT vec_id, SUM(x * v) AS s "
                 f"FROM xq JOIN v{t-1} USING (dim) GROUP BY vec_id)"
             )
         ctes.append(
-            f"z{t} AS (SELECT dim, SUM(CAST(x AS HUGEINT) * s) AS z "
+            f"z{t} AS MATERIALIZED (SELECT dim, SUM(CAST(x AS HUGEINT) * s) AS z "
             f"FROM xq JOIN s{t} USING (vec_id) GROUP BY dim)"
         )
-        ctes.append(f"m{t} AS (SELECT MAX(ABS(z)) AS mz FROM z{t})")
+        ctes.append(f"m{t} AS MATERIALIZED (SELECT MAX(ABS(z)) AS mz FROM z{t})")
         ctes.append(
-            f"v{t} AS (SELECT dim, CASE WHEN z >= 0 THEN (z * {v_scale}) // mz "
+            f"v{t} AS MATERIALIZED (SELECT dim, CASE WHEN z >= 0 THEN (z * {v_scale}) // mz "
             f"ELSE -((-z) * {v_scale} // mz) END AS v FROM z{t}, m{t})"
         )
     return (
@@ -883,3 +883,76 @@ def llm_pca_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(float(vv)) * F.col("c").cast("double"))
         ).alias("variance_explained"),
     )
+
+
+def _second_pi_oracle(
+    iters: int = 4, x_scale: int = 10**6, v_scale: int = 1 << 14, v2_scale: int = 1 << 12
+) -> str:
+    """First power chain (identical CTEs to ``_power_iter_oracle``), then
+    integer deflation by v₁ and a second unrolled chain at the narrower
+    scale — mirrors ``similarity.second_principal_direction`` step for
+    step."""
+    first = _power_iter_oracle(iters, x_scale, v_scale)
+    head, _tail = first.rsplit("\n    SELECT", 1)
+    ctes2 = [
+        f"vv AS MATERIALIZED (SELECT SUM(CAST(v AS HUGEINT) * v) AS vv FROM v{iters})",
+        f"sx AS MATERIALIZED (SELECT xq.vec_id, SUM(xq.x * v{iters}.v) AS s "
+        f"FROM xq JOIN v{iters} USING (dim) GROUP BY xq.vec_id)",
+        f"""xq2 AS MATERIALIZED (SELECT xq.vec_id, xq.dim,
+               CAST(CASE WHEN (CAST(xq.x AS HUGEINT) * vv.vv - CAST(v{iters}.v AS HUGEINT) * sx.s) >= 0
+                    THEN (CAST(xq.x AS HUGEINT) * vv.vv - CAST(v{iters}.v AS HUGEINT) * sx.s) // vv.vv
+                    ELSE -((-(CAST(xq.x AS HUGEINT) * vv.vv - CAST(v{iters}.v AS HUGEINT) * sx.s)) // vv.vv)
+               END AS BIGINT) AS x
+        FROM xq JOIN v{iters} USING (dim) JOIN sx ON sx.vec_id = xq.vec_id
+        CROSS JOIN vv)""",
+    ]
+    for t in range(1, iters + 1):
+        if t == 1:
+            ctes2.append(
+                f"t1 AS MATERIALIZED (SELECT vec_id, SUM(x * {v2_scale}) AS s FROM xq2 GROUP BY vec_id)"
+            )
+        else:
+            ctes2.append(
+                f"t{t} AS MATERIALIZED (SELECT vec_id, SUM(x * w) AS s "
+                f"FROM xq2 JOIN u{t-1} USING (dim) GROUP BY vec_id)"
+            )
+        ctes2.append(
+            f"y{t} AS MATERIALIZED (SELECT dim, SUM(CAST(x AS HUGEINT) * s) AS z "
+            f"FROM xq2 JOIN t{t} USING (vec_id) GROUP BY dim)"
+        )
+        ctes2.append(f"n{t} AS MATERIALIZED (SELECT MAX(ABS(z)) AS mz FROM y{t})")
+        ctes2.append(
+            f"u{t} AS MATERIALIZED (SELECT dim, CASE WHEN z >= 0 THEN (z * {v2_scale}) // mz "
+            f"ELSE -((-z) * {v2_scale} // mz) END AS w FROM y{t}, n{t})"
+        )
+    return (
+        head
+        + ",\n    "
+        + ",\n    ".join(ctes2)
+        + f"\n    SELECT CAST(dim AS BIGINT) AS dim, CAST(w AS BIGINT) AS v2_fp "
+        f"FROM u{iters} ORDER BY dim"
+    )
+
+
+@register(
+    "llm_second_component",
+    priority=2,
+    oracle=_second_pi_oracle(),
+    tags=("llm", "similarity", "linalg"),
+)
+def llm_second_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second principal direction by integer DEFLATION
+    (``similarity.second_principal_direction``): rows are projected onto
+    v₁'s orthogonal complement with exact integer arithmetic (sign-split
+    truncating requantization by v₁ᵀv₁), then the same matrix-free power
+    rounds run at a narrower scale.  Multi-component PCA without ever
+    materializing the d×d matrix — total cost 2·iters scans.  Gated
+    against a two-chain unrolled SQL oracle (first chain byte-identical
+    to ``llm_top_component``'s)."""
+    from data_engineering_project_utn_spark.llm import similarity as sim2
+
+    e = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
+    _v1, v2 = sim2.second_principal_direction(e, iters=4)
+    return spark.createDataFrame(
+        [(j, int(v)) for j, v in enumerate(v2)], "dim long, v2_fp long"
+    ).orderBy("dim")

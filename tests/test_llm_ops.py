@@ -1705,3 +1705,39 @@ class TestPageRank:
         ref_order = sorted(r, key=lambda n: (-r[n], n))
         got_order = sorted(ranks.index, key=lambda n: (-ranks[n], n))
         assert got_order == ref_order
+
+
+class TestSecondComponent:
+    def test_recovers_both_planted_components(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.llm import similarity as sim
+
+        rng = np.random.default_rng(3)
+        X = rng.normal(size=(400, 8)) * 0.05
+        X[:, 1] += rng.normal(size=400) * 0.9
+        X[:, 5] += rng.normal(size=400) * 0.4
+        df = spark.createDataFrame(
+            pd.DataFrame({"embedding": [r.tolist() for r in X]})
+        )
+        v1, v2 = sim.second_principal_direction(df)
+        a = np.array(v1, float); a /= np.linalg.norm(a)
+        b = np.array(v2, float); b /= np.linalg.norm(b)
+        _, U = np.linalg.eigh(X.T @ X)
+        assert abs(float(a @ U[:, -1])) > 0.999
+        assert abs(float(b @ U[:, -2])) > 0.999
+        assert abs(float(a @ b)) < 1e-3  # orthogonal up to quantization
+
+    def test_partitioning_invariant(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.llm import similarity as sim
+
+        rng = np.random.default_rng(5)
+        X = rng.normal(size=(100, 6))
+        pdf = pd.DataFrame({"embedding": [r.tolist() for r in X]})
+        a = sim.second_principal_direction(spark.createDataFrame(pdf).repartition(2))
+        b = sim.second_principal_direction(spark.createDataFrame(pdf).repartition(11))
+        assert a == b

@@ -283,6 +283,51 @@ def windowed_hll_registers(
     )
 
 
+def windowed_cm_counters(
+    stream: DataFrame,
+    item_col: str,
+    ts_col: str = "arrival_timestamp",
+    window_duration: str = "60 seconds",
+    watermark: str = "2 minutes",
+    depth: int = 3,
+    width: int = 512,
+) -> DataFrame:
+    """Streaming heavy-hitter sketch: count-min counters per tumbling
+    event-time window — the grouped SUM on (window, d, bucket) IS the
+    sketch, so state is ≤ depth·width rows per open window at any stream
+    rate and any item cardinality.  Counter updates are associative/
+    commutative sums, so micro-batch boundaries are invisible: the
+    streamed counters equal ``llm.sketch.cm_counters`` per window in
+    batch, counter for counter (tested), and point estimates come from
+    the same ``cm_estimates``-style min-over-rows on the sink side.
+    Completes the streaming sketch trio (windowed HLL for distincts,
+    windowed CM for frequencies, RunningTopK for exact leaders)."""
+    from data_engineering_project_utn_spark.llm import sketch as sk
+
+    c = F.col(item_col).cast("string")
+    rows = stream.withWatermark(ts_col, watermark).select(
+        F.col(ts_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        sk.cm_hash(c, d, width).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("s"),
+    )
+    return (
+        rows.groupBy(
+            F.window(F.col(ts_col), window_duration).alias("win"), "s.d", "s.bucket"
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("win.start").alias("win_start"), "d", "bucket", "cnt")
+    )
+
+
 def sessionize_stream(
     events: DataFrame,
     gap: str = "30 minutes",

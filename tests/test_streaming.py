@@ -1784,3 +1784,39 @@ class TestWindowedHLL:
         )
         for w, x in exact.items():
             assert abs(int(est[w]) - int(x)) <= max(3, 0.5 * x)  # small-n HLL
+
+
+class TestWindowedCM:
+    def test_stream_counters_match_batch_per_window(self, spark, tmp_path):
+        from data_engineering_project_utn_spark.llm import sketch as sk
+
+        pdf = _event_pdf(120)
+        path = str(tmp_path / "cm_events")
+        spark.createDataFrame(pdf.iloc[:60], EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+        spark.createDataFrame(pdf.iloc[60:], EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+        stream = sp.file_stream(spark, path, EVENT_SCHEMA, max_files_per_trigger=1)
+        counters = sp.windowed_cm_counters(
+            stream, "instance_id", depth=2, width=64
+        )
+        _run_to_memory(counters, "cm_counters", tmp_path, output_mode="complete")
+        streamed = {
+            (r["win_start"], r["d"], r["bucket"]): r["cnt"]
+            for r in spark.table("cm_counters").collect()
+        }
+
+        batch = spark.read.schema(EVENT_SCHEMA).parquet(path)
+        wins = batch.select(
+            F.window("arrival_timestamp", "60 seconds")["start"].alias("win_start"),
+            F.col("instance_id").cast("string").alias("item"),
+        )
+        expected = {}
+        for w in [r["win_start"] for r in wins.select("win_start").distinct().collect()]:
+            sub = wins.filter(F.col("win_start") == w)
+            for r in sk.cm_counters(sub, "item", depth=2, width=64).collect():
+                expected[(w, r["d"], r["bucket"])] = r["cnt"]
+        assert streamed == expected  # counter-for-counter

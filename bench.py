@@ -96,6 +96,7 @@ EXTENDED_QUERIES = [
     "llm_tfidf_cosine_pairs",
     "llm_pagerank",
     "llm_second_component",
+    "llm_pca_project",
 ]
 
 

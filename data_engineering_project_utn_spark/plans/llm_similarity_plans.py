@@ -956,3 +956,57 @@ def llm_second_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(j, int(v)) for j, v in enumerate(v2)], "dim long, v2_fp long"
     ).orderBy("dim")
+
+
+@register(
+    "llm_pca_project",
+    priority=2,
+    oracle=_second_pi_oracle().replace(
+        "\n    SELECT CAST(dim AS BIGINT) AS dim, CAST(w AS BIGINT) AS v2_fp "
+        "FROM u4 ORDER BY dim",
+        """,
+    p AS MATERIALIZED (SELECT xq.vec_id,
+               SUM(xq.x * v4.v) AS p1,
+               SUM(xq.x * u4.w) AS p2
+        FROM xq JOIN v4 USING (dim) JOIN u4 USING (dim)
+        GROUP BY xq.vec_id)
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(p1 AS BIGINT) AS p1_fp, CAST(p2 AS BIGINT) AS p2_fp
+    FROM p ORDER BY p1 DESC, vec_id LIMIT 20""",
+    ),
+    tags=("llm", "similarity", "linalg"),
+)
+def llm_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D PCA projection: every vector's exact-integer coordinates along
+    the two gated principal directions (p_k = Σ xq·v_k — one narrow
+    per-row fold each, no shuffle beyond the direction training) — the
+    embedding-space map a curation UI bins/plots, and the input a
+    PCA-bucketed ANN layout would partition on.  Top-20 by first
+    coordinate."""
+    from data_engineering_project_utn_spark.llm import similarity as sim2
+
+    e = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
+    v1, v2 = sim2.second_principal_direction(e, iters=4)
+    v1row = spark.createDataFrame(
+        [([int(v) for v in v1], [int(v) for v in v2])],
+        "v1 array<bigint>, v2 array<bigint>",
+    )
+    xq = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long"),
+    )
+    dot = lambda vcol: F.aggregate(  # noqa: E731
+        F.zip_with(xq, F.col(vcol), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, el: acc + el,
+    )
+    return (
+        e.crossJoin(F.broadcast(v1row))
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            dot("v1").alias("p1_fp"),
+            dot("v2").alias("p2_fp"),
+        )
+        .orderBy(F.desc("p1_fp"), "vec_id")
+        .limit(20)
+    )

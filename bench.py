@@ -97,6 +97,7 @@ EXTENDED_QUERIES = [
     "llm_pagerank",
     "llm_second_component",
     "llm_pca_project",
+    "llm_quantile_sketch",
 ]
 
 

@@ -430,3 +430,26 @@ def cm_estimates_grouped(
         .groupBy(*group_cols, item_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_estimate"))
     )
+
+
+def bottomk_sample(items: DataFrame, key_col: str, k: int = 256) -> DataFrame:
+    """Deterministic bounded uniform sample: the k rows with the SMALLEST
+    md5(key) — the classic hash-threshold (KMV / bottom-k) sample behind
+    mergeable quantile and distinct sketches.  Properties that make it a
+    sketch rather than a sample:
+
+    * bounded: ≤ k rows at any input size,
+    * deterministic: no RNG state, same rows at any partitioning,
+    * MERGEABLE: bottomk(A ∪ B) ≡ bottomk(bottomk(A) ∪ bottomk(B)) —
+      per-shard samples union and re-trim exactly (tested), so a fleet of
+      shard samples composes to the global sample,
+    * uniform: md5 is uniform on the key domain, so the k survivors are a
+      uniform k-subset — order statistics over them estimate quantiles
+      with standard sampling error.
+
+    Plan shape: TakeOrdered on the hash (per-partition heap + k·P driver
+    merge), never a global sort."""
+    c = F.col(key_col).cast("string")
+    return (
+        items.withColumn("_h", F.md5(c)).orderBy("_h").limit(k).drop("_h")
+    )

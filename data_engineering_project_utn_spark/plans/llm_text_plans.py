@@ -1074,3 +1074,77 @@ def llm_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_fp"), "doc_id")
         .limit(20)
     )
+
+
+@register(
+    "llm_quantile_sketch",
+    priority=2,
+    oracle="""
+    WITH samp AS MATERIALIZED (
+        SELECT doc_id, n_chars FROM (
+            SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM documents ORDER BY h LIMIT 256)),
+    kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM samp),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    sr AS (SELECT n_chars,
+                  CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS r
+           FROM samp),
+    er AS (SELECT n_chars,
+                  CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS r
+           FROM documents),
+    dd AS (SELECT CAST(unnest([1,2,3,4,5,6,7,8,9]) AS BIGINT) AS decile)
+    SELECT dd.decile,
+           se.n_chars AS est_value,
+           ee.n_chars AS exact_value
+    FROM dd CROSS JOIN kk CROSS JOIN nn
+    JOIN sr se ON se.r = (dd.decile * kk.k + 9) // 10
+    JOIN er ee ON ee.r = (dd.decile * nn.n + 9) // 10
+    ORDER BY dd.decile
+    """,
+    tags=("llm", "text", "sketch"),
+)
+def llm_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch: doc-length deciles estimated from the
+    deterministic bottom-k (KMV) sample next to the EXACT deciles — the
+    rank-statistics member of the sketch family (count-min = frequency,
+    HLL = cardinality, Bloom = membership, bottom-k = rank/quantile).
+    The sample side is a TakeOrdered + a ≤ k-row window (bounded, like
+    RunningTopK); the exact side uses the distributed ``with_global_rank``
+    (no single-partition stage).  Sampling error is visible per decile in
+    the gated output.  At 100 TB: per-shard bottom-k samples union and
+    re-trim to the global sample (the merge identity, tested), so the
+    sketch ships k rows per shard, then estimates any quantile without a
+    global sort."""
+    from pyspark.sql import Window
+
+    from data_engineering_project_utn_spark.llm import sketch as sk
+    from data_engineering_project_utn_spark.operators.histogram import (
+        with_global_rank,
+    )
+
+    K = 256
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    samp = sk.bottomk_sample(d, "doc_id", K)
+    kk = samp.agg(F.count(F.lit(1)).alias("k"))
+    sr = samp.select(
+        "n_chars",
+        F.row_number()
+        .over(Window.orderBy("n_chars", "doc_id"))
+        .cast("long")
+        .alias("r"),
+    )
+    exact = with_global_rank(d, ["n_chars", "doc_id"]).select(
+        "n_chars", (F.col("_rank0") + 1).alias("r"), F.col("_total").alias("n")
+    )
+    deciles = spark.range(1, 10).select(F.col("id").cast("long").alias("decile"))
+    est = (
+        deciles.crossJoin(F.broadcast(kk))
+        .join(sr, sr["r"] == F.expr("(decile * k + 9) div 10"))
+        .select("decile", F.col("n_chars").alias("est_value"))
+    )
+    exa = (
+        deciles.join(
+            exact, exact["r"] == F.expr("(decile * n + 9) div 10")
+        ).select("decile", F.col("n_chars").alias("exact_value"))
+    )
+    return est.join(exa, "decile").orderBy("decile")

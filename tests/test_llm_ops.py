@@ -1741,3 +1741,52 @@ class TestSecondComponent:
         a = sim.second_principal_direction(spark.createDataFrame(pdf).repartition(2))
         b = sim.second_principal_direction(spark.createDataFrame(pdf).repartition(11))
         assert a == b
+
+
+class TestBottomKSample:
+    def test_merge_identity(self, spark):
+        """bottomk(A ∪ B) ≡ bottomk(bottomk(A) ∪ bottomk(B)) — per-shard
+        samples compose to the global sample exactly."""
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.llm import sketch as sk
+
+        a = spark.createDataFrame(pd.DataFrame({"key": [f"a{i}" for i in range(300)]}))
+        b = spark.createDataFrame(pd.DataFrame({"key": [f"b{i}" for i in range(300)]}))
+        k = 64
+        merged = set(
+            r["key"]
+            for r in sk.bottomk_sample(
+                sk.bottomk_sample(a, "key", k).unionByName(
+                    sk.bottomk_sample(b, "key", k)
+                ),
+                "key",
+                k,
+            ).collect()
+        )
+        full = set(
+            r["key"] for r in sk.bottomk_sample(a.unionByName(b), "key", k).collect()
+        )
+        assert merged == full and len(full) == k
+
+    def test_bounded_and_deterministic_across_partitionings(self, spark):
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.llm import sketch as sk
+
+        df = spark.createDataFrame(pd.DataFrame({"key": [f"x{i}" for i in range(500)]}))
+        s1 = set(r["key"] for r in sk.bottomk_sample(df.repartition(3), "key", 50).collect())
+        s2 = set(r["key"] for r in sk.bottomk_sample(df.repartition(17), "key", 50).collect())
+        assert s1 == s2 and len(s1) == 50
+
+    def test_quantile_estimates_track_truth(self, spark):
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.llm import sketch as sk
+        from pyspark.sql import functions as F
+
+        pdf = pd.DataFrame({"key": range(5000), "v": range(5000)})
+        df = spark.createDataFrame(pdf)
+        samp = sk.bottomk_sample(df, "key", 256).toPandas()
+        med = samp["v"].quantile(0.5)
+        assert abs(med - 2500) < 600  # ~4σ for k=256

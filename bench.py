@@ -98,6 +98,7 @@ EXTENDED_QUERIES = [
     "llm_second_component",
     "llm_pca_project",
     "llm_quantile_sketch",
+    "llm_pagerank_weighted",
 ]
 
 

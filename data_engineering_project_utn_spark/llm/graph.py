@@ -72,3 +72,42 @@ def pagerank(
             )
         )
     return ranks.select("node", F.col("r").alias("rank_fp"))
+
+
+def pagerank_weighted(
+    edges: DataFrame,
+    weight_col: str = "w",
+    iters: int = 3,
+    scale: int = 10**6,
+    damp_num: int = 17,
+    damp_den: int = 20,
+) -> DataFrame:
+    """Weighted fixed-point PageRank: a node distributes its rank to
+    neighbors proportionally to integer edge weights — contribution along
+    (src→dst) is (r·w) div Σ_src w, truncating division on non-negatives
+    so Python//SQL agree.  Same round shape as ``pagerank`` (edges⨝ranks
+    equi-join + grouped sum); weights must be positive BIGINTs (e.g.
+    shared-rare-term counts), bounded so r·w ≤ 2⁶³ (r ≤ ~1.3·scale,
+    document the weight bound at call sites)."""
+    wsum = edges.groupBy("src").agg(F.sum(weight_col).alias("sw"))
+    nodes = wsum.select(F.col("src").alias("node"))
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("r"))
+    base = (damp_den - damp_num) * scale
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(wsum, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"(r * {weight_col}) div sw").alias("c"),
+            )
+        )
+        m = contrib.groupBy("node").agg(F.sum("c").cast("long").alias("m"))
+        ranks = nodes.join(m, "node", "left").select(
+            "node",
+            F.expr(
+                f"CAST(({base} + {damp_num} * coalesce(m, CAST(0 AS BIGINT)))"
+                f" div {damp_den} AS BIGINT)"
+            ).alias("r"),
+        )
+    return ranks.select("node", F.col("r").alias("rank_fp"))

@@ -1148,3 +1148,89 @@ def llm_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("decile", F.col("n_chars").alias("exact_value"))
     )
     return est.join(exa, "decile").orderBy("decile")
+
+
+def _wpagerank_oracle(iters: int = 3, scale: int = 10**6) -> str:
+    """Unrolled weighted-PageRank rounds; edge weight = number of shared
+    rare terms (the natural strength of a lexical-overlap edge)."""
+    base = 3 * scale
+    ctes = [
+        f"tk AS (SELECT doc_id, {_TOKS} AS t FROM documents)",
+        "tok AS (SELECT doc_id AS did, unnest(t) AS term FROM tk)",
+        "tf AS (SELECT did, term FROM tok GROUP BY did, term)",
+        "dfq AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term)",
+        "rare AS (SELECT did, term FROM tf JOIN dfq USING (term) WHERE doc_freq <= 10)",
+        """wpairs AS MATERIALIZED (SELECT a.did AS id_a, b.did AS id_b,
+                    CAST(COUNT(*) AS BIGINT) AS w
+             FROM rare a JOIN rare b USING (term) WHERE a.did < b.did
+             GROUP BY a.did, b.did)""",
+        """edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst, w FROM wpairs
+             UNION ALL SELECT id_b, id_a, w FROM wpairs)""",
+        "wsum AS (SELECT src, CAST(SUM(w) AS BIGINT) AS sw FROM edges GROUP BY src)",
+        f"r0 AS (SELECT src AS node, CAST({scale} AS BIGINT) AS r FROM wsum)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""c{t} AS MATERIALIZED (SELECT e.dst AS node,
+                    CAST(SUM((r.r * e.w) // s.sw) AS BIGINT) AS m
+             FROM edges e JOIN r{t-1} r ON r.node = e.src
+             JOIN wsum s ON s.src = e.src GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""r{t} AS MATERIALIZED (SELECT n.node,
+                    CAST(({base} + 17 * COALESCE(c{t}.m, 0)) // 20 AS BIGINT) AS r
+             FROM (SELECT src AS node FROM wsum) n
+             LEFT JOIN c{t} ON c{t}.node = n.node)"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT node AS doc_id, r AS rank_fp FROM r{iters}"
+        " ORDER BY rank_fp DESC, node LIMIT 20"
+    )
+
+
+@register(
+    "llm_pagerank_weighted",
+    priority=2,
+    oracle=_wpagerank_oracle(),
+    tags=("llm", "graph"),
+)
+def llm_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the rare-term overlap graph: rank flows
+    proportionally to HOW MANY rare terms two docs share, not just
+    whether they connect (``llm/graph.pagerank_weighted``) — strongly
+    overlapping hubs rise above incidental one-term neighbors.  Exact
+    integers end-to-end; weight bound: shared-term counts ≤ doc length
+    ≪ 2⁶³/scale."""
+    from data_engineering_project_utn_spark.llm import graph as gr
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    tf = d.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("term")).distinct()
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    rare = tf.join(dfq.filter(F.col("doc_freq") <= 10), "term").select(
+        "doc_id", "term"
+    )
+    wpairs = (
+        rare.alias("a")
+        .join(rare.alias("b"), "term")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = track_persist(
+        wpairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "w")
+        .unionByName(
+            wpairs.select(
+                F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "w"
+            )
+        )
+    )
+    return (
+        gr.pagerank_weighted(edges, "w", iters=3)
+        .select(F.col("node").alias("doc_id"), "rank_fp")
+        .orderBy(F.desc("rank_fp"), "doc_id")
+        .limit(20)
+    )

@@ -1790,3 +1790,41 @@ class TestBottomKSample:
         samp = sk.bottomk_sample(df, "key", 256).toPandas()
         med = samp["v"].quantile(0.5)
         assert abs(med - 2500) < 600  # ~4σ for k=256
+
+
+class TestWeightedPageRank:
+    def test_uniform_weights_equal_unweighted(self, spark):
+        """All weights equal → contributions r·w div (deg·w) == r div deg
+        only when division is exact; with w=1 the two must be identical."""
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.llm import graph as gr
+
+        pairs = [(0, 1), (0, 2), (1, 2), (3, 0)]
+        pdf = pd.DataFrame(pairs, columns=["id_a", "id_b"])
+        df = spark.createDataFrame(pdf)
+        edges = gr.undirect(df)
+        wedges = edges.withColumn("w", F.lit(1).cast("long"))
+        a = {r["node"]: r["rank_fp"] for r in gr.pagerank(edges, iters=3).collect()}
+        b = {
+            r["node"]: r["rank_fp"]
+            for r in gr.pagerank_weighted(wedges, "w", iters=3).collect()
+        }
+        assert a == b
+
+    def test_heavier_edge_pulls_rank(self, spark):
+        """Hub 0 connects to 1 (weight 9) and 2 (weight 1): node 1 must
+        end up with strictly more rank than node 2."""
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.llm import graph as gr
+
+        rows = [(0, 1, 9), (1, 0, 9), (0, 2, 1), (2, 0, 1)]
+        edges = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["src", "dst", "w"])
+        )
+        ranks = {
+            r["node"]: r["rank_fp"]
+            for r in gr.pagerank_weighted(edges, "w", iters=3).collect()
+        }
+        assert ranks[1] > ranks[2]

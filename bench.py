@@ -99,6 +99,7 @@ EXTENDED_QUERIES = [
     "llm_pca_project",
     "llm_quantile_sketch",
     "llm_pagerank_weighted",
+    "llm_quantiles_by_source",
 ]
 
 

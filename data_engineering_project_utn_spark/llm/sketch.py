@@ -453,3 +453,21 @@ def bottomk_sample(items: DataFrame, key_col: str, k: int = 256) -> DataFrame:
     return (
         items.withColumn("_h", F.md5(c)).orderBy("_h").limit(k).drop("_h")
     )
+
+
+def bottomk_sample_grouped(
+    items: DataFrame, key_col: str, group_cols: list[str], k: int = 256
+) -> DataFrame:
+    """Per-GROUP bottom-k samples in one pass: the k smallest md5(key)
+    rows within each group — ≤ k rows per group at any size, same merge
+    identity as ``bottomk_sample`` per group.  One shuffle on the group
+    key (rank window partitioned by group — never a global sort)."""
+    from pyspark.sql import Window
+
+    c = F.col(key_col).cast("string")
+    w = Window.partitionBy(*group_cols).orderBy(F.md5(c))
+    return (
+        items.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )

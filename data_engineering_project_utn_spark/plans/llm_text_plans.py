@@ -1234,3 +1234,80 @@ def llm_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_fp"), "doc_id")
         .limit(20)
     )
+
+
+@register(
+    "llm_quantiles_by_source",
+    priority=2,
+    oracle="""
+    WITH samp AS MATERIALIZED (
+        SELECT source, doc_id, n_chars FROM (
+            SELECT source, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY md5(CAST(doc_id AS VARCHAR))) AS hr
+            FROM documents) WHERE hr <= 64),
+    kk AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS k FROM samp GROUP BY source),
+    nn AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source),
+    sr AS (SELECT source, n_chars,
+                  CAST(row_number() OVER (PARTITION BY source
+                                          ORDER BY n_chars, doc_id) AS BIGINT) AS r
+           FROM samp),
+    er AS (SELECT source, n_chars,
+                  CAST(row_number() OVER (PARTITION BY source
+                                          ORDER BY n_chars, doc_id) AS BIGINT) AS r
+           FROM documents),
+    qq AS (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS quartile)
+    SELECT kk.source, qq.quartile,
+           se.n_chars AS est_value,
+           ee.n_chars AS exact_value
+    FROM kk CROSS JOIN qq
+    JOIN nn ON nn.source = kk.source
+    JOIN sr se ON se.source = kk.source AND se.r = (qq.quartile * kk.k + 3) // 4
+    JOIN er ee ON ee.source = kk.source AND ee.r = (qq.quartile * nn.n + 3) // 4
+    ORDER BY kk.source, qq.quartile
+    """,
+    tags=("llm", "text", "sketch"),
+)
+def llm_quantiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP quantile sketch: doc-length quartiles per source from the
+    grouped bottom-k sample next to the exact per-group quartiles — the
+    grouped member completing the sketch family (grouped CM = frequency,
+    grouped HLL = cardinality, grouped bottom-k = rank).  One scan, ≤ k
+    sample rows per group; every rank formula is exact integer ceiling
+    division, identical cross-engine."""
+    from pyspark.sql import Window
+
+    from data_engineering_project_utn_spark.llm import sketch as sk
+
+    K = 64
+    d = load_table(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    samp = sk.bottomk_sample_grouped(d, "doc_id", ["source"], K)
+    kk = samp.groupBy("source").agg(F.count(F.lit(1)).alias("k"))
+    nn = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    sw = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    sr = samp.select(
+        "source", "n_chars", F.row_number().over(sw).cast("long").alias("r")
+    )
+    er = d.select(
+        "source", "n_chars", F.row_number().over(sw).cast("long").alias("r")
+    )
+    quartiles = spark.range(1, 4).select(F.col("id").cast("long").alias("quartile"))
+    est = (
+        kk.crossJoin(quartiles)
+        .join(
+            sr,
+            (sr["source"] == kk["source"])
+            & (sr["r"] == F.expr("(quartile * k + 3) div 4")),
+        )
+        .select(kk["source"], "quartile", F.col("n_chars").alias("est_value"))
+    )
+    exa = (
+        nn.crossJoin(quartiles.alias("q2"))
+        .join(
+            er,
+            (er["source"] == nn["source"])
+            & (er["r"] == F.expr("(quartile * n + 3) div 4")),
+        )
+        .select(nn["source"], "quartile", F.col("n_chars").alias("exact_value"))
+    )
+    return est.join(exa, ["source", "quartile"]).orderBy("source", "quartile")

@@ -1828,3 +1828,46 @@ class TestWeightedPageRank:
             for r in gr.pagerank_weighted(edges, "w", iters=3).collect()
         }
         assert ranks[1] > ranks[2]
+
+
+class TestGroupedBottomK:
+    def test_group_slice_equals_solo_sample(self, spark):
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.llm import sketch as sk
+
+        pdf = pd.DataFrame(
+            {
+                "g": ["a"] * 200 + ["b"] * 150,
+                "key": [f"a{i}" for i in range(200)] + [f"b{i}" for i in range(150)],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        grouped = sk.bottomk_sample_grouped(df, "key", ["g"], k=32)
+        for g in ("a", "b"):
+            solo = set(
+                r["key"]
+                for r in sk.bottomk_sample(df.filter(df.g == g), "key", 32).collect()
+            )
+            sliced = set(
+                r["key"] for r in grouped.filter(grouped.g == g).collect()
+            )
+            assert sliced == solo
+
+    def test_bounded_per_group(self, spark):
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.llm import sketch as sk
+        from pyspark.sql import functions as F
+
+        pdf = pd.DataFrame(
+            {"g": [f"g{i % 5}" for i in range(500)], "key": range(500)}
+        )
+        df = spark.createDataFrame(pdf)
+        counts = (
+            sk.bottomk_sample_grouped(df, "key", ["g"], k=20)
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .toPandas()
+        )
+        assert (counts["c"] == 20).all()

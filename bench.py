@@ -100,6 +100,7 @@ EXTENDED_QUERIES = [
     "llm_quantile_sketch",
     "llm_pagerank_weighted",
     "llm_quantiles_by_source",
+    "llm_rrf_ensemble",
 ]
 
 

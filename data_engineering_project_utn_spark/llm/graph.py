@@ -87,8 +87,12 @@ def pagerank_weighted(
     (src→dst) is (r·w) div Σ_src w, truncating division on non-negatives
     so Python//SQL agree.  Same round shape as ``pagerank`` (edges⨝ranks
     equi-join + grouped sum); weights must be positive BIGINTs (e.g.
-    shared-rare-term counts), bounded so r·w ≤ 2⁶³ (r ≤ ~1.3·scale,
-    document the weight bound at call sites)."""
+    shared-rare-shingle counts).  The r·w product multiplies through
+    DECIMAL(38,0) — damped PageRank concentrates mass on hubs (rank can
+    reach ~deg·scale), so a BIGINT multiply could wrap silently on
+    hub-heavy graphs with large weights (ADVICE r06 #2); the decimal
+    product matches the DuckDB oracle's HUGEINT exactly, and the
+    quotient (≤ r, since w ≤ Σw) always fits BIGINT."""
     wsum = edges.groupBy("src").agg(F.sum(weight_col).alias("sw"))
     nodes = wsum.select(F.col("src").alias("node"))
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("r"))
@@ -99,7 +103,9 @@ def pagerank_weighted(
             .join(wsum, "src")
             .select(
                 F.col("dst").alias("node"),
-                F.expr(f"(r * {weight_col}) div sw").alias("c"),
+                F.expr(
+                    f"(CAST(r AS DECIMAL(38,0)) * {weight_col}) div sw"
+                ).alias("c"),
             )
         )
         m = contrib.groupBy("node").agg(F.sum("c").cast("long").alias("m"))

@@ -847,8 +847,11 @@ def top_principal_direction(
 
     * x quantizes to ⌊x·1e6⌋ (requires |x| ≤ 2 — embeddings are
       ~unit-norm; same documented bound style as ``embedding_dim_stats``),
-    * v is integer-valued with ‖v‖∞ = 2¹⁴, so per-row scores and the
-      xq·s products stay under 2⁶³ (≤ 4.3e18 at the bound),
+    * v is integer-valued with ‖v‖∞ = 2¹⁴, so the per-row score fold
+      stays under 2⁶³; the xq·s product multiplies through DECIMAL(38,0)
+      (matching the oracle's HUGEINT), so an embedding that violates the
+      |x| ≤ 2 bound diverges identically in both engines instead of
+      wrapping silently only on the Spark side (ADVICE r06 #3),
     * per-dim sums accumulate in DECIMAL(38,0) (DuckDB: HUGEINT),
     * renormalization is integer: v_j ← sign(z_j)·(|z_j|·2¹⁴ ÷ max|z|)
       with division applied to NON-NEGATIVES only (Python floors toward
@@ -881,7 +884,7 @@ def top_principal_direction(
             base.crossJoin(F.broadcast(vrow))
             .select(F.posexplode("xq").alias("dim", "x"), s.alias("s"))
             .groupBy("dim")
-            .agg(F.sum((F.col("x") * F.col("s")).cast("decimal(38,0)")).alias("z"))
+            .agg(F.sum(F.col("x").cast("decimal(38,0)") * F.col("s")).alias("z"))
             .collect()
         )
         z = {r["dim"]: int(r["z"]) for r in z_rows}
@@ -909,10 +912,11 @@ def second_principal_direction(
 
         x⊥_j = x_j·(v₁ᵀv₁) − v₁_j·(v₁ᵀx),  requantized by ÷(v₁ᵀv₁)
 
-    (sign-split truncating division, so Python//SQL agree) — then run the
-    same power rounds on the deflated rows at a narrower v₂ scale (2¹²)
-    chosen so every product stays under 2⁶³ (deflated entries can reach
-    ~2·x_scale·‖x‖∞).  Deflation is a NARROW per-row projection — no new
+    (sign-split truncating division, so Python//SQL agree; both products
+    multiply through DECIMAL(38,0), matching the oracle's HUGEINT —
+    ADVICE r06 #3) — then run the same power rounds on the deflated rows
+    at a narrower v₂ scale (2¹²) chosen so the per-row score fold stays
+    under 2⁶³ (deflated entries can reach ~2·x_scale·‖x‖∞).  Deflation is a NARROW per-row projection — no new
     shuffle class; total cost 2·iters scans + one ``first()``.
 
     Returns (v1_fp, v2_fp) at scales (2¹⁴, 2¹²).  v₂ ⊥ v₁ up to
@@ -939,8 +943,8 @@ def second_principal_direction(
         .select(F.col("_xq"), s_row.alias("_s"), F.col("v1"))
         .select(
             F.expr(
-                f"transform(zip_with(_xq, v1, (xj, vj) -> xj * CAST({vv} AS BIGINT)"
-                " - vj * _s), t -> CASE WHEN t >= 0 THEN"
+                f"transform(zip_with(_xq, v1, (xj, vj) -> xj * CAST({vv} AS DECIMAL(38,0))"
+                " - vj * CAST(_s AS DECIMAL(38,0))), t -> CASE WHEN t >= 0 THEN"
                 f" t div CAST({vv} AS BIGINT) ELSE -((-t) div CAST({vv} AS BIGINT))"
                 " END)"
             ).alias("xq")
@@ -959,7 +963,7 @@ def second_principal_direction(
             base2.crossJoin(F.broadcast(vrow))
             .select(F.posexplode("xq").alias("dim", "x"), s.alias("s"))
             .groupBy("dim")
-            .agg(F.sum((F.col("x") * F.col("s")).cast("decimal(38,0)")).alias("z"))
+            .agg(F.sum(F.col("x").cast("decimal(38,0)") * F.col("s")).alias("z"))
             .collect()
         )
         z = {r["dim"]: int(r["z"]) for r in z_rows}

@@ -447,6 +447,14 @@ def bottomk_sample(items: DataFrame, key_col: str, k: int = 256) -> DataFrame:
       uniform k-subset — order statistics over them estimate quantiles
       with standard sampling error.
 
+    CONTRACT: ``key_col`` values must be UNIQUE (they are doc_id at every
+    call site).  The sort key is md5(key) alone, so duplicate key values
+    hash identically and which of their rows survive the limit(k) trim
+    would be partitioning-dependent — breaking both the determinism claim
+    and the exact shard-merge re-trim (ADVICE r06 #1).  For a multiset,
+    pre-aggregate to unique keys (carry a count) or sample a unique
+    surrogate key instead.
+
     Plan shape: TakeOrdered on the hash (per-partition heap + k·P driver
     merge), never a global sort."""
     c = F.col(key_col).cast("string")
@@ -461,7 +469,9 @@ def bottomk_sample_grouped(
     """Per-GROUP bottom-k samples in one pass: the k smallest md5(key)
     rows within each group — ≤ k rows per group at any size, same merge
     identity as ``bottomk_sample`` per group.  One shuffle on the group
-    key (rank window partitioned by group — never a global sort)."""
+    key (rank window partitioned by group — never a global sort).
+    Same contract as ``bottomk_sample``: ``key_col`` must be unique
+    within each group (ADVICE r06 #1)."""
     from pyspark.sql import Window
 
     c = F.col(key_col).cast("string")

@@ -379,18 +379,26 @@ def tfidf_cosine_pairs(
     idf_cap: int = 10**8,
     max_block_df: int = 10,
     min_cosine: float = 0.5,
+    block_n: int = 1,
 ) -> DataFrame:
     """Sparse TF-IDF cosine similarity join — the inverted-index lexical
     twin of the MinHash (Jaccard) and dense-embedding (cosine) near-dup
     paths: (id_a, id_b, cosine) for candidate pairs sharing at least one
-    RARE term, scored by exact sparse cosine.
+    RARE blocking feature, scored by exact sparse cosine over unigram
+    TF-IDF weights.
 
-    Blocking: the inverted index is only expanded for terms with
-    df ≤ ``max_block_df`` — pair space Σ_rare df² ≤ max_block_df·Σ df,
+    Blocking: the inverted index is only expanded for blocking features
+    with df ≤ ``max_block_df`` — pair space Σ_rare df² ≤ max_block_df·Σ df,
     never corpus² (stopword postings are never pair-expanded; a doc pair
-    sharing ONLY ubiquitous terms is not a near-dup candidate by
-    construction).  Scoring touches candidate pairs × the left doc's terms
-    only.
+    sharing ONLY ubiquitous features is not a near-dup candidate by
+    construction).  ``block_n`` picks the blocking feature: 1 = the TF-IDF
+    terms themselves (a natural-language corpus, where rare words exist);
+    n > 1 = word n-gram shingles with 2 ≤ df ≤ ``max_block_df`` (small or
+    synthetic vocabularies where every unigram is ubiquitous but shared
+    word *sequences* still mark near-dups — the same feature space the
+    MinHash path hashes).  df-1 features can never produce a pair, so the
+    ≥ 2 floor on the shingle path is pure postings-size pruning.  Scoring
+    always touches candidate pairs × the left doc's terms only.
 
     Determinism: weights are exact ints w = tf·min(⌊N·idf_scale/df⌋,
     idf_cap) (the cap bounds w² ≤ (tf·cap)² for DECIMAL(38) exactness at
@@ -423,14 +431,19 @@ def tfidf_cosine_pairs(
     norms = w.groupBy("did").agg(
         F.sum((F.col("w").cast("decimal(38,0)") * F.col("w"))).alias("nn")
     )
-    rare = w.filter(F.col("doc_freq") <= max_block_df).select("did", "term")
-    cand = (
-        rare.alias("a")
-        .join(rare.alias("b"), "term")
-        .filter(F.col("a.did") < F.col("b.did"))
-        .select(F.col("a.did").alias("id_a"), F.col("b.did").alias("id_b"))
-        .distinct()
-    )
+    if block_n > 1:
+        cand = rare_shingle_pairs(
+            docs, text_col, id_col, n=block_n, max_block_df=max_block_df
+        ).select("id_a", "id_b")
+    else:
+        rare = w.filter(F.col("doc_freq") <= max_block_df).select("did", "term")
+        cand = (
+            rare.alias("a")
+            .join(rare.alias("b"), "term")
+            .filter(F.col("a.did") < F.col("b.did"))
+            .select(F.col("a.did").alias("id_a"), F.col("b.did").alias("id_b"))
+            .distinct()
+        )
     wa = w.select(F.col("did").alias("id_a"), "term", F.col("w").alias("wa"))
     wb = w.select(F.col("did").alias("id_b"), "term", F.col("w").alias("wb"))
     dots = (
@@ -456,4 +469,36 @@ def tfidf_cosine_pairs(
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= min_cosine)
+    )
+
+
+def rare_shingle_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    max_block_df: int = 10,
+) -> DataFrame:
+    """Weighted lexical-overlap pairs (id_a, id_b, w): doc pairs sharing
+    rare word n-gram shingles (2 ≤ shingle df ≤ ``max_block_df``), with
+    w = how many rare shingles they share.  The SAME rare-feature
+    blocking as the shingle path of ``tfidf_cosine_pairs`` — shared here
+    so the overlap GRAPH consumers (PageRank over documents,
+    ``llm/graph.py``) and the similarity-scoring consumers block
+    identically.  Pair space is Σ_rare df² ≤ max_block_df·Σ df, never
+    corpus²; one explode scan + two key shuffles (shingle, then pair)."""
+    shb = docs.select(
+        F.col(id_col).alias("did"),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("g"),
+    )
+    gdf = shb.groupBy("g").agg(F.count(F.lit(1)).alias("gdf"))
+    rare = shb.join(
+        gdf.filter((F.col("gdf") >= 2) & (F.col("gdf") <= max_block_df)), "g"
+    ).select("did", "g")
+    return (
+        rare.alias("a")
+        .join(rare.alias("b"), "g")
+        .filter(F.col("a.did") < F.col("b.did"))
+        .groupBy(F.col("a.did").alias("id_a"), F.col("b.did").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
     )

@@ -28,6 +28,21 @@ def _dot(a: str, b: str) -> str:
 _SH3 = "list_transform(range(1, greatest(len(t) - 2, 1) + 1), i -> array_to_string(t[i:i+2], ' '))"
 
 
+# Oracle fragment: rare-5-gram-shingle blocking (== llm.text.rare_shingle_pairs
+# with n=5, 2 ≤ shingle df ≤ 10).  Assumes a CTE ``tk(doc_id, t)`` is already
+# in scope (token lists); emits shb/gdf/rareb/candw, where candw has
+# (id_a, id_b, w) with w = number of shared rare shingles.  Shared by the
+# sparse-cosine gate, the PageRank gates, and the RRF ensemble so the
+# blocking formula can never drift between the graph and similarity families.
+_RARE_SHINGLE_CTES = f"""shb AS (SELECT doc_id AS did, unnest(list_distinct({_SHINGLES})) AS g
+           FROM tk),
+    gdf AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS gdf FROM shb GROUP BY g),
+    rareb AS (SELECT did, g FROM shb JOIN gdf USING (g) WHERE gdf BETWEEN 2 AND 10),
+    candw AS (SELECT a.did AS id_a, b.did AS id_b, CAST(COUNT(*) AS BIGINT) AS w
+              FROM rareb a JOIN rareb b USING (g) WHERE a.did < b.did
+              GROUP BY a.did, b.did)"""
+
+
 # Oracle fragment: per-doc quality score CTEs (== llm.text.quality_score —
 # stopword list, 100-token saturation cap, 0.4/0.3/0.3 weights).  Shared by
 # every oracle that orders or filters on quality, so the formula can't

@@ -151,3 +151,53 @@ def test_bloom_probe_broadcasts_bits_not_corpus(spark, sf_dir):
     plan = _plan(spark, sf_dir, "llm_bloom_decontam")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2  # bits probe + exact semi
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "llm_tfidf_cosine_pairs",
+        "llm_pagerank",
+        "llm_pagerank_weighted",
+        "llm_rrf_ensemble",
+        "llm_minhash_neardup",
+    ],
+)
+def test_graph_family_gates_nonempty(spark, sf_dir, name):
+    """VERDICT r06 #1: an oracle gate that returns 0 rows compares empty
+    to empty and proves nothing about the arithmetic it claims to verify.
+    The graph/similarity family must produce rows on the driver corpus at
+    every SF — rare-5-gram-shingle blocking (llm/text.rare_shingle_pairs)
+    guarantees a non-empty candidate set here, and this floor makes any
+    future vacuous-gate regression a loud test failure instead of a green
+    empty-vs-empty row."""
+    assert QUERIES[name].build(spark, sf_dir).limit(1).count() > 0
+
+
+def _single_partition_window_sorts(plan: str) -> int:
+    """Count Exchange SinglePartition nodes that feed a Sort (the
+    global-window funnel shape: Window <- Sort <- Exchange SinglePartition).
+    Scalar count(1) aggregates also plan a SinglePartition exchange —
+    1-row, legitimate — so a bare substring assert would false-positive
+    on every corpus-N broadcast."""
+    lines = plan.splitlines()
+    hits = 0
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        above = " ".join(lines[max(0, i - 2):i])
+        if "Sort [" in above:
+            hits += 1
+    return hits
+
+
+def test_rrf_neighborhood_no_global_window(spark, sf_dir):
+    """VERDICT r06 #3: the scale variant of the RRF ensemble ranks per
+    doc-neighborhood — its plan must contain NO single-partition window
+    sort, where the gated global twin (kept as the oracle anchor)
+    deliberately contains two.  The global plan doubles as a positive
+    control that the detector actually sees the funnel shape."""
+    neigh = _plan(spark, sf_dir, "llm_rrf_neighborhood")
+    assert _single_partition_window_sorts(neigh) == 0
+    glob = _plan(spark, sf_dir, "llm_rrf_ensemble")
+    assert _single_partition_window_sorts(glob) >= 2

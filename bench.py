@@ -101,6 +101,8 @@ EXTENDED_QUERIES = [
     "llm_pagerank_weighted",
     "llm_quantiles_by_source",
     "llm_rrf_ensemble",
+    "llm_rrf_neighborhood",
+    "llm_dup_spans_cm",
 ]
 
 

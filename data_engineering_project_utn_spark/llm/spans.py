@@ -122,6 +122,44 @@ def _interval_union(dup_pos: DataFrame, n: int, id_col: str) -> DataFrame:
     )
 
 
+def duplicated_span_frame_cm(
+    docs: DataFrame,
+    n: int = 5,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    depth: int = 3,
+    width: int = 8192,
+) -> DataFrame:
+    """Count-min twin of ``duplicated_span_frame`` — the escape hatch
+    SCALE.md names for petabyte n-gram key spaces, made real and gateable
+    (VERDICT r06 #7): the exact per-n-gram occurrence count (whose key
+    space grows with the corpus) is swapped for a count-min estimate
+    (state ≤ depth·width counters at ANY corpus size, mergeable across
+    shards — ``llm/sketch.cm_merge``).
+
+    One-sided by construction: CM never undercounts, so every position
+    the exact pass marks duplicated is also marked here (the covered
+    position set is a SUPERSET — asserted against the exact frame in
+    tests/test_llm_ops.py); the only error is extra false-positive spans
+    from bucket collisions, the acceptable direction for dedup (scrub a
+    little extra, never miss a duplicate).  Same plan shape as the exact
+    path with the n-gram-key groupBy replaced by the (d, bucket) counter
+    groupBy — the shuffle key space drops from |distinct n-grams| to
+    depth·width."""
+    from data_engineering_project_utn_spark.llm import sketch as sk
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    sp = track_persist(shingle_positions(docs, n, text_col, id_col))
+    counters = sk.cm_counters(sp.select("sh"), "sh", depth=depth, width=width)
+    est = sk.cm_estimates(
+        counters, sp.select("sh").distinct(), "sh", depth=depth, width=width
+    )
+    dup_sh = est.filter(F.col("cm_estimate") >= min_count).select("sh")
+    dup_pos = sp.join(dup_sh, "sh").select(id_col, "ntok", "pos")
+    return _interval_union(dup_pos, n, id_col)
+
+
 def ngram_count_index(
     corpus: DataFrame, n: int = 5, text_col: str = "text"
 ) -> DataFrame:

@@ -19,6 +19,7 @@ from data_engineering_project_utn_spark.plans.llm_shared import (
     _SH3,
     _SHINGLES,
     _TOKS,
+    _cm_bucket_sql,
 )
 from data_engineering_project_utn_spark.plans.registry import must_replace, register
 from data_engineering_project_utn_spark.tables import load_table
@@ -699,3 +700,58 @@ def llm_rrf_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.desc("rrf_fp"), "doc_a", "doc_b").limit(10)
+
+
+# CM-twin of _SPAN_CTES: identical positional chain, but "duplicated"
+# comes from a count-min ESTIMATE (depth 3 × width 8192, same seeded
+# buckets as llm.sketch.cm_hash) instead of the exact per-n-gram count —
+# the petabyte-key-space swap SCALE.md names for the span family, here
+# value-checked cross-engine including its overcount collisions.
+_SPAN_CM_CTES = must_replace(
+    _SPAN_CTES,
+    "dupsh AS (SELECT s FROM shp GROUP BY s HAVING COUNT(*) >= 2),",
+    f"""cmc AS (SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+            SELECT u.d AS d, {_cm_bucket_sql('s', 'u.d', 8192)} AS bucket
+            FROM shp, unnest([0, 1, 2]) u(d)
+        ) GROUP BY d, bucket),
+    qsh AS (SELECT DISTINCT s FROM shp),
+    qb AS (SELECT q.s, u.d AS d, {_cm_bucket_sql('q.s', 'u.d', 8192)} AS bucket
+           FROM qsh q, unnest([0, 1, 2]) u(d)),
+    dupsh AS (SELECT qb.s FROM qb JOIN cmc USING (d, bucket)
+              GROUP BY qb.s HAVING MIN(cmc.cnt) >= 2),""",
+)
+
+
+@register(
+    "llm_dup_spans_cm",
+    priority=2,
+    oracle=f"""
+    WITH {_SPAN_CM_CTES},
+    st AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+                  CAST(SUM(end_pos - start_pos + 1) AS BIGINT) AS dup_tokens,
+                  any_value(ntok) AS total_tokens,
+                  CAST(SUM(end_pos - start_pos + 1) AS DOUBLE)
+                  / CAST(any_value(ntok) AS DOUBLE) AS dup_fraction
+           FROM spanagg GROUP BY doc_id)
+    SELECT * FROM st ORDER BY dup_fraction DESC, doc_id LIMIT 20
+    """,
+    tags=("llm", "dedup", "spans", "sketch"),
+)
+def llm_dup_spans_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min span dedup — ``llm_dup_spans`` with the exact n-gram
+    occurrence counts swapped for the depth·width count-min sketch
+    (``llm/spans.duplicated_span_frame_cm``): the escape hatch SCALE.md
+    claims for corpora whose n-gram KEY SPACE outgrows the shuffle, now
+    value-checked instead of just documented (VERDICT r06 #7).  The gate
+    reproduces the sketch bit-for-bit — including its overcount
+    collisions — and the one-sided property (CM-covered positions ⊇
+    exact-covered positions) is asserted against the exact frame in
+    tests/test_llm_ops.py."""
+    from data_engineering_project_utn_spark.llm import spans as sn
+
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    return (
+        sn.span_stats(sn.duplicated_span_frame_cm(d, n=5))
+        .orderBy(F.desc("dup_fraction"), "doc_id")
+        .limit(20)
+    )

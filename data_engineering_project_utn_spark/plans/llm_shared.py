@@ -60,6 +60,18 @@ _QUALITY_CTES = f"""tk AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
           FROM m)"""
 
 
+# Oracle fragment: the count-min bucket — first 8 md5 hex chars of
+# "<d>:<item>" folded to an int (same char fold the SimHash gate proved
+# ≡ Spark's conv(hex,16,10)), mod the sketch width (== llm.sketch.cm_hash).
+def _cm_bucket_sql(item: str, d: str, width: int) -> str:
+    return (
+        "list_reduce(list_transform(string_split(substring("
+        f"md5(CAST({d} AS VARCHAR) || ':' || {item}), 1, 8), ''), "
+        "c -> strpos('0123456789abcdef', c) - 1), (a, x) -> a * 16 + x) "
+        f"% {width}"
+    )
+
+
 _MINHASH_CTES = f"""tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     sh AS (SELECT doc_id,
                   list_transform({_SHINGLES}, s -> md5(s)) AS hd,

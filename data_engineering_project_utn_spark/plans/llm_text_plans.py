@@ -18,6 +18,7 @@ from data_engineering_project_utn_spark.plans.llm_shared import (
     _SH3,
     _SHINGLES,
     _TOKS,
+    _cm_bucket_sql,
 )
 from data_engineering_project_utn_spark.plans.registry import register
 from data_engineering_project_utn_spark.tables import load_table
@@ -424,16 +425,8 @@ def llm_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Oracle fragment: the count-min bucket — first 8 md5 hex chars of
-# "<d>:<token>" folded to an int (same char fold the SimHash gate proved
-# ≡ Spark's conv(hex,16,10)), mod the sketch width.
-def _cm_bucket_sql(item: str, d: str, width: int) -> str:
-    return (
-        "list_reduce(list_transform(string_split(substring("
-        f"md5(CAST({d} AS VARCHAR) || ':' || {item}), 1, 8), ''), "
-        "c -> strpos('0123456789abcdef', c) - 1), (a, x) -> a * 16 + x) "
-        f"% {width}"
-    )
+# (the count-min bucket oracle fragment _cm_bucket_sql moved to
+# llm_shared.py — the span-dedup family's CM twin shares it now)
 
 
 @register(

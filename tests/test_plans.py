@@ -161,6 +161,7 @@ def test_bloom_probe_broadcasts_bits_not_corpus(spark, sf_dir):
         "llm_pagerank_weighted",
         "llm_rrf_ensemble",
         "llm_minhash_neardup",
+        "rl_customers_without_big_orders",
     ],
 )
 def test_graph_family_gates_nonempty(spark, sf_dir, name):

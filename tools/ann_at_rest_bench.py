@@ -63,6 +63,11 @@ def main(
 
     e = load_table(spark, sf_dir, "embeddings")
     cents = sim.train_ivf_centroids(e, k=k, n_iter=1)
+    # train the PCA directions on the UN-replicated corpus too: replication
+    # multiplies the Gram matrix by the factor, and power iteration
+    # renormalizes each round, so the directions are identical — at 1/factor
+    # the scan cost (same reasoning as training centroids pre-replication)
+    v1, v2 = sim.principal_directions(e, k=2, iters=4)
     if factor > 1:
         # replicate with vec_id offsets: same vectors → same cells, so the
         # cell SIZES scale with the corpus exactly (what the probe scans)
@@ -91,17 +96,17 @@ def main(
         sim.with_probe_cells(query, cents, nprobe=1).first()["q_cell"]
     )
 
-    def probe(path: str) -> float:
+    def probe(path: str, cell_id: int) -> float:
         spark.catalog.clearCache()
         t0 = time.perf_counter()
-        corpus = spark.read.parquet(path).filter(F.col("cell") == q_cell)
+        corpus = spark.read.parquet(path).filter(F.col("cell") == cell_id)
         top = sim.knn_brute(corpus, query, k=10)
         rows = top.collect()
         assert len(rows) == 10
         return round(time.perf_counter() - t0, 3)
 
-    pruned = [probe(part_path) for _ in range(reps)]
-    flat = [probe(flat_path) for _ in range(reps)]
+    pruned = [probe(part_path, q_cell) for _ in range(reps)]
+    flat = [probe(flat_path, q_cell) for _ in range(reps)]
 
     # plan evidence inline: the partitioned path must prune at the scan
     plan = (
@@ -136,9 +141,89 @@ def main(
         "speedup": round(median(flat) / median(pruned), 2),
         "partition_filters_in_plan": partition_pruned,
     }
+
+    # --- PCA-grid layout: the same probe question against cells derived
+    # from the corpus's own top-2 principal directions (llm_pca_components
+    # machinery) instead of IVF centroids — grid² cells chosen to match
+    # the IVF cell count so the two layouts' pruning ratios are comparable.
+    grid = max(2, int(round(k ** 0.5)))
+    pcells, layout = sim.pca_cells(e, v1, v2, grid=grid)
+    pca_path, pca_flat_path = f"{base}/by_pca_cell", f"{base}/flat_pca"
+    if not os.path.exists(pca_path):
+        pcells.write.mode("overwrite").partitionBy("cell").parquet(pca_path)
+    if not os.path.exists(pca_flat_path):
+        pcells.write.mode("overwrite").parquet(pca_flat_path)
+    pq_cell = sim.pca_cell_of(list(qrow["embedding"]), v1, v2, layout)
+
+    pca_pruned = [probe(pca_path, pq_cell) for _ in range(reps)]
+    pca_flat = [probe(pca_flat_path, pq_cell) for _ in range(reps)]
+
+    pplan = (
+        spark.read.parquet(pca_path)
+        .filter(F.col("cell") == pq_cell)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pscan = next(ln for ln in pplan.splitlines() if "FileScan" in ln)
+    pca_record = {
+        "metric": "ann_probe_pca_grid_vs_flat",
+        "sf": sf_label,
+        "rows": n_rows,
+        "replication_factor": factor,
+        "pca_grid": grid,
+        "probe_cell": pq_cell,
+        "scan_bytes_flat": _tree_bytes(pca_flat_path),
+        "scan_bytes_pruned": _tree_bytes(os.path.join(pca_path, f"cell={pq_cell}")),
+        "probe_pruned_sec": round(median(pca_pruned), 3),
+        "probe_flat_sec": round(median(pca_flat), 3),
+        "pruned_reps": pca_pruned,
+        "flat_reps": pca_flat,
+        "speedup": round(median(pca_flat) / median(pca_pruned), 2),
+        "partition_filters_in_plan": (
+            "PartitionFilters" in pscan
+            and "cell" in pscan.split("PartitionFilters", 1)[1]
+        ),
+    }
+    pca_record["bytes_ratio"] = round(
+        pca_record["scan_bytes_flat"] / max(pca_record["scan_bytes_pruned"], 1), 1
+    )
+
+    # --- balanced (equal-frequency) PCA grid: order-statistic boundaries
+    # instead of equal-width bins — the skew fix the equal-width record
+    # motivates (its probed cell holds ~2× the ideal share on a Gaussian
+    # projection; exact-rank boundaries pin every stripe at N/grid).
+    bcells, blayout = sim.pca_cells_balanced(e, v1, v2, grid=grid)
+    bal_path = f"{base}/by_pca_balanced"
+    if not os.path.exists(bal_path):
+        bcells.write.mode("overwrite").partitionBy("cell").parquet(bal_path)
+    bq_cell = sim.pca_cell_of_balanced(list(qrow["embedding"]), v1, v2, blayout)
+    bal_pruned = [probe(bal_path, bq_cell) for _ in range(reps)]
+    bal_record = {
+        "metric": "ann_probe_pca_balanced_vs_flat",
+        "sf": sf_label,
+        "rows": n_rows,
+        "replication_factor": factor,
+        "pca_grid": grid,
+        "probe_cell": bq_cell,
+        "scan_bytes_flat": _tree_bytes(pca_flat_path),
+        "scan_bytes_pruned": _tree_bytes(os.path.join(bal_path, f"cell={bq_cell}")),
+        "probe_pruned_sec": round(median(bal_pruned), 3),
+        "probe_flat_sec": round(median(pca_flat), 3),
+        "pruned_reps": bal_pruned,
+        "speedup": round(median(pca_flat) / median(bal_pruned), 2),
+    }
+    bal_record["bytes_ratio"] = round(
+        bal_record["scan_bytes_flat"] / max(bal_record["scan_bytes_pruned"], 1), 1
+    )
+
     with open(out_path, "w") as f:
         f.write(json.dumps(record) + "\n")
+        f.write(json.dumps(pca_record) + "\n")
+        f.write(json.dumps(bal_record) + "\n")
     print(json.dumps(record))
+    print(json.dumps(pca_record))
+    print(json.dumps(bal_record))
 
 
 if __name__ == "__main__":

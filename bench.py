@@ -106,6 +106,8 @@ EXTENDED_QUERIES = [
     "llm_pca_components",
     "llm_pca_grid_ann",
     "llm_pca_grid_ann_balanced",
+    "llm_pca_grid_ann_multiprobe",
+    "llm_gram_matrix",
     "rl_customers_without_big_orders",
 ]
 

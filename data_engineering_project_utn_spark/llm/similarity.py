@@ -1269,3 +1269,84 @@ def pca_cell_of_balanced(
     c1 = sum(1 for b in layout["bounds1"] if p1 > b)
     c2 = sum(1 for b in layout["bounds2"] if p2 > b)
     return int(c1 * layout["grid"] + c2)
+
+
+def pca_grid_neighbor_cells(cell: int, grid: int) -> "list[int]":
+    """The 3×3 neighborhood of a PCA-grid cell (clamped at the grid
+    edges) — the grid analogue of sign-LSH's Hamming-1 multi-probe:
+    boundary misses (true neighbors just across a bin edge) are the
+    dominant recall loss of a single-cell probe, and the 2-D grid makes
+    "adjacent" literal.  ≤ 9 cells at any grid size, so a multi-probe
+    still prunes to ≤ 9/grid² of the at-rest files."""
+    c1, c2 = divmod(int(cell), grid)
+    return sorted(
+        {
+            (c1 + d1) * grid + (c2 + d2)
+            for d1 in (-1, 0, 1)
+            for d2 in (-1, 0, 1)
+            if 0 <= c1 + d1 < grid and 0 <= c2 + d2 < grid
+        }
+    )
+
+
+def gram_upper(
+    embeddings: DataFrame, vec_col: str = "embedding", x_scale: int = 10**6
+) -> DataFrame:
+    """Exact quantized Gram matrix, upper triangle: (i, j, g) with
+    g = Σ_rows xq_i·xq_j in DECIMAL(38,0) — the ONE-SCAN full-PCA path
+    for model-size dimensionality: at d = 64 the d(d+1)/2 = 2080 upper
+    entries are a model-size aggregate (like IVF centroids), so the whole
+    spectrum comes from a single pass + a driver-side eigh, where the
+    matrix-free power iteration (``top_principal_direction``) exists for
+    the d²-too-big regime and pays k·iters scans.  Choose by d:
+    Gram when d² ≪ executor memory, power iteration otherwise — both are
+    exact-integer and cross-engine reproducible.
+
+    Shape: one narrow scan; each row emits its d(d+1)/2 upper-triangle
+    products via a nested array transform (no self-join, no per-row
+    shuffle), then ONE groupBy on (i, j) with 2080 keys — map-side
+    combine absorbs the row dimension, so shuffle traffic is
+    partitions × 2080 regardless of corpus size.  Mergeable trivially:
+    Gram(A ∪ B) = Gram(A) + Gram(B) entrywise (decimal sums)."""
+    xq_arr = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(x_scale))).cast("long"),
+    )
+    prods = F.expr(
+        "flatten(transform(sequence(0, size(xq) - 1), i -> "
+        "transform(sequence(i, size(xq) - 1), j -> "
+        "struct(i AS i, j AS j, CAST(xq[i] AS DECIMAL(38,0)) * xq[j] AS p))))"
+    )
+    return (
+        embeddings.select(xq_arr.alias("xq"))
+        .select(F.explode(prods).alias("e"))
+        .groupBy(
+            F.col("e.i").cast("long").alias("i"),
+            F.col("e.j").cast("long").alias("j"),
+        )
+        .agg(F.sum("e.p").alias("g"))
+    )
+
+
+def full_pca_directions(
+    embeddings: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    x_scale: int = 10**6,
+) -> "list[list[float]]":
+    """Top-k eigenvectors of the exact Gram matrix (``gram_upper`` one
+    scan → driver-side ``numpy.linalg.eigh`` on the model-size d×d) —
+    the d²-small full-spectrum alternative to the iterative
+    ``principal_directions`` (agreement on planted spectra tested).
+    Floats by nature (eigh), so this path feeds analysis/bucketing, not
+    bit-gated queries — the Gram ENTRIES are what the oracle gates."""
+    import numpy as np
+
+    rows = gram_upper(embeddings, vec_col, x_scale).collect()
+    d = max(int(r["j"]) for r in rows) + 1
+    G = np.zeros((d, d))
+    for r in rows:
+        G[int(r["i"]), int(r["j"])] = float(r["g"])
+        G[int(r["j"]), int(r["i"])] = float(r["g"])
+    _w, U = np.linalg.eigh(G)
+    return [U[:, -1 - c].tolist() for c in range(k)]

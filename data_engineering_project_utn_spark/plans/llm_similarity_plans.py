@@ -1240,3 +1240,104 @@ def llm_pca_grid_ann_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qc = sim2.pca_cell_of_balanced(list(q.first()["qv"]), v1, v2, layout)
     return sim.knn_brute(cells.filter(F.col("cell") == qc), q, k=10)
+
+
+@register(
+    "llm_pca_grid_ann_multiprobe",
+    priority=2,
+    oracle=f"""
+    WITH {{KPCA}},
+    proj AS MATERIALIZED (SELECT xq0.vec_id, SUM(xq0.x * a.v) AS p1,
+                 SUM(xq0.x * b.v) AS p2
+          FROM xq0 JOIN v0_4 a USING (dim) JOIN v1_4 b USING (dim)
+          GROUP BY xq0.vec_id),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM proj),
+    rb1 AS (SELECT p1, CAST(row_number() OVER (ORDER BY p1, vec_id) - 1 AS BIGINT) AS r
+            FROM proj),
+    b1 AS (SELECT p1 AS b FROM rb1, nn
+           WHERE r IN (1 * t // 4, 2 * t // 4, 3 * t // 4)),
+    rb2 AS (SELECT p2, CAST(row_number() OVER (ORDER BY p2, vec_id) - 1 AS BIGINT) AS r
+            FROM proj),
+    b2 AS (SELECT p2 AS b FROM rb2, nn
+           WHERE r IN (1 * t // 4, 2 * t // 4, 3 * t // 4)),
+    c1 AS (SELECT p.vec_id, CAST(SUM(CASE WHEN p.p1 > b1.b THEN 1 ELSE 0 END) AS BIGINT) AS c
+           FROM proj p CROSS JOIN b1 GROUP BY p.vec_id),
+    c2 AS (SELECT p.vec_id, CAST(SUM(CASE WHEN p.p2 > b2.b THEN 1 ELSE 0 END) AS BIGINT) AS c
+           FROM proj p CROSS JOIN b2 GROUP BY p.vec_id),
+    gcells AS (SELECT c1.vec_id, c1.c * 4 + c2.c AS cell
+               FROM c1 JOIN c2 USING (vec_id)),
+    q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id = 0),
+    qc AS (SELECT cell FROM gcells WHERE vec_id = 0),
+    probe_cells AS (SELECT DISTINCT (qc.cell // 4 + d1.d) * 4 + (qc.cell % 4 + d2.d) AS cell
+                    FROM qc, unnest([-1, 0, 1]) d1(d), unnest([-1, 0, 1]) d2(d)
+                    WHERE qc.cell // 4 + d1.d BETWEEN 0 AND 3
+                      AND qc.cell % 4 + d2.d BETWEEN 0 AND 3)
+    SELECT e.vec_id,
+           {_dot('q.qv', 'e.embedding')}
+           / (sqrt({_dot('q.qv', 'q.qv')}) * sqrt({_dot('e.embedding', 'e.embedding')}))
+               AS cos_sim
+    FROM embeddings e
+    JOIN gcells c ON c.vec_id = e.vec_id
+    JOIN probe_cells pc ON c.cell = pc.cell
+    CROSS JOIN q
+    WHERE e.vec_id <> q.q_id
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """.replace("{KPCA}", _kpca_ctes(k=2, iters=4)),
+    tags=("llm", "similarity", "ann", "linalg"),
+)
+def llm_pca_grid_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe over the balanced PCA grid
+    (``similarity.pca_grid_neighbor_cells``): score the query's cell AND
+    its ≤ 8 grid neighbors — the grid analogue of sign-LSH's Hamming-1
+    reprobe (``llm_lsh_multiprobe``): bin-boundary misses are the
+    dominant recall loss of a single-cell probe, and the 2-D layout makes
+    "adjacent" literal, so candidates ⊇ the single-probe set and recall
+    is monotonically better (asserted in tests) while the at-rest scan
+    still prunes to ≤ 9/16 of files (partition pruning accepts IN-lists).
+    Neighbor ids are computed DRIVER-SIDE from the layout metadata —
+    still no corpus access to plan the probe."""
+    from data_engineering_project_utn_spark.llm import similarity as sim2
+
+    e = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
+    v1, v2 = sim2.principal_directions(e, k=2, iters=4)
+    cells, layout = sim2.pca_cells_balanced(e, v1, v2, grid=4)
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    qc = sim2.pca_cell_of_balanced(list(q.first()["qv"]), v1, v2, layout)
+    probes = sim2.pca_grid_neighbor_cells(qc, 4)
+    return sim.knn_brute(cells.filter(F.col("cell").isin(probes)), q, k=10)
+
+
+@register(
+    "llm_gram_matrix",
+    priority=2,
+    oracle=f"""
+    WITH xq AS (SELECT vec_id, unnest(range(0, len(embedding))) AS dim,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+        FROM embeddings)
+    SELECT a.dim AS i, b.dim AS j,
+           CAST(SUM(CAST(a.x AS HUGEINT) * b.x) AS BIGINT) AS g
+    FROM xq a JOIN xq b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+    GROUP BY a.dim, b.dim
+    ORDER BY i, j
+    """,
+    tags=("llm", "similarity", "linalg"),
+)
+def llm_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantized Gram matrix, upper triangle
+    (``similarity.gram_upper``): the one-scan full-PCA input for
+    model-size d — 2080 (i, j, g) entries at d = 64, every entry an exact
+    DECIMAL(38,0) sum (oracle: HUGEINT; the gate emits BIGINT, ample at
+    gate SFs, while the operator itself stays decimal), shard-mergeable
+    (entrywise addition).  Complements the matrix-free power-iteration
+    family: Gram when d² is model-size, iteration when it is not; the
+    driver-side eigh over this frame agrees with the iterative
+    directions on planted spectra (TestGramMatrix)."""
+    from data_engineering_project_utn_spark.llm import similarity as sim2
+
+    e = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
+    return sim2.gram_upper(e).select(
+        "i", "j", F.col("g").cast("long").alias("g")
+    ).orderBy("i", "j")

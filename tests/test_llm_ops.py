@@ -63,6 +63,31 @@ class TestANN:
         )
         assert len(multi & brute) >= len(single & brute)
 
+    def test_pca_grid_multiprobe_recall_at_least_single_cell(self, embeddings):
+        """The 3×3 PCA-grid neighborhood ⊇ the single cell → recall vs
+        brute-force top-k can only improve (the grid analogue of the
+        Hamming-1 LSH reprobe), and the neighbor list itself is a
+        superset containing the probe cell, ≤ 9 cells, in-grid."""
+        q = _query(embeddings)
+        v1, v2 = sim.principal_directions(embeddings, k=2, iters=2)
+        cells, layout = sim.pca_cells_balanced(embeddings, v1, v2, grid=4)
+        qc = sim.pca_cell_of_balanced(
+            list(q.first()["qv"]), v1, v2, layout
+        )
+        probes = sim.pca_grid_neighbor_cells(qc, 4)
+        assert qc in probes and 1 <= len(probes) <= 9
+        assert all(0 <= c < 16 for c in probes)
+        brute = set(sim.knn_brute(embeddings, q, k=10).toPandas()["vec_id"])
+        single = set(
+            sim.knn_brute(cells.filter(F.col("cell") == qc), q, k=10)
+            .toPandas()["vec_id"]
+        )
+        multi = set(
+            sim.knn_brute(cells.filter(F.col("cell").isin(probes)), q, k=10)
+            .toPandas()["vec_id"]
+        )
+        assert len(multi & brute) >= len(single & brute)
+
     def test_ivf_nprobe_recall_at_least_single_probe(self, embeddings):
         """nprobe=2 candidates ⊇ nprobe=1 candidates → recall vs brute-force
         top-k can only improve (the IVF recall knob)."""
@@ -1827,6 +1852,62 @@ class TestPrincipalDirectionsK:
         a = sim.principal_directions(spark.createDataFrame(pdf).repartition(2), k=3)
         b = sim.principal_directions(spark.createDataFrame(pdf).repartition(9), k=3)
         assert a == b  # exact integer pipeline → identical, not close
+
+
+class TestGramMatrix:
+    def test_matches_numpy_and_merges(self, spark):
+        """gram_upper must equal the numpy quantized Gram exactly (integer
+        contract), be partitioning-invariant, and merge entrywise:
+        Gram(A ∪ B) = Gram(A) + Gram(B)."""
+        import numpy as np
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.llm import similarity as sim
+
+        rng = np.random.default_rng(21)
+        X = rng.normal(size=(120, 6))
+        pdf = pd.DataFrame({"embedding": [r.tolist() for r in X]})
+
+        def gram_dict(df):
+            return {
+                (int(r["i"]), int(r["j"])): int(r["g"])
+                for r in sim.gram_upper(df).collect()
+            }
+
+        got = gram_dict(spark.createDataFrame(pdf).repartition(3))
+        assert got == gram_dict(spark.createDataFrame(pdf).repartition(11))
+
+        Xq = np.floor(X * 1e6).astype(object)  # exact int arithmetic
+        G = Xq.T @ Xq
+        for (i, j), g in got.items():
+            assert g == int(G[i, j]), (i, j)
+
+        a, b = pdf.iloc[:50], pdf.iloc[50:]
+        ga = gram_dict(spark.createDataFrame(a))
+        gb = gram_dict(spark.createDataFrame(b))
+        merged = {k: ga.get(k, 0) + gb.get(k, 0) for k in set(ga) | set(gb)}
+        assert merged == got
+
+    def test_full_pca_agrees_with_power_iteration(self, spark):
+        """The one-scan Gram→eigh path and the matrix-free iterative path
+        must find the same dominant direction on a planted spectrum —
+        the two regimes (d² model-size vs d² too big) give one answer."""
+        import numpy as np
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.llm import similarity as sim
+
+        rng = np.random.default_rng(23)
+        X = rng.normal(size=(400, 8)) * 0.05
+        X[:, 2] += rng.normal(size=400) * 0.9
+        df = spark.createDataFrame(
+            pd.DataFrame({"embedding": [r.tolist() for r in X]})
+        )
+        full = np.array(sim.full_pca_directions(df, k=1)[0])
+        full /= np.linalg.norm(full)
+        it = np.array(sim.top_principal_direction(df, iters=4), float)
+        it /= np.linalg.norm(it)
+        assert abs(float(full @ it)) > 0.999
 
 
 class TestBottomKSample:

@@ -162,6 +162,8 @@ def test_bloom_probe_broadcasts_bits_not_corpus(spark, sf_dir):
         "llm_rrf_ensemble",
         "llm_minhash_neardup",
         "rl_customers_without_big_orders",
+        "llm_pca_grid_ann_multiprobe",
+        "llm_gram_matrix",
     ],
 )
 def test_graph_family_gates_nonempty(spark, sf_dir, name):

@@ -108,6 +108,9 @@ EXTENDED_QUERIES = [
     "llm_pca_grid_ann_balanced",
     "llm_pca_grid_ann_multiprobe",
     "llm_gram_matrix",
+    "llm_jaccard_prefix_join",
+    "llm_graph_triangles",
+    "llm_bm25_topk",
     "rl_customers_without_big_orders",
 ]
 

@@ -565,3 +565,99 @@ def simhash16(text: Column | str) -> Column:
             F.pow(F.lit(2.0), b).cast("long"),
         ).otherwise(0),
     )
+
+
+def jaccard_prefix_join(
+    docs: DataFrame,
+    tn: int = 1,
+    td: int = 2,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT thresholded Jaccard similarity self-join via prefix
+    filtering (AllPairs/PPJoin family, Bayardo et al. WWW'07) — every
+    pair with J(shingles_a, shingles_b) ≥ tn/td, with NO all-pairs
+    product and NO approximation: the exact complement to the MinHash
+    (probabilistic recall) and bottom-k (sketched) near-dup paths.
+
+    Prefix filter: order each doc's distinct n-gram shingles by global
+    rarity (df asc, shingle asc — one total order for the whole corpus);
+    a doc of size s keeps the first s − ⌈τ·s⌉ + 1 as its PREFIX.  For
+    any pair with J ≥ τ the smallest (rarest) common shingle provably
+    lands in BOTH prefixes, so joining prefixes on the shingle key loses
+    nothing (completeness), while pair space shrinks from Σ df² to
+    Σ_prefix df'² — rare tokens dominate prefixes, so postings in the
+    candidate join are short by construction.
+
+    Exactness end-to-end: the threshold τ = tn/td stays a rational —
+    prefix lengths use integer ceil ((tn·s + td − 1) div td) and the
+    final filter compares inter·td ≥ tn·union in BIGINT, so engines can
+    never disagree on a boundary pair; the returned ``jaccard`` double
+    is one exact-int division.
+
+    Scale: four key shuffles (shingle-df, doc window, candidate shingle
+    join, pair group) — the per-doc rank window partitions by doc id,
+    never a global sort.  Verification touches candidate pairs × doc-a's
+    shingles only.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("did"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("g"),
+    )
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    sh = track_persist(sh)
+    gdf = sh.groupBy("g").agg(F.count(F.lit(1)).alias("gdf"))
+    sz = sh.groupBy("did").agg(F.count(F.lit(1)).alias("sz"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("did").orderBy("gdf", "g")
+    ranked = (
+        sh.join(gdf, "g")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sz, "did")
+    )
+    # persist the prefix: the candidate self-join reads it TWICE, and
+    # without materialization each side re-evaluates the whole
+    # gdf-join + per-doc rank window chain (measured 3× the total
+    # runtime at sf2); same for the candidate list, re-read by the
+    # verification join
+    pref = track_persist(
+        ranked.filter(
+            F.col("pos")
+            <= F.col("sz") - F.expr(f"({tn} * sz + {td} - 1) div {td}") + F.lit(1)
+        ).select("did", "g")
+    )
+    cand = track_persist(
+        pref.alias("a")
+        .join(pref.alias("b"), "g")
+        .filter(F.col("a.did") < F.col("b.did"))
+        .select(F.col("a.did").alias("id_a"), F.col("b.did").alias("id_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("did").alias("id_a"), "g")
+    sb = sh.select(F.col("did").alias("id_b"), "g")
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "g"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    za = sz.select(F.col("did").alias("id_a"), F.col("sz").alias("sza"))
+    zb = sz.select(F.col("did").alias("id_b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .withColumn("union_sz", (F.col("sza") + F.col("szb") - F.col("inter")).cast("long"))
+        .filter(F.col("inter") * F.lit(td) >= F.lit(tn) * F.col("union_sz"))
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            "union_sz",
+            (F.col("inter").cast("double") / F.col("union_sz").cast("double")).alias(
+                "jaccard"
+            ),
+        )
+    )

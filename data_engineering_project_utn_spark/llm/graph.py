@@ -117,3 +117,48 @@ def pagerank_weighted(
             ).alias("r"),
         )
     return ranks.select("node", F.col("r").alias("rank_fp"))
+
+
+def triangle_counts(pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b") -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph
+    given as canonical pairs (a < b): (node, tri, deg, cc_num, cc_den)
+    where ``tri`` is the number of triangles through the node, ``deg``
+    its degree, and cc_num/cc_den the exact-rational local clustering
+    coefficient 2·tri / (deg·(deg−1)) kept as an integer pair (the
+    caller divides once in double if it wants the float — keeping the
+    gate integer-exact).  Community structure / cohesion signal for the
+    doc-overlap graph (PageRank ranks hubs; triangles mark tight cliques
+    of mutual near-dups that pairwise scores alone can't see).
+
+    Scale shape — the standard distributed triangle enumeration on the
+    DEGREE-ORACLE-FREE canonical orientation (a < b by id): each
+    triangle {x<y<z} is found exactly once as e1=(x,y) ⨝ e2=(y,z) ⨝
+    e3=(x,z) — two equi-join shuffles on single node keys plus one
+    pair-key join, never an all-pairs product.  Wedge count is
+    Σ_y deg⁺(y)·deg⁻(y) under the orientation; at 100 TB orient by
+    (degree, id) instead (the classic skew fix: high-degree nodes get
+    few out-edges) — same plan shape, one extra degree join.
+    """
+    e = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).distinct()
+    # wedges x<y<z from (x,y) and (y,z), closed by (x,z)
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tris = e1.join(e2, "y").join(e3, ["x", "z"])
+    per_node = (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("tri"))
+    )
+    deg = (
+        undirect(e, "a", "b")
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        F.coalesce(F.col("tri"), F.lit(0).cast("long")).alias("tri"),
+        "deg",
+        (F.coalesce(F.col("tri"), F.lit(0).cast("long")) * 2).alias("cc_num"),
+        (F.col("deg") * (F.col("deg") - 1)).cast("long").alias("cc_den"),
+    )

@@ -502,3 +502,71 @@ def rare_shingle_pairs(
         .groupBy(F.col("a.did").alias("id_a"), F.col("b.did").alias("id_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    idf_scale: int = 10**4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-point BM25 retrieval scores (k1 = 1.2, b = 0.75) for every
+    document containing at least one query term: (doc_id, score_fp).
+    The corpus-ranking primitive the near-dup/similarity family lacks —
+    query-relevance ordering with tf saturation and length normalization
+    (Robertson & Walker SIGIR'94), here in EXACT integer arithmetic so
+    the gate is bit-reproducible cross-engine:
+
+    * idf is the RATIONAL Robertson ratio at fixed point —
+      idf_q = ((2N − 2df + 1)·idf_scale) div (2df + 1), i.e.
+      (N − df + ½)/(df + ½) without the log (the "linear idf" BM25
+      variant; per-term monotone in df, always > 0 for df ≤ N).
+    * the per-(term, doc) contribution clears every fraction to one
+      integer division:  with k1 = 12/10, b = 3/4, AL = Σ doc lengths,
+      N = corpus size, len = doc length:
+        c = (idf_q · 88·AL·tf) div (40·AL·tf + 12·AL + 36·len·N)
+      — numerator ≤ idf_q·88·AL·tf_max stays inside DECIMAL(38,0) up to
+      ~2·10¹⁶ · 10¹⁹ bounds (documented: N ≤ 10¹², AL ≤ 10¹⁵, tf ≤ 100).
+    * score_fp = Σ_t∈q∩doc c, accumulated in DECIMAL(38,0).
+
+    Scale: tf/df/len are the TF-IDF frame's aggregations (map-side
+    combined); N and AL are 1-row broadcasts; the query-term probe is a
+    broadcast semi-join (query vocabularies are model-size), so the only
+    data-sized shuffles are the tf groupBy and the final per-doc sum.
+    """
+    tf = (
+        docs.select(F.col(id_col).alias("did"), F.explode(tokens(text_col)).alias("term"))
+        .groupBy("did", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    tf = track_persist(tf)
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    lens = docs.select(
+        F.col(id_col).alias("did"), F.size(tokens(text_col)).cast("long").alias("len")
+    )
+    nal = docs.select(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(F.size(tokens(text_col)).cast("long")).alias("_al"),
+    )
+    qt = query_terms.select("term").distinct()
+    scored = (
+        tf.join(F.broadcast(qt), "term")
+        .join(dfq, "term")
+        .join(lens, "did")
+        .crossJoin(F.broadcast(nal))
+        .select(
+            "did",
+            F.expr(
+                f"(CAST((2 * _n - 2 * doc_freq + 1) * {idf_scale} div"
+                f" (2 * doc_freq + 1) AS DECIMAL(38,0))"
+                " * (88 * _al * tf))"
+                " div (40 * _al * tf + 12 * _al + 36 * len * _n)"
+            ).alias("c"),
+        )
+    )
+    return scored.groupBy(F.col("did").alias(id_col)).agg(
+        F.sum("c").cast("decimal(38,0)").alias("score_fp")
+    )

@@ -755,3 +755,56 @@ def llm_dup_spans_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dup_fraction"), "doc_id")
         .limit(20)
     )
+
+
+@register(
+    "llm_jaccard_prefix_join",
+    priority=2,
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id AS did, unnest(list_distinct({_SHINGLES})) AS g FROM tk),
+    gdf AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS gdf FROM sh GROUP BY g),
+    sz AS (SELECT did, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY did),
+    ranked AS (SELECT sh.did, sh.g,
+                      row_number() OVER (PARTITION BY sh.did ORDER BY gdf.gdf, sh.g)
+                          AS pos,
+                      sz.sz
+               FROM sh JOIN gdf USING (g) JOIN sz USING (did)),
+    pref AS (SELECT did, g FROM ranked
+             WHERE pos <= sz - (1 * sz + 2 - 1) // 2 + 1),
+    cand AS (SELECT DISTINCT a.did AS id_a, b.did AS id_b
+             FROM pref a JOIN pref b USING (g) WHERE a.did < b.did),
+    inter AS (SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS inter
+              FROM cand c
+              JOIN sh sa ON sa.did = c.id_a
+              JOIN sh sb ON sb.did = c.id_b AND sb.g = sa.g
+              GROUP BY c.id_a, c.id_b)
+    SELECT i.id_a, i.id_b, i.inter,
+           CAST(za.sz + zb.sz - i.inter AS BIGINT) AS union_sz,
+           CAST(i.inter AS DOUBLE) / CAST(za.sz + zb.sz - i.inter AS DOUBLE)
+               AS jaccard
+    FROM inter i
+    JOIN sz za ON za.did = i.id_a
+    JOIN sz zb ON zb.did = i.id_b
+    WHERE i.inter * 2 >= 1 * (za.sz + zb.sz - i.inter)
+    ORDER BY jaccard DESC, id_a, id_b LIMIT 20
+    """,
+    tags=("llm", "dedup", "jaccard"),
+)
+def llm_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT thresholded Jaccard self-join via prefix filtering
+    (``llm/dedup.jaccard_prefix_join``, AllPairs/PPJoin family): every
+    doc pair with shingle-Jaccard ≥ 1/2, found by joining only the
+    rarity-ordered PREFIXES (first s − ⌈s/2⌉ + 1 shingles per doc — the
+    rarest-common-shingle lemma guarantees completeness), then verified
+    with exact integer intersection counts; the threshold comparison is
+    inter·2 ≥ union in BIGINT so no engine can disagree on a boundary
+    pair.  The exact complement to the MinHash gate: same 25 driver
+    pairs at sf0.01 but with PROOF of no false negatives, at Σ_prefix
+    df² pair cost instead of corpus².  Non-empty floor-asserted."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    return (
+        dd.jaccard_prefix_join(d, tn=1, td=2)
+        .orderBy(F.desc("jaccard"), "id_a", "id_b")
+        .limit(20)
+    )

@@ -1276,3 +1276,104 @@ def llm_quantiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(nn["source"], "quartile", F.col("n_chars").alias("exact_value"))
     )
     return est.join(exa, ["source", "quartile"]).orderBy("source", "quartile")
+
+
+@register(
+    "llm_graph_triangles",
+    priority=2,
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    {_RARE_SHINGLE_CTES},
+    e AS (SELECT DISTINCT id_a AS a, id_b AS b FROM candw),
+    tris AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+             FROM e e1 JOIN e e2 ON e1.b = e2.a
+             JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    pern AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+                 SELECT x AS node FROM tris
+                 UNION ALL SELECT y FROM tris
+                 UNION ALL SELECT z FROM tris) GROUP BY node),
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+                SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+            GROUP BY node)
+    SELECT d.node AS doc_id, COALESCE(p.tri, 0) AS tri, d.deg,
+           CAST(COALESCE(p.tri, 0) * 2 AS BIGINT) AS cc_num,
+           CAST(d.deg * (d.deg - 1) AS BIGINT) AS cc_den
+    FROM deg d LEFT JOIN pern p USING (node)
+    ORDER BY tri DESC, deg DESC, doc_id LIMIT 20
+    """,
+    tags=("llm", "graph"),
+)
+def llm_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts + exact-rational local clustering coefficients
+    over the rare-shingle document-overlap graph
+    (``llm/graph.triangle_counts``; edges = the same
+    ``rare_shingle_pairs`` blocking as the PageRank/sparse-cosine gates,
+    so the whole graph family shares one edge definition).  Triangles
+    mark tight mutual near-dup cliques that pairwise similarity scores
+    can't see; cc stays an integer pair (2·tri, deg·(deg−1)) so the gate
+    is division-free.  Canonical-orientation enumeration (x<y<z found
+    exactly once as two wedge joins + one closing pair join — never an
+    all-pairs product); ≥ 1 triangle exists on the driver corpus at
+    every SF (any rare shingle with df ≥ 3 closes one), floor-asserted."""
+    from data_engineering_project_utn_spark.llm import graph as gr
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    edges = track_persist(tx.rare_shingle_pairs(d).select("id_a", "id_b"))
+    return (
+        gr.triangle_counts(edges)
+        .select(F.col("node").alias("doc_id"), "tri", "deg", "cc_num", "cc_den")
+        .orderBy(F.desc("tri"), F.desc("deg"), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "llm_bm25_topk",
+    priority=2,
+    oracle=f"""
+    WITH tok AS (SELECT doc_id AS did, unnest({_TOKS}) AS term FROM documents),
+    tf AS (SELECT did, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY did, term),
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq
+            FROM tf GROUP BY term),
+    lens AS (SELECT did, CAST(COUNT(*) AS BIGINT) AS len FROM tok GROUP BY did),
+    nal AS (SELECT CAST(COUNT(*) AS BIGINT) AS _n,
+                   CAST(SUM(len) AS BIGINT) AS _al FROM lens),
+    qt AS (SELECT DISTINCT term FROM tok WHERE did = 0),
+    c AS (SELECT tf.did,
+                 (CAST((2 * nal._n - 2 * dfq.doc_freq + 1) * 10000
+                       // (2 * dfq.doc_freq + 1) AS HUGEINT)
+                  * (88 * nal._al * tf.tf))
+                 // (40 * nal._al * tf.tf + 12 * nal._al
+                     + 36 * lens.len * nal._n) AS c
+          FROM tf JOIN qt USING (term) JOIN dfq USING (term)
+          JOIN lens ON lens.did = tf.did CROSS JOIN nal)
+    SELECT did AS doc_id, CAST(SUM(c) AS BIGINT) AS score_fp
+    FROM c WHERE did <> 0
+    GROUP BY did ORDER BY score_fp DESC, doc_id LIMIT 10
+    """,
+    tags=("llm", "text", "retrieval"),
+)
+def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point BM25 retrieval, query-by-example
+    (``llm/text.bm25_scores``): score every document against the distinct
+    tokens of doc 0 (the "more like this" probe — a deterministic,
+    corpus-derived query vocabulary) and return the top-10 other docs.
+    k1 = 1.2 and b = 0.75 enter as the rationals 12/10 and 3/4, idf is
+    the rational Robertson ratio at fixed point, and every per-term
+    contribution clears its fractions into ONE integer division — the
+    classic tf-saturating, length-normalized relevance ranking with zero
+    floating arithmetic, bit-gated cross-engine.  The query-term probe
+    is a broadcast semi-join; N and avg-length are 1-row broadcasts."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    qt = d.filter(F.col("doc_id") == 0).select(
+        F.explode(tx.tokens(F.col("text"))).alias("term")
+    )
+    return (
+        tx.bm25_scores(d, qt)
+        .filter(F.col("doc_id") != 0)
+        .select("doc_id", F.col("score_fp").cast("long").alias("score_fp"))
+        .orderBy(F.desc("score_fp"), "doc_id")
+        .limit(10)
+    )

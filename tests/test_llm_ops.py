@@ -2038,3 +2038,182 @@ class TestGroupedBottomK:
             .toPandas()
         )
         assert (counts["c"] == 20).all()
+
+
+class TestTriangleCounts:
+    def _pairs(self, spark, pairs):
+        import pandas as pd
+
+        return spark.createDataFrame(pd.DataFrame(pairs, columns=["id_a", "id_b"]))
+
+    def test_single_triangle_plus_pendant(self, spark):
+        from data_engineering_project_utn_spark.llm import graph as gr
+
+        # triangle {0,1,2} with a pendant 3 hanging off node 2
+        got = (
+            gr.triangle_counts(self._pairs(spark, [(0, 1), (0, 2), (1, 2), (2, 3)]))
+            .toPandas()
+            .set_index("node")
+        )
+        assert got.loc[0, "tri"] == 1 and got.loc[1, "tri"] == 1
+        assert got.loc[2, "tri"] == 1 and got.loc[3, "tri"] == 0
+        # local cc of node 2: 2·1 / (3·2) = 1/3 as an exact integer pair
+        assert got.loc[2, "cc_num"] == 2 and got.loc[2, "cc_den"] == 6
+        assert got.loc[3, "cc_den"] == 0  # deg-1 node: cc undefined, division-free
+
+    def test_k4_every_node_in_three_triangles(self, spark):
+        from data_engineering_project_utn_spark.llm import graph as gr
+
+        k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        got = gr.triangle_counts(self._pairs(spark, k4)).toPandas()
+        assert set(got["tri"]) == {3}
+        assert set(got["deg"]) == {3}
+        # cc = 1 exactly: 2·3 / (3·2)
+        assert all(got["cc_num"] == got["cc_den"])
+
+    def test_matches_brute_force_on_random_graph(self, spark):
+        import itertools
+        import random
+
+        from data_engineering_project_utn_spark.llm import graph as gr
+
+        rng = random.Random(7)
+        nodes = range(12)
+        pairs = sorted(
+            {(a, b) for a, b in itertools.combinations(nodes, 2) if rng.random() < 0.35}
+        )
+        got = (
+            gr.triangle_counts(self._pairs(spark, pairs))
+            .toPandas()
+            .set_index("node")["tri"]
+        )
+        adj = {n: set() for n in nodes}
+        for a, b in pairs:
+            adj[a].add(b)
+            adj[b].add(a)
+        for n in got.index:
+            ref = sum(
+                1
+                for u, v in itertools.combinations(sorted(adj[n]), 2)
+                if v in adj[u]
+            )
+            assert got[n] == ref, n
+
+
+class TestJaccardPrefixJoin:
+    def _docs(self, spark, texts):
+        import pandas as pd
+
+        return spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        )
+
+    def test_complete_vs_brute_force(self, spark):
+        """Prefix filtering must lose NO pair above the threshold
+        (the rarest-common-shingle completeness lemma) and admit none
+        below it — exact equality with the all-pairs reference."""
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        texts = [
+            base,
+            base + " extra",
+            base.replace("quick", "slow"),
+            "completely different words entirely unrelated to anything else here",
+            "completely different words entirely unrelated to anything else now",
+            "one two three four five six seven eight nine ten",
+        ]
+        docs = self._docs(spark, texts)
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in dd.jaccard_prefix_join(docs, tn=1, td=2).collect()
+        }
+        import itertools
+
+        def shset(t, n=5):
+            toks = t.lower().split()
+            if len(toks) <= n:
+                return {" ".join(toks)}
+            return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+        ref = set()
+        for a, b in itertools.combinations(range(len(texts)), 2):
+            sa, sb = shset(texts[a]), shset(texts[b])
+            inter = len(sa & sb)
+            if 2 * inter >= len(sa | sb):
+                ref.add((a, b))
+        assert got == ref and len(ref) > 0
+
+    def test_boundary_pair_exactly_at_threshold_is_kept(self, spark):
+        """J exactly = tn/td must be INCLUDED (≥, integer comparison):
+        two 2-shingle docs sharing exactly one shingle → J = 1/3."""
+        docs = self._docs(
+            spark,
+            ["a b c d e f", "a b c d e g"],  # shingles {abcde,bcdef} vs {abcde,bcdeg}
+        )
+        got = dd.jaccard_prefix_join(docs, tn=1, td=3).collect()
+        assert len(got) == 1 and got[0]["inter"] == 1 and got[0]["union_sz"] == 3
+        # and just above the boundary it must drop out
+        assert dd.jaccard_prefix_join(docs, tn=34, td=100).count() == 0
+
+    def test_prefix_join_prunes_vs_full_join(self, spark):
+        """The candidate stage must join PREFIXES, not full postings:
+        docs sharing only their most-COMMON shingle (df = all docs) and
+        far below τ must never form a candidate (pair space prune)."""
+        texts = ["common filler %d" % i for i in range(6)]
+        docs = self._docs(spark, [t + " shared suffix tokens here" for t in texts])
+        # every doc shares 'shared suffix tokens here'-ish shingles? make them
+        # short docs (< 5 tokens → single whole-doc shingle, all distinct)
+        docs = self._docs(spark, ["only %d" % i for i in range(6)])
+        assert dd.jaccard_prefix_join(docs, tn=1, td=2).count() == 0
+
+
+class TestBM25:
+    def _score(self, spark, texts, qterms):
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.llm import text as tx
+
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        )
+        q = spark.createDataFrame(pd.DataFrame({"term": qterms}))
+        return (
+            tx.bm25_scores(docs, q).toPandas().set_index("doc_id")["score_fp"]
+        )
+
+    def test_tf_saturation_and_relevance_order(self, spark):
+        """More query-term occurrences → higher score, but with
+        diminishing returns (k1 saturation): the tf=8 doc beats tf=1 by
+        far less than 8×."""
+        s = self._score(
+            spark,
+            [
+                "zebra one two three four five six seven",
+                "zebra zebra zebra zebra zebra zebra zebra zebra",
+                "one two three four five six seven eight",
+            ],
+            ["zebra"],
+        )
+        assert s[1] > s[0] > 0
+        assert 2 not in s.index  # no query term → no row
+        assert float(s[1]) < 3.0 * float(s[0])  # saturation, not linear
+
+    def test_length_normalization(self, spark):
+        """Same tf, longer doc → lower score (b > 0)."""
+        s = self._score(
+            spark,
+            ["zebra alpha", "zebra " + " ".join("w%d" % i for i in range(30))],
+            ["zebra"],
+        )
+        assert s[0] > s[1]
+
+    def test_rare_term_outweighs_common(self, spark):
+        """A doc matching the RARE query term beats one matching the
+        ubiquitous term (idf monotone in df)."""
+        texts = [
+            "rare word here",
+            "common stuff a",
+            "common stuff b",
+            "common stuff c",
+        ]
+        s = self._score(spark, texts, ["rare", "common"])
+        assert s[0] > s[1] == s[2]

@@ -164,6 +164,9 @@ def test_bloom_probe_broadcasts_bits_not_corpus(spark, sf_dir):
         "rl_customers_without_big_orders",
         "llm_pca_grid_ann_multiprobe",
         "llm_gram_matrix",
+        "llm_jaccard_prefix_join",
+        "llm_graph_triangles",
+        "llm_bm25_topk",
     ],
 )
 def test_graph_family_gates_nonempty(spark, sf_dir, name):

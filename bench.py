@@ -111,6 +111,7 @@ EXTENDED_QUERIES = [
     "llm_jaccard_prefix_join",
     "llm_graph_triangles",
     "llm_bm25_topk",
+    "llm_bigram_surprisal",
     "rl_customers_without_big_orders",
 ]
 

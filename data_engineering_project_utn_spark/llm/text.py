@@ -570,3 +570,70 @@ def bm25_scores(
     return scored.groupBy(F.col("did").alias(id_col)).agg(
         F.sum("c").cast("decimal(38,0)").alias("score_fp")
     )
+
+
+def bigram_surprisal(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document surprisal under an add-one-smoothed corpus bigram LM
+    — the perplexity-filtering signal of CCNet-style curation (docs
+    whose token transitions the corpus model finds improbable are noise
+    / boilerplate / wrong-language candidates), computed in EXACT
+    integer "bit" units so the gate is bit-reproducible:
+
+    * the per-bigram surprisal −log₂ p̂(w₂|w₁) with
+      p̂ = (c₁₂ + 1)/(c₁ + V) is quantized to
+      ⌊log₂(c₁ + V)⌋ − ⌊log₂(c₁₂ + 1)⌋ — floor-log₂ is the integer
+      bit length (Spark ``length(bin(x)) − 1`` ≡ DuckDB
+      ``length(format('{:b}', x)) − 1``), an exact integer both engines
+      compute identically (no transcendental ln anywhere).
+    * output: (doc_id, bits_fp, n_bigrams) — total quantized bits and
+      the bigram count, so callers rank by the exact rational
+      bits_fp/n_bigrams with ONE float division at the end.
+
+    Scale: the LM "training" is one groupBy over the corpus bigram
+    stream (map-side combined; model state = distinct-bigram count, not
+    corpus size); scoring joins each bigram occurrence to its two count
+    frames on narrow keys and re-aggregates per doc — three key
+    shuffles total, no driver-side model materialization (the LM stays
+    distributed; only V, one scalar, is broadcast).
+    """
+    toks_df = docs.select(F.col(id_col).alias("did"), tokens(text_col).alias("toks"))
+    bg = (
+        toks_df.filter(F.size("toks") >= 2)
+        .select(
+            "did",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> struct(element_at(toks, i) AS w1, "
+                    "element_at(toks, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("did", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    bg = track_persist(bg)
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = docs.select(
+        F.explode(tokens(text_col)).alias("t")
+    ).agg(F.countDistinct("t").alias("_v"))
+    scored = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "did",
+            (
+                (F.length(F.expr("bin(c1 + _v)")) - 1)
+                - (F.length(F.expr("bin(c12 + 1)")) - 1)
+            ).cast("long").alias("bits"),
+        )
+    )
+    return scored.groupBy(F.col("did").alias(id_col)).agg(
+        F.sum("bits").cast("long").alias("bits_fp"),
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+    )

@@ -1377,3 +1377,58 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_fp"), "doc_id")
         .limit(10)
     )
+
+
+@register(
+    "llm_bigram_surprisal",
+    priority=2,
+    oracle=f"""
+    WITH tk AS (SELECT doc_id AS did, {_TOKS} AS t FROM documents),
+    bg AS (SELECT did, t[i] AS w1, t[i + 1] AS w2
+           FROM (SELECT did, t, unnest(range(1, len(t))) AS i
+                 FROM tk WHERE len(t) >= 2)),
+    c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+    v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS _v
+          FROM (SELECT unnest(t) AS tok FROM tk)),
+    bits AS (SELECT bg.did,
+                    CAST((length(format('{{:b}}', c1.c1 + v._v)) - 1)
+                         - (length(format('{{:b}}', c12.c12 + 1)) - 1)
+                         AS BIGINT) AS bits
+             FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+    agg AS (SELECT did AS doc_id, CAST(SUM(bits) AS BIGINT) AS bits_fp,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams
+            FROM bits GROUP BY did)
+    SELECT doc_id, bits_fp, n_bigrams,
+           CAST(bits_fp AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS bits_per_bigram
+    FROM agg
+    ORDER BY bits_per_bigram DESC, doc_id LIMIT 20
+    """,
+    tags=("llm", "text", "quality"),
+)
+def llm_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filtering, bit-exact: per-document
+    surprisal under an add-one-smoothed corpus bigram LM
+    (``llm/text.bigram_surprisal``), with −log₂ p̂ quantized to integer
+    bit lengths (floor-log₂ via ``bin``/``format('{{:b}}')`` — both
+    engines compute the identical integer, no transcendental anywhere).
+    Top-20 most-surprising documents by exact-rational bits-per-bigram —
+    the LM-based quality axis next to the heuristic quality score
+    (stopword/length ratios) and the repetition detector.  The LM stays
+    distributed (state = distinct bigrams); only the vocab size V is
+    broadcast."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    s = tx.bigram_surprisal(d)
+    return (
+        s.select(
+            "doc_id",
+            "bits_fp",
+            "n_bigrams",
+            (F.col("bits_fp").cast("double") / F.col("n_bigrams").cast("double")).alias(
+                "bits_per_bigram"
+            ),
+        )
+        .orderBy(F.desc("bits_per_bigram"), "doc_id")
+        .limit(20)
+    )

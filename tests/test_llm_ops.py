@@ -2217,3 +2217,41 @@ class TestBM25:
         ]
         s = self._score(spark, texts, ["rare", "common"])
         assert s[0] > s[1] == s[2]
+
+
+class TestBigramSurprisal:
+    def _frame(self, spark, texts):
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.llm import text as tx
+
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        )
+        return tx.bigram_surprisal(docs).toPandas().set_index("doc_id")
+
+    def test_repeated_bigrams_score_below_unique_ones(self, spark):
+        """Docs made of corpus-frequent transitions are UNSURPRISING;
+        a doc of transitions seen nowhere else scores more bits/bigram."""
+        common = "to be or not to be"
+        got = self._frame(
+            spark, [common, common, common, "zebra quark lattice phoneme glacier"]
+        )
+        rate = got["bits_fp"] / got["n_bigrams"]
+        assert rate[3] > rate[0]
+        assert rate[0] == rate[1] == rate[2]
+
+    def test_short_docs_have_no_bigrams(self, spark):
+        got = self._frame(spark, ["lonely", "a b"])
+        assert 0 not in got.index  # < 2 tokens → no row
+        assert got.loc[1, "n_bigrams"] == 1
+
+    def test_bits_nonnegative_and_bounded(self, spark):
+        """c12 ≤ c1 and 1 ≤ V give flog2(c1+V) ≥ flog2(c12+1): quantized
+        surprisal can never go negative."""
+        got = self._frame(
+            spark,
+            ["a b a b a c", "c a c a", "b c a a a", "x y z x y"],
+        )
+        assert (got["bits_fp"] >= 0).all()
+        assert (got["n_bigrams"] > 0).all()

@@ -112,6 +112,7 @@ EXTENDED_QUERIES = [
     "llm_graph_triangles",
     "llm_bm25_topk",
     "llm_bigram_surprisal",
+    "llm_dsir_importance",
     "rl_customers_without_big_orders",
 ]
 

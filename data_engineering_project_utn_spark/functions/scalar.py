@@ -94,3 +94,28 @@ def bucket_duration(duration_ms: Column | str) -> Column:
         .when(c < 1000, F.lit("Medium"))
         .otherwise(F.lit("Long"))
     )
+
+
+def plog2_sql(xs: str, frac_bits: int = 16) -> str:
+    """Spark-SQL expression string: piecewise-linear fixed-point log₂ of
+    the positive-BIGINT expression ``xs``, at ``frac_bits`` fractional
+    bits — e·2^K + (x·2^K div 2^e) − 2^K with e = ⌊log₂ x⌋ from the
+    integer bit length.  Exponent exact, mantissa linearly interpolated
+    (a chord under the concave log₂: underestimates by < 0.09 bits,
+    monotone, exact at powers of two), pure integer
+    arithmetic (bit length, shift, truncating div) so Spark and the
+    DuckDB oracle (``plans/llm_shared._plog2_sql`` — same formula over
+    format('{:b}') and //) produce the identical BIGINT.  The
+    engine-reproducible replacement for ln()/log2() wherever a gate
+    needs SUB-bit log resolution (whole-bit floor-log₂ collapses
+    likelihood ratios like 3/4 vs 1/2 into one bucket).  Caller
+    contract: x ≥ 1 and x·2^K < 2⁶³ (x ≤ ~2⁴⁶ at K = 16).  Returned as
+    a string (not a Column) so call sites can inline it into F.expr
+    with ``xs`` itself an arithmetic subexpression."""
+    k = 1 << frac_bits
+    e_int = f"CAST(length(bin({xs})) - 1 AS INT)"
+    return (
+        f"(CAST(length(bin({xs})) - 1 AS BIGINT) * {k} "
+        f"+ (({xs}) * CAST({k} AS BIGINT)) div shiftleft(CAST(1 AS BIGINT), {e_int}) "
+        f"- {k})"
+    )

@@ -280,3 +280,88 @@ def apply_mixture(
     return joined.withColumn("n_copies", (whole + extra).cast("long")).filter(
         F.col("n_copies") > 0
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_filter: Column,
+    width: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): score every document by how much more likely its
+    hashed-bigram features are under the TARGET distribution (the rows
+    matching ``target_filter``) than under the RAW corpus — the signal
+    used to resample a web-scale corpus toward a high-quality target
+    domain.  Exact integer arithmetic throughout:
+
+    * features are bigrams hash-bucketed to ``width`` buckets with the
+      count-min md5 fold (``llm/sketch.cm_hash`` — engine-reproducible),
+      so BOTH feature-count frames are model-size (≤ width rows) and
+      broadcastable by construction, exactly like the DSIR paper's
+      hashed n-gram table.
+    * the per-occurrence log-ratio log₂(p̂_tgt/p̂_raw) is quantized to
+      plog2(tgt_c+1) − plog2(raw_c+1) where plog2 is the
+      piecewise-linear fixed-point log₂ at 16 fractional bits
+      (``functions/scalar.plog2_sql`` — SUB-bit resolution, so ratios
+      like 3/4 vs 1/2 that whole-bit floor-log₂ collapses stay
+      distinct; the normalizing constants are per-corpus and shift
+      every doc equally, so they cancel in the ranking).
+    * output: (doc_id, bits_fp, n_feats) with bits_fp in units of
+      2⁻¹⁶ bits — rank by the exact rational bits_fp/n_feats, one
+      float division at the caller.
+
+    Scale: two groupBys over the bigram stream (map-side combined into
+    ≤ width buckets — the shuffle is width-bounded regardless of corpus
+    size), then one broadcast join of the occurrence stream against the
+    two model-size count frames and a per-doc re-aggregation."""
+    from data_engineering_project_utn_spark.llm.sketch import cm_hash
+    from data_engineering_project_utn_spark.llm.text import tokens
+
+    toks_df = docs.select(
+        F.col(id_col).alias("did"),
+        target_filter.alias("is_tgt"),
+        tokens(text_col).alias("toks"),
+    )
+    feats = (
+        toks_df.filter(F.size("toks") >= 2)
+        .select(
+            "did",
+            "is_tgt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+                )
+            ).alias("bg"),
+        )
+        .select("did", "is_tgt", cm_hash(F.col("bg"), 0, width).alias("f"))
+    )
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    feats = track_persist(feats)
+    raw = feats.groupBy("f").agg(F.count(F.lit(1)).alias("raw_c"))
+    tgt = (
+        feats.filter(F.col("is_tgt"))
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).alias("tgt_c"))
+    )
+    from data_engineering_project_utn_spark.functions.scalar import plog2_sql
+
+    scored = (
+        feats.join(F.broadcast(raw), "f")
+        .join(F.broadcast(tgt), "f", "left")
+        .select(
+            "did",
+            F.expr(
+                f"{plog2_sql('coalesce(tgt_c, CAST(0 AS BIGINT)) + 1')}"
+                f" - {plog2_sql('raw_c + 1')}"
+            ).cast("long").alias("bits"),
+        )
+    )
+    return scored.groupBy(F.col("did").alias(id_col)).agg(
+        F.sum("bits").cast("long").alias("bits_fp"),
+        F.count(F.lit(1)).cast("long").alias("n_feats"),
+    )

@@ -18,6 +18,8 @@ from data_engineering_project_utn_spark.plans.llm_shared import (
     _MINHASH_CTES,
     _QUALITY_CTES,
     _TOKS,
+    _cm_bucket_sql,
+    _plog2_sql,
 )
 from data_engineering_project_utn_spark.plans.registry import must_replace, register
 from data_engineering_project_utn_spark.tables import load_table
@@ -418,4 +420,59 @@ def llm_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_copies") * n_tok).alias("tokens_out"),
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "llm_dsir_importance",
+    priority=2,
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+    bgs AS (SELECT doc_id, (lang = 'en') AS is_tgt, t[i] || ' ' || t[i + 1] AS bg
+            FROM (SELECT doc_id, lang, t, unnest(range(1, len(t))) AS i
+                  FROM tk WHERE len(t) >= 2)),
+    fx AS (SELECT doc_id, is_tgt, {_cm_bucket_sql('bg', '0', 1024)} AS f FROM bgs),
+    raw AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS raw_c FROM fx GROUP BY f),
+    tgt AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS tgt_c FROM fx WHERE is_tgt GROUP BY f),
+    bits AS (SELECT doc_id,
+                    CAST({_plog2_sql('COALESCE(tgt_c, 0) + 1')}
+                         - {_plog2_sql('raw_c + 1')} AS BIGINT) AS bits
+             FROM fx JOIN raw USING (f) LEFT JOIN tgt USING (f)),
+    agg AS (SELECT doc_id, CAST(SUM(bits) AS BIGINT) AS bits_fp,
+                   CAST(COUNT(*) AS BIGINT) AS n_feats
+            FROM bits GROUP BY doc_id)
+    SELECT a.doc_id, d.lang, a.bits_fp, a.n_feats,
+           CAST(a.bits_fp AS DOUBLE) / CAST(a.n_feats AS DOUBLE) AS bits_per_feat
+    FROM agg a JOIN documents d USING (doc_id)
+    ORDER BY bits_per_feat DESC, doc_id LIMIT 20
+    """,
+    tags=("llm", "curation", "selection"),
+)
+def llm_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling weights (``llm/sampling.dsir_importance``):
+    rank the corpus by how target-like each document's hashed-bigram
+    features are, with target = the English slice — the data-selection
+    step that precedes ``llm_stratified_sample``/``llm_mixture_weights``
+    in a curation pipeline.  Both feature-count frames are
+    width-bounded (1024 buckets — model-size, broadcast by
+    construction); the log-ratio is integer floor-log2 bits, so the
+    top-20 by exact-rational bits-per-feature hashes bit-for-bit
+    cross-engine.  English docs surface at the top (sanity: the target
+    slice IS most target-like), with cross-lingual lexical overlap
+    visible in the mid ranks."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    s = sa.dsir_importance(d, F.col("lang") == "en", width=1024)
+    return (
+        s.join(d.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "bits_fp",
+            "n_feats",
+            (F.col("bits_fp").cast("double") / F.col("n_feats").cast("double")).alias(
+                "bits_per_feat"
+            ),
+        )
+        .orderBy(F.desc("bits_per_feat"), "doc_id")
+        .limit(20)
     )

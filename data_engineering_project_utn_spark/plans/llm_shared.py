@@ -96,3 +96,17 @@ _MINHASH_CTES = f"""tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
           FROM cand c
           JOIN sh sa ON sa.doc_id = c.doc_a
           JOIN sh sb ON sb.doc_id = c.doc_b)"""
+
+
+# Oracle fragment: piecewise-linear fixed-point log₂ (== functions/
+# scalar.plog2_sql — exponent from the binary bit length, mantissa
+# linearly interpolated, pure integer ops).  Keep the two formulas in
+# lockstep; frac_bits must match the Spark call site.
+def _plog2_sql(xs: str, frac_bits: int = 16) -> str:
+    k = 1 << frac_bits
+    blen = f"length(format('{{:b}}', {xs}))"
+    return (
+        f"(CAST({blen} - 1 AS BIGINT) * {k} "
+        f"+ (({xs}) * CAST({k} AS BIGINT)) // (CAST(1 AS BIGINT) << ({blen} - 1)) "
+        f"- {k})"
+    )

@@ -2255,3 +2255,43 @@ class TestBigramSurprisal:
         )
         assert (got["bits_fp"] >= 0).all()
         assert (got["n_bigrams"] > 0).all()
+
+
+class TestDsirImportance:
+    def _frame(self, spark, rows):
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.llm import sampling as sa
+
+        docs = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
+        )
+        got = sa.dsir_importance(docs, F.col("lang") == "en").toPandas()
+        got["rate"] = got["bits_fp"] / got["n_feats"]
+        return got.set_index("doc_id")
+
+    def test_target_like_outscores_unlike(self, spark):
+        """A non-target doc built from TARGET bigrams must outrank a
+        non-target doc with its own vocabulary — the selection property
+        that makes importance resampling useful."""
+        tgt = "the quick brown fox jumps over the lazy dog"
+        rows = [
+            (0, "en", tgt),
+            (1, "en", tgt + " again"),
+            (2, "xx", "the quick brown fox jumps"),  # target-like, not in slice
+            (3, "xx", "voeden zeer vreemde woorden hier nu"),  # unlike
+        ]
+        got = self._frame(spark, rows)
+        assert got.loc[2, "rate"] > got.loc[3, "rate"]
+        assert got.loc[0, "rate"] >= got.loc[2, "rate"]
+
+    def test_bits_never_positive(self, spark):
+        """tgt_c ≤ raw_c per bucket → the quantized log-ratio is ≤ 0;
+        ranking is by LEAST-negative rate."""
+        rows = [
+            (0, "en", "alpha beta gamma delta"),
+            (1, "fr", "un deux trois quatre cinq"),
+            (2, "en", "alpha beta epsilon zeta"),
+        ]
+        got = self._frame(spark, rows)
+        assert (got["bits_fp"] <= 0).all()

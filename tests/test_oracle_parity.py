@@ -42,3 +42,30 @@ def test_entry_smoke(spark):
     keys = set(se.queries())
     oracle_keys = set(se.oracle_sql())
     assert oracle_keys <= keys
+
+
+def test_plog2_cross_engine_parity_and_bound(spark):
+    """functions/scalar.plog2_sql ≡ plans/llm_shared._plog2_sql on both
+    engines for a sweep of magnitudes, and the piecewise-linear value
+    underestimates true log₂ by < 0.09 bits (chord under a concave
+    curve), exact at powers of two."""
+    import math
+
+    import duckdb
+
+    from data_engineering_project_utn_spark.functions.scalar import plog2_sql
+    from data_engineering_project_utn_spark.plans.llm_shared import _plog2_sql
+
+    vals = [1, 2, 3, 4, 5, 6, 7, 8, 9, 100, 1023, 1024, 1025, 999999, 2**40, 3**20]
+    srow = spark.sql(
+        "SELECT " + ", ".join(f"{plog2_sql(str(v))} AS v{i}" for i, v in enumerate(vals))
+    ).collect()[0]
+    drow = duckdb.connect().execute(
+        "SELECT " + ", ".join(f"{_plog2_sql(str(v))} AS v{i}" for i, v in enumerate(vals))
+    ).fetchone()
+    for i, v in enumerate(vals):
+        assert srow[i] == drow[i], (v, srow[i], drow[i])
+        err = srow[i] / 65536 - math.log2(v)
+        assert -0.09 < err <= 0, (v, err)
+        if v & (v - 1) == 0:
+            assert err == 0, v

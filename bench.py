@@ -113,6 +113,7 @@ EXTENDED_QUERIES = [
     "llm_bm25_topk",
     "llm_bigram_surprisal",
     "llm_dsir_importance",
+    "llm_containment",
     "rl_customers_without_big_orders",
 ]
 

@@ -661,3 +661,61 @@ def jaccard_prefix_join(
             ),
         )
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ASYMMETRIC containment scores for candidate doc pairs:
+    C(a⊆b) = |A∩B|/|A| and C(b⊆a) = |A∩B|/|B| over distinct n-gram
+    shingle sets — the subset-duplicate signal Jaccard misses: a short
+    doc quoted wholesale inside a long one has tiny Jaccard (union is
+    dominated by the long doc) but containment ≈ 1, and the curation
+    decision ("drop the contained doc, keep the superset") needs the
+    DIRECTION, which a symmetric score can't give.
+
+    ``candidates`` is any (id_a, id_b) pair frame (MinHash bands,
+    rare-shingle blocking, prefix filter) — containment verification
+    touches candidate pairs × doc-a shingles only, exactly like the
+    prefix-join verify stage.  Counts stay integers; the two divisions
+    of exact ints are the only floating step."""
+    sh = docs.select(
+        F.col(id_col).alias("did"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("g"),
+    )
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    sh = track_persist(sh)
+    sz = sh.groupBy("did").agg(F.count(F.lit(1)).alias("sz"))
+    sa = sh.select(F.col("did").alias("id_a"), "g")
+    sb = sh.select(F.col("did").alias("id_b"), "g")
+    inter = (
+        candidates.select("id_a", "id_b")
+        .join(sa, "id_a")
+        .join(sb, ["id_b", "g"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    za = sz.select(F.col("did").alias("id_a"), F.col("sz").alias("sza"))
+    zb = sz.select(F.col("did").alias("id_b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            F.col("sza").cast("long").alias("sza"),
+            F.col("szb").cast("long").alias("szb"),
+            (F.col("inter").cast("double") / F.col("sza").cast("double")).alias(
+                "cont_a_in_b"
+            ),
+            (F.col("inter").cast("double") / F.col("szb").cast("double")).alias(
+                "cont_b_in_a"
+            ),
+        )
+    )

@@ -808,3 +808,52 @@ def llm_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), "id_a", "id_b")
         .limit(20)
     )
+
+
+@register(
+    "llm_containment",
+    priority=2,
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    {_RARE_SHINGLE_CTES},
+    sh AS (SELECT doc_id AS did, unnest(list_distinct({_SHINGLES})) AS g FROM tk),
+    sz AS (SELECT did, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY did),
+    inter AS (SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS inter
+              FROM (SELECT id_a, id_b FROM candw) c
+              JOIN sh sa ON sa.did = c.id_a
+              JOIN sh sb ON sb.did = c.id_b AND sb.g = sa.g
+              GROUP BY c.id_a, c.id_b)
+    SELECT i.id_a, i.id_b, i.inter, za.sz AS sza, zb.sz AS szb,
+           CAST(i.inter AS DOUBLE) / CAST(za.sz AS DOUBLE) AS cont_a_in_b,
+           CAST(i.inter AS DOUBLE) / CAST(zb.sz AS DOUBLE) AS cont_b_in_a
+    FROM inter i
+    JOIN sz za ON za.did = i.id_a
+    JOIN sz zb ON zb.did = i.id_b
+    ORDER BY greatest(CAST(i.inter AS DOUBLE) / CAST(za.sz AS DOUBLE),
+                      CAST(i.inter AS DOUBLE) / CAST(zb.sz AS DOUBLE)) DESC,
+             id_a, id_b
+    LIMIT 20
+    """,
+    tags=("llm", "dedup", "containment"),
+)
+def llm_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment scores (``llm/dedup.containment_pairs``)
+    over the rare-shingle candidate pairs: C(a⊆b) = |A∩B|/|A| and its
+    mirror — the subset-duplicate signal (a doc quoted wholesale inside
+    a longer one has tiny Jaccard but containment ≈ 1, and curation
+    needs the DIRECTION: drop the contained doc, keep the superset).
+    Top-20 by the larger direction; counts exact integers, the two
+    divisions the only floating step.  Same blocking fragment as the
+    graph family, so candidates are non-empty at every SF
+    (floor-asserted)."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    cand = tx.rare_shingle_pairs(d).select("id_a", "id_b")
+    return (
+        dd.containment_pairs(d, cand)
+        .orderBy(
+            F.desc(F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a"))),
+            "id_a",
+            "id_b",
+        )
+        .limit(20)
+    )

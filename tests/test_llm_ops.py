@@ -2295,3 +2295,34 @@ class TestDsirImportance:
         ]
         got = self._frame(spark, rows)
         assert (got["bits_fp"] <= 0).all()
+
+
+class TestContainment:
+    def test_substring_doc_has_full_containment(self, spark):
+        """A doc whose text is a contiguous slice of a longer doc has
+        EVERY shingle contained: cont_small_in_big = 1.0 while Jaccard
+        stays far below — the case that motivates the asymmetric score."""
+        import pandas as pd
+
+        long = " ".join("w%d" % i for i in range(40))
+        short = " ".join("w%d" % i for i in range(10, 20))
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [0, 1], "text": [long, short]})
+        )
+        cand = spark.createDataFrame(pd.DataFrame({"id_a": [0], "id_b": [1]}))
+        got = dd.containment_pairs(docs, cand).collect()[0]
+        assert got["cont_b_in_a"] == 1.0  # short fully inside long
+        assert got["cont_a_in_b"] < 0.2
+        j = got["inter"] / (got["sza"] + got["szb"] - got["inter"])
+        assert j < 0.2  # Jaccard misses what containment sees
+
+    def test_disjoint_pair_not_in_output(self, spark):
+        import pandas as pd
+
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": [0, 1], "text": ["a b c d e f", "q r s t u v"]}
+            )
+        )
+        cand = spark.createDataFrame(pd.DataFrame({"id_a": [0], "id_b": [1]}))
+        assert dd.containment_pairs(docs, cand).count() == 0

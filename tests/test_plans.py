@@ -169,6 +169,7 @@ def test_bloom_probe_broadcasts_bits_not_corpus(spark, sf_dir):
         "llm_bm25_topk",
         "llm_bigram_surprisal",
         "llm_dsir_importance",
+        "llm_containment",
     ],
 )
 def test_graph_family_gates_nonempty(spark, sf_dir, name):

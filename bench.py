@@ -114,6 +114,8 @@ EXTENDED_QUERIES = [
     "llm_bigram_surprisal",
     "llm_dsir_importance",
     "llm_containment",
+    "llm_dedup_keepers_quality",
+    "llm_stratified_exact",
     "rl_customers_without_big_orders",
 ]
 

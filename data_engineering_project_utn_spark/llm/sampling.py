@@ -365,3 +365,35 @@ def dsir_importance(
         F.sum("bits").cast("long").alias("bits_fp"),
         F.count(F.lit(1)).cast("long").alias("n_feats"),
     )
+
+
+def stratified_sample_exact(
+    docs: DataFrame,
+    quota: int,
+    strata_cols: "list[str] | str" = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT-quota stratified sampling: exactly min(quota, |stratum|)
+    rows per stratum, chosen uniformly-deterministically by the md5 draw
+    (``doc_hash`` — the same coin as the rate-based
+    ``stratified_sample``, so quota and rate sampling of the same
+    stratum NEST: the quota sample is a prefix of every larger sample).
+    The budget knob rate-based sampling can't give: "exactly 10 000
+    eval docs per language", regardless of stratum skew.
+
+    One shuffle (rank window partitioned by stratum); the md5 order
+    with the id tiebreaker is total, so the selected SET is
+    engine/partitioning-independent — gate-ably exact.  At 100 TB a
+    hot stratum's window sort is the bound; if strata are few and huge,
+    swap in the per-partition bottom-k + merged re-trim of
+    ``llm/sketch.bottomk_sample_grouped`` (same md5 order, sample-size
+    partial aggregates) — identical output by the KMV merge identity."""
+    from pyspark.sql import Window
+
+    strata = [strata_cols] if isinstance(strata_cols, str) else list(strata_cols)
+    w = Window.partitionBy(*strata).orderBy(doc_hash(id_col), id_col)
+    return (
+        docs.withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") <= quota)
+        .drop("_rnk")
+    )

@@ -476,3 +476,43 @@ def llm_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bits_per_feat"), "doc_id")
         .limit(20)
     )
+
+
+@register(
+    "llm_stratified_exact",
+    priority=2,
+    oracle="""
+    WITH ranked AS (SELECT doc_id, lang, source,
+                           row_number() OVER (PARTITION BY lang
+                                              ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                                       doc_id) AS rnk
+                    FROM documents)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM ranked WHERE rnk <= 10
+    GROUP BY lang ORDER BY lang
+    """,
+    tags=("llm", "curation", "sampling"),
+)
+def llm_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sampling
+    (``llm/sampling.stratified_sample_exact``): exactly 10 docs per
+    language by the deterministic md5 draw — the "fixed eval-set size
+    per stratum" budget the rate-based ``llm_stratified_sample`` can't
+    express (a rate over a skewed stratum misses any fixed count).  The
+    gate aggregates the sampled SET per stratum (count, distinct
+    sources, id range), pinning membership without a 10×|langs|-row
+    output."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    s = sa.stratified_sample_exact(d, quota=10, strata_cols="lang")
+    return (
+        s.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )

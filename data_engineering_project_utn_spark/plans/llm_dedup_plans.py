@@ -15,6 +15,7 @@ from data_engineering_project_utn_spark.llm.compute import parallelize_compute
 from data_engineering_project_utn_spark.plans import llm_shared as _llm_shared  # noqa: F401
 from data_engineering_project_utn_spark.plans.llm_shared import (
     _MINHASH_CTES,
+    _QUALITY_CTES,
     _RARE_SHINGLE_CTES,
     _SH3,
     _SHINGLES,
@@ -856,4 +857,80 @@ def llm_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
         )
         .limit(20)
+    )
+
+
+# the quality fragment's CTE names collide with the minhash chain's tk —
+# rename them via must_replace so the formula stays in LOCKSTEP with the
+# canonical _QUALITY_CTES (a drifted copy would be a wrong-but-plausible
+# gate; must_replace errors at import if the fragment changes shape)
+_QUALITY_RENAMED = must_replace(
+    must_replace(
+        must_replace(_QUALITY_CTES, "tk AS (", "qtk AS ("),
+        "FROM tk),",
+        "FROM qtk),",
+    ),
+    "m AS (",
+    "qm AS (",
+).replace("FROM m)", "FROM qm)").replace("q AS (", "qq AS (")
+
+
+@register(
+    "llm_dedup_keepers_quality",
+    priority=2,
+    oracle="WITH RECURSIVE " + _MINHASH_CTES + ",\n    " + _QUALITY_RENAMED + """
+    , pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard > 0.5),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+             FROM reach GROUP BY src),
+    ranked AS (SELECT c.component, c.doc_id, qq.quality,
+                      row_number() OVER (PARTITION BY c.component
+                                         ORDER BY qq.quality DESC, c.doc_id)
+                          AS rnk
+               FROM comp c JOIN qq ON qq.doc_id = c.doc_id)
+    SELECT r.component,
+           MIN(r.doc_id) AS keeper_min_id,
+           MIN(CASE WHEN r.rnk = 1 THEN r.doc_id END) AS keeper_quality_doc,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM ranked r GROUP BY r.component ORDER BY r.component
+    """,
+    tags=("llm", "dedup", "clusters", "quality"),
+)
+def llm_dedup_keepers_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper selection — the curation-realistic refinement
+    of ``llm_dedup_clusters``'s min-id keeper: within each near-dup
+    component, keep the member with the HIGHEST quality score
+    (``llm/text.quality_score``; ties broken by doc_id), the policy an
+    actual training-data pipeline wants (the min-id doc may be the worst
+    copy).  One extra broadcast-sized join + per-component rank on top
+    of the connected-components fixpoint; both keepers emitted
+    side-by-side so the gate shows where the policies disagree."""
+    from pyspark.sql import Window
+
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    pairs = dd.minhash_neardup(d, k=8, bands=4, n=5, threshold=0.5, max_bucket_size=None)
+    comp = dd.dedup_clusters(pairs).select(
+        "doc_id", F.col("keeper_doc").alias("component")
+    )
+    quality = d.select("doc_id", tx.quality_score(F.col("text")).alias("quality"))
+    w = Window.partitionBy("component").orderBy(F.desc("quality"), "doc_id")
+    ranked = comp.join(quality, "doc_id").withColumn(
+        "rnk", F.row_number().over(w)
+    )
+    return (
+        ranked.groupBy("component")
+        .agg(
+            F.min("doc_id").alias("keeper_min_id"),
+            F.min(F.when(F.col("rnk") == 1, F.col("doc_id"))).alias(
+                "keeper_quality_doc"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+        )
+        .orderBy("component")
     )

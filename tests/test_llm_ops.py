@@ -2326,3 +2326,47 @@ class TestContainment:
         )
         cand = spark.createDataFrame(pd.DataFrame({"id_a": [0], "id_b": [1]}))
         assert dd.containment_pairs(docs, cand).count() == 0
+
+
+class TestStratifiedExact:
+    def _docs(self, spark, n=40):
+        import pandas as pd
+
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": range(n),
+                    "lang": ["en" if i % 4 else "de" for i in range(n)],
+                    "text": ["w%d x y" % i for i in range(n)],
+                }
+            )
+        )
+
+    def test_exact_quota_per_stratum(self, spark):
+        from data_engineering_project_utn_spark.llm import sampling as sa
+
+        docs = self._docs(spark)
+        got = sa.stratified_sample_exact(docs, quota=5, strata_cols="lang").toPandas()
+        assert dict(got["lang"].value_counts()) == {"en": 5, "de": 5}
+
+    def test_quota_caps_at_stratum_size(self, spark):
+        from data_engineering_project_utn_spark.llm import sampling as sa
+
+        docs = self._docs(spark, n=12)  # de stratum has only 3 docs
+        got = sa.stratified_sample_exact(docs, quota=5, strata_cols="lang").toPandas()
+        assert dict(got["lang"].value_counts()) == {"en": 5, "de": 3}
+
+    def test_samples_nest_as_quota_grows(self, spark):
+        """Same md5 coin as rate sampling → the quota-5 sample is a
+        PREFIX of the quota-10 sample (stable eval sets as budgets
+        grow)."""
+        from data_engineering_project_utn_spark.llm import sampling as sa
+
+        docs = self._docs(spark)
+        s5 = set(
+            sa.stratified_sample_exact(docs, 5, "lang").toPandas()["doc_id"]
+        )
+        s10 = set(
+            sa.stratified_sample_exact(docs, 10, "lang").toPandas()["doc_id"]
+        )
+        assert s5 < s10

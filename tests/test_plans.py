@@ -170,6 +170,8 @@ def test_bloom_probe_broadcasts_bits_not_corpus(spark, sf_dir):
         "llm_bigram_surprisal",
         "llm_dsir_importance",
         "llm_containment",
+        "llm_dedup_keepers_quality",
+        "llm_stratified_exact",
     ],
 )
 def test_graph_family_gates_nonempty(spark, sf_dir, name):

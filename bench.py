@@ -116,6 +116,7 @@ EXTENDED_QUERIES = [
     "llm_containment",
     "llm_dedup_keepers_quality",
     "llm_stratified_exact",
+    "llm_cross_source_dups",
     "rl_customers_without_big_orders",
 ]
 

@@ -934,3 +934,56 @@ def llm_dedup_keepers_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+@register(
+    "llm_cross_source_dups",
+    priority=2,
+    oracle="WITH " + _MINHASH_CTES + """
+    , pairs AS (SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard > 0.5),
+    lab AS (SELECT p.jaccard,
+                   LEAST(da.source, db.source) AS source_x,
+                   GREATEST(da.source, db.source) AS source_y,
+                   (da.source = db.source) AS within
+            FROM pairs p
+            JOIN documents da ON da.doc_id = p.doc_a
+            JOIN documents db ON db.doc_id = p.doc_b)
+    SELECT source_x, source_y, within,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           MAX(jaccard) AS max_jaccard
+    FROM lab GROUP BY source_x, source_y, within
+    ORDER BY n_pairs DESC, source_x, source_y
+    """,
+    tags=("llm", "dedup", "report"),
+)
+def llm_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication report: near-dup pairs
+    (``llm_minhash_neardup``'s pipeline) labeled by their documents'
+    sources — within-source pairs are ordinary re-posts, CROSS-source
+    pairs are the contamination signal (mirrored content, laundered
+    benchmark copies) that decides which source to de-prioritize.
+    Source pair is canonicalized (LEAST/GREATEST) so direction never
+    splits a bucket; aggregates are an integer count and a double MAX
+    (order-independent — no floating sum anywhere).  Two broadcast-sized
+    metadata joins on doc_id on top of the banded candidate pipeline."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    pairs = dd.minhash_neardup(d, k=8, bands=4, n=5, threshold=0.5, max_bucket_size=None)
+    meta = d.select("doc_id", "source")
+    lab = (
+        pairs.join(meta.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")), "doc_a")
+        .join(meta.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")), "doc_b")
+        .select(
+            "jaccard",
+            F.least("sa", "sb").alias("source_x"),
+            F.greatest("sa", "sb").alias("source_y"),
+            (F.col("sa") == F.col("sb")).alias("within"),
+        )
+    )
+    return (
+        lab.groupBy("source_x", "source_y", "within")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .orderBy(F.desc("n_pairs"), "source_x", "source_y")
+    )

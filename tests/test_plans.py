@@ -172,6 +172,7 @@ def test_bloom_probe_broadcasts_bits_not_corpus(spark, sf_dir):
         "llm_containment",
         "llm_dedup_keepers_quality",
         "llm_stratified_exact",
+        "llm_cross_source_dups",
     ],
 )
 def test_graph_family_gates_nonempty(spark, sf_dir, name):
@@ -212,3 +213,35 @@ def test_rrf_neighborhood_no_global_window(spark, sf_dir):
     assert _single_partition_window_sorts(neigh) == 0
     glob = _plan(spark, sf_dir, "llm_rrf_ensemble")
     assert _single_partition_window_sorts(glob) >= 2
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "llm_jaccard_prefix_join",
+        "llm_containment",
+        "llm_graph_triangles",
+        "llm_bm25_topk",
+        "llm_bigram_surprisal",
+        "llm_dsir_importance",
+        "llm_dedup_keepers_quality",
+    ],
+)
+def test_round7_family_no_quadratic_join(spark, sf_dir, name):
+    """Every round-7 similarity/graph/retrieval/selection gate must plan
+    pure equi-joins — a CartesianProduct, or a BroadcastNestedLoopJoin
+    beyond the sanctioned 1-row scalar broadcasts (the N/AL and V count
+    frames in BM25/surprisal, explicit crossJoin(broadcast(1-row-agg))),
+    means a blocking/probe stage silently degenerated to all-pairs."""
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+    bnlj = plan.count("BroadcastNestedLoopJoin")
+    allowed = {"llm_bm25_topk": 1, "llm_bigram_surprisal": 1}
+    assert bnlj <= allowed.get(name, 0), f"{name}: {bnlj} BNLJ nodes"
+
+
+def test_stratified_exact_no_global_sort(spark, sf_dir):
+    """The exact-quota sampler's rank window partitions by stratum —
+    never an Exchange SinglePartition funnel."""
+    plan = _plan(spark, sf_dir, "llm_stratified_exact")
+    assert _single_partition_window_sorts(plan) == 0

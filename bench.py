@@ -117,6 +117,7 @@ EXTENDED_QUERIES = [
     "llm_dedup_keepers_quality",
     "llm_stratified_exact",
     "llm_cross_source_dups",
+    "llm_containment_sketch",
     "rl_customers_without_big_orders",
 ]
 

@@ -719,3 +719,60 @@ def containment_pairs(
             ),
         )
     )
+
+
+def containment_sketch_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    k: int = 16,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sketched containment estimate — the petabyte swap for
+    ``containment_pairs``: instead of intersecting FULL shingle sets,
+    probe only doc-a's ``k`` lexicographically-smallest shingle digests
+    (the same deterministic bottom-k family as ``bottomk_neardup`` /
+    ``llm/sketch.bottomk_sample``) against doc-b's digest set:
+    Ĉ(a⊆b) = |{bottom-k(A)} ∩ B| / min(k, |A|) — a uniform sample of A
+    under the md5 order, so the hit fraction estimates |A∩B|/|A| with
+    ±1/√k error, and EXACTLY equals it when |A| ≤ k (the sample is the
+    whole set; property-tested).  Deterministic (no RNG), so the gate
+    hashes bit-for-bit cross-engine.
+
+    Scale: the probe side carries ≤ k rows per doc regardless of doc
+    length — verify traffic drops from Σ|A| to k·|candidates|, the
+    same contract as the bottom-k near-dup path."""
+    sh = shingle_frame(docs, id_col, text_col, n)
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    digests = track_persist(
+        sh.select(
+            F.col("doc_id").alias("did"),
+            F.array_sort(F.array_distinct(F.col("hd"))).alias("hds"),
+        )
+    )
+    bk = digests.select(
+        F.col("did").alias("id_a"),
+        F.least(F.size("hds"), F.lit(k)).cast("long").alias("den"),
+        F.explode(F.slice("hds", 1, k)).alias("h"),
+    )
+    full_b = digests.select(
+        F.col("did").alias("id_b"), F.explode("hds").alias("h")
+    )
+    hits = (
+        candidates.select("id_a", "id_b")
+        .join(bk, "id_a")
+        .join(full_b.withColumn("_hit", F.lit(1)), ["id_b", "h"], "left")
+        .groupBy("id_a", "id_b", "den")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("cnt"))
+    )
+    return hits.select(
+        "id_a",
+        "id_b",
+        "cnt",
+        "den",
+        (F.col("cnt").cast("double") / F.col("den").cast("double")).alias(
+            "cont_est"
+        ),
+    )

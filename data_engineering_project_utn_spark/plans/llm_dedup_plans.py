@@ -987,3 +987,62 @@ def llm_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_pairs"), "source_x", "source_y")
     )
+
+
+@register(
+    "llm_containment_sketch",
+    priority=2,
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    {_RARE_SHINGLE_CTES},
+    sh2 AS (SELECT doc_id AS did,
+                   list_sort(list_distinct(list_transform({_SHINGLES}, s -> md5(s)))) AS hds,
+                   list_distinct({_SHINGLES}) AS sset
+            FROM tk),
+    bk AS (SELECT did AS id_a, CAST(LEAST(len(hds), 16) AS BIGINT) AS den,
+                  unnest(hds[1:16]) AS h
+           FROM sh2),
+    fb AS (SELECT did AS id_b, unnest(hds) AS h FROM sh2),
+    cnts AS (SELECT c.id_a, c.id_b, bk.den,
+                    CAST(SUM(CASE WHEN fb.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                        AS cnt
+             FROM (SELECT id_a, id_b FROM candw) c
+             JOIN bk USING (id_a)
+             LEFT JOIN fb ON fb.id_b = c.id_b AND fb.h = bk.h
+             GROUP BY c.id_a, c.id_b, bk.den),
+    ex AS (SELECT c.id_a, c.id_b,
+                  CAST(len(list_intersect(a.sset, b.sset)) AS BIGINT) AS inter,
+                  CAST(len(a.sset) AS BIGINT) AS sza
+           FROM (SELECT id_a, id_b FROM candw) c
+           JOIN sh2 a ON a.did = c.id_a JOIN sh2 b ON b.did = c.id_b)
+    SELECT n.id_a, n.id_b, n.cnt, n.den,
+           CAST(n.cnt AS DOUBLE) / CAST(n.den AS DOUBLE) AS cont_est,
+           CAST(e.inter AS DOUBLE) / CAST(e.sza AS DOUBLE) AS cont_exact
+    FROM cnts n JOIN ex e USING (id_a, id_b)
+    ORDER BY cont_est DESC, id_a, id_b LIMIT 20
+    """,
+    tags=("llm", "dedup", "containment", "sketch"),
+)
+def llm_containment_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketched containment next to its exact twin
+    (``llm/dedup.containment_sketch_pairs`` vs ``containment_pairs``):
+    probe only doc-a's 16 smallest shingle digests against doc-b's set —
+    Ĉ = hits/min(16, |A|), the deterministic bottom-k estimator whose
+    verify traffic is k·|candidates| instead of Σ|A| (the petabyte swap
+    SCALE.md names for the exact path).  Both scores emitted per pair so
+    the gate pins the sketch error itself; Ĉ ≡ C whenever |A| ≤ 16
+    (property-tested)."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    cand = track_persist(tx.rare_shingle_pairs(d).select("id_a", "id_b"))
+    est = dd.containment_sketch_pairs(d, cand, k=16)
+    exact = dd.containment_pairs(d, cand).select(
+        "id_a", "id_b", F.col("cont_a_in_b").alias("cont_exact")
+    )
+    return (
+        est.join(exact, ["id_a", "id_b"])
+        .select("id_a", "id_b", "cnt", "den", "cont_est", "cont_exact")
+        .orderBy(F.desc("cont_est"), "id_a", "id_b")
+        .limit(20)
+    )

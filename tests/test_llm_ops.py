@@ -2370,3 +2370,36 @@ class TestStratifiedExact:
             sa.stratified_sample_exact(docs, 10, "lang").toPandas()["doc_id"]
         )
         assert s5 < s10
+
+
+class TestContainmentSketch:
+    def test_exact_when_doc_smaller_than_k(self, spark):
+        """|A| ≤ k → the bottom-k sample IS the set: Ĉ must equal C."""
+        import pandas as pd
+
+        long = " ".join("w%d" % i for i in range(40))
+        short = " ".join("w%d" % i for i in range(10, 20))  # 6 shingles < k
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [0, 1], "text": [long, short]})
+        )
+        cand = spark.createDataFrame(pd.DataFrame({"id_a": [1], "id_b": [0]}))
+        est = dd.containment_sketch_pairs(docs, cand, k=16).collect()[0]
+        exact = dd.containment_pairs(docs, cand).collect()[0]
+        assert est["cont_est"] == exact["cont_a_in_b"] == 1.0
+        assert est["den"] == exact["sza"]
+
+    def test_estimate_within_sampling_error(self, spark):
+        """Large doc pair with known 50 % overlap: Ĉ within ±3/√k of C
+        (deterministic sample, generous bound)."""
+        import pandas as pd
+
+        a = " ".join("w%d" % i for i in range(200))
+        b = " ".join("w%d" % i for i in range(100, 300))
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [0, 1], "text": [a, b]})
+        )
+        cand = spark.createDataFrame(pd.DataFrame({"id_a": [0], "id_b": [1]}))
+        est = dd.containment_sketch_pairs(docs, cand, k=16).collect()[0]
+        exact = dd.containment_pairs(docs, cand).collect()[0]
+        assert abs(est["cont_est"] - exact["cont_a_in_b"]) <= 3 / 16 ** 0.5
+        assert est["den"] == 16

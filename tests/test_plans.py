@@ -173,6 +173,7 @@ def test_bloom_probe_broadcasts_bits_not_corpus(spark, sf_dir):
         "llm_dedup_keepers_quality",
         "llm_stratified_exact",
         "llm_cross_source_dups",
+        "llm_containment_sketch",
     ],
 )
 def test_graph_family_gates_nonempty(spark, sf_dir, name):

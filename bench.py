@@ -118,6 +118,8 @@ EXTENDED_QUERIES = [
     "llm_stratified_exact",
     "llm_cross_source_dups",
     "llm_containment_sketch",
+    "llm_contamination_fraction",
+    "llm_cluster_size_stats",
     "rl_customers_without_big_orders",
 ]
 

@@ -776,3 +776,60 @@ def containment_sketch_pairs(
             "cont_est"
         ),
     )
+
+
+def contamination_fraction(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """GRADED decontamination (the GPT-3 appendix-C refinement of the
+    boolean ``contaminated_doc_ids``): per corpus doc, the FRACTION of
+    its distinct n-gram shingles found in the benchmark set —
+    (doc_id, n_shingles, n_contaminated, frac).  The boolean scrub
+    over-kills docs that merely quote one benchmark line; the fraction
+    lets the pipeline apply the published policy (drop above a high
+    threshold, flag in between).
+
+    Same scale shape as the boolean path: narrow digest projection on
+    the corpus, deduplicated benchmark digests broadcast — here into a
+    LEFT join + conditional count instead of a semi-join, still no
+    corpus-side shuffle before the per-doc re-aggregation.  Counts are
+    exact integers; the fraction is one division."""
+    doc_sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(F.transform(shingles(text_col, n), F.md5))).alias(
+            "sh"
+        ),
+    )
+    bench_sh = (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(F.transform(shingles(bench_text_col, n), F.md5))
+            ).alias("sh")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias(
+                "n_contaminated"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_contaminated",
+            (
+                F.col("n_contaminated").cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("frac"),
+        )
+    )

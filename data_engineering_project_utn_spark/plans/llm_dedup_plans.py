@@ -1046,3 +1046,89 @@ def llm_containment_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cont_est"), "id_a", "id_b")
         .limit(20)
     )
+
+
+@register(
+    "llm_contamination_fraction",
+    priority=2,
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct(list_transform({_SH3}, s -> md5(s)))) AS sh
+           FROM tk),
+    bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+    agg AS (SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                   CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_contaminated
+            FROM sh s LEFT JOIN bench b ON b.sh = s.sh
+            WHERE s.doc_id % 97 <> 0
+            GROUP BY s.doc_id)
+    SELECT doc_id, n_shingles, n_contaminated,
+           CAST(n_contaminated AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS frac
+    FROM agg WHERE n_contaminated > 0
+    ORDER BY frac DESC, doc_id LIMIT 20
+    """,
+    tags=("llm", "curation", "decontamination"),
+)
+def llm_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded benchmark contamination
+    (``llm/dedup.contamination_fraction``): per-doc fraction of distinct
+    3-gram shingles shared with the benchmark slice (every 97th doc, as
+    in ``llm_decontamination``) — the GPT-3-style refinement of the
+    boolean scrub: a doc quoting one benchmark line is flagged, not
+    executed.  Top-20 contaminated docs by fraction; broadcast digest
+    probe, no corpus-side shuffle before the per-doc count."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    benchmark = d.filter(F.col("doc_id") % 97 == 0)
+    return (
+        dd.contamination_fraction(corpus, benchmark, n=3)
+        .filter(F.col("n_contaminated") > 0)
+        .orderBy(F.desc("frac"), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "llm_cluster_size_stats",
+    priority=2,
+    oracle="WITH RECURSIVE " + _MINHASH_CTES + """
+    , pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard > 0.5),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+             FROM reach GROUP BY src),
+    sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+              FROM comp GROUP BY component)
+    SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS docs_covered
+    FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+    """,
+    tags=("llm", "dedup", "clusters", "report"),
+)
+def llm_cluster_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup component size distribution — the dedup savings report:
+    how many clusters of each size exist and how many docs they cover
+    (docs_covered − n_clusters = rows a keeper policy removes).  Two
+    model-size aggregations on top of the connected-components fixpoint;
+    the shape every dedup run publishes before committing a scrub."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    pairs = dd.minhash_neardup(d, k=8, bands=4, n=5, threshold=0.5, max_bucket_size=None)
+    comp = dd.dedup_clusters(pairs).select(
+        "doc_id", F.col("keeper_doc").alias("component")
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("cluster_size").cast("long").alias("docs_covered"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -2403,3 +2403,34 @@ class TestContainmentSketch:
         exact = dd.containment_pairs(docs, cand).collect()[0]
         assert abs(est["cont_est"] - exact["cont_a_in_b"]) <= 3 / 16 ** 0.5
         assert est["den"] == 16
+
+
+class TestContaminationFraction:
+    def test_fraction_consistent_with_boolean_scrub(self, spark):
+        """Graded and boolean decontamination must agree on WHO is
+        contaminated: {frac > 0} ≡ contaminated_doc_ids, and a doc
+        quoting one benchmark line scores a small fraction, not 1."""
+        import pandas as pd
+
+        bench_line = "the exact benchmark question words here"
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [0, 1, 2],
+                    "text": [
+                        "clean document about other things entirely today",
+                        "prefix words then " + bench_line + " then suffix words after",
+                        bench_line,
+                    ],
+                }
+            )
+        )
+        corpus = docs.filter(F.col("doc_id") != 2)
+        benchmark = docs.filter(F.col("doc_id") == 2)
+        frac = dd.contamination_fraction(corpus, benchmark, n=3).toPandas().set_index("doc_id")
+        flagged = {
+            r["doc_id"] for r in dd.contaminated_doc_ids(corpus, benchmark, n=3).collect()
+        }
+        assert set(frac[frac["n_contaminated"] > 0].index) == flagged == {1}
+        assert 0 < frac.loc[1, "frac"] < 1
+        assert frac.loc[0, "n_contaminated"] == 0

@@ -174,6 +174,8 @@ def test_bloom_probe_broadcasts_bits_not_corpus(spark, sf_dir):
         "llm_stratified_exact",
         "llm_cross_source_dups",
         "llm_containment_sketch",
+        "llm_contamination_fraction",
+        "llm_cluster_size_stats",
     ],
 )
 def test_graph_family_gates_nonempty(spark, sf_dir, name):

@@ -120,6 +120,7 @@ EXTENDED_QUERIES = [
     "llm_containment_sketch",
     "llm_contamination_fraction",
     "llm_cluster_size_stats",
+    "llm_winnowing",
     "rl_customers_without_big_orders",
 ]
 

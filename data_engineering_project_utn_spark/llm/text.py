@@ -637,3 +637,56 @@ def bigram_surprisal(
         F.sum("bits").cast("long").alias("bits_fp"),
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    w: int = 4,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer-Wilkerson-Aiken,
+    SIGMOD'03 — the MOSS algorithm): slide a window of ``w`` consecutive
+    n-gram digests over each document and keep the minimum digest per
+    window (ties → leftmost, the deterministic variant: Spark's and
+    DuckDB's struct ordering break ties identically on (digest, pos)).
+    Output (doc_id, fp, fp_pos) — the selected fingerprint set, expected
+    density 2/(w+1) of all shingles, with the winnowing GUARANTEE: any
+    shared substring of ≥ w+n−1 tokens yields at least one shared
+    fingerprint, so the winnowed index finds every long-enough overlap
+    at a fraction of the full inverted index's size (the practical
+    plagiarism/near-dup index builder; ``rolling_fingerprint`` is the
+    degenerate whole-doc w=∞ case).
+
+    Scale: one positional explode (narrow), one per-doc window min (the
+    single shuffle, on the doc key), one distinct on the selected set —
+    the index at rest is ~2/(w+1) the size of the positional span index
+    (``llm/spans.py``) built from the same scan.  Docs with fewer than
+    ``w`` shingles emit no fingerprints (no full window).
+    """
+    toks_df = docs.select(F.col(id_col).alias("did"), tokens(text_col).alias("toks"))
+    k = F.size(F.col("toks"))
+    idx = F.sequence(F.lit(1), F.greatest(k - F.lit(n - 1), F.lit(1)))
+    sh = toks_df.select(
+        "did",
+        F.posexplode(
+            F.transform(
+                idx, lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i, n)))
+            )
+        ).alias("pos0", "h"),
+        (F.greatest(k - F.lit(n - 1), F.lit(1))).cast("long").alias("cnt"),
+    ).select("did", (F.col("pos0") + 1).cast("long").alias("pos"), "h", "cnt")
+    from pyspark.sql import Window
+
+    wspec = Window.partitionBy("did").orderBy("pos").rowsBetween(0, w - 1)
+    sel = sh.withColumn("m", F.min(F.struct("h", "pos")).over(wspec))
+    return (
+        sel.filter(F.col("pos") <= F.col("cnt") - F.lit(w) + 1)
+        .select(
+            F.col("did").alias(id_col),
+            F.col("m.h").alias("fp"),
+            F.col("m.pos").cast("long").alias("fp_pos"),
+        )
+        .distinct()
+    )

@@ -1432,3 +1432,59 @@ def llm_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bits_per_bigram"), "doc_id")
         .limit(20)
     )
+
+
+@register(
+    "llm_winnowing",
+    priority=2,
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    shp AS (SELECT doc_id AS did, CAST(greatest(len(t) - 4, 1) AS BIGINT) AS cnt,
+                   unnest(list_transform({_SHINGLES}, s -> md5(s))) AS h,
+                   unnest(list_transform(range(1, greatest(len(t) - 4, 1) + 1),
+                                         i -> CAST(i AS BIGINT))) AS pos
+            FROM tk),
+    sel AS (SELECT did, cnt, pos,
+                   min(struct_pack(h := h, pos := pos))
+                       OVER (PARTITION BY did ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+            FROM shp),
+    fps AS (SELECT DISTINCT did, m.h AS fp, CAST(m.pos AS BIGINT) AS fp_pos
+            FROM sel WHERE pos <= cnt - 4 + 1),
+    fdf AS (SELECT fp, CAST(COUNT(DISTINCT did) AS BIGINT) AS fdf FROM fps GROUP BY fp),
+    pf AS (SELECT f.did, f.fp FROM (SELECT DISTINCT did, fp FROM fps) f
+           JOIN fdf USING (fp) WHERE fdf BETWEEN 2 AND 10)
+    SELECT a.did AS id_a, b.did AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM pf a JOIN pf b ON a.fp = b.fp AND a.did < b.did
+    GROUP BY a.did, b.did
+    ORDER BY n_shared DESC, id_a, id_b LIMIT 20
+    """,
+    tags=("llm", "text", "dedup", "fingerprint"),
+)
+def llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed fingerprint index → overlap pairs
+    (``llm/text.winnow_fingerprints``, MOSS): window-of-4 minima over
+    positional 5-gram digests give a ~2/(w+1)-density fingerprint set
+    per doc with the winnowing guarantee (any shared run of ≥ w+n−1
+    tokens shares ≥ 1 fingerprint); pairs then come from the SMALL
+    winnowed inverted index (df-capped 2..10, the family's blocking
+    hygiene) instead of the full shingle index — the practical
+    plagiarism-index shape.  Top-20 pairs by shared-fingerprint count;
+    exact integers throughout."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    fps = track_persist(tx.winnow_fingerprints(d, w=4, n=5).select("doc_id", "fp").distinct())
+    fdf = fps.groupBy("fp").agg(F.countDistinct("doc_id").alias("fdf"))
+    pf = fps.join(
+        fdf.filter((F.col("fdf") >= 2) & (F.col("fdf") <= 10)), "fp"
+    ).select(F.col("doc_id").alias("did"), "fp")
+    return (
+        pf.alias("a")
+        .join(pf.alias("b"), "fp")
+        .filter(F.col("a.did") < F.col("b.did"))
+        .groupBy(F.col("a.did").alias("id_a"), F.col("b.did").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .orderBy(F.desc("n_shared"), "id_a", "id_b")
+        .limit(20)
+    )

@@ -2434,3 +2434,45 @@ class TestContaminationFraction:
         assert set(frac[frac["n_contaminated"] > 0].index) == flagged == {1}
         assert 0 < frac.loc[1, "frac"] < 1
         assert frac.loc[0, "n_contaminated"] == 0
+
+
+class TestWinnowing:
+    def _fps(self, spark, texts, w=4, n=5):
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.llm import text as tx
+
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        )
+        return tx.winnow_fingerprints(docs, w=w, n=n).toPandas()
+
+    def test_winnowing_guarantee_on_shared_run(self, spark):
+        """Any shared token run of length ≥ w+n−1 (= 8 at w=4, n=5) must
+        yield at least one SHARED fingerprint — the MOSS detection
+        guarantee."""
+        shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+        fps = self._fps(
+            spark,
+            [
+                "one two three " + shared + " four five six",
+                "nine ten " + shared + " eleven twelve thirteen fourteen",
+            ],
+        )
+        a = set(fps[fps["doc_id"] == 0]["fp"])
+        b = set(fps[fps["doc_id"] == 1]["fp"])
+        assert a & b
+
+    def test_density_near_two_over_w_plus_one(self, spark):
+        import random
+
+        rng = random.Random(3)
+        text = " ".join("t%d" % rng.randrange(5000) for _ in range(400))
+        fps = self._fps(spark, [text])
+        n_shingles = 400 - 5 + 1
+        density = len(fps) / n_shingles
+        assert 1 / 5 < density < 3.5 / 5  # 2/(w+1) = 0.4 expected
+
+    def test_short_doc_no_full_window_no_fps(self, spark):
+        fps = self._fps(spark, ["a b c d e f g"])  # 3 shingles < w=4
+        assert len(fps) == 0

@@ -121,6 +121,7 @@ EXTENDED_QUERIES = [
     "llm_contamination_fraction",
     "llm_cluster_size_stats",
     "llm_winnowing",
+    "llm_pq_adc",
     "rl_customers_without_big_orders",
 ]
 

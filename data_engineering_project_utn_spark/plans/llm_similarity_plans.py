@@ -1341,3 +1341,71 @@ def llm_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim2.gram_upper(e).select(
         "i", "j", F.col("g").cast("long").alias("g")
     ).orderBy("i", "j")
+
+
+@register(
+    "llm_pq_adc",
+    priority=2,
+    oracle="""
+    WITH xq AS (SELECT vec_id, unnest(range(0, len(embedding))) AS dim,
+                CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+         FROM embeddings),
+    vx AS (SELECT vec_id, dim, x, CASE WHEN dim < 32 THEN 0 ELSE 1 END AS s FROM xq),
+    cb AS (SELECT vec_id AS j, dim, x, s FROM vx WHERE vec_id < 16),
+    d AS (SELECT v.vec_id, c.j, v.s,
+                 CAST(SUM((v.x - c.x) * (v.x - c.x)) AS BIGINT) AS dist
+          FROM vx v JOIN cb c ON c.dim = v.dim AND c.s = v.s
+          GROUP BY v.vec_id, c.j, v.s),
+    code AS (SELECT vec_id, s, j AS code FROM (
+                 SELECT vec_id, s, j, row_number() OVER (
+                     PARTITION BY vec_id, s ORDER BY dist, j) AS rn FROM d)
+             WHERE rn = 1),
+    qd AS (SELECT j, s, dist FROM d WHERE vec_id = 0),
+    adc AS (SELECT c.vec_id, CAST(SUM(qd.dist) AS BIGINT) AS adc_dist
+            FROM code c JOIN qd ON qd.s = c.s AND qd.j = c.code
+            GROUP BY c.vec_id),
+    ex AS (SELECT v.vec_id, CAST(SUM((v.x - q.x) * (v.x - q.x)) AS BIGINT) AS exact_dist
+           FROM vx v JOIN vx q ON q.vec_id = 0 AND q.dim = v.dim
+           GROUP BY v.vec_id)
+    SELECT a.vec_id, c0.code AS code0, c1.code AS code1,
+           a.adc_dist, ex.exact_dist
+    FROM adc a
+    JOIN code c0 ON c0.vec_id = a.vec_id AND c0.s = 0
+    JOIN code c1 ON c1.vec_id = a.vec_id AND c1.s = 1
+    JOIN ex ON ex.vec_id = a.vec_id
+    WHERE a.vec_id <> 0
+    ORDER BY a.adc_dist, a.vec_id LIMIT 10
+    """,
+    tags=("llm", "similarity", "ann", "pq"),
+)
+def llm_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance
+    (``similarity.pq_encode_adc``): 2 subspaces × 16 codewords (the
+    first 16 embeddings as the deterministic codebook, the
+    ``llm_ivf_ann`` convention), every vector encoded to its
+    nearest-codeword ids on the exact integer grid, query scored
+    through the precomputed distance table — top-10 by ADC with the
+    exact integer distance alongside, so the gate pins the quantization
+    error per row.  Encoding is a pure scan (codebook = literals in the
+    row expression, no join); the oracle recomputes codes and tables
+    from the raw parquet through the same integer arithmetic."""
+    e = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
+    rows = {
+        int(r["vec_id"]): list(r["embedding"])
+        for r in e.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect()
+    }
+    codebook = [rows[j] for j in sorted(rows)]
+    qv = rows[0]
+    out = sim.pq_encode_adc(e, qv, codebook, m=2)
+    return (
+        out.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.element_at("codes", 1).alias("code0"),
+            F.element_at("codes", 2).alias("code1"),
+            "adc_dist",
+            "exact_dist",
+        )
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+    )

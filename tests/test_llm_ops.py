@@ -2476,3 +2476,47 @@ class TestWinnowing:
     def test_short_doc_no_full_window_no_fps(self, spark):
         fps = self._fps(spark, ["a b c d e f g"])  # 3 shingles < w=4
         assert len(fps) == 0
+
+
+class TestPQ:
+    def _setup(self, embeddings):
+        rows = {
+            int(r["vec_id"]): list(r["embedding"])
+            for r in embeddings.filter(F.col("vec_id") < 16).collect()
+        }
+        cb = [rows[j] for j in sorted(rows)]
+        return cb, rows[0]
+
+    def test_codebook_members_encode_to_themselves(self, embeddings):
+        """Vector j < 16 IS codeword j in every subspace → distance 0 →
+        code [j, j] (ties impossible at dist 0 unless codewords collide)."""
+        cb, qv = self._setup(embeddings)
+        got = (
+            sim.pq_encode_adc(embeddings, qv, cb, m=2)
+            .filter(F.col("vec_id") < 16)
+            .toPandas()
+            .set_index("vec_id")
+        )
+        for j in range(16):
+            assert list(got.loc[j, "codes"]) == [j, j]
+
+    def test_adc_exact_for_codebook_members(self, embeddings):
+        """For an encoded vector that IS its codewords, the table lookup
+        reconstructs the true distance: adc == exact."""
+        cb, qv = self._setup(embeddings)
+        got = (
+            sim.pq_encode_adc(embeddings, qv, cb, m=2)
+            .filter(F.col("vec_id") < 16)
+            .toPandas()
+        )
+        assert (got["adc_dist"] == got["exact_dist"]).all()
+
+    def test_encoding_plan_is_pure_scan(self, embeddings):
+        """The PQ scale contract: codebook as literals → encoding plans
+        NO join at all (scan + project only)."""
+        cb, qv = self._setup(embeddings)
+        plan = (
+            sim.pq_encode_adc(embeddings, qv, cb, m=2)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Join" not in plan and "Exchange" not in plan

@@ -122,6 +122,7 @@ EXTENDED_QUERIES = [
     "llm_cluster_size_stats",
     "llm_winnowing",
     "llm_pq_adc",
+    "llm_ivfpq_ann",
     "rl_customers_without_big_orders",
 ]
 

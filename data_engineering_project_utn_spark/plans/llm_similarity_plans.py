@@ -1409,3 +1409,89 @@ def llm_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("adc_dist", "vec_id")
         .limit(10)
     )
+
+
+@register(
+    "llm_ivfpq_ann",
+    priority=2,
+    oracle="""
+    WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+    cscored AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               list_reduce(list_transform(list_zip(e.embedding, c.cv),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)
+               / (sqrt(list_reduce(list_transform(list_zip(e.embedding, e.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x))
+                  * sqrt(list_reduce(list_transform(list_zip(c.cv, c.cv),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)))
+                   AS cos_c
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    cells AS (
+        SELECT vec_id, cid AS cell
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY cos_c DESC, cid DESC) AS rn
+              FROM cscored)
+        WHERE rn = 1
+    ),
+    qcell AS (SELECT cell FROM cells WHERE vec_id = 0),
+    xq AS (SELECT vec_id, unnest(range(0, len(embedding))) AS dim,
+                CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+         FROM embeddings),
+    vx AS (SELECT vec_id, dim, x, CASE WHEN dim < 32 THEN 0 ELSE 1 END AS s FROM xq),
+    cb AS (SELECT vec_id AS j, dim, x, s FROM vx WHERE vec_id < 16),
+    d AS (SELECT v.vec_id, c.j, v.s,
+                 CAST(SUM((v.x - c.x) * (v.x - c.x)) AS BIGINT) AS dist
+          FROM vx v JOIN cb c ON c.dim = v.dim AND c.s = v.s
+          GROUP BY v.vec_id, c.j, v.s),
+    code AS (SELECT vec_id, s, j AS code FROM (
+                 SELECT vec_id, s, j, row_number() OVER (
+                     PARTITION BY vec_id, s ORDER BY dist, j) AS rn FROM d)
+             WHERE rn = 1),
+    qd AS (SELECT j, s, dist FROM d WHERE vec_id = 0),
+    adc AS (SELECT c.vec_id, CAST(SUM(qd.dist) AS BIGINT) AS adc_dist
+            FROM code c JOIN qd ON qd.s = c.s AND qd.j = c.code
+            GROUP BY c.vec_id)
+    SELECT a.vec_id, a.adc_dist, cl.cell
+    FROM adc a
+    JOIN cells cl ON cl.vec_id = a.vec_id
+    JOIN qcell ON cl.cell = qcell.cell
+    WHERE a.vec_id <> 0
+    ORDER BY a.adc_dist, a.vec_id LIMIT 10
+    """,
+    tags=("llm", "similarity", "ann", "ivf", "pq"),
+)
+def llm_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ — the full FAISS-style index: coarse quantizer prunes to
+    the query's cell (8 centroids, ``ivf_cells`` literal projection),
+    then PQ/ADC ranks WITHIN the cell through the distance table
+    (``pq_encode_adc``) — two scans' worth of model-size literals, no
+    raw-vector math at query time beyond the probed cell's codes.  At
+    rest: partition files by cell, store m-byte codes per vector; a
+    query reads one cell's code column and re-ranks its top handful
+    against raw vectors.  Top-10 by ADC with the cell id alongside."""
+    e = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
+    small = {
+        int(r["vec_id"]): list(r["embedding"])
+        for r in e.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect()
+    }
+    cents = [(j, small[j]) for j in range(8)]
+    codebook = [small[j] for j in sorted(small)]
+    qv = small[0]
+    cells = sim.ivf_cells(e, cents)
+    qcell = (
+        cells.filter(F.col("vec_id") == 0).select(F.col("cell").alias("q_cell"))
+    )
+    in_cell = cells.join(F.broadcast(qcell), cells["cell"] == qcell["q_cell"]).select(
+        "vec_id", "embedding", "cell"
+    )
+    from data_engineering_project_utn_spark.llm import similarity as sim2
+
+    out = sim2.pq_encode_adc(in_cell, qv, codebook, m=2)
+    return (
+        out.join(cells.select("vec_id", "cell"), "vec_id")
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "adc_dist", "cell")
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+    )

@@ -2520,3 +2520,28 @@ class TestPQ:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Join" not in plan and "Exchange" not in plan
+
+
+class TestIVFPQ:
+    def test_results_in_query_cell_with_consistent_adc(self, spark, sf_dir, embeddings):
+        """IVF+PQ candidates must all live in the query's coarse cell,
+        and their ADC distances must equal the full-corpus PQ path's
+        (pruning changes the candidate set, never the scores)."""
+        from data_engineering_project_utn_spark.plans import all_queries
+
+        got = all_queries()["llm_ivfpq_ann"].build(spark, sf_dir).toPandas()
+        rows = {
+            int(r["vec_id"]): list(r["embedding"])
+            for r in embeddings.filter(F.col("vec_id") < 16).collect()
+        }
+        cents = [(j, rows[j]) for j in range(8)]
+        cells = sim.ivf_cells(embeddings, cents).toPandas().set_index("vec_id")["cell"]
+        qcell = cells[0]
+        assert (got["cell"] == qcell).all()
+        full = (
+            sim.pq_encode_adc(embeddings, rows[0], [rows[j] for j in sorted(rows)], m=2)
+            .toPandas()
+            .set_index("vec_id")["adc_dist"]
+        )
+        for _, r in got.iterrows():
+            assert full[r["vec_id"]] == r["adc_dist"]

@@ -178,6 +178,7 @@ def test_bloom_probe_broadcasts_bits_not_corpus(spark, sf_dir):
         "llm_cluster_size_stats",
         "llm_winnowing",
         "llm_pq_adc",
+        "llm_ivfpq_ann",
     ],
 )
 def test_graph_family_gates_nonempty(spark, sf_dir, name):

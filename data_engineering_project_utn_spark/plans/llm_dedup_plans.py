@@ -866,13 +866,21 @@ def llm_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gate; must_replace errors at import if the fragment changes shape)
 _QUALITY_RENAMED = must_replace(
     must_replace(
-        must_replace(_QUALITY_CTES, "tk AS (", "qtk AS ("),
-        "FROM tk),",
-        "FROM qtk),",
+        must_replace(
+            must_replace(
+                must_replace(_QUALITY_CTES, "tk AS (", "qtk AS ("),
+                "FROM tk),",
+                "FROM qtk),",
+            ),
+            "m AS (",
+            "qm AS (",
+        ),
+        "FROM m)",
+        "FROM qm)",
     ),
-    "m AS (",
-    "qm AS (",
-).replace("FROM m)", "FROM qm)").replace("q AS (", "qq AS (")
+    "q AS (",
+    "qq AS (",
+)
 
 
 @register(

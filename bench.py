@@ -123,6 +123,8 @@ EXTENDED_QUERIES = [
     "llm_winnowing",
     "llm_pq_adc",
     "llm_ivfpq_ann",
+    "rl_sole_late_supplier",
+    "rl_small_quantity_revenue",
     "rl_customers_without_big_orders",
 ]
 

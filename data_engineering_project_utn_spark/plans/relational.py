@@ -511,3 +511,103 @@ def rl_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g_priority", "g_status", "o_orderpriority", "o_orderstatus")
     )
+
+
+@register(
+    "rl_sole_late_supplier",
+    priority=2,
+    oracle="""
+    WITH li AS (SELECT l.l_orderkey, l.l_suppkey,
+                       (l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) AS late
+                FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+    pero AS (SELECT l_orderkey,
+                    CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+                    CAST(COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS BIGINT)
+                        AS n_late,
+                    MAX(CASE WHEN late THEN l_suppkey END) AS late_supp
+             FROM li GROUP BY l_orderkey)
+    SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM pero JOIN supplier s ON s.s_suppkey = pero.late_supp
+    WHERE n_supp > 1 AND n_late = 1
+    GROUP BY s.s_suppkey, s.s_name
+    ORDER BY numwait DESC, s.s_suppkey LIMIT 20
+    """,
+    tags=("relational", "exists", "multi-agg"),
+)
+def rl_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's shape on the driver schema: suppliers who were the
+    ONLY late supplier on a multi-supplier order ("late" = shipped more
+    than 90 days after the order date — the schema has no
+    receipt/commit dates).  The classic EXISTS (another supplier on the
+    order) + NOT EXISTS (another LATE supplier) pair collapses into ONE
+    grouped aggregation per order — two countDistincts and a
+    conditional MAX (exactly-one-late makes MAX the witness) — instead
+    of two correlated re-scans: one orders join + one order-key shuffle
+    + a model-size supplier rollup, the Spark-first translation of a
+    doubly-correlated subquery."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    pero = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select("l_orderkey", "l_suppkey", late.alias("late"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+            F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    return (
+        pero.join(F.broadcast(s), pero["late_supp"] == s["s_suppkey"])
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(20)
+    )
+
+
+@register(
+    "rl_small_quantity_revenue",
+    priority=2,
+    oracle="""
+    WITH pavg AS (SELECT l_partkey,
+                         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                         CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS small_qty_revenue
+    FROM lineitem l JOIN pavg p ON p.l_partkey = l.l_partkey
+    WHERE 5 * CAST(l.l_quantity AS BIGINT) * p.cnt < p.sum_qty
+    """,
+    tags=("relational", "correlated", "agg"),
+)
+def rl_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17's shape: revenue locked in small-quantity orders —
+    lineitems with quantity below 20 % of their part's average.  The
+    correlated AVG subquery becomes one part-key aggregation joined
+    back; the 0.2·avg comparison is cleared to EXACT integers
+    (5·qty·cnt < Σqty — quantities are integral, so no engine can
+    disagree on a boundary row), and the revenue sum runs through
+    DECIMAL(18,2) so partial-aggregation order can't move the double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pavg = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        li.join(pavg, "l_partkey")
+        .filter(
+            F.lit(5) * F.col("l_quantity").cast("long") * F.col("cnt")
+            < F.col("sum_qty")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("small_qty_revenue"),
+        )
+    )

@@ -125,6 +125,7 @@ EXTENDED_QUERIES = [
     "llm_ivfpq_ann",
     "rl_sole_late_supplier",
     "rl_small_quantity_revenue",
+    "llm_dedup_agreement",
     "rl_customers_without_big_orders",
 ]
 

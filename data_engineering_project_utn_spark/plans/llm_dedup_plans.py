@@ -1140,3 +1140,92 @@ def llm_cluster_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+@register(
+    "llm_dedup_agreement",
+    priority=2,
+    oracle="WITH " + _MINHASH_CTES + f""",
+    lsh AS (SELECT doc_a AS id_a, doc_b AS id_b FROM j WHERE jaccard > 0.5),
+    psh AS (SELECT doc_id AS did, unnest(list_distinct({_SHINGLES})) AS g FROM tk),
+    pgdf AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS gdf FROM psh GROUP BY g),
+    psz AS (SELECT did, CAST(COUNT(*) AS BIGINT) AS sz FROM psh GROUP BY did),
+    pranked AS (SELECT psh.did, psh.g,
+                       row_number() OVER (PARTITION BY psh.did
+                                          ORDER BY pgdf.gdf, psh.g) AS pos,
+                       psz.sz
+                FROM psh JOIN pgdf USING (g) JOIN psz USING (did)),
+    ppref AS (SELECT did, g FROM pranked
+              WHERE pos <= sz - (1 * sz + 2 - 1) // 2 + 1),
+    pcand AS (SELECT DISTINCT a.did AS id_a, b.did AS id_b
+              FROM ppref a JOIN ppref b USING (g) WHERE a.did < b.did),
+    pinter AS (SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS inter
+               FROM pcand c
+               JOIN psh sa ON sa.did = c.id_a
+               JOIN psh sb ON sb.did = c.id_b AND sb.g = sa.g
+               GROUP BY c.id_a, c.id_b),
+    exact AS (SELECT i.id_a, i.id_b
+              FROM pinter i
+              JOIN psz za ON za.did = i.id_a
+              JOIN psz zb ON zb.did = i.id_b
+              WHERE i.inter * 2 > (za.sz + zb.sz - i.inter)),
+    u AS (SELECT id_a, id_b,
+                 CAST(MAX(CASE WHEN src = 'e' THEN 1 ELSE 0 END) AS BIGINT) AS in_exact,
+                 CAST(MAX(CASE WHEN src = 'l' THEN 1 ELSE 0 END) AS BIGINT) AS in_lsh
+          FROM (SELECT id_a, id_b, 'e' AS src FROM exact
+                UNION ALL SELECT id_a, id_b, 'l' FROM lsh)
+          GROUP BY id_a, id_b)
+    SELECT CAST(SUM(in_exact) AS BIGINT) AS n_exact,
+           CAST(SUM(in_lsh) AS BIGINT) AS n_lsh,
+           CAST(SUM(in_exact * in_lsh) AS BIGINT) AS n_both,
+           CAST(SUM(in_exact * (1 - in_lsh)) AS BIGINT) AS n_exact_only,
+           CAST(SUM((1 - in_exact) * in_lsh) AS BIGINT) AS n_lsh_only
+    FROM u
+    """,
+    tags=("llm", "dedup", "report"),
+)
+def llm_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-method agreement — the measured LSH recall, cross-engine:
+    the EXACT prefix-filter join (provably complete above the
+    threshold) against the 8-perm banded MinHash pipeline, both at
+    J > 1/2, as one agreement row (n_exact, n_lsh, n_both,
+    n_exact_only, n_lsh_only).  n_exact_only IS the LSH false-negative
+    count (the banding miss probability made a gated number instead of
+    a docstring estimate), and n_lsh_only must be 0 — LSH verifies
+    exact Jaccard on candidates, so its pairs are a subset of the true
+    set; a nonzero value would be a verification bug, and the gate
+    would catch it on both engines."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    exact = (
+        dd.jaccard_prefix_join(d, tn=1, td=2)
+        .filter(F.col("inter") * 2 > F.col("union_sz"))
+        .select("id_a", "id_b", F.lit(1).alias("in_exact"), F.lit(0).alias("in_lsh"))
+    )
+    lsh = (
+        dd.minhash_neardup(d, k=8, bands=4, n=5, threshold=0.5, max_bucket_size=None)
+        .select(
+            F.col("doc_a").alias("id_a"),
+            F.col("doc_b").alias("id_b"),
+            F.lit(0).alias("in_exact"),
+            F.lit(1).alias("in_lsh"),
+        )
+    )
+    u = (
+        exact.unionByName(lsh)
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max("in_exact").alias("in_exact"),
+            F.max("in_lsh").alias("in_lsh"),
+        )
+    )
+    return u.agg(
+        F.sum("in_exact").cast("long").alias("n_exact"),
+        F.sum("in_lsh").cast("long").alias("n_lsh"),
+        F.sum(F.col("in_exact") * F.col("in_lsh")).cast("long").alias("n_both"),
+        F.sum(F.col("in_exact") * (1 - F.col("in_lsh"))).cast("long").alias(
+            "n_exact_only"
+        ),
+        F.sum((1 - F.col("in_exact")) * F.col("in_lsh")).cast("long").alias(
+            "n_lsh_only"
+        ),
+    )

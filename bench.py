@@ -126,6 +126,7 @@ EXTENDED_QUERIES = [
     "rl_sole_late_supplier",
     "rl_small_quantity_revenue",
     "llm_dedup_agreement",
+    "llm_pq_recall",
     "rl_customers_without_big_orders",
 ]
 

@@ -1495,3 +1495,79 @@ def llm_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("adc_dist", "vec_id")
         .limit(10)
     )
+
+
+@register(
+    "llm_pq_recall",
+    priority=2,
+    oracle="""
+    WITH xq AS (SELECT vec_id, unnest(range(0, len(embedding))) AS dim,
+                CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+         FROM embeddings),
+    vx AS (SELECT vec_id, dim, x, CASE WHEN dim < 32 THEN 0 ELSE 1 END AS s FROM xq),
+    cb AS (SELECT vec_id AS j, dim, x, s FROM vx WHERE vec_id < 16),
+    d AS (SELECT v.vec_id, c.j, v.s,
+                 CAST(SUM((v.x - c.x) * (v.x - c.x)) AS BIGINT) AS dist
+          FROM vx v JOIN cb c ON c.dim = v.dim AND c.s = v.s
+          GROUP BY v.vec_id, c.j, v.s),
+    code AS (SELECT vec_id, s, j AS code FROM (
+                 SELECT vec_id, s, j, row_number() OVER (
+                     PARTITION BY vec_id, s ORDER BY dist, j) AS rn FROM d)
+             WHERE rn = 1),
+    qd AS (SELECT j, s, dist FROM d WHERE vec_id = 0),
+    adc AS (SELECT c.vec_id, CAST(SUM(qd.dist) AS BIGINT) AS adc_dist
+            FROM code c JOIN qd ON qd.s = c.s AND qd.j = c.code
+            GROUP BY c.vec_id),
+    ex AS (SELECT v.vec_id, CAST(SUM((v.x - q.x) * (v.x - q.x)) AS BIGINT) AS exact_dist
+           FROM vx v JOIN vx q ON q.vec_id = 0 AND q.dim = v.dim
+           GROUP BY v.vec_id),
+    adc_top AS (SELECT vec_id FROM adc WHERE vec_id <> 0
+                ORDER BY adc_dist, vec_id LIMIT 10),
+    ex_top AS (SELECT vec_id FROM ex WHERE vec_id <> 0
+               ORDER BY exact_dist, vec_id LIMIT 10)
+    SELECT CAST((SELECT COUNT(*) FROM adc_top a JOIN ex_top e USING (vec_id))
+                AS BIGINT) AS n_overlap,
+           (SELECT MIN(adc_dist) FROM adc WHERE vec_id <> 0) AS adc_min,
+           (SELECT MIN(exact_dist) FROM ex WHERE vec_id <> 0) AS exact_min
+    """,
+    tags=("llm", "similarity", "ann", "pq", "report"),
+)
+def llm_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ quantization quality as a GATED number (the ANN analogue of
+    ``llm_dedup_agreement``): overlap between the ADC top-10 and the
+    EXACT-distance top-10 for the same query — recall@10 of the
+    compressed index, cross-engine-checked instead of docstring-claimed
+    — plus the two minima so the gate also pins how far ADC's best
+    candidate sits from the true nearest.  Both rankings come from the
+    same integer frames as ``llm_pq_adc``; the overlap is a 10-row
+    semi-join.
+
+    The measured value is LOW by design (2/10 at sf0.01, 0/10 at
+    sf0.1): a 16-codeword codebook over 32-dim subspaces of
+    near-isotropic embeddings is far below the k = 256 production
+    floor, and many vectors collapse onto the query's own codes
+    (adc_min = 0).  That is the honest story this gate exists to tell —
+    PQ recall is a property you MEASURE per corpus/codebook, not
+    assume; the number is cross-engine-pinned so a future trained or
+    larger codebook shows its improvement in a diffable gate."""
+    e = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
+    rows = {
+        int(r["vec_id"]): list(r["embedding"])
+        for r in e.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect()
+    }
+    codebook = [rows[j] for j in sorted(rows)]
+    from data_engineering_project_utn_spark.llm import similarity as sim2
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    out = track_persist(
+        sim2.pq_encode_adc(e, rows[0], codebook, m=2).filter(F.col("vec_id") != 0)
+    )
+    adc_top = out.orderBy("adc_dist", "vec_id").limit(10).select("vec_id")
+    ex_top = out.orderBy("exact_dist", "vec_id").limit(10).select("vec_id")
+    overlap = adc_top.join(ex_top, "vec_id", "left_semi").count()
+    mins = out.agg(
+        F.min("adc_dist").alias("adc_min"), F.min("exact_dist").alias("exact_min")
+    )
+    return mins.select(
+        F.lit(int(overlap)).cast("long").alias("n_overlap"), "adc_min", "exact_min"
+    )

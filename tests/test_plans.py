@@ -182,6 +182,7 @@ def test_bloom_probe_broadcasts_bits_not_corpus(spark, sf_dir):
         "rl_sole_late_supplier",
         "rl_small_quantity_revenue",
         "llm_dedup_agreement",
+        "llm_pq_recall",
     ],
 )
 def test_graph_family_gates_nonempty(spark, sf_dir, name):

@@ -99,6 +99,11 @@ def test_pipeline_manifest_no_single_partition(spark, sf_dir):
         "llm_span_scrub",            # ordered rejoin after anti-join
         "llm_tfidf_topk",            # fixed-point idf + windowed top-k
         "llm_hll_by_source",         # grouped sketch + decimal numerator
+        "llm_jaccard_prefix_join",   # r07: per-doc rank window + integer threshold
+        "llm_bm25_topk",             # r07: integer-division scoring, scalar broadcasts
+        "llm_winnowing",             # r07: windowed minima + df-capped pair join
+        "llm_gram_matrix",           # r07: 2080-key decimal groupBy
+        "llm_dsir_importance",       # r07: width-bounded counts + plog2 bits
     ],
 )
 def test_partitioning_independence(spark, sf_dir, name):

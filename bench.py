@@ -127,6 +127,7 @@ EXTENDED_QUERIES = [
     "rl_small_quantity_revenue",
     "llm_dedup_agreement",
     "llm_pq_recall",
+    "llm_pq_trained",
     "rl_customers_without_big_orders",
 ]
 

@@ -1449,3 +1449,102 @@ def pq_encode_adc(
         adc.cast("long").alias("adc_dist"),
         exact.cast("long").alias("exact_dist"),
     )
+
+
+def train_pq_codebook(
+    embeddings: DataFrame,
+    k: int = 16,
+    m: int = 2,
+    n_iter: int = 2,
+    x_scale: int = 10**6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "list[list[list[int]]]":
+    """Train PQ sub-quantizers: per-subspace Lloyd iterations in EXACT
+    integer arithmetic, so the trained codebook is a VALUE-gateable
+    artifact (the chained-CTE oracle recomputes the identical integers),
+    not just an invariant — the same determinism trade as fixed-point
+    PageRank and the PCA power iteration.
+
+    * init: the quantized subvectors of the first ``k`` ids (the
+      deterministic seed every PQ gate uses);
+    * assign: per-row argmin of integer squared distance to the current
+      centroids as plan literals (ties → lowest id) — a pure scan;
+    * update: per-(code, dim) integer mean, Σx div n with truncating
+      division (Spark ``div`` ≡ DuckDB ``//`` on negatives too — both
+      truncate toward zero; the Python reduction mirrors it explicitly
+      since Python ``//`` floors); empty codes keep their previous
+      centroid.  Only m·k·(d/m) = k·d aggregate rows reach the driver
+      per iteration — model-size, like the codebook itself.
+
+    Returns codebook[s][j] = list of d/m integer coordinates (grid
+    units of 1/x_scale)."""
+    import math
+
+    first = {
+        int(r[id_col]): list(r[vec_col])
+        for r in embeddings.filter(F.col(id_col) < k).select(id_col, vec_col).collect()
+    }
+    d = len(first[0])
+    dsub = d // m
+    cb = [
+        [
+            [int(math.floor(float(x) * x_scale)) for x in first[j][s * dsub : (s + 1) * dsub]]
+            for j in range(k)
+        ]
+        for s in range(m)
+    ]
+
+    def truncdiv(a: int, b: int) -> int:
+        return -((-a) // b) if a < 0 else a // b
+
+    xq = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(x_scale))).cast("long"),
+    )
+    base = embeddings.select(xq.alias("_xq"))
+    for _ in range(n_iter):
+        def sub_dist(s: int, j: int):
+            lit = F.array(*[F.lit(int(v)).cast("long") for v in cb[s][j]])
+            return F.aggregate(
+                F.zip_with(
+                    F.slice("_xq", s * dsub + 1, dsub), lit, lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+
+        codes = [
+            F.array_min(
+                F.array(
+                    *[
+                        F.struct(
+                            sub_dist(s, j).alias("d"), F.lit(j).cast("long").alias("j")
+                        )
+                        for j in range(k)
+                    ]
+                )
+            )["j"].alias(f"c{s}")
+            for s in range(m)
+        ]
+        assigned = base.select("_xq", *codes)
+        new_cb = [[list(cw) for cw in sub] for sub in cb]
+        for s in range(m):
+            stats = (
+                assigned.select(
+                    F.col(f"c{s}").alias("j"),
+                    F.posexplode(F.slice("_xq", s * dsub + 1, dsub)).alias("pos", "x"),
+                )
+                .groupBy("j", "pos")
+                .agg(
+                    F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()
+            )
+            for row in stats:
+                new_cb[s][int(row["j"])][int(row["pos"])] = truncdiv(
+                    int(row["sx"]), int(row["n"])
+                )
+        cb = new_cb
+    return cb

@@ -1571,3 +1571,82 @@ def llm_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mins.select(
         F.lit(int(overlap)).cast("long").alias("n_overlap"), "adc_min", "exact_min"
     )
+
+
+def _pq_train_oracle(k: int = 16, dsub: int = 32, iters: int = 2) -> str:
+    """Unrolled exact-integer Lloyd iterations for the PQ sub-quantizers
+    (the chained-CTE pattern of the PageRank/PCA oracles): assign via
+    row_number argmin, update via truncating integer means, empty codes
+    carry the previous centroid."""
+    ctes = [
+        """xq AS (SELECT vec_id, unnest(range(0, len(embedding))) AS dim,
+                CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+         FROM embeddings)""",
+        f"""vx AS (SELECT vec_id, x,
+                  CAST(dim // {dsub} AS BIGINT) AS s,
+                  CAST(dim % {dsub} AS BIGINT) AS t
+           FROM xq)""",
+        f"""cb0 AS (SELECT s, CAST(vec_id AS BIGINT) AS j, t, x AS c
+            FROM vx WHERE vec_id < {k})""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""d{i} AS (SELECT v.vec_id, c.j, v.s,
+                    CAST(SUM((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS dist
+             FROM vx v JOIN cb{i-1} c ON c.s = v.s AND c.t = v.t
+             GROUP BY v.vec_id, c.j, v.s)"""
+        )
+        ctes.append(
+            f"""a{i} AS (SELECT vec_id, s, j AS code FROM (
+                 SELECT vec_id, s, j, row_number() OVER (
+                     PARTITION BY vec_id, s ORDER BY dist, j) AS rn FROM d{i})
+             WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""m{i} AS (SELECT a.s, a.code AS j, v.t,
+                    CAST(CAST(SUM(v.x) AS HUGEINT) // COUNT(*) AS BIGINT) AS c
+             FROM vx v JOIN a{i} a ON a.vec_id = v.vec_id AND a.s = v.s
+             GROUP BY a.s, a.code, v.t)"""
+        )
+        ctes.append(
+            f"""cb{i} AS (SELECT p.s, p.j, p.t, COALESCE(m.c, p.c) AS c
+             FROM cb{i-1} p LEFT JOIN m{i} m
+               ON m.s = p.s AND m.j = p.j AND m.t = p.t)"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT s, j, t AS dim, c FROM cb{iters} ORDER BY s, j, dim"
+    )
+
+
+@register(
+    "llm_pq_trained",
+    priority=2,
+    oracle=_pq_train_oracle(),
+    tags=("llm", "similarity", "ann", "pq", "kmeans"),
+)
+def llm_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained PQ sub-quantizers (``similarity.train_pq_codebook``):
+    two Lloyd iterations per subspace in EXACT integer arithmetic —
+    argmin assignment against literal centroids (a pure scan), update
+    by truncating integer means (Spark ``div`` ≡ DuckDB ``//`` ≡ the
+    Python reduction, negatives included), empty codes carrying the
+    previous centroid.  The gate emits every trained coordinate
+    (s, j, dim, c) — 1024 integers at k = 16, d = 64 — against the
+    chained-CTE oracle that unrolls the identical iterations from raw
+    parquet: k-means as a VALUE-gated artifact, not an invariant claim.
+    The per-iteration driver traffic is the k·d mean frame
+    (model-size); the corpus only ever flows through scans and one
+    (code, dim)-key aggregation per pass."""
+    from data_engineering_project_utn_spark.llm import similarity as sim2
+
+    e = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
+    cb = sim2.train_pq_codebook(e, k=16, m=2, n_iter=2)
+    rows = [
+        (s, j, t, int(c))
+        for s in range(len(cb))
+        for j in range(len(cb[s]))
+        for t, c in enumerate(cb[s][j])
+    ]
+    out = spark.createDataFrame(rows, "s: long, j: long, dim: long, c: long")
+    return out.orderBy("s", "j", "dim")

@@ -2545,3 +2545,63 @@ class TestIVFPQ:
         )
         for _, r in got.iterrows():
             assert full[r["vec_id"]] == r["adc_dist"]
+
+
+class TestPQTrained:
+    def _docs(self, spark, vecs):
+        import pandas as pd
+
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {"vec_id": range(len(vecs)), "embedding": [list(v) for v in vecs]}
+            )
+        )
+
+    def _objective(self, vecs, cb, x_scale=10**6):
+        import math
+
+        m = len(cb)
+        dsub = len(cb[0][0])
+        total = 0
+        for v in vecs:
+            xq = [int(math.floor(float(x) * x_scale)) for x in v]
+            for s in range(m):
+                sub = xq[s * dsub : (s + 1) * dsub]
+                total += min(
+                    sum((a - b) ** 2 for a, b in zip(sub, cw)) for cw in cb[s]
+                )
+        return total
+
+    def test_training_reduces_quantization_objective(self, spark):
+        """Two Lloyd passes must not increase the total squared
+        quantization error (the k-means monotonicity argument, now on
+        exact integers)."""
+        import random
+
+        rng = random.Random(11)
+        centers = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(4)]
+        vecs = [
+            [c + rng.uniform(-0.05, 0.05) for c in centers[i % 4]] for i in range(64)
+        ]
+        docs = self._docs(spark, vecs)
+        init = sim.train_pq_codebook(docs, k=4, m=2, n_iter=0)
+        trained = sim.train_pq_codebook(docs, k=4, m=2, n_iter=2)
+        assert self._objective(vecs, trained) <= self._objective(vecs, init)
+
+    def test_partitioning_invariance(self, spark):
+        """Exact-integer training → bit-identical codebook at any
+        shuffle-partition count."""
+        import random
+
+        rng = random.Random(5)
+        vecs = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(48)]
+        docs = self._docs(spark, vecs)
+        orig = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "3")
+            a = sim.train_pq_codebook(docs, k=4, m=2, n_iter=2)
+            spark.conf.set("spark.sql.shuffle.partitions", "11")
+            b = sim.train_pq_codebook(docs, k=4, m=2, n_iter=2)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", orig)
+        assert a == b

@@ -188,6 +188,7 @@ def test_bloom_probe_broadcasts_bits_not_corpus(spark, sf_dir):
         "rl_small_quantity_revenue",
         "llm_dedup_agreement",
         "llm_pq_recall",
+        "llm_pq_trained",
     ],
 )
 def test_graph_family_gates_nonempty(spark, sf_dir, name):

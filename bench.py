@@ -128,6 +128,7 @@ EXTENDED_QUERIES = [
     "llm_dedup_agreement",
     "llm_pq_recall",
     "llm_pq_trained",
+    "llm_jaccard_prefix_pos",
     "rl_customers_without_big_orders",
 ]
 

@@ -574,6 +574,7 @@ def jaccard_prefix_join(
     n: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    positional: bool = False,
 ) -> DataFrame:
     """EXACT thresholded Jaccard similarity self-join via prefix
     filtering (AllPairs/PPJoin family, Bayardo et al. WWW'07) — every
@@ -627,13 +628,36 @@ def jaccard_prefix_join(
         ranked.filter(
             F.col("pos")
             <= F.col("sz") - F.expr(f"({tn} * sz + {td} - 1) div {td}") + F.lit(1)
-        ).select("did", "g")
+        ).select("did", "g", "pos", "sz")
     )
-    cand = track_persist(
+    paired = (
         pref.alias("a")
         .join(pref.alias("b"), "g")
         .filter(F.col("a.did") < F.col("b.did"))
-        .select(F.col("a.did").alias("id_a"), F.col("b.did").alias("id_b"))
+    )
+    if positional:
+        # PPJoin's positional filter: a match at prefix positions
+        # (pa, pb) bounds the achievable overlap by
+        # min(sza − pa, szb − pb) + 1 (tokens at or after the match in
+        # the shared rarity order).  J ≥ tn/td requires overlap
+        # o·(tn + td) ≥ tn·(sza + szb); a pair whose EVERY prefix match
+        # fails the bound cannot reach the threshold, while the
+        # rarest-common-token lemma guarantees a true pair's first
+        # common token passes it (the true overlap respects the bound)
+        # — so pruning keeps completeness and the result set is
+        # IDENTICAL to the plain prefix join (same-oracle twin).
+        paired = paired.filter(
+            (
+                F.least(
+                    F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
+                )
+                + 1
+            )
+            * F.lit(tn + td)
+            >= F.lit(tn) * (F.col("a.sz") + F.col("b.sz"))
+        )
+    cand = track_persist(
+        paired.select(F.col("a.did").alias("id_a"), F.col("b.did").alias("id_b"))
         .distinct()
     )
     sa = sh.select(F.col("did").alias("id_a"), "g")

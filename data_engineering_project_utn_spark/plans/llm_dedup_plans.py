@@ -758,10 +758,7 @@ def llm_dup_spans_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "llm_jaccard_prefix_join",
-    priority=2,
-    oracle=f"""
+_PREFIX_JACCARD_ORACLE = f"""
     WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     sh AS (SELECT doc_id AS did, unnest(list_distinct({_SHINGLES})) AS g FROM tk),
     gdf AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS gdf FROM sh GROUP BY g),
@@ -789,7 +786,13 @@ def llm_dup_spans_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sz zb ON zb.did = i.id_b
     WHERE i.inter * 2 >= 1 * (za.sz + zb.sz - i.inter)
     ORDER BY jaccard DESC, id_a, id_b LIMIT 20
-    """,
+    """
+
+
+@register(
+    "llm_jaccard_prefix_join",
+    priority=2,
+    oracle=_PREFIX_JACCARD_ORACLE,
     tags=("llm", "dedup", "jaccard"),
 )
 def llm_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1228,4 +1231,29 @@ def llm_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((1 - F.col("in_exact")) * F.col("in_lsh")).cast("long").alias(
             "n_lsh_only"
         ),
+    )
+
+
+@register(
+    "llm_jaccard_prefix_pos",
+    priority=2,
+    oracle=_PREFIX_JACCARD_ORACLE,
+    tags=("llm", "dedup", "jaccard"),
+)
+def llm_jaccard_prefix_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PPJoin POSITIONAL filter on the exact prefix join
+    (``jaccard_prefix_join(positional=True)``): a prefix match at
+    positions (pa, pb) caps the achievable overlap at
+    min(sza−pa, szb−pb) + 1, so candidate pairs whose every match fails
+    o·(tn+td) ≥ tn·(sza+szb) are pruned BEFORE the verify join — the
+    candidate set shrinks (subset-tested) while the rarest-common-token
+    lemma keeps the RESULT identical, which is why this gate shares
+    ``llm_jaccard_prefix_join``'s oracle verbatim (the
+    ``llm_ivf_bcast`` same-oracle-twin pattern: bit-exact parity of the
+    pruned plan, not mere plausibility)."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    return (
+        dd.jaccard_prefix_join(d, tn=1, td=2, positional=True)
+        .orderBy(F.desc("jaccard"), "id_a", "id_b")
+        .limit(20)
     )

@@ -2605,3 +2605,43 @@ class TestPQTrained:
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", orig)
         assert a == b
+
+
+class TestJaccardPrefixPositional:
+    def _docs(self, spark, texts):
+        import pandas as pd
+
+        return spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        )
+
+    def test_positional_result_identical_and_prunes(self, spark):
+        """The positional filter must return the EXACT same pair set as
+        the plain prefix join (completeness preserved) while pruning the
+        candidate stage (strictly fewer or equal verify-join rows)."""
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        texts = [
+            base,
+            base + " extra",
+            base.replace("quick", "slow"),
+            "completely different words entirely unrelated to anything else here",
+            "completely different words entirely unrelated to anything else now",
+            " ".join("u%d" % i for i in range(30)),
+        ]
+        docs = self._docs(spark, texts)
+        plain = {
+            (r["id_a"], r["id_b"], r["inter"])
+            for r in dd.jaccard_prefix_join(docs, tn=1, td=2).collect()
+        }
+        pos = {
+            (r["id_a"], r["id_b"], r["inter"])
+            for r in dd.jaccard_prefix_join(docs, tn=1, td=2, positional=True).collect()
+        }
+        assert pos == plain and len(plain) > 0
+
+    def test_boundary_pair_survives_positional_filter(self, spark):
+        """A pair EXACTLY at the threshold must survive pruning (the
+        bound is ≥, and the true overlap meets it)."""
+        docs = self._docs(spark, ["a b c d e f", "a b c d e g"])
+        got = dd.jaccard_prefix_join(docs, tn=1, td=3, positional=True).collect()
+        assert len(got) == 1 and got[0]["inter"] == 1

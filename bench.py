@@ -129,6 +129,7 @@ EXTENDED_QUERIES = [
     "llm_pq_recall",
     "llm_pq_trained",
     "llm_jaccard_prefix_pos",
+    "llm_pq_recall_trained",
     "rl_customers_without_big_orders",
 ]
 

@@ -1355,11 +1355,12 @@ def full_pca_directions(
 def pq_encode_adc(
     embeddings: DataFrame,
     query_vec: "list[float]",
-    codebook: "list[list[float]]",
+    codebook: "list[list[float]] | None",
     m: int = 2,
     x_scale: int = 10**6,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    codebook_q: "list[list[list[int]]] | None" = None,
 ) -> DataFrame:
     """Product quantization with asymmetric-distance scoring (PQ/ADC —
     Jégou et al. TPAMI'11, the FAISS compression standard): split the
@@ -1389,12 +1390,21 @@ def pq_encode_adc(
 
     d = len(query_vec)
     dsub = d // m
-    k = len(codebook)
 
     def qz(v: float) -> int:
         return int(math.floor(float(v) * x_scale))
 
-    cbq = [[qz(x) for x in cw] for cw in codebook]
+    if codebook_q is not None:
+        # already-integer sub-quantizers (``train_pq_codebook`` output):
+        # codebook_q[s][j] holds subspace s's codeword j — flatten to the
+        # full-vector layout the literal expressions index below
+        k = len(codebook_q[0])
+        cbq = [
+            [int(v) for s in range(m) for v in codebook_q[s][j]] for j in range(k)
+        ]
+    else:
+        k = len(codebook)
+        cbq = [[qz(x) for x in cw] for cw in codebook]
     qq = [qz(x) for x in query_vec]
     # query→codeword table, exact ints, computed on the same grid
     qtab = [

@@ -1573,11 +1573,12 @@ def llm_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_train_oracle(k: int = 16, dsub: int = 32, iters: int = 2) -> str:
+def _pq_train_ctes(k: int = 16, dsub: int = 32, iters: int = 2) -> "list[str]":
     """Unrolled exact-integer Lloyd iterations for the PQ sub-quantizers
     (the chained-CTE pattern of the PageRank/PCA oracles): assign via
     row_number argmin, update via truncating integer means, empty codes
-    carry the previous centroid."""
+    carry the previous centroid.  Returned as a CTE list so the trained-
+    recall gate can chain ADC scoring on top of the final cb{iters}."""
     ctes = [
         """xq AS (SELECT vec_id, unnest(range(0, len(embedding))) AS dim,
                 CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS x
@@ -1613,8 +1614,12 @@ def _pq_train_oracle(k: int = 16, dsub: int = 32, iters: int = 2) -> str:
              FROM cb{i-1} p LEFT JOIN m{i} m
                ON m.s = p.s AND m.j = p.j AND m.t = p.t)"""
         )
+    return ctes
+
+
+def _pq_train_oracle(k: int = 16, dsub: int = 32, iters: int = 2) -> str:
     return (
-        "WITH " + ",\n    ".join(ctes)
+        "WITH " + ",\n    ".join(_pq_train_ctes(k, dsub, iters))
         + f"\n    SELECT s, j, t AS dim, c FROM cb{iters} ORDER BY s, j, dim"
     )
 
@@ -1650,3 +1655,77 @@ def llm_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out = spark.createDataFrame(rows, "s: long, j: long, dim: long, c: long")
     return out.orderBy("s", "j", "dim")
+
+
+@register(
+    "llm_pq_recall_trained",
+    priority=2,
+    oracle="WITH " + ",\n    ".join(_pq_train_ctes()) + """,
+    dt AS (SELECT v.vec_id, c.j, v.s,
+                  CAST(SUM((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS dist
+           FROM vx v JOIN cb2 c ON c.s = v.s AND c.t = v.t
+           GROUP BY v.vec_id, c.j, v.s),
+    codet AS (SELECT vec_id, s, j AS code FROM (
+                  SELECT vec_id, s, j, row_number() OVER (
+                      PARTITION BY vec_id, s ORDER BY dist, j) AS rn FROM dt)
+              WHERE rn = 1),
+    qdt AS (SELECT j, s, dist FROM dt WHERE vec_id = 0),
+    adct AS (SELECT c.vec_id, CAST(SUM(qdt.dist) AS BIGINT) AS adc
+             FROM codet c JOIN qdt ON qdt.s = c.s AND qdt.j = c.code
+             GROUP BY c.vec_id),
+    qd0 AS (SELECT j, s, dist FROM d1 WHERE vec_id = 0),
+    adc0 AS (SELECT a.vec_id, CAST(SUM(qd0.dist) AS BIGINT) AS adc
+             FROM a1 a JOIN qd0 ON qd0.s = a.s AND qd0.j = a.code
+             GROUP BY a.vec_id),
+    ex AS (SELECT v.vec_id, CAST(SUM((v.x - q.x) * (v.x - q.x)) AS BIGINT) AS exact_dist
+           FROM vx v JOIN vx q ON q.vec_id = 0 AND q.s = v.s AND q.t = v.t
+           GROUP BY v.vec_id),
+    ex_top AS (SELECT vec_id FROM ex WHERE vec_id <> 0
+               ORDER BY exact_dist, vec_id LIMIT 10),
+    t0 AS (SELECT vec_id FROM adc0 WHERE vec_id <> 0 ORDER BY adc, vec_id LIMIT 10),
+    tt AS (SELECT vec_id FROM adct WHERE vec_id <> 0 ORDER BY adc, vec_id LIMIT 10)
+    SELECT CAST((SELECT COUNT(*) FROM t0 JOIN ex_top USING (vec_id)) AS BIGINT)
+               AS n_overlap_init,
+           CAST((SELECT COUNT(*) FROM tt JOIN ex_top USING (vec_id)) AS BIGINT)
+               AS n_overlap_trained
+    """,
+    tags=("llm", "similarity", "ann", "pq", "kmeans", "report"),
+)
+def llm_pq_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does training lift PQ recall?  Measured, cross-engine: recall@10
+    of the ADC ranking under the INIT codebook (first-16 seed) and
+    under the 2-pass Lloyd-TRAINED codebook (``train_pq_codebook``),
+    side by side against the same exact-distance top-10.  The training
+    chain and both scorings recompute from raw parquet in the oracle
+    (the trained codebook enters ADC as integers — ``pq_encode_adc``'s
+    ``codebook_q`` path), so the improvement (or its absence at this
+    deliberately tiny k = 16) is a pinned number, not a docstring
+    claim — the arc ``llm_pq_adc`` → ``llm_pq_trained`` →
+    ``llm_pq_recall`` completes with its own evaluation."""
+    from data_engineering_project_utn_spark.llm import similarity as sim2
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    e = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
+    rows = {
+        int(r["vec_id"]): list(r["embedding"])
+        for r in e.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect()
+    }
+    init_cb = [rows[j] for j in sorted(rows)]
+    qv = rows[0]
+    trained = sim2.train_pq_codebook(e, k=16, m=2, n_iter=2)
+    f_init = track_persist(
+        sim2.pq_encode_adc(e, qv, init_cb, m=2).filter(F.col("vec_id") != 0)
+    )
+    f_tr = track_persist(
+        sim2.pq_encode_adc(e, qv, None, m=2, codebook_q=trained).filter(
+            F.col("vec_id") != 0
+        )
+    )
+    ex_top = f_init.orderBy("exact_dist", "vec_id").limit(10).select("vec_id")
+    t0 = f_init.orderBy("adc_dist", "vec_id").limit(10).select("vec_id")
+    tt = f_tr.orderBy("adc_dist", "vec_id").limit(10).select("vec_id")
+    n0 = t0.join(ex_top, "vec_id", "left_semi").count()
+    nt = tt.join(ex_top, "vec_id", "left_semi").count()
+    return spark.createDataFrame(
+        [(int(n0), int(nt))], "n_overlap_init: long, n_overlap_trained: long"
+    )

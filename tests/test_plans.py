@@ -190,6 +190,7 @@ def test_bloom_probe_broadcasts_bits_not_corpus(spark, sf_dir):
         "llm_pq_recall",
         "llm_pq_trained",
         "llm_jaccard_prefix_pos",
+        "llm_pq_recall_trained",
     ],
 )
 def test_graph_family_gates_nonempty(spark, sf_dir, name):

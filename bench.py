@@ -130,6 +130,8 @@ EXTENDED_QUERIES = [
     "llm_pq_trained",
     "llm_jaccard_prefix_pos",
     "llm_pq_recall_trained",
+    "rl_event_transitions",
+    "llm_token_pairs",
     "rl_customers_without_big_orders",
 ]
 

@@ -749,3 +749,57 @@ def rl_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "rl_event_transitions",
+    priority=2,
+    oracle="""
+    WITH seq AS (SELECT user_id, event_type,
+                        lag(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS prev_type
+                 FROM events),
+    c AS (SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM seq WHERE prev_type IS NOT NULL
+          GROUP BY prev_type, event_type),
+    r AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_total FROM c
+          GROUP BY prev_type)
+    SELECT c.prev_type, c.event_type, c.n, r.row_total,
+           CAST(c.n AS DOUBLE) / CAST(r.row_total AS DOUBLE) AS prob
+    FROM c JOIN r USING (prev_type)
+    ORDER BY prev_type, event_type
+    """,
+    tags=("events", "window", "markov"),
+)
+def rl_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    (prev → next) counts and exact-rational row-normalized
+    probabilities — the behavioral-sequence model (funnel analysis /
+    next-event prediction prior) the reference's per-type counters
+    can't express.  One per-user lag window (total order: ts,
+    event_id — no tie ambiguity cross-engine) + a model-size
+    type-pair aggregation; the probability is one exact-int division."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    c = seq.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    r = c.groupBy("prev_type").agg(F.sum("n").cast("long").alias("row_total"))
+    return (
+        c.join(r, "prev_type")
+        .select(
+            "prev_type",
+            "event_type",
+            "n",
+            "row_total",
+            (F.col("n").cast("double") / F.col("row_total").cast("double")).alias(
+                "prob"
+            ),
+        )
+        .orderBy("prev_type", "event_type")
+    )

@@ -1488,3 +1488,55 @@ def llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_shared"), "id_a", "id_b")
         .limit(20)
     )
+
+
+@register(
+    "llm_token_pairs",
+    priority=2,
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    dt AS (SELECT doc_id, unnest(list_distinct(t)) AS tok FROM tk),
+    df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY tok),
+    freq AS (SELECT dt.doc_id, dt.tok FROM dt JOIN df USING (tok) WHERE df.df >= 20),
+    pairs AS (SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(COUNT(*) AS BIGINT) AS support
+              FROM freq a JOIN freq b
+                ON a.doc_id = b.doc_id AND a.tok < b.tok
+              GROUP BY a.tok, b.tok
+              HAVING COUNT(*) >= 20)
+    SELECT tok_a, tok_b, support FROM pairs
+    ORDER BY support DESC, tok_a, tok_b LIMIT 20
+    """,
+    tags=("llm", "text", "itemsets"),
+)
+def llm_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent token-pair mining (the 2-itemset core of
+    FP-growth/apriori — co-occurrence statistics for vocabulary
+    analysis and collocation detection): pairs of distinct tokens
+    co-occurring in ≥ 20 documents, with the APRIORI prune applied
+    first — only tokens whose own document frequency meets the support
+    floor ever enter the pair join (a pair can't be frequent if either
+    member isn't), so pair space is Σ over frequent tokens only, the
+    classic candidate-generation bound.  Top-20 by support with a total
+    order."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    dt = d.select(
+        "doc_id", F.explode(F.array_distinct(tx.tokens(F.col("text")))).alias("tok")
+    )
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    dt = track_persist(dt)
+    df_frame = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    freq = dt.join(
+        F.broadcast(df_frame.filter(F.col("df") >= 20).select("tok")), "tok"
+    )
+    fa = freq.select("doc_id", F.col("tok").alias("tok_a"))
+    fb = freq.select("doc_id", F.col("tok").alias("tok_b"))
+    return (
+        fa.join(fb, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= 20)
+        .orderBy(F.desc("support"), "tok_a", "tok_b")
+        .limit(20)
+    )

@@ -132,6 +132,8 @@ EXTENDED_QUERIES = [
     "llm_pq_recall_trained",
     "rl_event_transitions",
     "llm_token_pairs",
+    "rl_cohort_retention",
+    "rl_funnel",
     "rl_customers_without_big_orders",
 ]
 

@@ -803,3 +803,135 @@ def rl_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "event_type")
     )
+
+
+@register(
+    "rl_cohort_retention",
+    priority=2,
+    oracle="""
+    WITH firsts AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+                    FROM events GROUP BY user_id),
+    act AS (SELECT DISTINCT e.user_id, f.cohort_day,
+                   date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) // 7
+                       AS week_offset
+            FROM events e JOIN firsts f USING (user_id)),
+    cs AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_size
+           FROM firsts GROUP BY cohort_day),
+    r AS (SELECT cohort_day, CAST(week_offset AS BIGINT) AS week_offset,
+                 CAST(COUNT(*) AS BIGINT) AS n_active
+          FROM act GROUP BY cohort_day, week_offset)
+    SELECT CAST(r.cohort_day AS VARCHAR) AS cohort_day,
+           r.week_offset, r.n_active, cs.cohort_size,
+           CAST(r.n_active AS DOUBLE) / CAST(cs.cohort_size AS DOUBLE) AS retention
+    FROM r JOIN cs USING (cohort_day)
+    ORDER BY cohort_day, week_offset
+    """,
+    tags=("events", "cohort", "retention"),
+)
+def rl_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — the product-analytics staple the reference's
+    live counters can't express: users grouped by first-seen DAY, their
+    activity bucketed by integer week offset from that day
+    (date_diff // 7 — day arithmetic, no week-boundary convention to
+    disagree on), retention as one exact-int division per cell.  Two
+    user-key aggregations + one distinct — the cohort/size frames are
+    calendar-bounded (model-size) at any event volume."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min("ts").cast("date").alias("cohort_day"))
+    act = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            (F.datediff(F.col("ts").cast("date"), F.col("cohort_day")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    cs = firsts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    r = act.groupBy("cohort_day", "week_offset").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active")
+    )
+    return (
+        r.join(cs, "cohort_day")
+        .select(
+            # string-rendered date: the drivers' pandas bridges disagree on
+            # DATE (datetime.date vs Timestamp) — ISO text hashes identically
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            (F.col("n_active").cast("double") / F.col("cohort_size").cast("double")).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_day", "week_offset")
+    )
+
+
+@register(
+    "rl_funnel",
+    priority=2,
+    oracle="""
+    WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    t2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+           FROM events e JOIN t1 ON t1.user_id = e.user_id
+           WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY e.user_id),
+    t3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+           FROM events e JOIN t2 ON t2.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id),
+    f AS (SELECT CAST(COUNT(t1.user_id) AS BIGINT) AS n_view,
+                 CAST(COUNT(t2.user_id) AS BIGINT) AS n_view_click,
+                 CAST(COUNT(t3.user_id) AS BIGINT) AS n_full_funnel
+          FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id))
+    SELECT (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events) AS n_users,
+           f.n_view, f.n_view_click, f.n_full_funnel
+    FROM f
+    """,
+    tags=("events", "funnel"),
+)
+def rl_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click-after-view →
+    purchase-after-click): per-stage user counts where each stage's
+    timestamp must STRICTLY follow the previous stage's first
+    completion — the sequential-pattern query counters and pivots can't
+    express.  Three chained per-user MIN aggregations (each one
+    user-key join + groupBy, no window over the raw stream), assembled
+    into one row; every value an exact integer count."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    f = (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .agg(
+            F.count("t1").cast("long").alias("n_view"),
+            F.count("t2").cast("long").alias("n_view_click"),
+            F.count("t3").cast("long").alias("n_full_funnel"),
+        )
+    )
+    tot = e.agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    return tot.crossJoin(F.broadcast(f)).select(
+        "n_users", "n_view", "n_view_click", "n_full_funnel"
+    )

@@ -193,6 +193,8 @@ def test_bloom_probe_broadcasts_bits_not_corpus(spark, sf_dir):
         "llm_pq_recall_trained",
         "rl_event_transitions",
         "llm_token_pairs",
+        "rl_cohort_retention",
+        "rl_funnel",
     ],
 )
 def test_graph_family_gates_nonempty(spark, sf_dir, name):

@@ -134,6 +134,7 @@ EXTENDED_QUERIES = [
     "llm_token_pairs",
     "rl_cohort_retention",
     "rl_funnel",
+    "llm_zipf_slope",
     "rl_customers_without_big_orders",
 ]
 

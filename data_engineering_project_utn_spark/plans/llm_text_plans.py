@@ -19,6 +19,7 @@ from data_engineering_project_utn_spark.plans.llm_shared import (
     _SHINGLES,
     _TOKS,
     _cm_bucket_sql,
+    _plog2_sql,
 )
 from data_engineering_project_utn_spark.plans.registry import register
 from data_engineering_project_utn_spark.tables import load_table
@@ -1539,4 +1540,77 @@ def llm_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("support") >= 20)
         .orderBy(F.desc("support"), "tok_a", "tok_b")
         .limit(20)
+    )
+
+
+@register(
+    "llm_zipf_slope",
+    priority=2,
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+    freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY tok),
+    top AS (SELECT tok, f FROM freq ORDER BY f DESC, tok LIMIT 1000),
+    pts AS (SELECT CAST({{PLOG_R}} AS BIGINT) AS x, CAST({{PLOG_F}} AS BIGINT) AS y
+            FROM (SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS r FROM top)),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(x AS HUGEINT)) AS BIGINT) AS sx,
+                 CAST(SUM(CAST(y AS HUGEINT)) AS BIGINT) AS sy,
+                 SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx
+          FROM pts)
+    SELECT n, sx, sy,
+           CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+           / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS zipf_slope
+    FROM s
+    """.replace("{PLOG_R}", _plog2_sql("r")).replace("{PLOG_F}", _plog2_sql("f")),
+    tags=("llm", "text", "report"),
+)
+def llm_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law exponent of the corpus vocabulary — the log-log
+    rank-frequency slope (healthy natural text ≈ −1; a flat slope
+    flags templated/synthetic text, a cliff flags boilerplate): least
+    squares over (plog2(rank), plog2(freq)) for the top-1000 tokens,
+    with EVERY moment an exact integer (the piecewise-linear
+    fixed-point log₂, decimal-safe sums) and ONE floating division at
+    the end — regression as a bit-gateable artifact.  The rank window
+    runs over the top-1000 frame only (model-size by construction —
+    TakeOrdered bounds it before any ranking), so no vocabulary-sized
+    sort ever plans."""
+    from data_engineering_project_utn_spark.functions.scalar import plog2_sql
+    from pyspark.sql import Window
+
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    freq = (
+        d.select(F.explode(tx.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    top = freq.orderBy(F.desc("f"), "tok").limit(1000)
+    ranked = top.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("f"), "tok")).cast("long")
+    )
+    pts = ranked.select(
+        F.expr(plog2_sql("r")).cast("long").alias("x"),
+        F.expr(plog2_sql("f")).cast("long").alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+    )
+    return s.select(
+        "n",
+        "sx",
+        "sy",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx").cast("decimal(38,0)") * F.col("sy")).cast(
+                "double"
+            )
+            / (
+                F.col("n") * F.col("sxx")
+                - F.col("sx").cast("decimal(38,0)") * F.col("sx")
+            ).cast("double")
+        ).alias("zipf_slope"),
     )

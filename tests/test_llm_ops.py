@@ -2675,3 +2675,51 @@ class TestPQRecallTrained:
         err0 = (f0["adc_dist"] - f0["exact_dist"]).abs().mean()
         errt = (ft["adc_dist"] - ft["exact_dist"]).abs().mean()
         assert errt <= err0
+
+
+class TestZipfSlope:
+    def _slope(self, spark, texts):
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.plans import all_queries
+
+        # build via the registered plan's internals: reuse the query on a
+        # temp dir is heavier than needed — compute inline with the same ops
+        from data_engineering_project_utn_spark.functions.scalar import plog2_sql
+        from pyspark.sql import Window
+
+        from data_engineering_project_utn_spark.llm import text as tx
+
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        )
+        freq = (
+            docs.select(F.explode(tx.tokens(F.col("text"))).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("f"))
+        )
+        ranked = freq.orderBy(F.desc("f"), "tok").limit(1000).withColumn(
+            "r", F.row_number().over(Window.orderBy(F.desc("f"), "tok")).cast("long")
+        )
+        pts = ranked.select(
+            F.expr(plog2_sql("r")).cast("long").alias("x"),
+            F.expr(plog2_sql("f")).cast("long").alias("y"),
+        ).toPandas()
+        import numpy as np
+
+        return np.polyfit(pts["x"], pts["y"], 1)[0]
+
+    def test_zipfian_corpus_slope_near_minus_one(self, spark):
+        """freq(rank) ∝ 1/rank → log-log slope ≈ −1."""
+        words = []
+        for r in range(1, 40):
+            words += ["w%d" % r] * (2000 // r)
+        slope = self._slope(spark, [" ".join(words)])
+        assert -1.15 < slope < -0.85
+
+    def test_uniform_corpus_slope_near_zero(self, spark):
+        """Every token equally frequent → slope ≈ 0 (the templated-text
+        signature the corpus gate measures on the driver data)."""
+        words = ["w%d" % r for r in range(1, 40)] * 50
+        slope = self._slope(spark, [" ".join(words)])
+        assert abs(slope) < 0.1

@@ -195,6 +195,7 @@ def test_bloom_probe_broadcasts_bits_not_corpus(spark, sf_dir):
         "llm_token_pairs",
         "rl_cohort_retention",
         "rl_funnel",
+        "llm_zipf_slope",
     ],
 )
 def test_graph_family_gates_nonempty(spark, sf_dir, name):

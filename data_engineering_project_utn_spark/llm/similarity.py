@@ -866,7 +866,12 @@ def top_principal_direction(
         lambda x: F.floor(x.cast("double") * F.lit(float(x_scale))).cast("long"),
     )
     base = _track_persist(embeddings.select(xq_arr.alias("xq")))
-    d = len(base.select("xq").first()["xq"])
+    _probe = base.select("xq").first()
+    if _probe is None:
+        raise ValueError(
+            "power iteration needs a non-empty embeddings frame (ADVICE r07)"
+        )
+    d = len(_probe["xq"])
     spark = embeddings.sparkSession
     vs = [v_scale] * d
     for _ in range(iters):
@@ -986,7 +991,12 @@ def _power_rounds(base: DataFrame, iters: int, v_scale: int) -> "list[int]":
     level.  Same arithmetic contract: long score fold, DECIMAL(38,0)
     per-dim sums (≡ oracle HUGEINT), sign-split integer renormalization
     to ‖v‖∞ = ``v_scale``."""
-    d = len(base.select("xq").first()["xq"])
+    _probe = base.select("xq").first()
+    if _probe is None:
+        raise ValueError(
+            "power iteration needs a non-empty embeddings frame (ADVICE r07)"
+        )
+    d = len(_probe["xq"])
     spark = base.sparkSession
     vs = [v_scale] * d
     for _ in range(iters):
@@ -1491,10 +1501,20 @@ def train_pq_codebook(
     units of 1/x_scale)."""
     import math
 
-    first = {
-        int(r[id_col]): list(r[vec_col])
-        for r in embeddings.filter(F.col(id_col) < k).select(id_col, vec_col).collect()
-    }
+    # Seed from the k LOWEST ids actually present (ADVICE r07): on the
+    # dense 0..n-1 driver ids this is exactly the ``vec_id < k`` set the
+    # chained-CTE oracle encodes, but a sparse or offset id space no
+    # longer KeyErrors — and fewer than k rows is a clear contract error,
+    # not an IndexError deep in the comprehension.
+    seed_rows = (
+        embeddings.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    )
+    if len(seed_rows) < k:
+        raise ValueError(
+            f"train_pq_codebook needs at least k={k} rows to seed the "
+            f"codebook; the embeddings frame has only {len(seed_rows)}"
+        )
+    first = [list(r[vec_col]) for r in seed_rows]
     d = len(first[0])
     dsub = d // m
     cb = [
@@ -1512,7 +1532,13 @@ def train_pq_codebook(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * F.lit(float(x_scale))).cast("long"),
     )
-    base = embeddings.select(xq.alias("_xq"))
+    # Persist the quantized base (scanned once per Lloyd iteration) and,
+    # below, each iteration's assignment frame: the per-subspace update
+    # collects the SAME assigned frame m times, and without the persist
+    # each collect re-runs the k·m literal-argmin scan — the r07 lesson
+    # ("persist any frame consumed by both sides") applied here too
+    # (VERDICT r07 #3).
+    base = _track_persist(embeddings.select(xq.alias("_xq")))
     for _ in range(n_iter):
         def sub_dist(s: int, j: int):
             lit = F.array(*[F.lit(int(v)).cast("long") for v in cb[s][j]])
@@ -1537,7 +1563,10 @@ def train_pq_codebook(
             )["j"].alias(f"c{s}")
             for s in range(m)
         ]
-        assigned = base.select("_xq", *codes)
+        # iteration-local persist: materialized by the first subspace's
+        # collect, reused by the other m-1, released before the next
+        # iteration rebuilds assignments against the new centroids
+        assigned = base.select("_xq", *codes).persist()
         new_cb = [[list(cw) for cw in sub] for sub in cb]
         for s in range(m):
             stats = (
@@ -1556,5 +1585,6 @@ def train_pq_codebook(
                 new_cb[s][int(row["j"])][int(row["pos"])] = truncdiv(
                     int(row["sx"]), int(row["n"])
                 )
+        assigned.unpersist()
         cb = new_cb
     return cb

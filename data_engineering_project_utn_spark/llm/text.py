@@ -22,9 +22,20 @@ STOPWORDS = {
 
 
 def tokens(text: Column | str) -> Column:
-    """Whitespace tokenization (lowercased)."""
+    """Whitespace tokenization (lowercased, empty tokens dropped).
+
+    The filter is load-bearing: ``F.split`` keeps the empty string produced
+    by leading/trailing whitespace (``split(' b') == ['', 'b']``) and
+    ``split('') == ['']``, so without it ``token_count(' b')`` would be 2
+    and ``token_count('')`` would be 1 — a phantom token that pollutes
+    vocab tops, BM25 length normalization, and span positions on
+    whitespace-dirty corpora.  Contract: ``token_count(' b') == 1``,
+    ``token_count('') == 0``, all-whitespace text → empty array.  The
+    DuckDB oracle twin (``plans/llm_shared._TOKS``) applies the same
+    filter — keep the two in lockstep.
+    """
     c = F.col(text) if isinstance(text, str) else text
-    return F.split(F.lower(c), r"\s+")
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != F.lit(""))
 
 
 def token_count(text: Column | str) -> Column:
@@ -559,11 +570,19 @@ def bm25_scores(
         .crossJoin(F.broadcast(nal))
         .select(
             "did",
+            # Every product is promoted to DECIMAL(38,0) BEFORE multiplying
+            # (ADVICE r07): in BIGINT, 88·AL·tf reaches 8.8e18 at the
+            # documented bounds (within 5% of the 2^63 wrap) and 36·len·N
+            # can exceed it outright — Spark would wrap silently where the
+            # DuckDB oracle's HUGEINT keeps going.  DECIMAL(38,0) matches
+            # the oracle's 128-bit behavior.
             F.expr(
                 f"(CAST((2 * _n - 2 * doc_freq + 1) * {idf_scale} div"
                 f" (2 * doc_freq + 1) AS DECIMAL(38,0))"
-                " * (88 * _al * tf))"
-                " div (40 * _al * tf + 12 * _al + 36 * len * _n)"
+                " * (CAST(88 AS DECIMAL(38,0)) * _al * tf))"
+                " div (CAST(40 AS DECIMAL(38,0)) * _al * tf"
+                "      + CAST(12 AS DECIMAL(38,0)) * _al"
+                "      + CAST(36 AS DECIMAL(38,0)) * len * _n)"
             ).alias("c"),
         )
     )

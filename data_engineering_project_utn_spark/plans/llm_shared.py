@@ -10,8 +10,12 @@ module stales only that family (the reason plans/llm.py was split).
 from __future__ import annotations
 
 
-# Oracle fragment: whitespace tokens, lowercased (== llm.text.tokens).
-_TOKS = r"string_split_regex(lower(text), '\s+')"
+# Oracle fragment: whitespace tokens, lowercased, EMPTY TOKENS DROPPED
+# (== llm.text.tokens).  The list_filter mirrors the Spark-side filter:
+# regex split keeps the empty string from leading/trailing whitespace, so
+# without it ' b' would tokenize to ['', 'b'] on both engines — identical
+# hashes but the wrong answer.  token_count('') == 0 by this contract.
+_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
 # Oracle fragment: 5-gram shingle strings from token list ``t``.
 _SHINGLES = "list_transform(range(1, greatest(len(t) - 4, 1) + 1), i -> array_to_string(t[i:i+4], ' '))"
 # Oracle fragment: sequential-fold dot product of two lists (matches

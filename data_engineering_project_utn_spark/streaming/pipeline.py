@@ -351,16 +351,33 @@ def make_windowed_bottomk_batch_fn(
     boundaries (the same argument max gives windowed HLL and sum gives
     windowed CM, here realized through the at-rest re-trim instead of a
     built-in agg, because no bounded-state bottom-k aggregate exists).
-    State is ≤ k rows per window at ANY stream rate; a duplicate-key
-    dropDuplicates before the trim makes replayed micro-batches
-    idempotent (at-least-once delivery → the exactly-once sample), using
-    the sample's unique-key contract (``bottomk_sample`` docstring).
+    State is ≤ k rows per window at ANY stream rate.  The sample's
+    unique-key contract (``bottomk_sample`` docstring) is established
+    INSIDE the fn (ADVICE r07): incoming rows are aggregated to one row
+    per (window, key) with MIN(val) BEFORE the first trim — a micro-batch
+    may carry duplicate keys, and deduping only after the merge would
+    free slots the pure batch trim spends on the duplicate, admitting an
+    extra key.  MIN is deterministic at any partitioning and idempotent
+    under at-least-once replay, so streamed ≡ batch holds for ANY key
+    column, not just unique ones; the batch reference is
+    ``bottomk_sample_grouped`` over the same min-aggregated rows.
+
+    State writes are crash-safe (ADVICE r07): the new snapshot lands in
+    ``<state_dir>.tmp`` first, the previous snapshot rotates to
+    ``<state_dir>.bak``, then tmp renames into place — renames are
+    metadata-only, so no crash point leaves zero complete snapshots, and
+    ``_read_state`` recovers from the backup when a crash struck between
+    the two renames.  Read failures are NOT swallowed: only genuine
+    absence means "first batch"; a corrupt existing snapshot raises.
 
     Estimates come from the same order statistics the batch gate
     ``llm_quantile_sketch`` uses — read ``state_dir`` and rank within
     each window.  At 100 TB the re-trim joins k·|open windows| rows
     against the batch's trimmed sample: model-size on both sides."""
     from data_engineering_project_utn_spark.llm import sketch as sk
+
+    def _uniq(rows: DataFrame) -> DataFrame:
+        return rows.groupBy("win_start", "skey").agg(F.min("val").alias("val"))
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -369,27 +386,65 @@ def make_windowed_bottomk_batch_fn(
             F.col(key_col).cast("string").alias("skey"),
             F.col(value_col).alias("val"),
         )
-        batch_trim = sk.bottomk_sample_grouped(rows, "skey", ["win_start"], k=k)
-        try:
-            prev = spark.read.parquet(state_dir)
-            merged = batch_trim.unionByName(prev)
-        except Exception:
-            merged = batch_trim
-        trimmed = sk.bottomk_sample_grouped(
-            merged.dropDuplicates(["win_start", "skey"]),
-            "skey",
-            ["win_start"],
-            k=k,
-        )
+        batch_trim = sk.bottomk_sample_grouped(_uniq(rows), "skey", ["win_start"], k=k)
+        prev = _read_state(spark, state_dir)
+        merged = batch_trim.unionByName(prev) if prev is not None else batch_trim
+        trimmed = sk.bottomk_sample_grouped(_uniq(merged), "skey", ["win_start"], k=k)
         # state is ≤ k rows per window — materialize through the driver so
         # the overwrite never reads its own input (model-size collect, the
         # same contract as the IVF centroid and EMA segment collects)
         pdf = trimmed.toPandas()
-        spark.createDataFrame(pdf, trimmed.schema).write.mode(
-            "overwrite"
-        ).parquet(state_dir)
+        _write_state_atomic(
+            spark.createDataFrame(pdf, trimmed.schema), spark, state_dir
+        )
 
     return process
+
+
+def _hadoop_fs(spark, dir_path: str):
+    """(FileSystem, Path) for ``dir_path`` via the JVM gateway — works for
+    any Hadoop-supported scheme (local, HDFS, s3a), not just local disk."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(dir_path)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path
+
+
+def _read_state(spark, state_dir: str):
+    """Previous snapshot DataFrame, or None ONLY when genuinely absent.
+
+    Explicit existence check instead of a bare except (ADVICE r07): a
+    corrupt or unreadable existing snapshot raises instead of silently
+    reinitializing (which would drop accumulated per-window state with
+    no signal).  If a crash struck between ``_write_state_atomic``'s two
+    renames the primary is missing but the backup is complete — recover
+    it by renaming back into place."""
+    fs, path = _hadoop_fs(spark, state_dir)
+    jvm = spark._jvm
+    bak = jvm.org.apache.hadoop.fs.Path(state_dir + ".bak")
+    if not fs.exists(path) and fs.exists(bak):
+        fs.rename(bak, path)
+    if not fs.exists(path):
+        return None
+    return spark.read.parquet(state_dir)
+
+
+def _write_state_atomic(df: DataFrame, spark, state_dir: str) -> None:
+    """Snapshot rotation: write ``.tmp`` fully, rotate current → ``.bak``,
+    rename ``.tmp`` into place, drop the backup.  Every crash point
+    leaves at least one COMPLETE snapshot on disk (the renames are
+    metadata-only), unlike a direct ``mode('overwrite')`` which deletes
+    the previous state before the new write is durable."""
+    jvm = spark._jvm
+    fs, path = _hadoop_fs(spark, state_dir)
+    tmp = jvm.org.apache.hadoop.fs.Path(state_dir + ".tmp")
+    bak = jvm.org.apache.hadoop.fs.Path(state_dir + ".bak")
+    df.write.mode("overwrite").parquet(state_dir + ".tmp")
+    if fs.exists(path):
+        fs.delete(bak, True)
+        fs.rename(path, bak)
+    fs.rename(tmp, path)
+    fs.delete(bak, True)
 
 
 def windowed_quantile_estimates(

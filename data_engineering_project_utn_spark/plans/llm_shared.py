@@ -64,6 +64,50 @@ _QUALITY_CTES = f"""tk AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
           FROM m)"""
 
 
+# Oracle fragment: the add-one-smoothed bigram-LM surprisal chain
+# (== llm.text.bigram_surprisal) — emits CTEs tk(did, t) / bg / c12 /
+# c1 / v / bits / agg, where agg has (doc_id, bits_fp, n_bigrams);
+# docs with < 2 tokens emit no bigrams and are absent from agg.
+# Shared by the surprisal gate and the CCNet bucket gate so the LM
+# formula can't drift between them.
+_SURPRISAL_CTES = f"""tk AS (SELECT doc_id AS did, {_TOKS} AS t FROM documents),
+    bg AS (SELECT did, t[i] AS w1, t[i + 1] AS w2
+           FROM (SELECT did, t, unnest(range(1, len(t))) AS i
+                 FROM tk WHERE len(t) >= 2)),
+    c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+    v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS _v
+          FROM (SELECT unnest(t) AS tok FROM tk)),
+    bits AS (SELECT bg.did,
+                    CAST((length(format('{{:b}}', c1.c1 + v._v)) - 1)
+                         - (length(format('{{:b}}', c12.c12 + 1)) - 1)
+                         AS BIGINT) AS bits
+             FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+    agg AS (SELECT did AS doc_id, CAST(SUM(bits) AS BIGINT) AS bits_fp,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams
+            FROM bits GROUP BY did)"""
+
+
+# Oracle fragment: stopword-heuristic language prediction from an
+# in-scope CTE ``tk(did, t)`` (== llm.text.predicted_lang — same
+# stopword lists and (en, es, de, fr)-first tie-break as the
+# ``llm_langid`` oracle).  Emits CTEs ls / lp; lp has (did, plang).
+_LANGID_CTES = """ls AS (SELECT did,
+            CAST(len(list_filter(t, x -> list_contains(['the','a','and','of','to','in','is','it'], x))) AS BIGINT) AS s_en,
+            CAST(len(list_filter(t, x -> list_contains(['el','la','de','que','y','en','un','es'], x))) AS BIGINT) AS s_es,
+            CAST(len(list_filter(t, x -> list_contains(['der','die','das','und','ist','von','ein','zu'], x))) AS BIGINT) AS s_de,
+            CAST(len(list_filter(t, x -> list_contains(['le','la','de','et','un','est','que','en'], x))) AS BIGINT) AS s_fr
+          FROM tk),
+    lp AS (SELECT did,
+            CASE WHEN GREATEST(s_en, s_es, s_de, s_fr) <= 0 THEN 'und'
+                 WHEN s_en = GREATEST(s_en, s_es, s_de, s_fr) THEN 'en'
+                 WHEN s_es = GREATEST(s_en, s_es, s_de, s_fr) THEN 'es'
+                 WHEN s_de = GREATEST(s_en, s_es, s_de, s_fr) THEN 'de'
+                 ELSE 'fr' END AS plang
+          FROM ls)"""
+
+
 # Oracle fragment: the count-min bucket — first 8 md5 hex chars of
 # "<d>:<item>" folded to an int (same char fold the SimHash gate proved
 # ≡ Spark's conv(hex,16,10)), mod the sketch width (== llm.sketch.cm_hash).

@@ -17,6 +17,7 @@ from data_engineering_project_utn_spark.plans.llm_shared import (
     _RARE_SHINGLE_CTES,
     _SH3,
     _SHINGLES,
+    _SURPRISAL_CTES,
     _TOKS,
     _cm_bucket_sql,
     _plog2_sql,
@@ -1419,23 +1420,7 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_bigram_surprisal",
     priority=2,
     oracle=f"""
-    WITH tk AS (SELECT doc_id AS did, {_TOKS} AS t FROM documents),
-    bg AS (SELECT did, t[i] AS w1, t[i + 1] AS w2
-           FROM (SELECT did, t, unnest(range(1, len(t))) AS i
-                 FROM tk WHERE len(t) >= 2)),
-    c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
-            FROM bg GROUP BY w1, w2),
-    c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY w1),
-    v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS _v
-          FROM (SELECT unnest(t) AS tok FROM tk)),
-    bits AS (SELECT bg.did,
-                    CAST((length(format('{{:b}}', c1.c1 + v._v)) - 1)
-                         - (length(format('{{:b}}', c12.c12 + 1)) - 1)
-                         AS BIGINT) AS bits
-             FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
-    agg AS (SELECT did AS doc_id, CAST(SUM(bits) AS BIGINT) AS bits_fp,
-                   CAST(COUNT(*) AS BIGINT) AS n_bigrams
-            FROM bits GROUP BY did)
+    WITH {_SURPRISAL_CTES}
     SELECT doc_id, bits_fp, n_bigrams,
            CAST(bits_fp AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS bits_per_bigram
     FROM agg

@@ -2884,3 +2884,72 @@ class TestZipfSlope:
         words = ["w%d" % r for r in range(1, 40)] * 50
         slope = self._slope(spark, [" ".join(words)])
         assert abs(slope) < 0.1
+
+
+class TestCCNetBuckets:
+    def test_tertile_invariants_on_driver_data(self, spark, sf_dir):
+        """Quota invariants of the CCNet selection gate: per language the
+        three buckets partition the scored docs with sizes differing by
+        ≤ 1, buckets are contiguous in ppm (lo ≤ hi, hi(b) ≤ lo(b+1)),
+        and the sample-estimated boundary lies inside the language's
+        observed ppm range."""
+        from data_engineering_project_utn_spark.plans import all_queries
+
+        out = (
+            all_queries()["llm_ccnet_buckets"]
+            .build(spark, sf_dir)
+            .toPandas()
+            .sort_values(["plang", "bucket"])
+        )
+        assert len(out) >= 3  # at least one language with all 3 buckets
+        for plang, g in out.groupby("plang"):
+            assert list(g["bucket"]) == [1, 2, 3]
+            sizes = list(g["n_docs"])
+            assert max(sizes) - min(sizes) <= 1
+            assert (g["lo_ppm"] <= g["hi_ppm"]).all()
+            his = list(g["hi_ppm"])
+            los = list(g["lo_ppm"])
+            assert his[0] <= los[1] and his[1] <= los[2]
+            lo_all, hi_all = min(los), max(his)
+            assert (g["est_hi_ppm"].between(lo_all, hi_all)).all()
+
+    def test_exact_quota_matches_python_fold(self, spark):
+        """bucket = 1 + floor(3(r-1)/n) over (ppm, doc_id) order must
+        equal the obvious Python computation on a synthetic corpus with
+        ties and an n not divisible by 3."""
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.plans import all_queries
+
+        # 7 'en' docs (all 'the ... the' so predicted_lang = en), varying
+        # repetition so ppm varies, plus ties from identical texts
+        texts = [
+            "the cat sat on the mat",
+            "the cat sat on the mat",
+            "the dog ran to the park and the dog ran",
+            "the a a a the a a a",
+            "the unique words differ here the end",
+            "the b b the b b",
+            "the c the c the c",
+        ]
+        pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts,
+                            "lang": ["en"] * len(texts),
+                            "source": ["s"] * len(texts),
+                            "n_chars": [len(t) for t in texts]})
+        import tempfile, os
+        with tempfile.TemporaryDirectory() as tmp:
+            import shutil
+            for t in ["region", "nation", "customer", "supplier", "part",
+                      "orders", "lineitem", "events", "embeddings"]:
+                shutil.copyfile(f"/root/testdata/sf0.001/{t}.parquet",
+                                os.path.join(tmp, f"{t}.parquet"))
+            pdf.to_parquet(os.path.join(tmp, "documents.parquet"), index=False)
+            out = (
+                all_queries()["llm_ccnet_buckets"]
+                .build(spark, tmp)
+                .toPandas()
+                .sort_values(["plang", "bucket"])
+            )
+        en = out[out["plang"] == "en"]
+        # n = 7 -> quota sizes 3, 2, 2 (head takes the remainder)
+        assert list(en["n_docs"]) == [3, 2, 2]

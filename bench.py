@@ -136,6 +136,9 @@ EXTENDED_QUERIES = [
     "rl_funnel",
     "llm_zipf_slope",
     "rl_customers_without_big_orders",
+    "llm_graph_triangles_degree",
+    "llm_pq_recall_residual",
+    "llm_ccnet_buckets",
 ]
 
 

@@ -857,3 +857,51 @@ def contamination_fraction(
             ).alias("frac"),
         )
     )
+
+
+def semantic_neardup_pairs(
+    embeddings: DataFrame,
+    centroids: "list[tuple[int, list[float]]]",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate candidates (Abbas et al.
+    2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication"): coarse-cluster every vector with the IVF
+    quantizer, then score cosine similarity for pairs WITHIN each
+    cluster only — the embedding-space analogue of the LSH band join,
+    catching paraphrases and re-encodings that share no n-grams (the
+    duplicate class MinHash/SimHash structurally cannot see).
+
+    Returns (cell, id_a, id_b, cos_sim) for every in-cell pair with
+    id_a < id_b; the caller thresholds (dedup) or ranks (report).
+
+    Scale shape: one coarse-assignment projection (centroid literals,
+    pure scan), one equi-join on the cell key — pair space Σ|cell|²,
+    bounded by the quantizer granularity (k grows with the corpus via
+    ``similarity.derive_ivf_k``, exactly how the paper shards FAISS
+    clusters), NEVER an all-pairs product.  Cosine is the shared
+    left-fold ``similarity.dot`` — bit-identical to the oracle's
+    list_reduce — computed only for in-cell pairs."""
+    from data_engineering_project_utn_spark.llm import similarity as sim
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    cells = track_persist(
+        sim.ivf_cells(embeddings, centroids, vec_col=vec_col).select(
+            id_col, vec_col, "cell"
+        )
+    )
+    a = cells.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "cell"
+    )
+    b = cells.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "cell"
+    )
+    from data_engineering_project_utn_spark.llm.similarity import dot, norm
+
+    cos = dot(F.col("_va"), F.col("_vb")) / (norm(F.col("_va")) * norm(F.col("_vb")))
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("cell", "id_a", "id_b", cos.alias("cos_sim"))
+    )

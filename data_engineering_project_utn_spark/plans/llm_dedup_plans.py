@@ -1257,3 +1257,67 @@ def llm_jaccard_prefix_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), "id_a", "id_b")
         .limit(20)
     )
+
+
+@register(
+    "llm_semdedup_pairs",
+    priority=2,
+    oracle="""
+    WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+    cscored AS (
+        SELECT e.vec_id, c.cid,
+               list_reduce(list_transform(list_zip(e.embedding, c.cv),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)
+               / (sqrt(list_reduce(list_transform(list_zip(e.embedding, e.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x))
+                  * sqrt(list_reduce(list_transform(list_zip(c.cv, c.cv),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)))
+                   AS cos_c
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    cells AS (
+        SELECT vec_id, cid AS cell
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY cos_c DESC, cid DESC) AS rn
+              FROM cscored)
+        WHERE rn = 1
+    ),
+    ce AS (SELECT c.vec_id, c.cell, e.embedding
+           FROM cells c JOIN embeddings e USING (vec_id)),
+    p AS (SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+                 list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+                     q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)), (acc, x) -> acc + x)
+                 / (sqrt(list_reduce(list_transform(list_zip(a.embedding, a.embedding),
+                        q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)), (acc, x) -> acc + x))
+                    * sqrt(list_reduce(list_transform(list_zip(b.embedding, b.embedding),
+                        q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)), (acc, x) -> acc + x)))
+                     AS cos_sim
+          FROM ce a JOIN ce b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+    SELECT cell, id_a, id_b, cos_sim FROM p
+    ORDER BY cos_sim DESC, id_a, id_b LIMIT 20
+    """,
+    tags=("llm", "dedup", "similarity", "semantic"),
+)
+def llm_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-duplicate report (SemDeDup, Abbas et al. 2023):
+    the top-20 most-cosine-similar IN-CLUSTER embedding pairs
+    (``llm/dedup.semantic_neardup_pairs`` — IVF coarse cells as the
+    blocking structure, cosine scored only within a cell).  The
+    embedding-space member of the dedup family: catches paraphrase /
+    re-encoding duplicates that share no n-grams, next to MinHash
+    (lexical), SimHash (bitwise), spans (substring), and containment
+    (asymmetric).  Pair space is Σ|cell|² — quantizer-bounded, never
+    all-pairs; at 100 TB the cell count scales with the corpus
+    (``derive_ivf_k``) so per-cell populations stay flat."""
+    from data_engineering_project_utn_spark.llm import dedup as dd2
+
+    e = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
+    cents = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in e.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    ]
+    return (
+        dd2.semantic_neardup_pairs(e, cents)
+        .orderBy(F.desc("cos_sim"), "id_a", "id_b")
+        .limit(20)
+    )

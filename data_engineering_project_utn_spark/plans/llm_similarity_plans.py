@@ -1862,3 +1862,113 @@ def llm_pq_recall_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(int(np_), int(nr))], "n_overlap_plain: long, n_overlap_residual: long"
     )
+
+
+@register(
+    "llm_ann_rank_eval",
+    priority=2,
+    oracle=f"""
+    WITH {_sigs_cte(8)},
+    q AS (SELECT vec_id AS q_id, embedding AS qv, bucket AS q_bucket
+          FROM sigs WHERE vec_id < 8),
+    sc AS (SELECT q.q_id, s.vec_id, q.q_bucket, s.bucket,
+                  {_dot('q.qv', 's.embedding')}
+                  / (sqrt({_dot('q.qv', 'q.qv')})
+                     * sqrt({_dot('s.embedding', 's.embedding')})) AS cos_sim
+           FROM sigs s CROSS JOIN q WHERE s.vec_id <> q.q_id),
+    tn AS (SELECT q_id, vec_id AS true_nn FROM (
+              SELECT q_id, vec_id, row_number() OVER (
+                  PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
+              FROM sc)
+           WHERE rn = 1),
+    cand AS (SELECT q_id, vec_id, cos_sim FROM sc WHERE bucket = q_bucket),
+    nc AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_candidates
+           FROM cand GROUP BY q_id),
+    rk AS (SELECT q_id, vec_id,
+                  CAST(row_number() OVER (
+                      PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS r
+           FROM cand)
+    SELECT t.q_id, t.true_nn,
+           COALESCE(nc.n_candidates, 0) AS n_candidates,
+           COALESCE(rk.r, 0) AS approx_rank
+    FROM tn t
+    LEFT JOIN nc USING (q_id)
+    LEFT JOIN rk ON rk.q_id = t.q_id AND rk.vec_id = t.true_nn
+    ORDER BY q_id
+    """,
+    tags=("llm", "similarity", "ann", "report"),
+)
+def llm_ann_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN retrieval-quality evaluation as a gated table — the metric
+    layer over the ANN family: for each of 8 query vectors, the TRUE
+    nearest neighbor (brute-force cosine argmax, ties to lowest id) and
+    where the sign-LSH bucket ranking actually puts it — approx_rank
+    (1 = the bucket's top candidate IS the true NN; 0 = the bucket
+    MISSED it entirely, the LSH false-negative case) plus the bucket's
+    candidate count.  Integer ranks instead of a pre-divided MRR so the
+    gate stays division-free; MRR@k = mean(1/approx_rank over ranks in
+    1..k) is one reader-side fold.  The per-query twin of the
+    aggregate recall gates (`llm_pq_recall*`): those pin overlap
+    counts, this pins WHERE each miss happens.
+
+    Scale shape: signatures are a pure scan; the brute arm is an 8-row
+    broadcast against the corpus (model-size query set — the honest
+    exact baseline you run on a SAMPLE at 100 TB); the LSH arm touches
+    only same-bucket rows.  One rank window per query key."""
+    from pyspark.sql import Window as W
+
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    e = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
+    sigs = track_persist(
+        e.select(
+            "vec_id",
+            "embedding",
+            sim.lsh_signature(F.col("embedding"), 8).alias("bucket"),
+        )
+    )
+    q = sigs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cos = sim.dot(F.col("qv"), F.col("embedding")) / (
+        sim.norm(F.col("qv")) * sim.norm(F.col("embedding"))
+    )
+    scored = track_persist(
+        sigs.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", "q_bucket", "bucket", cos.alias("cos_sim"))
+    )
+    tn = (
+        scored.groupBy("q_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cos_sim").alias("c"), (-F.col("vec_id")).alias("nv")
+                )
+            ).alias("m")
+        )
+        .select("q_id", (-F.col("m.nv")).cast("long").alias("true_nn"))
+    )
+    cand = scored.filter(F.col("bucket") == F.col("q_bucket"))
+    nc = cand.groupBy("q_id").agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    wr = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), "vec_id")
+    rk = cand.select(
+        "q_id", "vec_id", F.row_number().over(wr).cast("long").alias("r")
+    )
+    return (
+        tn.join(nc, "q_id", "left")
+        .join(
+            rk,
+            (rk["q_id"] == tn["q_id"]) & (rk["vec_id"] == tn["true_nn"]),
+            "left",
+        )
+        .select(
+            tn["q_id"],
+            "true_nn",
+            F.coalesce("n_candidates", F.lit(0).cast("long")).alias("n_candidates"),
+            F.coalesce(F.col("r"), F.lit(0).cast("long")).alias("approx_rank"),
+        )
+        .orderBy("q_id")
+    )

@@ -611,3 +611,68 @@ def rl_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("small_qty_revenue"),
         )
     )
+
+
+@register(
+    "rl_global_sales_opportunity",
+    priority=2,
+    oracle="""
+    WITH pos AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s,
+                        CAST(COUNT(*) AS BIGINT) AS n
+                 FROM customer WHERE c_acctbal > 0),
+    rich AS (SELECT c.c_custkey, c.c_nationkey,
+                    CAST(c.c_acctbal AS DECIMAL(18,2)) AS bal
+             FROM customer c, pos
+             WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * pos.n > pos.s),
+    noord AS (SELECT r.c_nationkey, r.bal FROM rich r
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_custkey = r.c_custkey
+                                  AND o.o_totalprice > 400000))
+    SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(bal) AS DOUBLE) AS totacctbal
+    FROM noord GROUP BY c_nationkey ORDER BY cntrycode
+    """,
+    tags=("relational", "antijoin", "correlated", "agg"),
+)
+def rl_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22's shape: customers with ABOVE-AVERAGE positive balance
+    and no recent big spend, grouped by country code (c_nationkey
+    stands in for the phone-prefix cntrycode — the driver schema has no
+    phone column).  The uncorrelated AVG subquery becomes a 1-row
+    broadcast with the comparison cleared to exact arithmetic
+    (bal·n > Σbal over DECIMAL(18,2) — no engine can disagree on a
+    boundary customer); NOT EXISTS becomes a left-anti join against
+    orders pre-filtered to > 400 000 (the pushed-down predicate that
+    keeps the gate non-empty on driver data, the
+    ``rl_customers_without_big_orders`` witness convention — a bare
+    no-orders anti join is 0-row by semantics here); the balance sum
+    aggregates in DECIMAL before one final double cast.
+
+    Scale: filter → broadcast 1-row threshold → anti join (build side =
+    big orders only, shrunk BEFORE the shuffle) → nation-key agg.  The
+    canonical "find the reachable prospects" report shape."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    pos = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.sum(bal).cast("decimal(38,2)").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    rich = (
+        c.crossJoin(F.broadcast(pos))
+        .filter(bal * F.col("n") > F.col("s"))
+        .select("c_custkey", "c_nationkey", bal.alias("bal"))
+    )
+    return (
+        rich.join(o, rich["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum("bal").cast("double").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

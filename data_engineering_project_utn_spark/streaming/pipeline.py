@@ -529,6 +529,47 @@ def sessionize_stream(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "instance_id",
+    ts_col: str = "arrival_timestamp",
+    watermark: str = "1 hour",
+    within: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream interval join — event ATTRIBUTION across two live
+    streams (the view→purchase / impression→click shape): for each left
+    event, every right event of the same key arriving in
+    [left_ts, left_ts + within].  The one streaming join Spark executes
+    with BOUNDED state: both watermarks plus the two-sided time
+    condition let the engine compute, per side, exactly how long a
+    buffered row can still find a match — left rows evict ``within``
+    past their watermark, right rows at theirs (Structured Streaming's
+    state-watermark derivation), so state is (rate × window), not
+    history.  Without the interval bounds a stream-stream inner join
+    must buffer FOREVER; that's the contract this helper encodes.
+
+    Returns (key, l_ts, r_ts) in append mode (inner joins emit on
+    match, no watermark wait).  Batch parity: the identical join on the
+    static frames — asserted row-for-row in ``TestStreamStreamJoin``.
+
+    Scale: state is partitioned by the join key (the same shuffle a
+    batch equi-join does); skewed keys salt exactly like batch joins.
+    """
+    l = left.select(
+        F.col(key_col).alias("_k"), F.col(ts_col).alias("l_ts")
+    ).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col(key_col).alias("_rk"), F.col(ts_col).alias("r_ts")
+    ).withWatermark("r_ts", watermark)
+    return l.join(
+        r,
+        (F.col("_k") == F.col("_rk"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+    ).select(F.col("_k").alias(key_col), "l_ts", "r_ts")
+
+
 class RunningTopK:
     """Streaming top-k (O7): the reference's sorted deque
     (`Dashboard/app.py:29-56`) as a foreachBatch accumulator.

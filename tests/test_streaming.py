@@ -1895,3 +1895,71 @@ class TestWindowedQuantileSketch:
             for r in sp.windowed_quantile_estimates(expected_frame, [5, 9]).collect()
         }
         assert est_stream == est_batch and est_stream
+
+
+class TestStreamStreamJoin:
+    def test_interval_join_matches_batch(self, spark, tmp_path):
+        """Stream-stream interval join ≡ the identical batch join —
+        micro-batch boundaries must be invisible even when matching
+        events arrive in DIFFERENT micro-batches (the left/right file
+        splits below interleave timestamps across the split point)."""
+        pdf = _event_pdf(120)
+        left_pdf = pdf.iloc[::2]   # even rows -> "views"
+        right_pdf = pdf.iloc[1::2]  # odd rows -> "purchases"
+        lpath, rpath = str(tmp_path / "ssj_left"), str(tmp_path / "ssj_right")
+        for path, side in ((lpath, left_pdf), (rpath, right_pdf)):
+            spark.createDataFrame(side.iloc[:30], EVENT_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(path)
+            spark.createDataFrame(side.iloc[30:], EVENT_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(path)
+
+        lstream = sp.file_stream(spark, lpath, EVENT_SCHEMA, max_files_per_trigger=1)
+        rstream = sp.file_stream(spark, rpath, EVENT_SCHEMA, max_files_per_trigger=1)
+        joined = sp.stream_stream_interval_join(
+            lstream, rstream, watermark="30 seconds", within="1 minute"
+        )
+        _run_to_memory(joined, "ssj", tmp_path)
+        got = {
+            (r["instance_id"], r["l_ts"], r["r_ts"])
+            for r in spark.table("ssj").collect()
+        }
+
+        lb = spark.read.schema(EVENT_SCHEMA).parquet(lpath)
+        rb = spark.read.schema(EVENT_SCHEMA).parquet(rpath)
+        expected = {
+            (r["instance_id"], r["l_ts"], r["r_ts"])
+            for r in sp.stream_stream_interval_join(
+                lb, rb, watermark="30 seconds", within="1 minute"
+            ).collect()
+        }
+        assert expected  # the interleave guarantees matches exist
+        assert got == expected
+
+    def test_join_state_is_interval_bounded(self, spark, tmp_path):
+        """The two-sided time condition must produce a bounded-state plan:
+        Spark derives a state watermark for BOTH sides (visible as
+        watermark predicates in the executed plan), so buffered rows
+        evict instead of accumulating forever."""
+        pdf = _event_pdf(24)
+        lpath = str(tmp_path / "ssjb_left")
+        spark.createDataFrame(pdf, EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(lpath)
+        lstream = sp.file_stream(spark, lpath, EVENT_SCHEMA)
+        rstream = sp.file_stream(spark, lpath, EVENT_SCHEMA)
+        joined = sp.stream_stream_interval_join(
+            lstream, rstream, watermark="30 seconds", within="1 minute"
+        )
+        q = (
+            joined.writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ssjb_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        progress = q.lastProgress
+        assert progress is not None
+        ops = progress["stateOperators"]
+        assert ops and ops[0]["operatorName"] == "symmetricHashJoin"

@@ -139,6 +139,11 @@ EXTENDED_QUERIES = [
     "llm_graph_triangles_degree",
     "llm_pq_recall_residual",
     "llm_ccnet_buckets",
+    "llm_semdedup_pairs",
+    "llm_ann_rank_eval",
+    "rl_global_sales_opportunity",
+    "llm_ngram_novelty",
+    "llm_packing_waste",
 ]
 
 

@@ -142,18 +142,25 @@ def llm_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sa.shard_assignment(d, n_shards=8).select("doc_id", "shuffle_key", "shard")
 
 
-@register(
-    "llm_pack_sequences",
-    priority=1,
-    oracle=f"""
-    WITH t AS (SELECT source AS stream, doc_id,
+# Oracle fragment: the packing frame (== llm.sampling.pack_sequences at
+# window 2048) — emits CTEs t / c; c has (stream, doc_id, n_tokens,
+# tokens_before).  Shared by the packing gate and the packing-efficiency
+# report so the layout formula can't drift.
+_PACK_CTES = f"""t AS (SELECT source AS stream, doc_id,
                       CAST(len({_TOKS}) AS BIGINT) AS n_tokens
                FROM documents),
     c AS (SELECT stream, doc_id, n_tokens,
                  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
                      AS tokens_before
-          FROM t)
+          FROM t)"""
+
+
+@register(
+    "llm_pack_sequences",
+    priority=1,
+    oracle=f"""
+    WITH {_PACK_CTES}
     SELECT stream, doc_id, n_tokens, tokens_before,
            CAST(FLOOR(tokens_before / 2048) AS BIGINT) AS chunk_id
     FROM c
@@ -627,3 +634,62 @@ def llm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("plang", "bucket", F.col("ppm").alias("est_hi_ppm"))
     )
     return exact.join(est, ["plang", "bucket"]).orderBy("plang", "bucket")
+
+
+@register(
+    "llm_packing_waste",
+    priority=2,
+    oracle=f"""
+    WITH {_PACK_CTES},
+    per AS (SELECT stream, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(SUM(CASE WHEN n_tokens > 0 AND
+                            tokens_before // 2048 <>
+                            (tokens_before + n_tokens - 1) // 2048
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+            FROM c GROUP BY stream)
+    SELECT stream, n_docs, total_tokens,
+           CAST((total_tokens + 2047) // 2048 AS BIGINT) AS n_chunks,
+           CAST((total_tokens + 2047) // 2048 * 2048 - total_tokens AS BIGINT)
+               AS waste_tokens,
+           n_split_docs
+    FROM per ORDER BY stream
+    """,
+    tags=("llm", "curation", "packing", "report"),
+)
+def llm_packing_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report over the gated packing layout
+    (``llm_pack_sequences``, window 2048): per stream — docs, exact
+    token totals, chunks consumed (⌈total/2048⌉), tail-padding waste
+    (the tokens the LAST chunk pads, the only waste concat-and-chunk
+    packing has), and the number of BOUNDARY-CROSSING documents (docs
+    whose first and last token land in different chunks — the rows a
+    trainer must mask across chunk boundaries or accept cross-doc
+    attention on).  The metric layer a packing decision actually uses:
+    window size trades waste_tokens against n_split_docs, and this gate
+    pins both sides of that trade cross-engine.
+
+    Scale: the packing frame's per-stream cumulative window (shard-
+    grained keys at 100 TB, see pack_sequences) followed by one
+    stream-key aggregation — nothing new shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    p = sa.pack_sequences(d, window_tokens=2048, stream_col="source")
+    split = (F.col("n_tokens") > 0) & (
+        F.expr("tokens_before div 2048")
+        != F.expr("(tokens_before + n_tokens - 1) div 2048")
+    )
+    per = p.groupBy("stream").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.when(split, 1).otherwise(0)).cast("long").alias("n_split_docs"),
+    )
+    return per.select(
+        "stream",
+        "n_docs",
+        "total_tokens",
+        F.expr("(total_tokens + 2047) div 2048").cast("long").alias("n_chunks"),
+        F.expr("(total_tokens + 2047) div 2048 * 2048 - total_tokens")
+        .cast("long")
+        .alias("waste_tokens"),
+        "n_split_docs",
+    ).orderBy("stream")

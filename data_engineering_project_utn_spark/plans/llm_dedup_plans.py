@@ -1263,7 +1263,11 @@ def llm_jaccard_prefix_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_semdedup_pairs",
     priority=2,
     oracle="""
-    WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+    WITH kk AS (SELECT LEAST(65536, GREATEST(4, CAST(POW(2, CEIL(LOG2(SQRT(
+                   CAST(COUNT(*) AS DOUBLE))))) AS BIGINT))) AS k
+                FROM embeddings),
+    cents AS (SELECT vec_id AS cid, embedding AS cv
+              FROM embeddings, kk WHERE vec_id < kk.k),
     cscored AS (
         SELECT e.vec_id, c.cid,
                list_reduce(list_transform(list_zip(e.embedding, c.cv),
@@ -1306,18 +1310,37 @@ def llm_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding-space member of the dedup family: catches paraphrase /
     re-encoding duplicates that share no n-grams, next to MinHash
     (lexical), SimHash (bitwise), spans (substring), and containment
-    (asymmetric).  Pair space is Σ|cell|² — quantizer-bounded, never
-    all-pairs; at 100 TB the cell count scales with the corpus
-    (``derive_ivf_k``) so per-cell populations stay flat."""
+    (asymmetric).
+
+    The quantizer size is DERIVED from the corpus, k = 2^⌈log2 √N⌉
+    (``derive_ivf_k`` — the same value-gated sizing rule as
+    ``llm_ivf_auto``, recomputed by the oracle from its own COUNT), so
+    the pair space Σ|cell|² ≈ N²/k = N^1.5 shrinks as the corpus grows
+    cells — a FIXED quantizer would make this gate quadratic per
+    doubling (measured: 8 fixed cells cost 4×/2× rows; derived cells
+    re-bound it).  Per-vector norms are computed once on the persisted
+    cell frame, not per pair (identical fold → identical doubles)."""
     from data_engineering_project_utn_spark.llm import dedup as dd2
 
     e = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    e = track_persist(e)
+    k = sim_derive_k(e)
     cents = [
         (int(r["vec_id"]), list(r["embedding"]))
-        for r in e.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+        for r in e.filter(F.col("vec_id") < k).select("vec_id", "embedding").collect()
     ]
     return (
         dd2.semantic_neardup_pairs(e, cents)
         .orderBy(F.desc("cos_sim"), "id_a", "id_b")
         .limit(20)
     )
+
+
+def sim_derive_k(e: DataFrame) -> int:
+    """√N quantizer sizing for the semdedup gate (= similarity.derive_ivf_k
+    over the frame's count)."""
+    from data_engineering_project_utn_spark.llm import similarity as sim
+
+    return sim.derive_ivf_k(e.count())

@@ -1634,3 +1634,65 @@ def llm_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double")
         ).alias("zipf_slope"),
     )
+
+
+@register(
+    "llm_ngram_novelty",
+    priority=2,
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS g FROM tk),
+    gdf AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS gdf FROM sh GROUP BY g),
+    per AS (SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                   CAST(SUM(CASE WHEN gdf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_novel
+            FROM sh JOIN gdf USING (g) GROUP BY doc_id)
+    SELECT doc_id, n_shingles, n_novel,
+           CAST(n_novel * 1000000 // n_shingles AS BIGINT) AS novelty_ppm
+    FROM per
+    ORDER BY novelty_ppm DESC, doc_id LIMIT 20
+    """,
+    tags=("llm", "text", "quality", "dedup"),
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY — the fraction of a doc's distinct
+    5-gram shingles that occur NOWHERE else in the corpus (df = 1), as
+    a fixed-point ppm.  The inverse signal of the dup/contamination
+    family: span dedup finds what repeats, this scores what doesn't —
+    the memorization/boilerplate axis (high novelty = unique content
+    worth keeping; near-zero novelty = templated or duplicated text
+    even when no single pair crosses a dedup threshold).  Top-20 most
+    novel documents, exact integer ratio (novel·10⁶ div shingles).
+
+    Scale: one distinct-shingle explode + one df groupBy (map-side
+    combined, vocabulary-keyed) + one doc-key re-aggregation — the
+    TF-IDF frame's shuffle shape; no pair space at all."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct(tx.shingles("text"))).alias("g")
+    )
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    sh = track_persist(sh)
+    gdf = sh.groupBy("g").agg(F.count(F.lit(1)).alias("gdf"))
+    per = (
+        sh.join(gdf, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("gdf") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        per.select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr("n_novel * 1000000 div n_shingles").cast("long").alias("novelty_ppm"),
+        )
+        .orderBy(F.desc("novelty_ppm"), "doc_id")
+        .limit(20)
+    )

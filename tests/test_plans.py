@@ -199,6 +199,11 @@ def test_bloom_probe_broadcasts_bits_not_corpus(spark, sf_dir):
         "llm_graph_triangles_degree",
         "llm_pq_recall_residual",
         "llm_ccnet_buckets",
+        "llm_semdedup_pairs",
+        "llm_ann_rank_eval",
+        "rl_global_sales_opportunity",
+        "llm_ngram_novelty",
+        "llm_packing_waste",
     ],
 )
 def test_graph_family_gates_nonempty(spark, sf_dir, name):
@@ -254,6 +259,10 @@ def test_rrf_neighborhood_no_global_window(spark, sf_dir):
         "llm_graph_triangles_degree",
         "llm_pq_recall_residual",
         "llm_ccnet_buckets",
+        "llm_semdedup_pairs",
+        "llm_ngram_novelty",
+        "llm_packing_waste",
+        "rl_global_sales_opportunity",
     ],
 )
 def test_round7_family_no_quadratic_join(spark, sf_dir, name):
@@ -273,7 +282,16 @@ def test_round7_family_no_quadratic_join(spark, sf_dir, name):
     # scored frame is cache-warm (InMemoryRelation.toString embeds its
     # cached child plan, so the substring count depends on session cache
     # state, not on the plan actually executed).
-    allowed = {"llm_bm25_topk": 1, "llm_bigram_surprisal": 1, "llm_ccnet_buckets": 5}
+    allowed = {
+        "llm_bm25_topk": 1,
+        "llm_bigram_surprisal": 1,
+        "llm_ccnet_buckets": 5,
+        # Q22's 1-row positive-balance threshold broadcast
+        "rl_global_sales_opportunity": 1,
+        # the packed-centroid 1-row broadcast (k > 16 literal max), printed
+        # once per self-join side of the persisted cell frame
+        "llm_semdedup_pairs": 2,
+    }
     assert bnlj <= allowed.get(name, 0), f"{name}: {bnlj} BNLJ nodes"
 
 

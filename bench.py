@@ -144,6 +144,9 @@ EXTENDED_QUERIES = [
     "rl_global_sales_opportunity",
     "llm_ngram_novelty",
     "llm_packing_waste",
+    "rl_nation_trade_volume",
+    "rl_market_share",
+    "llm_pq_residual_trained",
 ]
 
 

@@ -1535,23 +1535,13 @@ def pq_encode_adc_residual(
         ]
         for s in range(m)
     ]
-    cells = ivf_cells(embeddings, centroids, vec_col=vec_col)
-    xq = F.transform(
-        F.col(vec_col),
-        lambda x: F.floor(x.cast("double") * F.lit(float(x_scale))).cast("long"),
-    )
-    cent_lit = F.array(
-        *[F.array(*[F.lit(int(v)).cast("long") for v in cq[c]]) for c in range(ncell)]
-    )
-    out = cells.select(
+    out = residual_frame(
+        embeddings, centroids, x_scale=x_scale, vec_col=vec_col, id_col=id_col
+    ).select(
         F.col(id_col),
         F.col("cell"),
-        F.zip_with(
-            xq,
-            F.element_at(cent_lit, (F.col("cell") + 1).cast("int")),
-            lambda a, b: a - b,
-        ).alias("_rq"),
-        xq.alias("_xq"),
+        F.col("rq").alias("_rq"),
+        F.col("xq").alias("_xq"),
     )
 
     def sub_dist(s: int, j: int):
@@ -1603,6 +1593,51 @@ def pq_encode_adc_residual(
         "codes",
         adc.cast("long").alias("adc_dist"),
         exact.cast("long").alias("exact_dist"),
+    )
+
+
+def residual_frame(
+    embeddings: DataFrame,
+    centroids: "list[tuple[int, list[float]]]",
+    x_scale: int = 10**6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cell, rq, xq): every vector's integer-grid residual to its
+    OWN coarse cell — rq = floor(x·s) − floor(c·s) per dim, exact
+    BIGINTs (the difference-of-grids convention every residual gate
+    shares), with the raw grid xq riding along for exact-distance
+    columns.  The common prelude of residual ENCODING
+    (``pq_encode_adc_residual``) and residual TRAINING
+    (``train_pq_codebook(pre_quantized=True)``), factored so the two
+    cannot drift.  Pure scan: coarse assignment + one zip_with against
+    the centroid literal table."""
+    import math
+
+    def qz(v: float) -> int:
+        return int(math.floor(float(v) * x_scale))
+
+    cq = {int(cid): [qz(x) for x in cv] for cid, cv in centroids}
+    ncell = len(centroids)
+    if sorted(cq) != list(range(ncell)):
+        raise ValueError("centroid ids must be the dense range 0..n_cells-1")
+    cells = ivf_cells(embeddings, centroids, vec_col=vec_col)
+    xq = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(x_scale))).cast("long"),
+    )
+    cent_lit = F.array(
+        *[F.array(*[F.lit(int(v)).cast("long") for v in cq[c]]) for c in range(ncell)]
+    )
+    return cells.select(
+        F.col(id_col),
+        F.col("cell"),
+        F.zip_with(
+            xq,
+            F.element_at(cent_lit, (F.col("cell") + 1).cast("int")),
+            lambda a, b: a - b,
+        ).alias("rq"),
+        xq.alias("xq"),
     )
 
 
@@ -1659,6 +1694,7 @@ def train_pq_codebook(
     x_scale: int = 10**6,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    pre_quantized: bool = False,
 ) -> "list[list[list[int]]]":
     """Train PQ sub-quantizers: per-subspace Lloyd iterations in EXACT
     integer arithmetic, so the trained codebook is a VALUE-gateable
@@ -1678,7 +1714,12 @@ def train_pq_codebook(
       per iteration — model-size, like the codebook itself.
 
     Returns codebook[s][j] = list of d/m integer coordinates (grid
-    units of 1/x_scale)."""
+    units of 1/x_scale).
+
+    ``pre_quantized=True`` takes ``vec_col`` as an already-integer
+    ``array<bigint>`` on the grid (e.g. the ``rq`` residuals of
+    ``residual_frame``) — no re-quantization anywhere, so Lloyd on
+    residuals shares every integer convention with residual encoding."""
     import math
 
     # Seed from the k LOWEST ids actually present (ADVICE r07): on the
@@ -1697,9 +1738,13 @@ def train_pq_codebook(
     first = [list(r[vec_col]) for r in seed_rows]
     d = len(first[0])
     dsub = d // m
+
+    def seed_q(x) -> int:
+        return int(x) if pre_quantized else int(math.floor(float(x) * x_scale))
+
     cb = [
         [
-            [int(math.floor(float(x) * x_scale)) for x in first[j][s * dsub : (s + 1) * dsub]]
+            [seed_q(x) for x in first[j][s * dsub : (s + 1) * dsub]]
             for j in range(k)
         ]
         for s in range(m)
@@ -1708,9 +1753,13 @@ def train_pq_codebook(
     def truncdiv(a: int, b: int) -> int:
         return -((-a) // b) if a < 0 else a // b
 
-    xq = F.transform(
-        F.col(vec_col),
-        lambda x: F.floor(x.cast("double") * F.lit(float(x_scale))).cast("long"),
+    xq = (
+        F.col(vec_col)
+        if pre_quantized
+        else F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(float(x_scale))).cast("long"),
+        )
     )
     # Persist the quantized base (scanned once per Lloyd iteration) and,
     # below, each iteration's assignment frame: the per-subspace update

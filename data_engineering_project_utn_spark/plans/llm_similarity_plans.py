@@ -1573,20 +1573,33 @@ def llm_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_train_ctes(k: int = 16, dsub: int = 32, iters: int = 2) -> "list[str]":
+def _pq_train_ctes(
+    k: int = 16, dsub: int = 32, iters: int = 2, prelude: "list[str] | None" = None
+) -> "list[str]":
     """Unrolled exact-integer Lloyd iterations for the PQ sub-quantizers
     (the chained-CTE pattern of the PageRank/PCA oracles): assign via
     row_number argmin, update via truncating integer means, empty codes
     carry the previous centroid.  Returned as a CTE list so the trained-
-    recall gate can chain ADC scoring on top of the final cb{iters}."""
-    ctes = [
-        """xq AS (SELECT vec_id, unnest(range(0, len(embedding))) AS dim,
+    recall gate can chain ADC scoring on top of the final cb{iters}.
+
+    ``prelude`` overrides the default raw-grid source CTEs; it must end
+    by defining ``vx(vec_id, x, s, t)`` — the residual-trained gate
+    passes the coarse-assign + residual chain here so Lloyd runs on
+    rq = xq − cq(cell) with every downstream CTE unchanged."""
+    ctes = (
+        list(prelude)
+        if prelude is not None
+        else [
+            """xq AS (SELECT vec_id, unnest(range(0, len(embedding))) AS dim,
                 CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS x
          FROM embeddings)""",
-        f"""vx AS (SELECT vec_id, x,
+            f"""vx AS (SELECT vec_id, x,
                   CAST(dim // {dsub} AS BIGINT) AS s,
                   CAST(dim % {dsub} AS BIGINT) AS t
            FROM xq)""",
+        ]
+    )
+    ctes = ctes + [
         f"""cb0 AS (SELECT s, CAST(vec_id AS BIGINT) AS j, t, x AS c
             FROM vx WHERE vec_id < {k})""",
     ]
@@ -1972,3 +1985,87 @@ def llm_ann_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+# Residual prelude for the Lloyd CTE chain: coarse cells (8 centroid
+# rows, the gate family's convention) + grid residuals, ending in the
+# vx(vec_id, x, s, t) contract _pq_train_ctes consumes.
+_RESIDUAL_TRAIN_PRELUDE = [
+    "cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8)",
+    """cscored AS (
+        SELECT e.vec_id, c.cid,
+               list_reduce(list_transform(list_zip(e.embedding, c.cv),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)
+               / (sqrt(list_reduce(list_transform(list_zip(e.embedding, e.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x))
+                  * sqrt(list_reduce(list_transform(list_zip(c.cv, c.cv),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)))
+                   AS cos_c
+        FROM embeddings e CROSS JOIN cents c)""",
+    """cells AS (
+        SELECT vec_id, cid AS cell
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY cos_c DESC, cid DESC) AS rn
+              FROM cscored)
+        WHERE rn = 1)""",
+    """xq AS (SELECT vec_id, unnest(range(0, len(embedding))) AS dim,
+                CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+         FROM embeddings)""",
+    "cq AS (SELECT vec_id AS cid, dim, x AS cx FROM xq WHERE vec_id < 8)",
+    """vx AS (SELECT v.vec_id, CAST(v.dim // 32 AS BIGINT) AS s,
+                  CAST(v.dim % 32 AS BIGINT) AS t, v.x - c.cx AS x
+           FROM xq v JOIN cells cl ON cl.vec_id = v.vec_id
+                     JOIN cq c ON c.cid = cl.cell AND c.dim = v.dim)""",
+]
+
+
+@register(
+    "llm_pq_residual_trained",
+    priority=2,
+    oracle=(
+        "WITH "
+        + ",\n    ".join(_pq_train_ctes(prelude=_RESIDUAL_TRAIN_PRELUDE))
+        + "\n    SELECT s, j, t AS dim, c FROM cb2 ORDER BY s, j, dim"
+    ),
+    tags=("llm", "similarity", "ann", "ivf", "pq", "kmeans"),
+)
+def llm_pq_residual_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd-TRAINED residual sub-quantizers — the full FAISS
+    ``IndexIVFPQ`` training recipe (coarse-assign, take residuals,
+    k-means the residual space), completing the train × residual
+    matrix: flat-seeded (``llm_pq_adc``), flat-trained
+    (``llm_pq_trained``), residual-seeded (``llm_pq_recall_residual``),
+    and now residual-trained.  The residual frame is the SAME
+    difference-of-grids integers as residual encoding
+    (``similarity.residual_frame``; training runs
+    ``train_pq_codebook(pre_quantized=True)`` so no second quantization
+    convention exists), and the oracle replays coarse assignment +
+    residuals + two unrolled Lloyd iterations from raw parquet — the
+    trained residual codebook as a VALUE-gated artifact (1024
+    integers), like its flat twin.  Seeds are the k lowest ids'
+    residuals; ids 0..7 ARE the centroids (zero residual), which Lloyd
+    then refines or leaves as the legitimate code for near-centroid
+    vectors — documented, not hidden.
+
+    Per-iteration cost shape is the flat trainer's: one persisted
+    argmin scan + a k·d model-size mean collect; the residual prelude
+    adds one coarse-assign projection."""
+    from data_engineering_project_utn_spark.llm import similarity as sim2
+
+    e = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
+    cents = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in e.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    ]
+    rx = sim2.residual_frame(e, cents).select("vec_id", "rq")
+    cb = sim2.train_pq_codebook(
+        rx, k=16, m=2, n_iter=2, vec_col="rq", pre_quantized=True
+    )
+    rows = [
+        (s, j, t, int(c))
+        for s in range(len(cb))
+        for j in range(len(cb[s]))
+        for t, c in enumerate(cb[s][j])
+    ]
+    out = spark.createDataFrame(rows, "s: long, j: long, dim: long, c: long")
+    return out.orderBy("s", "j", "dim")

@@ -676,3 +676,138 @@ def rl_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+@register(
+    "rl_nation_trade_volume",
+    priority=2,
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(YEAR(l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(5,2)))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE n1.n_name < n2.n_name
+      AND l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1998-01-01'
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    tags=("relational", "join", "agg"),
+)
+def rl_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7's shape: shipping volume between nation pairs by year —
+    the one classic that joins BOTH fact tables (lineitem ⨝ orders, the
+    single real shuffle on the order key) while every dimension chain
+    (supplier→nation, customer→nation) rides a broadcast.  The n1 < n2
+    canonical pair orientation halves the output without losing a pair
+    (same trick as the dedup pair joins); revenue is the shared
+    DECIMAL(14,2)·(1−disc) formula so partial-agg order can't move the
+    double.  At 100 TB both facts are bucketed on the order key (see
+    tests/test_bucketed_join.py) so even that shuffle disappears."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    sn = s.join(n, s["s_nationkey"] == n["n_nationkey"]).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    cn = c.join(n, c["c_nationkey"] == n["n_nationkey"]).select(
+        "c_custkey", F.col("n_name").alias("cust_nation")
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 5, 2))
+    return (
+        li.join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(cn), o["o_custkey"] == cn["c_custkey"])
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "rl_market_share",
+    priority=2,
+    oracle="""
+    WITH rev AS (
+        SELECT CAST(YEAR(l.l_shipdate) AS BIGINT) AS l_year,
+               CAST(l.l_extendedprice AS DECIMAL(14,2))
+                   * (1 - CAST(l.l_discount AS DECIMAL(5,2))) AS volume,
+               n1.n_name AS supp_nation
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        JOIN region r ON n2.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+    )
+    SELECT l_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                         ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE)
+               / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM rev GROUP BY l_year ORDER BY l_year
+    """,
+    tags=("relational", "join", "agg", "ratio"),
+)
+def rl_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8's shape: one supplier nation's share of a region's
+    yearly revenue — the ratio-of-conditional-aggregates pattern (A19)
+    over the Q7 join tree.  Both sums aggregate EXACT decimals and the
+    single double division happens once per output row, so the ratio is
+    bit-identical cross-engine (the ``ri_analytical_tables``
+    determinism argument, on a star join).  Customer-side region filter
+    prunes before the fact join; the CASE keeps one pass — no second
+    scan for the numerator."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    r = load_table(spark, sf_dir, "region")
+    sn = s.join(n, s["s_nationkey"] == n["n_nationkey"]).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    cr = (
+        c.join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey")
+    )
+    volume = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 5, 2))
+    num = F.when(
+        F.col("supp_nation") == "NATION_3", volume
+    ).otherwise(F.lit(0).cast("decimal(14,2)"))
+    return (
+        li.join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(cr), o["o_custkey"] == cr["c_custkey"], "left_semi")
+        .groupBy(F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(
+            (F.sum(num).cast("double") / F.sum(volume).cast("double")).alias(
+                "mkt_share"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        )
+        .orderBy("l_year")
+    )

@@ -2740,6 +2740,64 @@ class TestPQTrained:
             sim.train_pq_codebook(dense, k=4, m=2, n_iter=1)
         )
 
+    def test_pre_quantized_equals_float_path(self, spark):
+        """train_pq_codebook(pre_quantized=True) on the manually floor-
+        quantized integer frame must produce the BIT-identical codebook
+        the float path produces — one quantization convention, not two."""
+        import math
+        import random
+
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        rng = random.Random(7)
+        vecs = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(24)]
+        docs = self._docs(spark, vecs)
+        q = docs.select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long"),
+            ).alias("embedding"),
+        )
+        assert sim.train_pq_codebook(q, k=4, m=2, n_iter=2, pre_quantized=True) == (
+            sim.train_pq_codebook(docs, k=4, m=2, n_iter=2)
+        )
+
+    def test_residual_training_reduces_residual_objective(self, spark):
+        """Lloyd on the residual space must not increase the residual
+        quantization objective vs its own seed (k-means monotonicity,
+        the residual-trained gate's invariant)."""
+        import math
+        import random
+
+        rng = random.Random(19)
+        centers = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(4)]
+        vecs = [
+            [c + rng.uniform(-0.2, 0.2) for c in centers[i % 4]] for i in range(48)
+        ]
+        docs = self._docs(spark, vecs)
+        cents = [(j, vecs[j]) for j in range(4)]
+        rx = sim.residual_frame(docs, cents).select("vec_id", "rq")
+        init = sim.train_pq_codebook(rx, k=4, m=2, n_iter=0, vec_col="rq", pre_quantized=True)
+        trained = sim.train_pq_codebook(rx, k=4, m=2, n_iter=2, vec_col="rq", pre_quantized=True)
+
+        rows = {int(r["vec_id"]): list(r["rq"]) for r in rx.collect()}
+
+        def objective(cb):
+            m = len(cb)
+            dsub = len(cb[0][0])
+            total = 0
+            for rq in rows.values():
+                for s in range(m):
+                    sub = rq[s * dsub : (s + 1) * dsub]
+                    total += min(
+                        sum((a - b) ** 2 for a, b in zip(sub, cw)) for cw in cb[s]
+                    )
+            return total
+
+        assert objective(trained) <= objective(init)
+
     def test_too_few_seed_rows_raises_value_error(self, spark):
         """Fewer than k rows is a descriptive ValueError, not an
         IndexError deep in the seeding comprehension (ADVICE r07)."""

@@ -204,6 +204,9 @@ def test_bloom_probe_broadcasts_bits_not_corpus(spark, sf_dir):
         "rl_global_sales_opportunity",
         "llm_ngram_novelty",
         "llm_packing_waste",
+        "rl_nation_trade_volume",
+        "rl_market_share",
+        "llm_pq_residual_trained",
     ],
 )
 def test_graph_family_gates_nonempty(spark, sf_dir, name):
@@ -263,6 +266,8 @@ def test_rrf_neighborhood_no_global_window(spark, sf_dir):
         "llm_ngram_novelty",
         "llm_packing_waste",
         "rl_global_sales_opportunity",
+        "rl_nation_trade_volume",
+        "rl_market_share",
     ],
 )
 def test_round7_family_no_quadratic_join(spark, sf_dir, name):

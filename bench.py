@@ -147,6 +147,8 @@ EXTENDED_QUERIES = [
     "rl_nation_trade_volume",
     "rl_market_share",
     "llm_pq_residual_trained",
+    "llm_ivfpq_residual_ann",
+    "rl_rfm_segments",
 ]
 
 

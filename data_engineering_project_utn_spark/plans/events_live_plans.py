@@ -935,3 +935,86 @@ def rl_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.crossJoin(F.broadcast(f)).select(
         "n_users", "n_view", "n_view_click", "n_full_funnel"
     )
+
+
+@register(
+    "rl_rfm_segments",
+    priority=2,
+    oracle="""
+    WITH per AS (
+        SELECT user_id, MAX(ts) AS last_ts,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS monetary
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM per),
+    rk AS (SELECT user_id, monetary,
+                  row_number() OVER (ORDER BY last_ts, user_id) AS rr,
+                  row_number() OVER (ORDER BY freq, user_id) AS fr,
+                  row_number() OVER (ORDER BY monetary, user_id) AS mr
+           FROM per),
+    seg AS (SELECT user_id, monetary,
+                   CAST(1 + (4 * (rr - 1)) // n.n AS BIGINT) AS r_q,
+                   CAST(1 + (4 * (fr - 1)) // n.n AS BIGINT) AS f_q,
+                   CAST(1 + (4 * (mr - 1)) // n.n AS BIGINT) AS m_q
+            FROM rk, n)
+    SELECT r_q, f_q, m_q, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(monetary) AS DOUBLE) AS total_monetary
+    FROM seg GROUP BY r_q, f_q, m_q
+    ORDER BY r_q, f_q, m_q
+    """,
+    tags=("events", "live", "segmentation", "report"),
+)
+def rl_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over the purchase stream — the classic
+    marketing-analytics rollup: per user recency (last purchase),
+    frequency (purchase count) and monetary (exact DECIMAL spend), each
+    quartiled by the quota rule 1 + ⌊4(r−1)/n⌋ over a TOTAL order
+    (metric, user_id — the ccnet-tertile arithmetic at k = 4), then
+    segment cells (r_q, f_q, m_q) counted with their exact decimal
+    spend.  Quartile 4 = most recent / most frequent / highest spend.
+
+    Scale: the per-user frame is ONE user-key aggregation of the raw
+    stream; the three quartile ranks run on that aggregated frame
+    through ``with_global_rank`` — range-partitioned distributed ranks,
+    NO single-partition window anywhere (plan-asserted), the same
+    machinery as ``ri_decile_percentrank``/``shard_assignment``; the
+    oracle's row_number() is the semantics, not the plan."""
+    from data_engineering_project_utn_spark.operators.histogram import (
+        with_global_rank,
+    )
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    ev = load_table(spark, sf_dir, "events")
+    per = track_persist(
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("monetary"),
+        )
+    )
+    quota = "CAST(1 + (4 * _rank0) div _total AS BIGINT)"
+
+    def qcol(order_cols: "list[str]", name: str) -> DataFrame:
+        return (
+            with_global_rank(per, order_cols)
+            .select("user_id", F.expr(quota).alias(name))
+        )
+    seg = (
+        per.select("user_id", "monetary")
+        .join(qcol(["last_ts", "user_id"], "r_q"), "user_id")
+        .join(qcol(["freq", "user_id"], "f_q"), "user_id")
+        .join(qcol(["monetary", "user_id"], "m_q"), "user_id")
+    )
+    return (
+        seg.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("monetary").cast("double").alias("total_monetary"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )

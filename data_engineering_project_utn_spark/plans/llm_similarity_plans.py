@@ -2069,3 +2069,117 @@ def llm_pq_residual_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out = spark.createDataFrame(rows, "s: long, j: long, dim: long, c: long")
     return out.orderBy("s", "j", "dim")
+
+
+@register(
+    "llm_ivfpq_residual_ann",
+    priority=2,
+    oracle="""
+    WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+    cscored AS (
+        SELECT e.vec_id, c.cid,
+               list_reduce(list_transform(list_zip(e.embedding, c.cv),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)
+               / (sqrt(list_reduce(list_transform(list_zip(e.embedding, e.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x))
+                  * sqrt(list_reduce(list_transform(list_zip(c.cv, c.cv),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)))
+                   AS cos_c
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    cells AS (
+        SELECT vec_id, cid AS cell
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY cos_c DESC, cid DESC) AS rn
+              FROM cscored)
+        WHERE rn = 1
+    ),
+    qp AS (SELECT cid AS cell FROM cscored
+           WHERE vec_id = 0 ORDER BY cos_c DESC, cid DESC LIMIT 2),
+    xq AS (SELECT vec_id, unnest(range(0, len(embedding))) AS dim,
+                CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+         FROM embeddings),
+    cq AS (SELECT vec_id AS cid, dim, x AS cx FROM xq WHERE vec_id < 8),
+    rx AS (SELECT v.vec_id, CAST(v.dim // 32 AS BIGINT) AS s,
+                  CAST(v.dim % 32 AS BIGINT) AS t, v.x - c.cx AS r, cl.cell
+           FROM xq v JOIN cells cl ON cl.vec_id = v.vec_id
+                     JOIN cq c ON c.cid = cl.cell AND c.dim = v.dim),
+    cbr AS (SELECT CAST(vec_id - 16 AS BIGINT) AS j, s, t, r AS c
+            FROM rx WHERE vec_id >= 16 AND vec_id < 32),
+    dres AS (SELECT v.vec_id, c.j, v.s,
+                    CAST(SUM((v.r - c.c) * (v.r - c.c)) AS BIGINT) AS dist
+             FROM rx v JOIN cbr c ON c.s = v.s AND c.t = v.t
+             GROUP BY v.vec_id, c.j, v.s),
+    coder AS (SELECT vec_id, s, j AS code FROM (
+                 SELECT vec_id, s, j, row_number() OVER (
+                     PARTITION BY vec_id, s ORDER BY dist, j) AS rn FROM dres)
+              WHERE rn = 1),
+    qr AS (SELECT c.cid AS cell, CAST(q.dim // 32 AS BIGINT) AS s,
+                  CAST(q.dim % 32 AS BIGINT) AS t, q.x - c.cx AS r
+           FROM xq q JOIN cq c ON c.dim = q.dim WHERE q.vec_id = 0),
+    qdr AS (SELECT qr.cell, cb.j, qr.s,
+                   CAST(SUM((qr.r - cb.c) * (qr.r - cb.c)) AS BIGINT) AS dist
+            FROM qr JOIN cbr cb ON cb.s = qr.s AND cb.t = qr.t
+            GROUP BY qr.cell, cb.j, qr.s),
+    adcr AS (SELECT c.vec_id, cl.cell, CAST(SUM(q.dist) AS BIGINT) AS adc_dist
+             FROM coder c JOIN cells cl ON cl.vec_id = c.vec_id
+             JOIN qdr q ON q.cell = cl.cell AND q.s = c.s AND q.j = c.code
+             GROUP BY c.vec_id, cl.cell)
+    SELECT a.vec_id, a.cell, a.adc_dist
+    FROM adcr a JOIN qp ON a.cell = qp.cell
+    WHERE a.vec_id <> 0
+    ORDER BY a.adc_dist, a.vec_id LIMIT 10
+    """,
+    tags=("llm", "similarity", "ann", "ivf", "pq"),
+)
+def llm_ivfpq_residual_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE FAISS IndexIVFPQ query path, end to end: coarse-probe
+    the query's ``nprobe = 2`` nearest cells (the ``ivf_probe_cells``
+    ranking — cosine desc, cid desc), score ONLY those cells' vectors by
+    residual ADC through the probed cells' query tables, take the
+    top-10.  Composes the pieces the family gates individually:
+    multi-cell probing (``llm_ivf_nprobe``), residual encoding
+    (``llm_pq_recall_residual``), cell-restricted ADC
+    (``llm_ivfpq_ann``).  The probe list is folded driver-side with the
+    same left-fold/IEEE-sqrt doubles the plan computes (the
+    ``_ivf_scored`` literal-norm argument), so Spark filters on two
+    literal cell ids while the oracle re-derives them from its own
+    ranking.
+
+    At rest this is THE billion-vector layout: cell-partitioned files
+    of m-byte residual codes; a query reads nprobe partitions' code
+    columns, nothing else — partition pruning does the candidate
+    selection."""
+    import math
+
+    from data_engineering_project_utn_spark.llm import similarity as sim2
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    e = track_persist(parallelize_compute(load_table(spark, sf_dir, "embeddings")))
+    small = {
+        int(r["vec_id"]): list(r["embedding"])
+        for r in e.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    }
+    cents = [(j, small[j]) for j in range(8)]
+    qv = small[0]
+
+    def cos_to(cv: "list[float]") -> float:
+        d = sum(float(a) * float(b) for a, b in zip(qv, cv))
+        return d / (
+            math.sqrt(sum(float(a) * float(a) for a in qv))
+            * math.sqrt(sum(float(b) * float(b) for b in cv))
+        )
+
+    probed = [
+        cid
+        for cid, _ in sorted(cents, key=lambda c: (-cos_to(c[1]), -c[0]))[:2]
+    ]
+    res_cb = sim2.residual_codebook(e, cents, lo=16, hi=32)
+    scored = sim2.pq_encode_adc_residual(e, qv, cents, res_cb, m=2)
+    return (
+        scored.filter(F.col("cell").isin([int(c) for c in probed]))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "cell", "adc_dist")
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+    )

@@ -207,6 +207,8 @@ def test_bloom_probe_broadcasts_bits_not_corpus(spark, sf_dir):
         "rl_nation_trade_volume",
         "rl_market_share",
         "llm_pq_residual_trained",
+        "llm_ivfpq_residual_ann",
+        "rl_rfm_segments",
     ],
 )
 def test_graph_family_gates_nonempty(spark, sf_dir, name):
@@ -268,6 +270,8 @@ def test_rrf_neighborhood_no_global_window(spark, sf_dir):
         "rl_global_sales_opportunity",
         "rl_nation_trade_volume",
         "rl_market_share",
+        "llm_ivfpq_residual_ann",
+        "rl_rfm_segments",
     ],
 )
 def test_round7_family_no_quadratic_join(spark, sf_dir, name):
@@ -305,3 +309,13 @@ def test_stratified_exact_no_global_sort(spark, sf_dir):
     never an Exchange SinglePartition funnel."""
     plan = _plan(spark, sf_dir, "llm_stratified_exact")
     assert _single_partition_window_sorts(plan) == 0
+
+
+def test_rfm_segments_no_single_partition(spark, sf_dir):
+    """The three RFM quartile ranks must ride the distributed
+    range-partition rank machinery — a global-window row_number would
+    plan an Exchange SinglePartition funnel (the one-reducer bottleneck
+    the ccnet exact arm deliberately keeps; this gate must NOT)."""
+    plan = _plan(spark, sf_dir, "rl_rfm_segments")
+    assert _single_partition_window_sorts(plan) == 0
+    assert "CartesianProduct" not in plan

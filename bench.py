@@ -149,6 +149,8 @@ EXTENDED_QUERIES = [
     "llm_pq_residual_trained",
     "llm_ivfpq_residual_ann",
     "rl_rfm_segments",
+    "llm_sq8_error",
+    "llm_gopher_filters",
 ]
 
 

@@ -1817,3 +1817,65 @@ def train_pq_codebook(
         assigned.unpersist()
         cb = new_cb
     return cb
+
+
+def scalar_quantization_report(
+    embeddings: DataFrame,
+    x_scale: int = 10**6,
+    levels: int = 255,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scalar (SQ8-style) quantization quality report — the OTHER
+    compression FAISS ships besides PQ: per dimension, an affine 8-bit
+    grid between the corpus min and max, every value encoded to
+    code = ⌊(x − min)·levels / span⌋ and reconstructed to
+    min + ⌊code·span / levels⌋.  Returns one row per dimension:
+    (dim, minq, maxq, sum_sq_err, max_abs_err) — the reconstruction
+    error profile that decides SQ8-vs-PQ per corpus (SQ8 keeps 1
+    byte/dim with NO codebook; PQ amortizes m bytes/vector but needs
+    training).  All arithmetic on the floor(x·x_scale) integer grid
+    with truncating division — exact BIGINTs cross-engine; error sums
+    accumulate in DECIMAL(38,0).
+
+    Scale shape: one positional explode (narrow) + two dim-keyed
+    aggregations (d keys, map-side combined) with the d-row min/max
+    frame broadcast between them — shuffle traffic is partitions × d at
+    any corpus size."""
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    xq = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(x_scale))).cast("long"),
+    )
+    pos = track_persist(
+        embeddings.select(F.posexplode(xq).alias("dim", "x")).select(
+            F.col("dim").cast("long").alias("dim"), "x"
+        )
+    )
+    mm = pos.groupBy("dim").agg(
+        F.min("x").alias("minq"), F.max("x").alias("maxq")
+    )
+    span = F.col("maxq") - F.col("minq")
+    code = F.when(
+        span > 0, F.expr(f"((x - minq) * {levels}) div (maxq - minq)")
+    ).otherwise(F.lit(0).cast("long"))
+    joined = pos.join(F.broadcast(mm), "dim").select(
+        "dim", "x", "minq", "maxq", code.alias("_code")
+    )
+    recon = F.col("minq") + F.expr(f"(_code * (maxq - minq)) div {levels}")
+    err = F.col("x") - recon
+    return (
+        joined.select("dim", "minq", "maxq", err.alias("_e"))
+        .groupBy("dim")
+        .agg(
+            F.min("minq").alias("minq"),
+            F.min("maxq").alias("maxq"),
+            F.sum((F.col("_e") * F.col("_e")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .cast("double")
+            .alias("sum_sq_err"),
+            F.max(F.abs("_e")).cast("long").alias("max_abs_err"),
+        )
+        .orderBy("dim")
+    )

@@ -693,3 +693,86 @@ def llm_packing_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("waste_tokens"),
         "n_split_docs",
     ).orderBy("stream")
+
+
+@register(
+    "llm_gopher_filters",
+    priority=2,
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    m AS (SELECT doc_id,
+                 CAST(len(t) AS BIGINT) AS n,
+                 CAST(COALESCE(list_sum(list_transform(t, x -> length(x))), 0)
+                      AS BIGINT) AS chars,
+                 CAST(len(list_filter(t, x -> NOT regexp_matches(x, '[a-z]')))
+                      AS BIGINT) AS noalpha,
+                 CAST(len(list_filter(t, x -> list_contains(
+                     ['the','a','and','of','to','in','is','it'], x)))
+                      AS BIGINT) AS stop
+          FROM tk),
+    agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN n < 30 THEN 1 ELSE 0 END) AS BIGINT) AS ts,
+                   CAST(SUM(CASE WHEN n > 60 THEN 1 ELSE 0 END) AS BIGINT) AS tl,
+                   CAST(SUM(CASE WHEN 3 * n > chars OR chars > 10 * n
+                            THEN 1 ELSE 0 END) AS BIGINT) AS wl,
+                   CAST(SUM(CASE WHEN 10 * noalpha > n THEN 1 ELSE 0 END)
+                        AS BIGINT) AS sh,
+                   CAST(SUM(CASE WHEN stop < 2 THEN 1 ELSE 0 END) AS BIGINT) AS ls
+            FROM m)
+    SELECT 'low_stopword' AS rule, ls AS n_flagged, n_docs FROM agg
+    UNION ALL SELECT 'mean_word_len_out', wl, n_docs FROM agg
+    UNION ALL SELECT 'symbol_heavy', sh, n_docs FROM agg
+    UNION ALL SELECT 'too_long', tl, n_docs FROM agg
+    UNION ALL SELECT 'too_short', ts, n_docs FROM agg
+    ORDER BY rule
+    """,
+    tags=("llm", "curation", "quality", "report"),
+)
+def llm_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality filters (Rae et al. 2021 §A1.1,
+    the rule family C4/Gopher/RefinedWeb curation actually applies)
+    as a per-rule flag-count report: document length bounds (< 30 /
+    > 60 tokens on this corpus's 10–100 range), mean word length
+    outside [3, 10] chars (integer-rational 3n > Σlen ∨ Σlen > 10n —
+    no division), symbol-heavy docs (> 10 % tokens with no [a-z]),
+    and the minimum-stopword rule (< 2 English stopwords).  One row
+    per rule with the corpus size alongside, so the output shape is
+    FIXED (a zero count is a visible number, not a vanished row —
+    gate-hygiene by construction).  Complements the continuous
+    ``quality_score``: production pipelines threshold RULES first,
+    score second.
+
+    Scale: one scan computing five per-doc booleans (pure Column
+    expressions over the shared tokenizer) + one global aggregation;
+    the 5-row unpivot is a literal stack."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    t = tx.tokens("text")
+    n = F.size(t).cast("long")
+    chars = F.aggregate(
+        F.transform(t, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+    noalpha = F.size(F.filter(t, lambda x: ~x.rlike("[a-z]"))).cast("long")
+    stop = tx.stopword_count("text")
+    agg = d.select(
+        F.when(n < 30, 1).otherwise(0).alias("_ts"),
+        F.when(n > 60, 1).otherwise(0).alias("_tl"),
+        F.when((3 * n > chars) | (chars > 10 * n), 1).otherwise(0).alias("_wl"),
+        F.when(10 * noalpha > n, 1).otherwise(0).alias("_sh"),
+        F.when(stop < 2, 1).otherwise(0).alias("_ls"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_ts").cast("long").alias("ts"),
+        F.sum("_tl").cast("long").alias("tl"),
+        F.sum("_wl").cast("long").alias("wl"),
+        F.sum("_sh").cast("long").alias("sh"),
+        F.sum("_ls").cast("long").alias("ls"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(5, 'low_stopword', ls, 'mean_word_len_out', wl,"
+            " 'symbol_heavy', sh, 'too_long', tl, 'too_short', ts)"
+        ).alias("rule", "n_flagged"),
+        "n_docs",
+    ).orderBy("rule")

@@ -2183,3 +2183,45 @@ def llm_ivfpq_residual_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("adc_dist", "vec_id")
         .limit(10)
     )
+
+
+@register(
+    "llm_sq8_error",
+    priority=2,
+    oracle="""
+    WITH xq AS (SELECT vec_id, unnest(range(0, len(embedding))) AS dim,
+                CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+         FROM embeddings),
+    mm AS (SELECT CAST(dim AS BIGINT) AS dim, MIN(x) AS minq, MAX(x) AS maxq
+           FROM xq GROUP BY dim),
+    enc AS (SELECT m.dim, v.x, m.minq, m.maxq,
+                   CASE WHEN m.maxq > m.minq
+                        THEN ((v.x - m.minq) * 255) // (m.maxq - m.minq)
+                        ELSE 0 END AS code
+            FROM xq v JOIN mm m ON m.dim = v.dim),
+    err AS (SELECT dim, minq, maxq,
+                   x - (minq + (code * (maxq - minq)) // 255) AS e
+            FROM enc)
+    SELECT dim, MIN(minq) AS minq, MIN(maxq) AS maxq,
+           CAST(CAST(SUM(CAST(e * e AS HUGEINT)) AS DECIMAL(38,0)) AS DOUBLE)
+               AS sum_sq_err,
+           CAST(MAX(ABS(e)) AS BIGINT) AS max_abs_err
+    FROM err GROUP BY dim ORDER BY dim
+    """,
+    tags=("llm", "similarity", "ann", "quantization", "report"),
+)
+def llm_sq8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantization error profile
+    (``similarity.scalar_quantization_report``): per dimension, the
+    affine 8-bit grid between corpus min/max and the exact integer
+    reconstruction error it costs — one row per dim with the summed
+    squared error (DECIMAL) and the worst absolute error.  Completes
+    the vector-compression family: PQ (codebook, m bytes/vector,
+    training) vs SQ8 (no codebook, 1 byte/dim) is a PER-CORPUS trade,
+    and this gate pins the SQ side of it next to ``llm_pq_recall``'s.
+    The d-row min/max frame is the entire model — at rest SQ8 storage
+    is codes + that frame, decodable scan-side with no join."""
+    from data_engineering_project_utn_spark.llm import similarity as sim2
+
+    e = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
+    return sim2.scalar_quantization_report(e)

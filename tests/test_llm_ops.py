@@ -3011,3 +3011,27 @@ class TestCCNetBuckets:
         en = out[out["plang"] == "en"]
         # n = 7 -> quota sizes 3, 2, 2 (head takes the remainder)
         assert list(en["n_docs"]) == [3, 2, 2]
+
+
+class TestScalarQuantization:
+    def test_sq8_error_bounds_and_extremes(self, spark):
+        """Affine 8-bit grid invariants: per dim the reconstruction
+        error is bounded by one quantization step (span div 255 plus
+        the truncation remainder), grid extremes reconstruct with error
+        < one step, and a constant dimension (span 0) has zero error."""
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.llm import similarity as sim
+
+        vecs = [[i / 37.0, 0.5, (i * i % 101) / 50.0 - 1.0] for i in range(64)]
+        e = spark.createDataFrame(
+            pd.DataFrame({"vec_id": range(len(vecs)), "embedding": vecs})
+        )
+        out = sim.scalar_quantization_report(e).toPandas().set_index("dim")
+        assert list(out.index) == [0, 1, 2]
+        # constant dim: span 0 -> code 0 -> exact reconstruction
+        assert out.loc[1, "max_abs_err"] == 0 and out.loc[1, "sum_sq_err"] == 0
+        for dim in (0, 2):
+            span = int(out.loc[dim, "maxq"] - out.loc[dim, "minq"])
+            step = span // 255 + 1
+            assert 0 < out.loc[dim, "max_abs_err"] <= 2 * step

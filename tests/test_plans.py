@@ -209,6 +209,8 @@ def test_bloom_probe_broadcasts_bits_not_corpus(spark, sf_dir):
         "llm_pq_residual_trained",
         "llm_ivfpq_residual_ann",
         "rl_rfm_segments",
+        "llm_sq8_error",
+        "llm_gopher_filters",
     ],
 )
 def test_graph_family_gates_nonempty(spark, sf_dir, name):
@@ -272,6 +274,8 @@ def test_rrf_neighborhood_no_global_window(spark, sf_dir):
         "rl_market_share",
         "llm_ivfpq_residual_ann",
         "rl_rfm_segments",
+        "llm_sq8_error",
+        "llm_gopher_filters",
     ],
 )
 def test_round7_family_no_quadratic_join(spark, sf_dir, name):

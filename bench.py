@@ -151,6 +151,7 @@ EXTENDED_QUERIES = [
     "rl_rfm_segments",
     "llm_sq8_error",
     "llm_gopher_filters",
+    "rl_monthly_growth",
 ]
 
 

@@ -811,3 +811,60 @@ def rl_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_year")
     )
+
+
+@register(
+    "rl_monthly_growth",
+    priority=2,
+    oracle="""
+    WITH m AS (SELECT date_trunc('month', o_orderdate) AS month,
+                      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                           AS DECIMAL(38,2)) AS revenue,
+                      CAST(COUNT(*) AS BIGINT) AS n_orders
+               FROM orders GROUP BY month)
+    SELECT month, CAST(revenue AS DOUBLE) AS revenue, n_orders,
+           CAST(lag(revenue) OVER (ORDER BY month) AS DOUBLE) AS prev_revenue,
+           CAST(revenue AS DOUBLE)
+               / CAST(lag(revenue) OVER (ORDER BY month) AS DOUBLE) - 1.0
+               AS growth
+    FROM m ORDER BY month
+    """,
+    tags=("relational", "window", "timeseries"),
+)
+def rl_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period growth — the canonical time-series report
+    shape the relational family lacked: monthly order revenue (exact
+    DECIMAL sums) with the previous month's value and the growth ratio
+    via ``lag`` over the month order.  The ratio divides two decimals
+    ONCE per output row in double (identical operands → identical
+    quotient cross-engine); the first month's growth is NULL by lag
+    semantics on both engines.
+
+    Scale: one month-key aggregation of the fact table (map-side
+    combined into calendar-bounded keys), then a window over the
+    AGGREGATED frame — months are bounded by the calendar (~10² rows
+    at any corpus size), so the global window here is model-size by
+    construction, not a scale smell."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    m = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+    w = W.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        F.col("revenue").cast("double").alias("revenue"),
+        "n_orders",
+        prev.cast("double").alias("prev_revenue"),
+        (F.col("revenue").cast("double") / prev.cast("double") - F.lit(1.0)).alias(
+            "growth"
+        ),
+    ).orderBy("month")

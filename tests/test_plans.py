@@ -211,6 +211,7 @@ def test_bloom_probe_broadcasts_bits_not_corpus(spark, sf_dir):
         "rl_rfm_segments",
         "llm_sq8_error",
         "llm_gopher_filters",
+        "rl_monthly_growth",
     ],
 )
 def test_graph_family_gates_nonempty(spark, sf_dir, name):

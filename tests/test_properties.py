@@ -280,3 +280,32 @@ def test_shard_then_manifest_balance(spark, n, n_shards):
     )
     assert counts.sum() == n
     assert counts.max() - counts.min() <= 1
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab \t\nxyz.,", min_size=0, max_size=30),
+        min_size=1,
+        max_size=8,
+    )
+)
+# the r07 judge falsifier's class, pinned at the tokenizer directly
+@example(texts=[" b"])
+@example(texts=[""])
+@example(texts=["   "])
+@example(texts=["a\tb\nc"])
+@_settings
+def test_token_count_matches_python_split(spark, texts):
+    """The tokenizer contract, pinned at the source: token_count must
+    equal Python's str.split() length (which drops empty tokens) for
+    ARBITRARY whitespace-dirty strings — leading/trailing/internal runs
+    of spaces, tabs, newlines, and the empty string."""
+    from data_engineering_project_utn_spark.llm import text as tx
+
+    pdf = pd.DataFrame({"text": texts})
+    out = (
+        spark.createDataFrame(pdf, "text string")
+        .select(tx.token_count("text").alias("n"))
+        .toPandas()
+    )
+    assert list(out["n"]) == [len(t.lower().split()) for t in texts]

@@ -8,18 +8,37 @@ Each query is executed with a count-consuming action (results fully
 materialized, nothing collected to the driver beyond the count) after a
 small warm-up query so JVM/codegen startup isn't billed to the first query.
 
-Runs ``$SPARK_GRAFT_BENCH_REPS`` (default 5) repetitions per query with
-caches cleared between reps, reports the MEDIAN plus every per-rep time
-(``reps``) and the relative spread (``rep_spread`` = (max-min)/min), so a
-noisy environment is visible in the JSON instead of silently inflating a
-round-over-round comparison.  Median-of-5 replaced round ≤4's min-of-3:
-min on sub-second queries made 20 % phantom swings routine (a single lucky
-rep defined the round), while the median moves only if the distribution
-does.
+Measurement protocol (round 9 — the comparison baseline resets here, see
+README "Benchmark comparability"):
+
+* ``$SPARK_GRAFT_BENCH_REPS`` (default 7) repetitions per query with caches
+  cleared between reps; the single MAX rep is dropped (first-rep JIT/load
+  spikes of 3-5x are routine — r08 saw [6.74, 2.15, 1.51, 1.36, 1.34]) and
+  the reported stat is the MEDIAN of the remaining reps.  Every per-rep
+  time is still published (``reps``) plus ``rep_spread`` = (max-min)/min.
+* A machine sentinel pair (raw parquet scan-count + one canonical groupBy
+  shuffle, both straight off ``spark.read`` so no repo code path can move
+  them) is interleaved BEFORE EACH headline query, not measured once per
+  run: the sandbox swings 2-4x BETWEEN sessions and even within one
+  (VERDICT r08 #1), so each query gets the machine cost that prevailed at
+  its own slot.  ``queries_normalized`` = median / that slot's shuffle
+  sentinel — the cross-round comparable number.  Aggregate
+  ``sentinel_scan_sec`` / ``sentinel_shuffle_sec`` (medians across slots)
+  stay for continuity with r07/r08.
+* ``data_fingerprint`` records per-table row counts + a sha256 of the
+  parquet bytes: the testdata directory was silently re-provisioned
+  between r07 and r08 (all mtimes moved), so without this a cross-round
+  per-query delta can compare different inputs and nobody can tell.
+
+The driver stores only the LAST 2000 characters of this line, so fields
+are ordered least-important-first: the big ``extended_queries`` dict leads
+(truncated away harmlessly) and reps/sentinels/fingerprint/totals trail.
+The FULL json is also written to ``BENCH_FULL.json`` at the repo root.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -155,34 +174,56 @@ EXTENDED_QUERIES = [
 ]
 
 
-def _sentinel(spark) -> dict[str, float]:
-    """Fixed environment sentinel (VERDICT r06 #4): two machine-cost probes
-    that no repo code path touches — a raw parquet scan-count of lineitem
-    and one canonical shuffle (groupBy l_orderkey) — written directly
-    against ``spark.read`` so their cost can only change when the
-    MACHINE/JVM changes, never when the engine's operators do.  Recorded
-    in every BENCH_r*.json: to compare totals across rounds, divide each
-    round's query time by its sentinel_shuffle_sec first (round 6 burned
-    judge time proving an 11.2→13.5 s "regression" was environment drift;
-    the r05-code-on-r06-machine re-run that settled it is exactly what
-    this field pre-computes)."""
+def _sentinel_pair(spark) -> tuple[float, float]:
+    """One machine-cost probe pair that no repo code path touches: a raw
+    parquet scan-count of lineitem and one canonical shuffle (groupBy
+    l_orderkey), written directly against ``spark.read`` so their cost can
+    only change when the MACHINE/JVM changes, never when the engine's
+    operators do (VERDICT r06 #4; interleaved per-slot since r09 because
+    session-level drift of 2-4x made a single end-of-run pair useless for
+    normalizing — VERDICT r08 #1)."""
+    li = os.path.join(SF_DIR, "lineitem.parquet")
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    spark.read.parquet(li).count()
+    scan = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    spark.read.parquet(li).groupBy("l_orderkey").count().count()
+    shuffle = time.perf_counter() - t0
+    return round(scan, 3), round(shuffle, 3)
+
+
+def _data_fingerprint(row_counts: dict[str, int]) -> dict[str, list]:
+    """Per-table [row_count, sha256-prefix-of-parquet-bytes].  Detects a
+    driver-side re-provision of the testdata (r07→r08: every mtime moved,
+    BENCH files recorded nothing, cross-round deltas became unfalsifiable).
+    Handles both single-file tables and directory-style parquet output."""
+    out: dict[str, list] = {}
+    for table, n in sorted(row_counts.items()):
+        path = os.path.join(SF_DIR, f"{table}.parquet")
+        h = hashlib.sha256()
+        if os.path.isdir(path):
+            for root, _dirs, files in sorted(os.walk(path)):
+                for fname in sorted(files):
+                    if fname.startswith(("_", ".")):
+                        continue
+                    fp = os.path.join(root, fname)
+                    h.update(fname.encode())
+                    with open(fp, "rb") as fh:
+                        h.update(hashlib.sha256(fh.read()).digest())
+        else:
+            with open(path, "rb") as fh:
+                h.update(hashlib.sha256(fh.read()).digest())
+        out[table] = [n, h.hexdigest()[:12]]
+    return out
+
+
+def _rep_stat(reps: list[float]) -> float:
+    """Median after dropping the single max rep (JIT/first-load spikes)."""
     from statistics import median
 
-    li = os.path.join(SF_DIR, "lineitem.parquet")
-    scan: list[float] = []
-    shuffle: list[float] = []
-    for _ in range(5):
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        spark.read.parquet(li).count()
-        scan.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        spark.read.parquet(li).groupBy("l_orderkey").count().count()
-        shuffle.append(time.perf_counter() - t0)
-    return {
-        "sentinel_scan_sec": round(median(scan), 3),
-        "sentinel_shuffle_sec": round(median(shuffle), 3),
-    }
+    kept = sorted(reps)[:-1] if len(reps) > 1 else reps
+    return round(median(kept), 3)
 
 
 def main() -> None:
@@ -190,27 +231,29 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
-    # Warm-up: touch every input table + JIT the scan path.
+    # Warm-up: touch every input table + JIT the scan path; the counts feed
+    # the data fingerprint so they aren't an extra pass.
     from data_engineering_project_utn_spark.tables import TABLE_NAMES, load_table
 
-    for t in TABLE_NAMES:
-        load_table(spark, SF_DIR, t).count()
+    row_counts = {
+        t: load_table(spark, SF_DIR, t).count() for t in TABLE_NAMES
+    }
+    fingerprint = _data_fingerprint(row_counts)
+    print(f"# data fingerprint: {fingerprint}", file=sys.stderr)
 
-    sentinel = _sentinel(spark)
-    print(f"# sentinel: {sentinel}", file=sys.stderr)
-
-    # median-of-N per query with the DataFrame cache cleared between runs:
-    # removes scheduler/JIT noise without letting a repeat ride persisted
-    # frames (which would measure cache hits, not query cost)
     from statistics import median
 
     from data_engineering_project_utn_spark.plans import reference_events as _re
 
-    n_reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
+    n_reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "7")))
     timings: dict[str, float] = {}
+    normalized: dict[str, float] = {}
     rep_times: dict[str, list[float]] = {}
+    sentinels: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         q = queries[name]
+        scan_s, shuffle_s = _sentinel_pair(spark)
+        sentinels[name] = [scan_s, shuffle_s]
         reps, n = [], 0
         for _ in range(n_reps):
             spark.catalog.clearCache()
@@ -219,15 +262,21 @@ def main() -> None:
             df = q.build(spark, SF_DIR)
             n = df.count()
             reps.append(round(time.perf_counter() - t0, 3))
-        timings[name] = round(median(reps), 3)
+        timings[name] = _rep_stat(reps)
+        normalized[name] = round(timings[name] / shuffle_s, 2) if shuffle_s else 0.0
         rep_times[name] = reps
         print(
-            f"# {name}: {timings[name]:.3f}s ({n} rows) reps={reps}",
+            f"# {name}: {timings[name]:.3f}s ({n} rows) reps={reps} "
+            f"sentinel={sentinels[name]}",
             file=sys.stderr,
         )
 
     extended: dict[str, float] = {}
-    for name in EXTENDED_QUERIES:
+    if os.environ.get("SPARK_GRAFT_BENCH_EXTENDED", "1") == "0":
+        ext_names: list[str] = []
+    else:
+        ext_names = EXTENDED_QUERIES
+    for name in ext_names:
         if name not in queries:
             continue
         spark.catalog.clearCache()
@@ -238,6 +287,7 @@ def main() -> None:
         print(f"# extended {name}: {extended[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    total_normalized = round(sum(normalized.values()), 2)
     # relative spread per query: (max-min)/min — >0.3 means the environment
     # was noisy enough that round-over-round totals shouldn't be trusted
     spread = {
@@ -245,23 +295,34 @@ def main() -> None:
         for name, r in rep_times.items()
     }
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "extended_queries": extended,
-                "reps": rep_times,
-                "rep_spread": spread,
-                "n_reps": n_reps,
-                "stat": "median",
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                **sentinel,
-            }
-        )
-    )
+    # Field order is tail-priority: the driver keeps only the LAST 2000
+    # chars of this line, so the recompute-critical fields come last.
+    record = {
+        "metric": "headline_queries_total_runtime",
+        "unit": "sec",
+        "extended_queries": extended,
+        "rep_spread": spread,
+        "reps": rep_times,
+        "queries": timings,
+        "sentinels_per_query": sentinels,
+        "queries_normalized": normalized,
+        "data_fingerprint": fingerprint,
+        "n_reps": n_reps,
+        "stat": "median_drop_max",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sentinel_scan_sec": round(median(s[0] for s in sentinels.values()), 3),
+        "sentinel_shuffle_sec": round(median(s[1] for s in sentinels.values()), 3),
+        "value_normalized": total_normalized,
+        "value": total,
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+        "w",
+        encoding="utf-8",
+    ) as fh:
+        json.dump(record, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps(record, separators=(",", ":")))
 
 
 if __name__ == "__main__":

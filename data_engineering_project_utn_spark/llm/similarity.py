@@ -1794,27 +1794,33 @@ def train_pq_codebook(
         ]
         # iteration-local persist: materialized by the first subspace's
         # collect, reused by the other m-1, released before the next
-        # iteration rebuilds assignments against the new centroids
+        # iteration rebuilds assignments against the new centroids;
+        # try/finally so a failed per-subspace collect can't leak the
+        # cached frame for the session (ADVICE r08)
         assigned = base.select("_xq", *codes).persist()
-        new_cb = [[list(cw) for cw in sub] for sub in cb]
-        for s in range(m):
-            stats = (
-                assigned.select(
-                    F.col(f"c{s}").alias("j"),
-                    F.posexplode(F.slice("_xq", s * dsub + 1, dsub)).alias("pos", "x"),
+        try:
+            new_cb = [[list(cw) for cw in sub] for sub in cb]
+            for s in range(m):
+                stats = (
+                    assigned.select(
+                        F.col(f"c{s}").alias("j"),
+                        F.posexplode(
+                            F.slice("_xq", s * dsub + 1, dsub)
+                        ).alias("pos", "x"),
+                    )
+                    .groupBy("j", "pos")
+                    .agg(
+                        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+                        F.count(F.lit(1)).alias("n"),
+                    )
+                    .collect()
                 )
-                .groupBy("j", "pos")
-                .agg(
-                    F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
-                    F.count(F.lit(1)).alias("n"),
-                )
-                .collect()
-            )
-            for row in stats:
-                new_cb[s][int(row["j"])][int(row["pos"])] = truncdiv(
-                    int(row["sx"]), int(row["n"])
-                )
-        assigned.unpersist()
+                for row in stats:
+                    new_cb[s][int(row["j"])][int(row["pos"])] = truncdiv(
+                        int(row["sx"]), int(row["n"])
+                    )
+        finally:
+            assigned.unpersist()
         cb = new_cb
     return cb
 

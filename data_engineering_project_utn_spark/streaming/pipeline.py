@@ -35,6 +35,7 @@ watermark horizon.
 from __future__ import annotations
 
 import os
+import re
 from collections.abc import Callable, Iterable
 from typing import Any
 
@@ -410,20 +411,45 @@ def _hadoop_fs(spark, dir_path: str):
     return fs, path
 
 
+def _must(ok: bool, what: str) -> None:
+    """Hadoop ``FileSystem.rename``/``delete`` report failure by returning
+    ``false``, not by raising (ADVICE r08): an unchecked false rename in
+    the snapshot rotation silently discards the new snapshot and the
+    stream keeps serving stale state.  Every rotation step goes through
+    this so a failed metadata op is an error, never a no-op."""
+    if not ok:
+        raise IOError(f"state snapshot rotation failed: {what}")
+
+
 def _read_state(spark, state_dir: str):
     """Previous snapshot DataFrame, or None ONLY when genuinely absent.
 
     Explicit existence check instead of a bare except (ADVICE r07): a
     corrupt or unreadable existing snapshot raises instead of silently
     reinitializing (which would drop accumulated per-window state with
-    no signal).  If a crash struck between ``_write_state_atomic``'s two
-    renames the primary is missing but the backup is complete — recover
-    it by renaming back into place."""
+    no signal).  Crash recovery (ADVICE r08): if a crash struck between
+    ``_write_state_atomic``'s two renames, the primary is missing but a
+    NEWER complete ``.tmp`` (it carries Spark's ``_SUCCESS`` marker) may
+    exist alongside the older ``.bak`` — prefer promoting the tmp, and
+    when only the bak is recoverable delete any incomplete tmp so no
+    ambiguous third snapshot lingers."""
     fs, path = _hadoop_fs(spark, state_dir)
     jvm = spark._jvm
-    bak = jvm.org.apache.hadoop.fs.Path(state_dir + ".bak")
-    if not fs.exists(path) and fs.exists(bak):
-        fs.rename(bak, path)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    bak = hpath(state_dir + ".bak")
+    tmp = hpath(state_dir + ".tmp")
+    if not fs.exists(path):
+        tmp_complete = fs.exists(tmp) and fs.exists(
+            hpath(state_dir + ".tmp/_SUCCESS")
+        )
+        if tmp_complete:
+            _must(fs.rename(tmp, path), f"promote {state_dir}.tmp")
+            if fs.exists(bak):
+                _must(fs.delete(bak, True), f"drop stale {state_dir}.bak")
+        elif fs.exists(bak):
+            _must(fs.rename(bak, path), f"recover {state_dir}.bak")
+            if fs.exists(tmp):
+                _must(fs.delete(tmp, True), f"drop incomplete {state_dir}.tmp")
     if not fs.exists(path):
         return None
     return spark.read.parquet(state_dir)
@@ -434,17 +460,21 @@ def _write_state_atomic(df: DataFrame, spark, state_dir: str) -> None:
     rename ``.tmp`` into place, drop the backup.  Every crash point
     leaves at least one COMPLETE snapshot on disk (the renames are
     metadata-only), unlike a direct ``mode('overwrite')`` which deletes
-    the previous state before the new write is durable."""
+    the previous state before the new write is durable.  Every rename and
+    delete is return-value-checked via ``_must`` (ADVICE r08) so a false
+    return aborts the batch instead of silently keeping stale state."""
     jvm = spark._jvm
     fs, path = _hadoop_fs(spark, state_dir)
     tmp = jvm.org.apache.hadoop.fs.Path(state_dir + ".tmp")
     bak = jvm.org.apache.hadoop.fs.Path(state_dir + ".bak")
     df.write.mode("overwrite").parquet(state_dir + ".tmp")
     if fs.exists(path):
-        fs.delete(bak, True)
-        fs.rename(path, bak)
-    fs.rename(tmp, path)
-    fs.delete(bak, True)
+        if fs.exists(bak):
+            _must(fs.delete(bak, True), f"clear {state_dir}.bak")
+        _must(fs.rename(path, bak), f"rotate {state_dir} -> .bak")
+    _must(fs.rename(tmp, path), f"publish {state_dir}.tmp")
+    if fs.exists(bak):
+        _must(fs.delete(bak, True), f"drop {state_dir}.bak")
 
 
 def windowed_quantile_estimates(
@@ -529,6 +559,25 @@ def sessionize_stream(
     )
 
 
+_INTERVAL_RE = re.compile(
+    r"^\s*\d+\s+(microsecond|millisecond|second|minute|hour|day|week)s?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _check_interval(value: str, param: str) -> None:
+    """Fail fast on a malformed '<n> <unit>' interval (ADVICE r08): the
+    string is interpolated into ``F.expr(f"INTERVAL {...}")`` / a
+    watermark, where a bad unit ('10 min') otherwise surfaces only as an
+    opaque AnalysisException at join planning time."""
+    if not isinstance(value, str) or not _INTERVAL_RE.match(value):
+        raise ValueError(
+            f"{param}={value!r} is not a valid interval — expected "
+            "'<n> <unit>' with unit in microsecond/millisecond/second/"
+            "minute/hour/day/week (e.g. '10 minutes')"
+        )
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,
@@ -556,6 +605,8 @@ def stream_stream_interval_join(
     Scale: state is partitioned by the join key (the same shuffle a
     batch equi-join does); skewed keys salt exactly like batch joins.
     """
+    _check_interval(within, "within")
+    _check_interval(watermark, "watermark")
     l = left.select(
         F.col(key_col).alias("_k"), F.col(ts_col).alias("l_ts")
     ).withWatermark("l_ts", watermark)

@@ -225,6 +225,31 @@ def test_graph_family_gates_nonempty(spark, sf_dir, name):
     assert QUERIES[name].build(spark, sf_dir).limit(1).count() > 0
 
 
+def _strip_cached_subtrees(plan: str) -> str:
+    """Drop every InMemoryRelation subtree from a physical-plan string.
+
+    ``InMemoryRelation.toString`` re-embeds the plan that BUILT the cache,
+    so a substring count over the raw text depends on session cache state
+    (warm persisted frames textually reprint their child plans — r08 saw
+    llm_ccnet_buckets swing 3 -> 5 BNLJ "nodes" between isolated and
+    full-suite runs).  Removing the cached subtrees leaves exactly the
+    LIVE operator nodes, making plan budgets cache-state-independent
+    (ADVICE r08)."""
+    out = []
+    skip_indent = None
+    for line in plan.splitlines():
+        indent = len(line) - len(line.lstrip(" :+-*"))
+        if skip_indent is not None:
+            if indent > skip_indent:
+                continue
+            skip_indent = None
+        if "InMemoryRelation" in line:
+            skip_indent = indent
+            continue
+        out.append(line)
+    return "\n".join(out)
+
+
 def _single_partition_window_sorts(plan: str) -> int:
     """Count Exchange SinglePartition nodes that feed a Sort (the
     global-window funnel shape: Window <- Sort <- Exchange SinglePartition).
@@ -287,26 +312,24 @@ def test_round7_family_no_quadratic_join(spark, sf_dir, name):
     by a non-equi rank predicate, twice because both surprisal arms carry
     the V broadcast), means a blocking/probe stage silently degenerated
     to all-pairs."""
-    plan = _plan(spark, sf_dir, name)
+    plan = _strip_cached_subtrees(_plan(spark, sf_dir, name))
     assert "CartesianProduct" not in plan
     bnlj = plan.count("BroadcastNestedLoopJoin")
-    # ccnet: 3 live BNLJ (the V 1-row broadcast in each surprisal arm +
-    # the 3-row tertile frame probed by a non-equi rank predicate), plus
-    # up to 2 TEXTUAL reprints of the V broadcast when the persisted
-    # scored frame is cache-warm (InMemoryRelation.toString embeds its
-    # cached child plan, so the substring count depends on session cache
-    # state, not on the plan actually executed).
+    # Budgets are LIVE node counts (cached subtrees stripped above, so
+    # the numbers no longer float with session cache state).
     allowed = {
         "llm_bm25_topk": 1,
         "llm_bigram_surprisal": 1,
-        "llm_ccnet_buckets": 5,
+        # ccnet: the V 1-row broadcast in each surprisal arm + the 3-row
+        # tertile frame probed by a non-equi rank predicate
+        "llm_ccnet_buckets": 3,
         # Q22's 1-row positive-balance threshold broadcast
         "rl_global_sales_opportunity": 1,
-        # the packed-centroid 1-row broadcast (k > 16 literal max), printed
-        # once per self-join side of the persisted cell frame
+        # the packed-centroid 1-row broadcast (k > 16 literal max), one
+        # live node per self-join side of the persisted cell frame
         "llm_semdedup_pairs": 2,
     }
-    assert bnlj <= allowed.get(name, 0), f"{name}: {bnlj} BNLJ nodes"
+    assert bnlj <= allowed.get(name, 0), f"{name}: {bnlj} live BNLJ nodes"
 
 
 def test_stratified_exact_no_global_sort(spark, sf_dir):

@@ -1963,3 +1963,74 @@ class TestStreamStreamJoin:
         assert progress is not None
         ops = progress["stateOperators"]
         assert ops and ops[0]["operatorName"] == "symmetricHashJoin"
+
+
+class TestSnapshotRotation:
+    """Crash-recovery contract of the state snapshot rotation (ADVICE r08):
+    rename/delete return values are checked, a newer COMPLETE .tmp beats
+    the older .bak, and an incomplete .tmp never lingers as an ambiguous
+    third snapshot."""
+
+    def test_recovery_prefers_complete_tmp(self, spark, tmp_path):
+        """Crash between the two rotation renames leaves bak=old +
+        tmp=new(complete, _SUCCESS present) and no primary: recovery must
+        promote the NEWER tmp and drop the stale bak."""
+        import os
+
+        state = str(tmp_path / "rot_state")
+        spark.createDataFrame([(1,)], "v int").write.parquet(state + ".bak")
+        spark.createDataFrame([(2,)], "v int").write.parquet(state + ".tmp")
+        got = sp._read_state(spark, state)
+        assert got is not None
+        assert [r.v for r in got.collect()] == [2]
+        assert not os.path.exists(state + ".bak")
+        assert not os.path.exists(state + ".tmp")
+        assert os.path.exists(state)
+
+    def test_recovery_falls_back_to_bak_and_drops_torn_tmp(self, spark, tmp_path):
+        """Crash mid-.tmp-write (no _SUCCESS marker) plus a missing
+        primary: recovery must restore the bak snapshot and delete the
+        torn tmp."""
+        import os
+
+        state = str(tmp_path / "rot_state2")
+        spark.createDataFrame([(1,)], "v int").write.parquet(state + ".bak")
+        spark.createDataFrame([(2,)], "v int").write.parquet(state + ".tmp")
+        os.remove(state + ".tmp/_SUCCESS")
+        got = sp._read_state(spark, state)
+        assert got is not None
+        assert [r.v for r in got.collect()] == [1]
+        assert not os.path.exists(state + ".tmp")
+
+    def test_write_then_read_roundtrip_checks_metadata_ops(self, spark, tmp_path):
+        """Normal rotation path with every rename/delete return value
+        checked: two successive writes, reader always sees the latest."""
+        state = str(tmp_path / "rot_state3")
+        df1 = spark.createDataFrame([(1,)], "v int")
+        sp._write_state_atomic(df1, spark, state)
+        df2 = spark.createDataFrame([(2,)], "v int")
+        sp._write_state_atomic(df2, spark, state)
+        got = sp._read_state(spark, state)
+        assert [r.v for r in got.collect()] == [2]
+
+    def test_must_raises_on_false(self):
+        with pytest.raises(IOError):
+            sp._must(False, "simulated rename failure")
+        sp._must(True, "ok")
+
+
+class TestIntervalValidation:
+    def test_malformed_within_raises_early(self):
+        """'10 min' is not a Spark interval unit — it must raise a
+        descriptive ValueError up front, not an opaque analysis error at
+        join planning time (ADVICE r08)."""
+        with pytest.raises(ValueError, match="within"):
+            sp.stream_stream_interval_join(None, None, within="10 min")
+        with pytest.raises(ValueError, match="watermark"):
+            sp.stream_stream_interval_join(
+                None, None, within="10 minutes", watermark="1 hr"
+            )
+
+    def test_valid_units_accepted(self):
+        for ok in ("1 second", "10 minutes", "2 hours", "1 day", "3 weeks"):
+            sp._check_interval(ok, "within")

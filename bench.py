@@ -171,6 +171,7 @@ EXTENDED_QUERIES = [
     "llm_sq8_error",
     "llm_gopher_filters",
     "rl_monthly_growth",
+    "llm_semdedup_bcast",
 ]
 
 

@@ -1259,10 +1259,7 @@ def llm_jaccard_prefix_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "llm_semdedup_pairs",
-    priority=2,
-    oracle="""
+_SEMDEDUP_ORACLE = """
     WITH kk AS (SELECT LEAST(65536, GREATEST(4, CAST(POW(2, CEIL(LOG2(SQRT(
                    CAST(COUNT(*) AS DOUBLE))))) AS BIGINT))) AS k
                 FROM embeddings),
@@ -1299,7 +1296,13 @@ def llm_jaccard_prefix_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM ce a JOIN ce b ON a.cell = b.cell AND a.vec_id < b.vec_id)
     SELECT cell, id_a, id_b, cos_sim FROM p
     ORDER BY cos_sim DESC, id_a, id_b LIMIT 20
-    """,
+    """
+
+
+@register(
+    "llm_semdedup_pairs",
+    priority=2,
+    oracle=_SEMDEDUP_ORACLE,
     tags=("llm", "dedup", "similarity", "semantic"),
 )
 def llm_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1333,6 +1336,37 @@ def llm_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return (
         dd2.semantic_neardup_pairs(e, cents)
+        .orderBy(F.desc("cos_sim"), "id_a", "id_b")
+        .limit(20)
+    )
+
+
+@register(
+    "llm_semdedup_bcast",
+    priority=2,
+    oracle=_SEMDEDUP_ORACLE,
+    tags=("llm", "dedup", "similarity", "semantic", "scale-twin"),
+)
+def llm_semdedup_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-quantizer twin of ``llm_semdedup_pairs`` (VERDICT r08 #3),
+    held to the SAME oracle: the derived-√N quantizer stays a DATAFRAME
+    end-to-end — built by filtering the corpus itself (``vec_id < k``),
+    packed into one broadcast row (``similarity.ivf_cells_from_df``) and
+    never collected to the driver.  At 100 TB the derived k = 2^⌈log2 √N⌉
+    exceeds any driver-collect or plan-literal budget; this is the path
+    you deploy there, value-gated here against the literal-list twin's
+    oracle (bit-identical folds on both carriers).  The only driver
+    traffic is the corpus COUNT that sizes k — one long."""
+    from data_engineering_project_utn_spark.llm import dedup as dd2
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    e = track_persist(parallelize_compute(load_table(spark, sf_dir, "embeddings")))
+    k = sim_derive_k(e)
+    cdf = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    return (
+        dd2.semantic_neardup_pairs(e, cdf)
         .orderBy(F.desc("cos_sim"), "id_a", "id_b")
         .limit(20)
     )

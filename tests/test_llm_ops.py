@@ -3035,3 +3035,57 @@ class TestScalarQuantization:
             span = int(out.loc[dim, "maxq"] - out.loc[dim, "minq"])
             step = span // 255 + 1
             assert 0 < out.loc[dim, "max_abs_err"] <= 2 * step
+
+
+class TestSemDedupQuantizerCarriers:
+    """semantic_neardup_pairs accepts the quantizer as a Python list
+    (literal/packed auto path) or as a DataFrame (the 100 TB carrier —
+    centroids never collected to the driver).  Both must be bit-identical
+    and the DataFrame plan must not scale with the quantizer size
+    (VERDICT r08 #3)."""
+
+    def _cents_list(self, embeddings, k):
+        return [
+            (int(r["vec_id"]), list(r["embedding"]))
+            for r in embeddings.filter(F.col("vec_id") < k)
+            .select("vec_id", "embedding")
+            .collect()
+        ]
+
+    def _cents_df(self, embeddings, k):
+        return embeddings.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+        )
+
+    def test_df_carrier_bit_exact_vs_list_carrier(self, embeddings):
+        for k in (8, 32):  # below and above the literal threshold
+            lst = sorted(
+                tuple(r)
+                for r in dd.semantic_neardup_pairs(
+                    embeddings, self._cents_list(embeddings, k)
+                ).collect()
+            )
+            dfc = sorted(
+                tuple(r)
+                for r in dd.semantic_neardup_pairs(
+                    embeddings, self._cents_df(embeddings, k)
+                ).collect()
+            )
+            assert lst == dfc and len(lst) > 0
+
+    def test_df_carrier_plan_independent_of_quantizer_size(self, embeddings):
+        """No literal blow-up at large k: the packed-broadcast assignment
+        plan must stay the same size whether the quantizer is 8 or 64
+        centroids — the centroids are DATA (one BroadcastExchange row),
+        never O(k·d) plan literals."""
+        plans = {}
+        for k in (8, 64):
+            df = sim.ivf_cells_from_df(
+                embeddings, self._cents_df(embeddings, k)
+            )
+            plans[k] = df._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastExchange" in plans[k]
+        assert abs(len(plans[64]) - len(plans[8])) < 200, (
+            len(plans[8]),
+            len(plans[64]),
+        )

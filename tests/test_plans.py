@@ -200,6 +200,7 @@ def test_bloom_probe_broadcasts_bits_not_corpus(spark, sf_dir):
         "llm_pq_recall_residual",
         "llm_ccnet_buckets",
         "llm_semdedup_pairs",
+        "llm_semdedup_bcast",
         "llm_ann_rank_eval",
         "rl_global_sales_opportunity",
         "llm_ngram_novelty",
@@ -293,6 +294,7 @@ def test_rrf_neighborhood_no_global_window(spark, sf_dir):
         "llm_pq_recall_residual",
         "llm_ccnet_buckets",
         "llm_semdedup_pairs",
+        "llm_semdedup_bcast",
         "llm_ngram_novelty",
         "llm_packing_waste",
         "rl_global_sales_opportunity",
@@ -328,6 +330,8 @@ def test_round7_family_no_quadratic_join(spark, sf_dir, name):
         # the packed-centroid 1-row broadcast (k > 16 literal max), one
         # live node per self-join side of the persisted cell frame
         "llm_semdedup_pairs": 2,
+        # same packed-centroid 1-row broadcast shape, DataFrame carrier
+        "llm_semdedup_bcast": 2,
     }
     assert bnlj <= allowed.get(name, 0), f"{name}: {bnlj} live BNLJ nodes"
 

@@ -172,6 +172,7 @@ EXTENDED_QUERIES = [
     "llm_gopher_filters",
     "rl_monthly_growth",
     "llm_semdedup_bcast",
+    "llm_pq_recall_opq",
 ]
 
 

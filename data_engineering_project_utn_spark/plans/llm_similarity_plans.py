@@ -1877,6 +1877,193 @@ def llm_pq_recall_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_OPQ_SQL = """
+    WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+    cscored AS (
+        SELECT e.vec_id, c.cid,
+               list_reduce(list_transform(list_zip(e.embedding, c.cv),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)
+               / (sqrt(list_reduce(list_transform(list_zip(e.embedding, e.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x))
+                  * sqrt(list_reduce(list_transform(list_zip(c.cv, c.cv),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)))
+                   AS cos_c
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    cells AS (
+        SELECT vec_id, cid AS cell
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY cos_c DESC, cid DESC) AS rn
+              FROM cscored)
+        WHERE rn = 1
+    ),
+    xq AS MATERIALIZED (SELECT vec_id, unnest(range(0, len(embedding))) AS dim,
+                CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+         FROM embeddings),
+    cq AS (SELECT vec_id AS cid, dim, x AS cx FROM xq WHERE vec_id < 8),
+    rxd AS MATERIALIZED (SELECT v.vec_id, v.dim, v.x - c.cx AS r, cl.cell
+           FROM xq v JOIN cells cl ON cl.vec_id = v.vec_id
+                     JOIN cq c ON c.cid = cl.cell AND c.dim = v.dim),
+    ps1 AS MATERIALIZED (SELECT vec_id, SUM(r * 16384) AS s FROM rxd GROUP BY vec_id),
+    pz1 AS MATERIALIZED (SELECT dim, SUM(CAST(r AS HUGEINT) * s) AS z FROM rxd JOIN ps1 USING (vec_id) GROUP BY dim),
+    pm1 AS MATERIALIZED (SELECT MAX(ABS(z)) AS mz FROM pz1),
+    pv1 AS MATERIALIZED (SELECT dim, CASE WHEN z >= 0 THEN (z * 16384) // mz ELSE -((-z) * 16384 // mz) END AS v FROM pz1, pm1),
+    ps2 AS MATERIALIZED (SELECT vec_id, SUM(r * v) AS s FROM rxd JOIN pv1 USING (dim) GROUP BY vec_id),
+    pz2 AS MATERIALIZED (SELECT dim, SUM(CAST(r AS HUGEINT) * s) AS z FROM rxd JOIN ps2 USING (vec_id) GROUP BY dim),
+    pm2 AS MATERIALIZED (SELECT MAX(ABS(z)) AS mz FROM pz2),
+    pv2 AS MATERIALIZED (SELECT dim, CASE WHEN z >= 0 THEN (z * 16384) // mz ELSE -((-z) * 16384 // mz) END AS v FROM pz2, pm2),
+    ps3 AS MATERIALIZED (SELECT vec_id, SUM(r * v) AS s FROM rxd JOIN pv2 USING (dim) GROUP BY vec_id),
+    pz3 AS MATERIALIZED (SELECT dim, SUM(CAST(r AS HUGEINT) * s) AS z FROM rxd JOIN ps3 USING (vec_id) GROUP BY dim),
+    pm3 AS MATERIALIZED (SELECT MAX(ABS(z)) AS mz FROM pz3),
+    pv3 AS MATERIALIZED (SELECT dim, CASE WHEN z >= 0 THEN (z * 16384) // mz ELSE -((-z) * 16384 // mz) END AS v FROM pz3, pm3),
+    ps4 AS MATERIALIZED (SELECT vec_id, SUM(r * v) AS s FROM rxd JOIN pv3 USING (dim) GROUP BY vec_id),
+    pz4 AS MATERIALIZED (SELECT dim, SUM(CAST(r AS HUGEINT) * s) AS z FROM rxd JOIN ps4 USING (vec_id) GROUP BY dim),
+    pm4 AS MATERIALIZED (SELECT MAX(ABS(z)) AS mz FROM pz4),
+    pv4 AS MATERIALIZED (SELECT dim, CASE WHEN z >= 0 THEN (z * 16384) // mz ELSE -((-z) * 16384 // mz) END AS v FROM pz4, pm4),
+    rkm AS (SELECT dim, ROW_NUMBER() OVER (ORDER BY ABS(v) DESC, dim) - 1 AS np FROM pv4),
+    rxn AS (SELECT x.vec_id, x.cell, CAST(x.dim // 32 AS BIGINT) AS s, x.dim AS key, x.r FROM rxd x),
+    cbn AS (SELECT CAST(vec_id - 16 AS BIGINT) AS j, s, key, r AS c FROM rxn WHERE vec_id >= 16 AND vec_id < 32),
+    dn AS MATERIALIZED (SELECT v.vec_id, c.j, v.s,
+                  CAST(SUM((v.r - c.c) * (v.r - c.c)) AS BIGINT) AS dist
+           FROM rxn v JOIN cbn c ON c.s = v.s AND c.key = v.key
+           GROUP BY v.vec_id, c.j, v.s),
+    codn AS (SELECT vec_id, s, j AS code, dist FROM (
+                 SELECT vec_id, s, j, dist, row_number() OVER (
+                     PARTITION BY vec_id, s ORDER BY dist, j) AS rn FROM dn)
+              WHERE rn = 1),
+    totn AS (SELECT CAST(SUM(dist) AS BIGINT) AS d FROM codn),
+    qrn AS (SELECT c.cid AS cell, CAST(q.dim // 32 AS BIGINT) AS s, q.dim AS key, q.x - c.cx AS r
+           FROM xq q JOIN cq c ON c.dim = q.dim WHERE q.vec_id = 0),
+    qdn AS (SELECT qr.cell, cb.j, qr.s,
+                   CAST(SUM((qr.r - cb.c) * (qr.r - cb.c)) AS BIGINT) AS dist
+            FROM qrn qr JOIN cbn cb ON cb.s = qr.s AND cb.key = qr.key
+            GROUP BY qr.cell, cb.j, qr.s),
+    adcn AS (SELECT c.vec_id, CAST(SUM(q.dist) AS BIGINT) AS adc
+             FROM codn c JOIN cells cl ON cl.vec_id = c.vec_id
+             JOIN qdn q ON q.cell = cl.cell AND q.s = c.s AND q.j = c.code
+             GROUP BY c.vec_id),
+    tn AS (SELECT vec_id FROM adcn WHERE vec_id <> 0 ORDER BY adc, vec_id LIMIT 10),
+    rxr AS (SELECT x.vec_id, x.cell, CAST(k.np // 32 AS BIGINT) AS s, k.np AS key, x.r FROM rxd x JOIN rkm k USING (dim)),
+    cbr AS (SELECT CAST(vec_id - 16 AS BIGINT) AS j, s, key, r AS c FROM rxr WHERE vec_id >= 16 AND vec_id < 32),
+    dr AS MATERIALIZED (SELECT v.vec_id, c.j, v.s,
+                  CAST(SUM((v.r - c.c) * (v.r - c.c)) AS BIGINT) AS dist
+           FROM rxr v JOIN cbr c ON c.s = v.s AND c.key = v.key
+           GROUP BY v.vec_id, c.j, v.s),
+    codr AS (SELECT vec_id, s, j AS code, dist FROM (
+                 SELECT vec_id, s, j, dist, row_number() OVER (
+                     PARTITION BY vec_id, s ORDER BY dist, j) AS rn FROM dr)
+              WHERE rn = 1),
+    totr AS (SELECT CAST(SUM(dist) AS BIGINT) AS d FROM codr),
+    qrr AS (SELECT c.cid AS cell, CAST(k.np // 32 AS BIGINT) AS s, k.np AS key, q.x - c.cx AS r
+           FROM xq q JOIN cq c ON c.dim = q.dim JOIN rkm k ON k.dim = q.dim WHERE q.vec_id = 0),
+    qdr AS (SELECT qr.cell, cb.j, qr.s,
+                   CAST(SUM((qr.r - cb.c) * (qr.r - cb.c)) AS BIGINT) AS dist
+            FROM qrr qr JOIN cbr cb ON cb.s = qr.s AND cb.key = qr.key
+            GROUP BY qr.cell, cb.j, qr.s),
+    adcr AS (SELECT c.vec_id, CAST(SUM(q.dist) AS BIGINT) AS adc
+             FROM codr c JOIN cells cl ON cl.vec_id = c.vec_id
+             JOIN qdr q ON q.cell = cl.cell AND q.s = c.s AND q.j = c.code
+             GROUP BY c.vec_id),
+    tr AS (SELECT vec_id FROM adcr WHERE vec_id <> 0 ORDER BY adc, vec_id LIMIT 10),
+    ex AS (SELECT v.vec_id, CAST(SUM((v.x - q.x) * (v.x - q.x)) AS BIGINT) AS exact_dist
+           FROM xq v JOIN xq q ON q.vec_id = 0 AND q.dim = v.dim
+           GROUP BY v.vec_id),
+    ex_top AS (SELECT vec_id FROM ex WHERE vec_id <> 0
+               ORDER BY exact_dist, vec_id LIMIT 10),
+    on_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tn JOIN ex_top USING (vec_id)),
+    on_r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tr JOIN ex_top USING (vec_id))
+    SELECT totn.d AS distortion_residual,
+           totr.d AS distortion_rotated,
+           on_n.n AS n_overlap_residual,
+           CASE WHEN totr.d < totn.d THEN on_r.n ELSE on_n.n END AS n_overlap_opq
+    FROM totn, totr, on_n, on_r
+    """
+
+
+@register(
+    "llm_pq_recall_opq",
+    priority=2,
+    oracle=_OPQ_SQL,
+    tags=("llm", "similarity", "ann", "ivf", "pq", "opq", "report"),
+)
+def llm_pq_recall_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-lite rotation, value-gated end to end (VERDICT r08 #4): learn
+    an axis-aligned rotation (a dim permutation) from the residual
+    cloud's top principal direction (``similarity.opq_dim_order`` — the
+    same matrix-free integer power iteration as the PCA gates, run on
+    residuals), residual-PQ-encode under BOTH the natural and the rotated
+    subspace layout (``pq_encode_adc_residual(dim_order=...)``), and
+    SELECT by measured encode distortion Σ min‖r_s − c_j‖² — parametric
+    OPQ's own objective (Ge et al. CVPR'13), restricted to the
+    permutation family because a permutation is exactly
+    distance-preserving on the BIGINT grid (a dense rotation would need
+    a requantization that breaks the cross-engine contract).
+
+    Output: (distortion_residual, distortion_rotated, n_overlap_residual,
+    n_overlap_opq) — recall@10 of the natural residual arm (identical to
+    ``llm_pq_recall_residual``'s residual number) next to the
+    distortion-chosen arm's.  On corpora whose natural split is already
+    aligned (the planted-cluster fixture — its displacement structure is
+    second-moment-invisible, measured 39/61 eigenvector mixing) selection
+    keeps the natural layout, so n_overlap_opq == n_overlap_residual ≥ 6
+    (``TestPQOPQ``); on variance-misaligned corpora
+    (``tools/make_misaligned_clusters.py``) the rotation wins decisively
+    (distortion 64x lower, recall 9 vs 3 — pinned).  On the driver's
+    near-isotropic corpus the two distortions differ by <0.1% (no
+    structure for a rotation to exploit), so which arm selection picks
+    there is noise — the honest behavior of the OPQ objective; both
+    recalls are low there by construction (``llm_pq_recall`` docstring).
+
+    Scale shape: the rotation learner is 4 narrow scans + d-row collects
+    (model-size); each arm is a pure literal scan (no join, no shuffle
+    touches the corpus); selection compares two scalar aggregates.  The
+    whole pipeline adds ONE extra scan family over the residual gate."""
+    from data_engineering_project_utn_spark.llm import similarity as sim2
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    e = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
+    small = {
+        int(r["vec_id"]): list(r["embedding"])
+        for r in e.filter(F.col("vec_id") < 32).select("vec_id", "embedding").collect()
+    }
+    cents = [(j, small[j]) for j in range(8)]
+    qv = small[0]
+    res_cb = sim2.residual_codebook(e, cents, lo=16, hi=32)
+    order = sim2.opq_dim_order(e, cents)
+    f_nat = track_persist(
+        sim2.pq_encode_adc_residual(e, qv, cents, res_cb, m=2, with_enc_dist=True)
+    )
+    f_rot = track_persist(
+        sim2.pq_encode_adc_residual(
+            e, qv, cents, res_cb, m=2, dim_order=order, with_enc_dist=True
+        )
+    )
+    dist_nat = int(f_nat.agg(F.sum(F.col("enc_dist").cast("decimal(38,0)"))).first()[0])
+    dist_rot = int(f_rot.agg(F.sum(F.col("enc_dist").cast("decimal(38,0)"))).first()[0])
+    ex_top = (
+        f_nat.filter(F.col("vec_id") != 0)
+        .orderBy("exact_dist", "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    def _overlap(f):
+        top = (
+            f.filter(F.col("vec_id") != 0)
+            .orderBy("adc_dist", "vec_id")
+            .limit(10)
+            .select("vec_id")
+        )
+        return top.join(ex_top, "vec_id", "left_semi").count()
+
+    on_nat = _overlap(f_nat)
+    on_opq = _overlap(f_rot) if dist_rot < dist_nat else on_nat
+    return spark.createDataFrame(
+        [(dist_nat, dist_rot, int(on_nat), int(on_opq))],
+        "distortion_residual: long, distortion_rotated: long, "
+        "n_overlap_residual: long, n_overlap_opq: long",
+    )
+
+
 @register(
     "llm_ann_rank_eval",
     priority=2,

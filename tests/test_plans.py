@@ -201,6 +201,7 @@ def test_bloom_probe_broadcasts_bits_not_corpus(spark, sf_dir):
         "llm_ccnet_buckets",
         "llm_semdedup_pairs",
         "llm_semdedup_bcast",
+        "llm_pq_recall_opq",
         "llm_ann_rank_eval",
         "rl_global_sales_opportunity",
         "llm_ngram_novelty",
@@ -295,6 +296,7 @@ def test_rrf_neighborhood_no_global_window(spark, sf_dir):
         "llm_ccnet_buckets",
         "llm_semdedup_pairs",
         "llm_semdedup_bcast",
+        "llm_pq_recall_opq",
         "llm_ngram_novelty",
         "llm_packing_waste",
         "rl_global_sales_opportunity",

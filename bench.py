@@ -173,6 +173,7 @@ EXTENDED_QUERIES = [
     "rl_monthly_growth",
     "llm_semdedup_bcast",
     "llm_pq_recall_opq",
+    "llm_ccnet_assign",
 ]
 
 

@@ -637,6 +637,110 @@ def llm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_ccnet_assign",
+    priority=2,
+    oracle=f"""
+    WITH {_SURPRISAL_CTES},
+    {_LANGID_CTES},
+    sc AS (SELECT lp.plang, a.doc_id,
+                  CAST(a.bits_fp * 1000000 // a.n_bigrams AS BIGINT) AS ppm
+           FROM agg a JOIN lp ON lp.did = a.doc_id),
+    smp AS (SELECT plang, ppm, doc_id FROM (
+               SELECT sc.*, row_number() OVER (
+                   PARTITION BY plang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR))) AS hr
+               FROM sc) WHERE hr <= 32),
+    srk AS (SELECT plang, ppm,
+                   row_number() OVER (PARTITION BY plang ORDER BY ppm, doc_id) AS sr,
+                   COUNT(*) OVER (PARTITION BY plang) AS k
+            FROM smp),
+    est AS (SELECT plang, CAST(b.bucket AS BIGINT) AS bucket, ppm AS bnd
+            FROM srk, range(1, 4) b(bucket)
+            WHERE sr = (b.bucket * k + 2) // 3),
+    bds AS (SELECT plang,
+                   MAX(CASE WHEN bucket = 1 THEN bnd END) AS b1,
+                   MAX(CASE WHEN bucket = 2 THEN bnd END) AS b2
+            FROM est GROUP BY plang),
+    asg AS (SELECT sc.plang, sc.ppm,
+                   CASE WHEN sc.ppm <= b.b1 THEN 1
+                        WHEN sc.ppm <= b.b2 THEN 2 ELSE 3 END AS bucket
+            FROM sc JOIN bds b ON b.plang = sc.plang)
+    SELECT plang, CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(ppm) AS lo_ppm, MAX(ppm) AS hi_ppm
+    FROM asg GROUP BY plang, bucket ORDER BY plang, bucket
+    """,
+    tags=("llm", "text", "quality", "curation", "scale-twin"),
+)
+def llm_ccnet_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ccnet DEPLOYED assignment path, value-gated on its own
+    (VERDICT r08 #5): per-language tertile boundaries are ESTIMATED from
+    the grouped bottom-k sample (the est arm ``llm_ccnet_buckets``
+    already pins against the exact boundaries), collected driver-side
+    (≤ 32 rows per language — model-size), and every document is then
+    assigned by a pure COMPARISON SCAN against the broadcast boundary
+    frame — bucket = 1 if ppm ≤ b1, 2 if ≤ b2, else 3 — followed by one
+    (plang, bucket) aggregation.  No per-language rank window ever
+    touches the corpus (the plan-asserted difference from the exact
+    anchor arm, whose window puts each language in ONE partition — the
+    skew point VERDICT r08 flagged); the returned plan contains NO
+    Window node at all (``test_ccnet_assign_no_rank_window``).
+
+    At 100 TB: boundary estimation reads the sample (the one remaining
+    per-language window runs during the BUILD over hash-ranked rows and
+    would swap to a per-partition pre-trim + model-size merge at that
+    scale — the windowed bottom-k stream operator already implements
+    that merge identity); assignment + report are one scan + one
+    map-side-combinable aggregation on (plang, bucket) keys.
+
+    Output: (plang, bucket, n_docs, lo_ppm, hi_ppm) of the DEPLOYED
+    assignment — vs the anchor gate's exact quotas, bucket populations
+    here shift by the est-vs-exact boundary gap the anchor pins."""
+    from data_engineering_project_utn_spark.llm import sketch as sk
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    s = tx.bigram_surprisal(d)
+    langs = d.select("doc_id", tx.predicted_lang("text").alias("plang"))
+    scored = track_persist(
+        s.join(langs, "doc_id").select(
+            "plang",
+            "doc_id",
+            F.expr("bits_fp * 1000000 div n_bigrams").cast("long").alias("ppm"),
+        )
+    )
+    samp = sk.bottomk_sample_grouped(scored, "doc_id", ["plang"], k=32)
+    by_lang: "dict[str, list[tuple[int, int]]]" = {}
+    for r in samp.select("plang", "ppm", "doc_id").collect():
+        by_lang.setdefault(r["plang"], []).append((int(r["ppm"]), int(r["doc_id"])))
+    bounds = []
+    for plang, lst in by_lang.items():
+        lst.sort()
+        k = len(lst)
+        b1 = lst[(1 * k + 2) // 3 - 1][0]
+        b2 = lst[(2 * k + 2) // 3 - 1][0]
+        bounds.append((plang, b1, b2))
+    bdf = spark.createDataFrame(bounds, "plang string, b1 long, b2 long")
+    bucket = (
+        F.when(F.col("ppm") <= F.col("b1"), 1)
+        .when(F.col("ppm") <= F.col("b2"), 2)
+        .otherwise(3)
+        .cast("long")
+    )
+    return (
+        scored.join(F.broadcast(bdf), "plang")
+        .select("plang", "ppm", bucket.alias("bucket"))
+        .groupBy("plang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("ppm").alias("lo_ppm"),
+            F.max("ppm").alias("hi_ppm"),
+        )
+        .orderBy("plang", "bucket")
+    )
+
+
+@register(
     "llm_packing_waste",
     priority=2,
     oracle=f"""

@@ -202,6 +202,7 @@ def test_bloom_probe_broadcasts_bits_not_corpus(spark, sf_dir):
         "llm_semdedup_pairs",
         "llm_semdedup_bcast",
         "llm_pq_recall_opq",
+        "llm_ccnet_assign",
         "llm_ann_rank_eval",
         "rl_global_sales_opportunity",
         "llm_ngram_novelty",
@@ -297,6 +298,7 @@ def test_rrf_neighborhood_no_global_window(spark, sf_dir):
         "llm_semdedup_pairs",
         "llm_semdedup_bcast",
         "llm_pq_recall_opq",
+        "llm_ccnet_assign",
         "llm_ngram_novelty",
         "llm_packing_waste",
         "rl_global_sales_opportunity",
@@ -334,6 +336,8 @@ def test_round7_family_no_quadratic_join(spark, sf_dir, name):
         "llm_semdedup_pairs": 2,
         # same packed-centroid 1-row broadcast shape, DataFrame carrier
         "llm_semdedup_bcast": 2,
+        # the surprisal V 1-row broadcast inside the scored frame
+        "llm_ccnet_assign": 1,
     }
     assert bnlj <= allowed.get(name, 0), f"{name}: {bnlj} live BNLJ nodes"
 
@@ -343,6 +347,20 @@ def test_stratified_exact_no_global_sort(spark, sf_dir):
     never an Exchange SinglePartition funnel."""
     plan = _plan(spark, sf_dir, "llm_stratified_exact")
     assert _single_partition_window_sorts(plan) == 0
+
+
+def test_ccnet_assign_no_rank_window(spark, sf_dir):
+    """The ccnet DEPLOYED path (VERDICT r08 #5): boundary estimates are
+    collected during the build (model-size), so the RETURNED plan must
+    carry NO Window node at all — the per-language rank window that puts
+    each language in one partition belongs to the exact anchor arm
+    (llm_ccnet_buckets) only.  Cached subtrees stripped so a warm
+    persisted scored frame can't reprint its build plan into the
+    assertion."""
+    plan = _strip_cached_subtrees(_plan(spark, sf_dir, "llm_ccnet_assign"))
+    assert "Window" not in plan
+    assert _single_partition_window_sorts(plan) == 0
+    assert "CartesianProduct" not in plan
 
 
 def test_rfm_segments_no_single_partition(spark, sf_dir):

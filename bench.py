@@ -174,6 +174,7 @@ EXTENDED_QUERIES = [
     "llm_semdedup_bcast",
     "llm_pq_recall_opq",
     "llm_ccnet_assign",
+    "llm_ivfpq_residual_bcast",
 ]
 
 

@@ -1664,6 +1664,158 @@ def pq_encode_adc_residual(
     )
 
 
+def pq_encode_adc_residual_bcast(
+    embeddings: DataFrame,
+    query_vec: "list[float]",
+    centroids_df: DataFrame,
+    codebook_resq: "list[list[int]]",
+    m: int = 2,
+    x_scale: int = 10**6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Residual PQ/ADC with the coarse quantizer as a DATAFRAME — the
+    derived-k twin of ``pq_encode_adc_residual`` (VERDICT r08 #7): under
+    √N quantizer sizing the literal path's per-(subspace, cell, code)
+    query tables and per-cell centroid arrays grow WITH the corpus, so
+    here everything cell-indexed ships as broadcast DATA instead of plan
+    literals — the quantizer never round-trips through the driver:
+
+    * coarse assignment: the packed-centroid broadcast row
+      (``ivf_cells_from_df``);
+    * residuals: one broadcast equi-join on ``cell`` against the
+      centroid grid frame (rq = xq − cq, the same difference-of-grids);
+    * ADC: the (cell → per-subspace per-code distance array) table is
+      COMPUTED IN-PLAN on the centroid frame (query vector and codebook
+      stay literals — they are genuinely model-size at any scale) and
+      broadcast-joined on ``cell`` — the (cell, code) → dist lookup-join.
+
+    The codebook sub-quantizer literals (m·k codewords) are the only
+    plan-side model, exactly as in the literal path, so codes, ADC and
+    exact distances are bit-identical to it — the twin is held to the
+    SAME oracle (``llm_ivfpq_residual_bcast``).  Plan shape: one scan +
+    two broadcast hash joins whose build sides are the quantizer; plan
+    SIZE is independent of ncell (tested)."""
+    import math
+
+    d = len(query_vec)
+    dsub = d // m
+    k = len(codebook_resq)
+
+    def qz(v: float) -> int:
+        return int(math.floor(float(v) * x_scale))
+
+    qq = [qz(x) for x in query_vec]
+    qq_lit = F.array(*[F.lit(int(v)).cast("long") for v in qq])
+
+    assigned = ivf_cells_from_df(embeddings, centroids_df, vec_col=vec_col)
+    xq = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(x_scale))).cast("long"),
+    )
+    cgrid = centroids_df.select(
+        F.col("cid").cast("int").alias("cid"),
+        F.transform(
+            F.col("cv"),
+            lambda x: F.floor(x.cast("double") * F.lit(float(x_scale))).cast("long"),
+        ).alias("cqv"),
+    )
+    out = (
+        assigned.select(F.col(id_col), F.col("cell"), xq.alias("_xq"))
+        .join(F.broadcast(cgrid), F.col("cell") == F.col("cid"))
+        .select(
+            id_col,
+            "cell",
+            "_xq",
+            F.zip_with("_xq", "cqv", lambda a, b: a - b).alias("_rq"),
+        )
+    )
+
+    def sub_dist(s: int, j: int):
+        lit = F.array(
+            *[
+                F.lit(int(v)).cast("long")
+                for v in codebook_resq[j][s * dsub : (s + 1) * dsub]
+            ]
+        )
+        return F.aggregate(
+            F.zip_with(
+                F.slice("_rq", s * dsub + 1, dsub), lit, lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    codes = [
+        F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        sub_dist(s, j).alias("d"), F.lit(j).cast("long").alias("j")
+                    )
+                    for j in range(k)
+                ]
+            )
+        )["j"]
+        for s in range(m)
+    ]
+    out = out.select(id_col, "cell", "_xq", F.array(*codes).alias("codes"))
+
+    # (cell, code) -> dist lookup table, computed in-plan on the centroid
+    # frame: query residual per cell (qq literal - cq data), then one
+    # BIGINT fold per (s, j) — m·k folds over the MODEL-SIZE frame
+    qr = F.zip_with(qq_lit, F.col("cqv"), lambda a, b: a - b)
+    qt = cgrid.select(
+        "cid",
+        F.array(
+            *[
+                F.array(
+                    *[
+                        F.aggregate(
+                            F.zip_with(
+                                F.slice(qr, s * dsub + 1, dsub),
+                                F.array(
+                                    *[
+                                        F.lit(int(v)).cast("long")
+                                        for v in codebook_resq[j][
+                                            s * dsub : (s + 1) * dsub
+                                        ]
+                                    ]
+                                ),
+                                lambda a, b: (a - b) * (a - b),
+                            ),
+                            F.lit(0).cast("long"),
+                            lambda acc, x: acc + x,
+                        )
+                        for j in range(k)
+                    ]
+                )
+                for s in range(m)
+            ]
+        ).alias("_qtab"),
+    )
+    out = out.join(F.broadcast(qt), F.col("cell") == F.col("cid"))
+    adc = None
+    for s in range(m):
+        term = F.element_at(
+            F.element_at("_qtab", s + 1),
+            (F.element_at("codes", s + 1) + 1).cast("int"),
+        )
+        adc = term if adc is None else adc + term
+    exact = F.aggregate(
+        F.zip_with("_xq", qq_lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return out.select(
+        id_col,
+        "cell",
+        "codes",
+        adc.cast("long").alias("adc_dist"),
+        exact.cast("long").alias("exact_dist"),
+    )
+
+
 def opq_dim_order(
     embeddings: DataFrame,
     centroids: "list[tuple[int, list[float]]]",

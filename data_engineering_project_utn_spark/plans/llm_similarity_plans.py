@@ -2258,10 +2258,7 @@ def llm_pq_residual_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("s", "j", "dim")
 
 
-@register(
-    "llm_ivfpq_residual_ann",
-    priority=2,
-    oracle="""
+_IVFPQ_RESIDUAL_SQL = """
     WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
     cscored AS (
         SELECT e.vec_id, c.cid,
@@ -2316,7 +2313,13 @@ def llm_pq_residual_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM adcr a JOIN qp ON a.cell = qp.cell
     WHERE a.vec_id <> 0
     ORDER BY a.adc_dist, a.vec_id LIMIT 10
-    """,
+    """
+
+
+@register(
+    "llm_ivfpq_residual_ann",
+    priority=2,
+    oracle=_IVFPQ_RESIDUAL_SQL,
     tags=("llm", "similarity", "ann", "ivf", "pq"),
 )
 def llm_ivfpq_residual_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2363,6 +2366,90 @@ def llm_ivfpq_residual_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     res_cb = sim2.residual_codebook(e, cents, lo=16, hi=32)
     scored = sim2.pq_encode_adc_residual(e, qv, cents, res_cb, m=2)
+    return (
+        scored.filter(F.col("cell").isin([int(c) for c in probed]))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "cell", "adc_dist")
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+    )
+
+
+@register(
+    "llm_ivfpq_residual_bcast",
+    priority=2,
+    oracle=_IVFPQ_RESIDUAL_SQL,
+    tags=("llm", "similarity", "ann", "ivf", "pq", "scale-twin"),
+)
+def llm_ivfpq_residual_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-k twin of ``llm_ivfpq_residual_ann``, held to the SAME
+    oracle (VERDICT r08 #7): the coarse quantizer stays a DATAFRAME end
+    to end — packed-broadcast assignment, broadcast centroid-grid join
+    for residuals, and the per-(cell, code) ADC query tables computed
+    IN-PLAN on the centroid frame and delivered by a broadcast
+    (cell, code) → dist lookup-join (``pq_encode_adc_residual_bcast``)
+    instead of nested plan literals.  Under √N quantizer sizing the
+    literal tables grow with the corpus — this is the layout that holds
+    there: quantizer-indexed state is broadcast DATA, only the genuinely
+    model-size pieces (query vector, m·k codebook) remain literals; the
+    plan SIZE is ncell-independent (tested) while the literal twin's is
+    the pure scan you keep below the threshold (plan-asserted).
+
+    Driver traffic: the query vector (one row), the 16 seed residuals
+    (the codebook is a model), and the 2-row probe-cell ranking —
+    centroids never collect."""
+    from data_engineering_project_utn_spark.llm import similarity as sim2
+    from data_engineering_project_utn_spark.llm.similarity import cosine
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    e = track_persist(parallelize_compute(load_table(spark, sf_dir, "embeddings")))
+    qv = list(
+        e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    )
+    cdf = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    qv_lit = F.array(*[F.lit(float(x)) for x in qv])
+    probed = [
+        int(r["cid"])
+        for r in cdf.select("cid", cosine(qv_lit, F.col("cv")).alias("c"))
+        .orderBy(F.desc("c"), F.desc("cid"))
+        .limit(2)
+        .collect()
+    ]
+    # the codebook is a model: 16 seed residuals (k·d ints), derived
+    # with the SAME broadcast machinery (ivf_cells_from_df + centroid
+    # grid join) and collected once — the centroid frame itself never
+    # collects
+    xq = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long"),
+    )
+    cgrid = cdf.select(
+        F.col("cid").cast("int").alias("cid2"),
+        F.transform(
+            F.col("cv"),
+            lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long"),
+        ).alias("cqv"),
+    )
+    seed_rows = (
+        sim2.ivf_cells_from_df(
+            e.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 32)), cdf
+        )
+        .select("vec_id", "cell", xq.alias("_xq"))
+        .join(F.broadcast(cgrid), F.col("cell") == F.col("cid2"))
+        .select(
+            "vec_id", F.zip_with("_xq", "cqv", lambda a, b: a - b).alias("rq")
+        )
+        .collect()
+    )
+    if len(seed_rows) != 16:
+        raise ValueError(f"seed ids 16..31 required; got {len(seed_rows)} rows")
+    res_cb = [
+        [int(v) for v in r["rq"]]
+        for r in sorted(seed_rows, key=lambda r: int(r["vec_id"]))
+    ]
+    scored = sim2.pq_encode_adc_residual_bcast(e, qv, cdf, res_cb, m=2)
     return (
         scored.filter(F.col("cell").isin([int(c) for c in probed]))
         .filter(F.col("vec_id") != 0)

@@ -3166,3 +3166,67 @@ class TestPQOPQ:
         order = sim.opq_dim_order(e, cents)
         assert sorted(order) == list(range(64))
         assert all(dim % 2 == 0 for dim in order[:32]), order[:32]
+
+
+class TestResidualBcastTwin:
+    """VERDICT r08 #7: the broadcast (cell, code) -> dist lookup-join twin
+    of residual PQ/ADC must be bit-identical to the literal path, its
+    plan must not scale with the quantizer size, and the literal path
+    must stay a pure scan (no join) below the threshold."""
+
+    def _inputs(self, embeddings):
+        small = {
+            int(r["vec_id"]): list(r["embedding"])
+            for r in embeddings.filter(F.col("vec_id") < 32).collect()
+        }
+        cents = [(j, small[j]) for j in range(8)]
+        cdf = embeddings.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+        )
+        cb = sim.residual_codebook(embeddings, cents, lo=16, hi=32)
+        return small[0], cents, cdf, cb
+
+    def test_bcast_twin_bit_exact_vs_literal(self, embeddings):
+        qv, cents, cdf, cb = self._inputs(embeddings)
+        lit = sorted(
+            tuple(r)
+            for r in sim.pq_encode_adc_residual(embeddings, qv, cents, cb, m=2).collect()
+        )
+        bc = sorted(
+            tuple(r)
+            for r in sim.pq_encode_adc_residual_bcast(
+                embeddings, qv, cdf, cb, m=2
+            ).collect()
+        )
+        assert lit == bc and len(lit) > 0
+
+    def test_literal_path_is_pure_scan(self, embeddings):
+        qv, cents, _cdf, cb = self._inputs(embeddings)
+        plan = (
+            sim.pq_encode_adc_residual(embeddings, qv, cents, cb, m=2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for node in ("SortMergeJoin", "BroadcastHashJoin",
+                     "BroadcastNestedLoopJoin", "CartesianProduct",
+                     "Exchange hashpartitioning"):
+            assert node not in plan, node
+
+    def test_bcast_plan_independent_of_quantizer_size(self, embeddings):
+        qv, cents, _cdf, cb = self._inputs(embeddings)
+        plans = {}
+        for ncell in (8, 32):
+            cdf = embeddings.filter(F.col("vec_id") < ncell).select(
+                F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+            )
+            df = sim.pq_encode_adc_residual_bcast(embeddings, qv, cdf, cb, m=2)
+            plans[ncell] = df._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" in plans[ncell]
+        # 24 extra centroids as literals would add ~15k chars (24 cells
+        # x 64 dims x ~10 chars); the observed delta is partition-count
+        # and size-estimate noise (~1k on a 63k plan) — bound at 5%
+        assert abs(len(plans[32]) - len(plans[8])) < 0.05 * len(plans[8]), (
+            len(plans[8]),
+            len(plans[32]),
+        )

@@ -203,6 +203,7 @@ def test_bloom_probe_broadcasts_bits_not_corpus(spark, sf_dir):
         "llm_semdedup_bcast",
         "llm_pq_recall_opq",
         "llm_ccnet_assign",
+        "llm_ivfpq_residual_bcast",
         "llm_ann_rank_eval",
         "rl_global_sales_opportunity",
         "llm_ngram_novelty",
@@ -299,6 +300,7 @@ def test_rrf_neighborhood_no_global_window(spark, sf_dir):
         "llm_semdedup_bcast",
         "llm_pq_recall_opq",
         "llm_ccnet_assign",
+        "llm_ivfpq_residual_bcast",
         "llm_ngram_novelty",
         "llm_packing_waste",
         "rl_global_sales_opportunity",
@@ -338,6 +340,8 @@ def test_round7_family_no_quadratic_join(spark, sf_dir, name):
         "llm_semdedup_bcast": 2,
         # the surprisal V 1-row broadcast inside the scored frame
         "llm_ccnet_assign": 1,
+        # the packed-centroid 1-row broadcast of the coarse assignment
+        "llm_ivfpq_residual_bcast": 1,
     }
     assert bnlj <= allowed.get(name, 0), f"{name}: {bnlj} live BNLJ nodes"
 

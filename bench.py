@@ -175,6 +175,11 @@ EXTENDED_QUERIES = [
     "llm_pq_recall_opq",
     "llm_ccnet_assign",
     "llm_ivfpq_residual_bcast",
+    "rl_returned_item_ranking",
+    "rl_promo_revenue",
+    "rl_top_supplier_revenue",
+    "rl_large_volume_orders",
+    "rl_bracket_revenue",
 ]
 
 

@@ -868,3 +868,281 @@ def rl_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "growth"
         ),
     ).orderBy("month")
+
+
+@register(
+    "rl_returned_item_ranking",
+    priority=2,
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(c.c_acctbal AS DOUBLE) AS acctbal,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(5,2)))) AS DOUBLE)
+               AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("relational", "join", "topk"),
+)
+def rl_returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: lost-revenue ranking of customers who returned
+    items in one quarter — a 4-way star join (fact lineitem against
+    orders + two broadcast dims) with a filtered fact scan and a top-20.
+
+    Plan at scale: the o_orderdate range and l_returnflag predicates push
+    into the two fact scans (partition/row-group pruning at rest); orders
+    shrinks to one quarter BEFORE the fact-fact equi-join on l_orderkey;
+    customer and nation broadcast; the only wide shuffle is the groupBy
+    on c_custkey, map-side combined.  Top-20 = TakeOrdered with a total
+    order (revenue DESC, c_custkey), never a global sort."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 5, 2))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "rl_promo_revenue",
+    priority=2,
+    oracle="""
+    SELECT
+        CAST(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(14,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(5,2)))
+                 ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(5,2)))) AS DOUBLE)
+             AS DOUBLE) AS promo_pct,
+        CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    """,
+    tags=("relational", "join", "agg"),
+)
+def rl_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped: promotional revenue share for one ship-month —
+    the conditional-sum-over-sum ratio (A3/A19 surface) across a
+    fact-to-dim join.  Both sums accumulate in exact DECIMAL and divide
+    once as doubles (identical numerator/denominator doubles cross-engine
+    → identical quotient); the month predicate pushes into the lineitem
+    scan, part broadcasts, and the result is a single map-side-combinable
+    scalar aggregate — no wide shuffle at any corpus size."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 5, 2))
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(
+        F.lit(0).cast("decimal(14,2)")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(revenue).cast("double")
+            )
+            .cast("double")
+            .alias("promo_pct"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "rl_top_supplier_revenue",
+    priority=2,
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                   * (1 - CAST(l_discount AS DECIMAL(5,2)))) AS total_dec
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey),
+    mx AS (SELECT MAX(total_dec) AS m FROM rev)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_dec AS DOUBLE) AS total_revenue
+    FROM rev r JOIN mx ON r.total_dec = mx.m
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    ORDER BY s_suppkey
+    """,
+    tags=("relational", "join", "agg", "argmax"),
+)
+def rl_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped: the supplier(s) with maximum 3-month revenue —
+    the max-of-aggregates TIE SET (Q15's view + equality against the
+    scalar max), not a LIMIT 1: every supplier matching the maximum
+    surfaces, ordered by key.  The max comparison happens on the exact
+    DECIMAL accumulator (never on a rounded double), so the tie set is
+    engine-independent by construction.
+
+    Plan: one filtered fact aggregation on l_suppkey (map-side combined),
+    the 1-row max broadcast back against the aggregate frame, supplier
+    broadcast for names — the revenue view never materializes twice and
+    nothing re-scans lineitem."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 5, 2))
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    rev = track_persist(
+        li.groupBy("l_suppkey").agg(F.sum(revenue).alias("total_dec"))
+    )
+    mx = rev.agg(F.max("total_dec").alias("m"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_dec") == F.col("m"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_dec").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "rl_large_volume_orders",
+    priority=2,
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(14,2))) AS qty_dec
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(14,2))) > 200)
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS totalprice,
+           CAST(b.qty_dec AS DOUBLE) AS sum_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    tags=("relational", "join", "having", "topk"),
+)
+def rl_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: large-volume orders — the aggregate-then-
+    semi-join shape (the HAVING set drives the join, A11/J7 surface).
+    The quantity accumulates in exact DECIMAL so the >200 cut admits
+    the same order set in both engines (a double sum could disagree on
+    a boundary order under different partial-agg orders).
+
+    Plan: one fact aggregation on l_orderkey (the same shuffle key the
+    order join needs — AQE reuses the partitioning), the HAVING output
+    is a tiny fraction of orders, so the joins against orders/customer
+    run with a small build side; top-20 by (totalprice DESC, o_orderkey)
+    is TakeOrdered."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > F.lit(200).cast("decimal(14,2)"))
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            F.col("qty_dec").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "rl_bracket_revenue",
+    priority=2,
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(5,2)))) AS DOUBLE)
+               AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("relational", "join", "predicate"),
+)
+def rl_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped: disjunctive bracket predicates across the
+    join — three (brand, size, quantity) OR-branches where each branch
+    constrains BOTH sides.  The planner splits the disjunction into
+    single-side residuals: the quantity hull (1..30) pushes into the
+    lineitem scan and the brand IN-list hull into the part scan, with
+    the exact cross-table disjunction evaluated after the join —
+    asserted in tests/test_plans.py (the scan that reads every brand
+    for a 3-brand query is the regression this gate exists to catch).
+    Revenue accumulates in exact DECIMAL; one scalar aggregate, no wide
+    shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    br = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 5, 2))
+    return j.filter(br).agg(
+        F.sum(revenue).cast("double").alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )

@@ -204,6 +204,11 @@ def test_bloom_probe_broadcasts_bits_not_corpus(spark, sf_dir):
         "llm_pq_recall_opq",
         "llm_ccnet_assign",
         "llm_ivfpq_residual_bcast",
+        "rl_returned_item_ranking",
+        "rl_promo_revenue",
+        "rl_top_supplier_revenue",
+        "rl_large_volume_orders",
+        "rl_bracket_revenue",
         "llm_ann_rank_eval",
         "rl_global_sales_opportunity",
         "llm_ngram_novelty",
@@ -301,6 +306,9 @@ def test_rrf_neighborhood_no_global_window(spark, sf_dir):
         "llm_pq_recall_opq",
         "llm_ccnet_assign",
         "llm_ivfpq_residual_bcast",
+        "rl_returned_item_ranking",
+        "rl_top_supplier_revenue",
+        "rl_large_volume_orders",
         "llm_ngram_novelty",
         "llm_packing_waste",
         "rl_global_sales_opportunity",
@@ -351,6 +359,25 @@ def test_stratified_exact_no_global_sort(spark, sf_dir):
     never an Exchange SinglePartition funnel."""
     plan = _plan(spark, sf_dir, "llm_stratified_exact")
     assert _single_partition_window_sorts(plan) == 0
+
+
+def test_bracket_revenue_pushes_disjunction_hulls(spark, sf_dir):
+    """Q19 shape: each side's hull of the cross-table disjunction must
+    reach its own scan — the brand/size branches into the part scan, the
+    quantity brackets into the lineitem scan — and both scans stay
+    column-pruned.  A scan reading every brand for a 3-brand query is
+    the regression this catches."""
+    plan = _plan(spark, sf_dir, "rl_bracket_revenue")
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    part_scan = next(ln for ln in scans if "p_brand" in ln)
+    li_scan = next(ln for ln in scans if "l_quantity" in ln)
+    assert "Brand#12" in part_scan, "brand disjunction hull not pushed"
+    assert "l_quantity" in li_scan.split("PushedFilters", 1)[-1] or (
+        "l_quantity" in li_scan.split("DataFilters", 1)[-1]
+    ), "quantity hull not pushed"
+    for ln, nmax in ((part_scan, 4), (li_scan, 5)):
+        cols = ln.split("[", 1)[1].split("]", 1)[0].split(",")
+        assert len(cols) <= nmax, cols
 
 
 def test_ccnet_assign_no_rank_window(spark, sf_dir):

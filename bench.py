@@ -180,6 +180,7 @@ EXTENDED_QUERIES = [
     "rl_top_supplier_revenue",
     "rl_large_volume_orders",
     "rl_bracket_revenue",
+    "llm_mmr_topk",
 ]
 
 

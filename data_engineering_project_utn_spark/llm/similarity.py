@@ -84,6 +84,81 @@ def knn_brute(
     return out.orderBy(F.desc("cos_sim"), id_col).limit(k)
 
 
+def mmr_topk(
+    embeddings: DataFrame,
+    query_vec: "list[float]",
+    k: int = 5,
+    pool: int = 50,
+    lam: float = 0.7,
+    one_minus_lam: float = 0.3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_id: int | None = 0,
+):
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein SIGIR'98 — the diversified-retrieval step RAG rerankers
+    run after ANN): greedily select k results maximizing
+    λ·rel(q, d) − (1−λ)·max_{s∈selected} sim(d, s), so near-duplicate
+    hits don't crowd the result list the way a pure cosine top-k does.
+
+    Two-phase shape, each phase at its right altitude:
+
+    * POOL (distributed): exact-cosine top-``pool`` over the corpus —
+      a TakeOrdered with the shared ``_qnorm_cosine`` fold, total order
+      (rel DESC, id).  This is the only part that touches the corpus;
+      at 100 TB it composes with any gated ANN path as the pool source.
+    * REFINE (model-size): the greedy loop runs on the collected pool —
+      k·pool² double ops on ≤ pool rows, the Lloyd-centroid altitude.
+      Pair similarities use Python's ``sum`` left fold and ``math.sqrt``
+      — bit-identical to the engine folds (the ``_ivf_scored`` literal
+      argument), and λ/(1−λ) are passed as SEPARATE literals (0.7 and
+      0.3) because ``1 − 0.7`` is a DIFFERENT double than ``0.3``; the
+      oracle writes the same two literals.
+
+    Returns a list of (rank, vec_id, relevance, marginal) tuples —
+    rank-1's marginal IS its relevance (nothing selected yet).
+    Ties break to the lowest id at every step."""
+    import math
+
+    qdf = embeddings.sparkSession.createDataFrame(
+        [([float(x) for x in query_vec],)], "qv array<double>"
+    )
+    out = embeddings.join(F.broadcast(_with_qnorm(qdf))).select(
+        F.col(id_col), F.col(vec_col).alias("_v"), _qnorm_cosine(vec_col).alias("rel")
+    )
+    if exclude_id is not None:
+        out = out.filter(F.col(id_col) != exclude_id)
+    rows = out.orderBy(F.desc("rel"), id_col).limit(pool).collect()
+    cand = [
+        (int(r[id_col]), [float(x) for x in r["_v"]], float(r["rel"])) for r in rows
+    ]
+
+    def _dot(a: "list[float]", b: "list[float]") -> float:
+        return sum(x * y for x, y in zip(a, b))
+
+    nrm = {i: math.sqrt(_dot(v, v)) for i, v, _ in cand}
+    vec = {i: v for i, v, _ in cand}
+    rel = {i: r for i, _, r in cand}
+    selected: "list[tuple[int, int, float, float]]" = []
+    remaining = sorted(vec)
+    while remaining and len(selected) < k:
+        best = None
+        for i in remaining:
+            if not selected:
+                marg = rel[i]
+            else:
+                ms = max(
+                    _dot(vec[i], vec[j]) / (nrm[i] * nrm[j])
+                    for _, j, _, _ in selected
+                )
+                marg = lam * rel[i] - one_minus_lam * ms
+            if best is None or (marg, -i) > (best[1], -best[0]):
+                best = (i, marg)
+        selected.append((len(selected) + 1, best[0], rel[best[0]], best[1]))
+        remaining.remove(best[0])
+    return selected
+
+
 def _plane_weight(plane: Column, dim: Column) -> Column:
     """Deterministic pseudo-random hyperplane weight in {-3..3}:
     ((plane·31 + dim·17) mod 7) - 3."""

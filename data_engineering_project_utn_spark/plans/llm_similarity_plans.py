@@ -2064,6 +2064,98 @@ def llm_pq_recall_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _mmr_oracle(k: int = 5, pool: int = 50, lam: str = "0.7", oml: str = "0.3") -> str:
+    '''Unrolled greedy-MMR oracle: pool CTE (exact-cosine top-``pool``),
+    model-size pair-sim CTE, then k selection steps — step j picks the
+    argmax of lam·rel − oml·max(sim to selected) over the not-yet-
+    selected pool, ties to the lowest id.  λ and 1−λ are written as the
+    SAME two literals the Spark side uses (``1 - 0.7`` is a different
+    double than ``0.3``).'''
+    rel = (
+        f"{_dot('q.qv', 'e.embedding')} / "
+        f"(sqrt({_dot('q.qv', 'q.qv')}) * sqrt({_dot('e.embedding', 'e.embedding')}))"
+    )
+    sim = (
+        f"{_dot('a.v', 'b.v')} / "
+        f"(sqrt({_dot('a.v', 'a.v')}) * sqrt({_dot('b.v', 'b.v')}))"
+    )
+    ctes = [
+        "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)",
+        f'''c AS (SELECT e.vec_id, e.embedding AS v, {rel} AS rel
+          FROM embeddings e, q WHERE e.vec_id <> 0
+          ORDER BY rel DESC, e.vec_id LIMIT {pool})''',
+        f'''p AS (SELECT a.vec_id AS ia, b.vec_id AS ib, {sim} AS sim
+          FROM c a JOIN c b ON a.vec_id <> b.vec_id)''',
+        "s1 AS (SELECT vec_id, rel, rel AS marginal FROM c ORDER BY rel DESC, vec_id LIMIT 1)",
+        "sel1 AS (SELECT vec_id FROM s1)",
+    ]
+    for j in range(2, k + 1):
+        ctes.append(
+            f'''m{j} AS (SELECT c.vec_id, c.rel,
+               {lam} * c.rel - {oml} * MAX(p.sim) AS marginal
+        FROM c JOIN p ON p.ia = c.vec_id
+        JOIN sel{j-1} s ON s.vec_id = p.ib
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{j-1})
+        GROUP BY c.vec_id, c.rel)'''
+        )
+        ctes.append(
+            f"s{j} AS (SELECT vec_id, rel, marginal FROM m{j} "
+            f"ORDER BY marginal DESC, vec_id LIMIT 1)"
+        )
+        ctes.append(
+            f"sel{j} AS (SELECT vec_id FROM sel{j-1} UNION ALL SELECT vec_id FROM s{j})"
+        )
+    finals = [
+        f"SELECT CAST({j} AS BIGINT) AS rank, CAST(vec_id AS BIGINT) AS vec_id, "
+        f"rel AS relevance, marginal FROM s{j}"
+        for j in range(1, k + 1)
+    ]
+    nl = chr(10)
+    return (
+        nl + "    WITH "
+        + ("," + nl + "    ").join(ctes)
+        + nl + "    "
+        + (nl + "    UNION ALL ").join(finals)
+        + nl + "    ORDER BY rank" + nl + "    "
+    )
+
+
+@register(
+    "llm_mmr_topk",
+    priority=2,
+    oracle=_mmr_oracle(),
+    tags=("llm", "similarity", "retrieval", "rerank"),
+)
+def llm_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    '''Maximal-marginal-relevance diversified top-5 (Carbonell &
+    Goldstein SIGIR'98) over the embedding corpus — the reranking step
+    between ANN retrieval and a RAG prompt, so near-duplicate passages
+    don't crowd the context window (the retrieval-side face of the dedup
+    family).  ``similarity.mmr_topk``: the exact-cosine top-50 pool is
+    the distributed phase (TakeOrdered, corpus never shuffles), the
+    greedy λ·rel − (1−λ)·max-sim refinement runs on the collected pool —
+    k·pool² doubles, the Lloyd-centroid altitude.  All similarity folds
+    and the 0.7/0.3 literals are shared with the unrolled 5-step SQL
+    oracle, so ranks, relevances AND marginals hash bit-for-bit.
+
+    Output: (rank 1..5, vec_id, relevance, marginal) — rank 1's
+    marginal is its relevance; each later marginal carries the
+    diversity penalty actually paid at selection time.'''
+    from data_engineering_project_utn_spark.llm import similarity as sim2
+
+    e = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
+    qv = list(
+        e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    )
+    sel = sim2.mmr_topk(e, qv, k=5, pool=50)
+    return spark.createDataFrame(
+        [(int(r), int(i), float(rel), float(m)) for r, i, rel, m in sel],
+        "rank: long, vec_id: long, relevance: double, marginal: double",
+    ).orderBy("rank")
+
+
 @register(
     "llm_ann_rank_eval",
     priority=2,

@@ -3230,3 +3230,52 @@ class TestResidualBcastTwin:
             len(plans[8]),
             len(plans[32]),
         )
+
+
+class TestMMR:
+    def test_mmr_diversifies_vs_plain_topk(self, embeddings):
+        """MMR contract: rank 1 is the relevance argmax, selected ids are
+        distinct pool members, and the MMR set's worst-case internal
+        similarity is no higher than the plain relevance top-k's (the
+        whole point of the diversity penalty)."""
+        import math
+
+        qv = list(
+            embeddings.filter(F.col("vec_id") == 0).first()["embedding"]
+        )
+        sel = sim.mmr_topk(embeddings, qv, k=5, pool=50)
+        assert [r for r, *_ in sel] == [1, 2, 3, 4, 5]
+        ids = [i for _, i, _, _ in sel]
+        assert len(set(ids)) == 5 and 0 not in ids
+        plain = [
+            int(r["vec_id"])
+            for r in sim.knn_brute(
+                embeddings,
+                embeddings.filter(F.col("vec_id") == 0).select(
+                    F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+                ),
+                k=5,
+            ).collect()
+        ]
+        vecs = {
+            int(r["vec_id"]): list(r["embedding"])
+            for r in embeddings.filter(
+                F.col("vec_id").isin(list(set(ids) | set(plain)))
+            ).collect()
+        }
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(vecs[a], vecs[b]))
+            return d / (
+                math.sqrt(sum(x * x for x in vecs[a]))
+                * math.sqrt(sum(x * x for x in vecs[b]))
+            )
+
+        def worst(group):
+            return max(cos(a, b) for a in group for b in group if a != b)
+
+        assert worst(ids) <= worst(plain) + 1e-12
+        # marginals are the actually-paid objective: non-increasing after
+        # rank 1 is NOT guaranteed (rel varies), but each is <= its rel
+        for _, _i, rel, marg in sel[1:]:
+            assert marg <= rel + 1e-12

@@ -181,6 +181,7 @@ EXTENDED_QUERIES = [
     "rl_large_volume_orders",
     "rl_bracket_revenue",
     "llm_mmr_topk",
+    "llm_temperature_mixture",
 ]
 
 

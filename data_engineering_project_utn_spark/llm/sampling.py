@@ -124,6 +124,61 @@ def pack_sequences(
     )
 
 
+def temperature_mixture_weights(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    s_scale: int = 10**6,
+) -> DataFrame:
+    """Temperature-based domain mixture at τ = 1/2 (the multilingual-LM
+    standard — mBERT/XLM-R style q_i ∝ p_i^τ up-weighting of small
+    sources): per source, q_i ∝ √tokens_i, weight_i = q_i / p_i.
+
+    τ = 1/2 is the one temperature with an EXACT cross-engine form:
+    s_i = floor(√tokens · s_scale) is a BIGINT both engines compute
+    identically (tokens is exact in a double far beyond any corpus, and
+    IEEE sqrt is correctly rounded), the denominator Σs_i is an
+    order-free INTEGER sum, and the weight divides two exact integer
+    products once — no double accumulates across rows anywhere.
+    (A free-τ variant would need pow(), whose cross-engine rounding is
+    not pinned; τ = 1/4, 1/8... compose by repeated sqrt if ever needed.)
+
+    weight > 1 = up-sample (small sources), < 1 = down-sample; at τ=1/2
+    weights vary as 1/√p_i.  Products s_i·total_tokens stay in BIGINT
+    through ~10¹² tokens per source at the default scale; beyond that,
+    move both engines' products to DECIMAL/HUGEINT in lockstep.
+
+    Scale shape: identical to ``mixture_weights`` — one map-side-combined
+    groupBy(source) + a single-row broadcast of the integer totals."""
+    per = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_count(text_col)).cast("long").alias("tokens"),
+    )
+    s_i = F.floor(
+        F.sqrt(F.col("tokens").cast("double")) * F.lit(float(s_scale))
+    ).cast("long")
+    per = per.select("source", "n_docs", "tokens", s_i.alias("_s"))
+    totals = F.broadcast(
+        per.agg(
+            F.sum("tokens").cast("long").alias("_total_tokens"),
+            F.sum("_s").cast("long").alias("_s_sum"),
+        )
+    )
+    share = F.col("tokens").cast("double") / F.col("_total_tokens").cast("double")
+    temp_share = F.col("_s").cast("double") / F.col("_s_sum").cast("double")
+    weight = (F.col("_s") * F.col("_total_tokens")).cast("double") / (
+        F.col("_s_sum") * F.col("tokens")
+    ).cast("double")
+    return per.join(totals).select(
+        "source",
+        "n_docs",
+        "tokens",
+        share.alias("actual_share"),
+        temp_share.alias("temp_share"),
+        weight.alias("weight"),
+    )
+
+
 def mixture_weights(
     docs: DataFrame,
     target_shares: dict[str, float] | None = None,

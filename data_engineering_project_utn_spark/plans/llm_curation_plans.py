@@ -210,6 +210,42 @@ def llm_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_temperature_mixture",
+    priority=2,
+    oracle=rf"""
+    WITH per AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len({_TOKS})) AS BIGINT) AS tokens
+        FROM documents GROUP BY source
+    ),
+    ss AS (SELECT source, n_docs, tokens,
+                  CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS s
+           FROM per),
+    tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+                   CAST(SUM(s) AS BIGINT) AS s_sum FROM ss)
+    SELECT source, n_docs, tokens,
+           CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS actual_share,
+           CAST(s AS DOUBLE) / CAST(s_sum AS DOUBLE) AS temp_share,
+           CAST(s * total_tokens AS DOUBLE) / CAST(s_sum * tokens AS DOUBLE) AS weight
+    FROM ss, tot
+    ORDER BY source
+    """,
+    tags=("llm", "curation", "mixture"),
+)
+def llm_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture weights at τ = 1/2 (q_i ∝ √p_i — the
+    multilingual up-weighting of small sources next to
+    ``llm_mixture_weights``' uniform target): per source, exact token
+    counts, the τ-share, and weight = q/p.  √tokens quantizes to the
+    floor(√t·10⁶) integer grid so the denominator is an order-free
+    integer sum and the weight divides two exact integer products once —
+    bit-identical cross-engine with no double accumulation anywhere
+    (``sampling.temperature_mixture_weights``)."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    return sa.temperature_mixture_weights(d).orderBy("source")
+
+
+@register(
     "llm_content_split",
     oracle=f"""
     WITH tagged AS (

@@ -210,6 +210,7 @@ def test_bloom_probe_broadcasts_bits_not_corpus(spark, sf_dir):
         "rl_large_volume_orders",
         "rl_bracket_revenue",
         "llm_mmr_topk",
+        "llm_temperature_mixture",
         "llm_ann_rank_eval",
         "rl_global_sales_opportunity",
         "llm_ngram_novelty",

@@ -1146,3 +1146,179 @@ def rl_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(revenue).cast("double").alias("revenue"),
         F.count(F.lit(1)).cast("long").alias("n_lines"),
     )
+
+
+@register(
+    "rl_min_cost_supplier",
+    priority=1,
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+               MIN(CAST(l_extendedprice AS DECIMAL(14,2))) AS supplycost
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey),
+    eligible AS (
+        SELECT ps.partkey, ps.suppkey, ps.supplycost,
+               s.s_acctbal, s.s_name, n.n_name
+        FROM ps
+        JOIN supplier s ON s.s_suppkey = ps.suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'),
+    mn AS (
+        SELECT partkey, MIN(supplycost) AS min_cost
+        FROM eligible GROUP BY partkey)
+    SELECT CAST(e.s_acctbal AS DOUBLE) AS s_acctbal,
+           e.s_name, e.n_name, p.p_partkey, p.p_brand, p.p_type,
+           CAST(e.supplycost AS DOUBLE) AS supplycost
+    FROM eligible e
+    JOIN mn ON mn.partkey = e.partkey AND e.supplycost = mn.min_cost
+    JOIN part p ON p.p_partkey = e.partkey
+    WHERE p.p_type = 'SMALL'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    tags=("relational", "join", "correlated-min", "topk"),
+)
+def rl_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped: the minimum-cost supplier per part — the
+    correlated-MIN subquery (A10) lifted onto a 4-way dim correlation
+    (supplier→nation→region region-gate inside the correlated scope,
+    exactly Q2's structure).  The testdata has no partsupp table, so the
+    (part, supplier) offer relation derives from lineitem:
+    supplycost := MIN(l_extendedprice) per (l_partkey, l_suppkey) —
+    same join graph, same correlation, real data.
+
+    Plan for 100 TB: one fact aggregation on (l_partkey, l_suppkey)
+    (map-side combined — output is |offers|, not |lineitem|); the
+    region-gated supplier dims broadcast INTO that aggregate before the
+    correlation, so the window-min over partkey runs on the eligible
+    subset only (the correlated subquery's region filter is applied
+    where Q2 applies it, not after).  The per-part MIN is a window
+    function partitioned by partkey — distributed, no global sort, no
+    self-join re-scan of the fact.  The part filter broadcasts; top-100
+    has a total order (acctbal DESC then 4 key tiebreakers) so the row
+    set is engine-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
+
+    euro_supp = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(_dec("l_extendedprice")).alias("supplycost")
+    )
+    eligible = offers.join(
+        F.broadcast(euro_supp), offers["l_suppkey"] == euro_supp["s_suppkey"]
+    )
+    w = Window.partitionBy("l_partkey")
+    best = eligible.withColumn("min_cost", F.min("supplycost").over(w)).filter(
+        F.col("supplycost") == F.col("min_cost")
+    )
+    return (
+        best.join(F.broadcast(p), best["l_partkey"] == p["p_partkey"])
+        .select(
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            "p_type",
+            F.col("supplycost").cast("double").alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "rl_excess_stock_suppliers",
+    priority=1,
+    oracle="""
+    WITH fp AS (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+    tot AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               SUM(CAST(l.l_quantity AS DECIMAL(14,2))) AS total_qty,
+               SUM(CASE WHEN l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                         AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+                        THEN CAST(l.l_quantity AS DECIMAL(14,2))
+                        ELSE CAST(0 AS DECIMAL(14,2)) END) AS qty_period
+        FROM lineitem l
+        WHERE l.l_partkey IN (SELECT p_partkey FROM fp)
+        GROUP BY l.l_partkey, l.l_suppkey),
+    excess AS (
+        SELECT DISTINCT l_suppkey FROM tot
+        WHERE total_qty > 2 * qty_period)
+    SELECT s.s_suppkey, s.s_name, n.n_name,
+           CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM excess)
+      AND n.n_regionkey = 0
+    ORDER BY s_name, s_suppkey
+    """,
+    tags=("relational", "semi-join", "having", "correlated-agg"),
+)
+def rl_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped: the nested semi-join chain with a correlated
+    half-sum threshold.  Q20 finds suppliers whose ps_availqty exceeds
+    half of a period's shipments for name-prefix parts; without a
+    partsupp table, availability per (part, supplier) derives from
+    lineitem: total quantity ever shipped vs quantity shipped in 1997 —
+    ``total > 2 × period`` is the identical half-sum cut
+    (period < ½·total) on real columns.
+
+    Plan for 100 TB: the name-prefix part filter broadcasts as a
+    LEFT-SEMI into the lineitem scan FIRST (the fact shrinks before the
+    shuffle — the chain's whole point); one aggregation on
+    (l_partkey, l_suppkey) computes both sums in a single pass
+    (conditional-sum A3, no second scan); the threshold cut runs on
+    exact DECIMAL accumulators so the supplier set is engine-exact;
+    distinct suppkeys are a tiny frame that LEFT-SEMI-broadcasts into
+    supplier, and the nation gate broadcasts.  Nothing rescans the
+    fact, and the only wide exchange is the one aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 0)
+    fp = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("red"))
+        .select("p_partkey")
+    )
+    in_period = (
+        F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    tot = (
+        li.join(F.broadcast(fp), li["l_partkey"] == fp["p_partkey"], "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("total_qty"),
+            F.sum(
+                F.when(in_period, _dec("l_quantity")).otherwise(
+                    F.lit(0).cast("decimal(14,2)")
+                )
+            ).alias("qty_period"),
+        )
+    )
+    excess = (
+        tot.filter(F.col("total_qty") > F.lit(2) * F.col("qty_period"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(excess), s["s_suppkey"] == excess["l_suppkey"], "left_semi")
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+        )
+        .orderBy("s_name", "s_suppkey")
+    )

@@ -412,6 +412,31 @@ def test_ccnet_assign_no_rank_window(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_min_cost_supplier_window_min_is_distributed(spark, sf_dir):
+    """Q2 shape: the correlated per-part MIN must ride a window
+    partitioned by partkey (distributed) with every dim broadcast — a
+    SinglePartition window, a nested loop, or a shuffled dim join here
+    becomes the bottleneck on a 100 TB fact."""
+    plan = _plan(spark, sf_dir, "rl_min_cost_supplier")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert _single_partition_window_sorts(plan) == 0
+
+
+def test_excess_stock_semi_join_shrinks_fact_first(spark, sf_dir):
+    """Q20 shape: the name-prefix part set must reach the lineitem side
+    as a broadcast LEFT-SEMI *before* the (partkey, suppkey) aggregation
+    — the fact shrinks before the only wide exchange — and the supplier
+    probe is likewise semi-join, never an inner join that would duplicate
+    supplier rows per excess part."""
+    plan = _plan(spark, sf_dir, "rl_excess_stock_suppliers")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("LeftSemi") >= 2, "expected two semi-join stages"
+    assert _single_partition_window_sorts(plan) == 0
+
+
 def test_rfm_segments_no_single_partition(spark, sf_dir):
     """The three RFM quartile ranks must ride the distributed
     range-partition rank machinery — a global-window row_number would

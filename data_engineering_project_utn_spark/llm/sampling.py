@@ -124,39 +124,81 @@ def pack_sequences(
     )
 
 
+#: τ values with an exact integer-grid form, mapped to the number of
+#: correctly-rounded IEEE sqrt applications that realize tokens^τ (up to a
+#: positive constant that cancels in every share/weight ratio).
+_TAU_SQRT_STEPS = {1.0: 0, 0.5: 1, 0.25: 2, 0.125: 3}
+
+
+def _temperature_score(tokens: F.Column, tau: float, s_scale: int) -> F.Column:
+    """q_i ∝ tokens^τ on the floor(·s_scale) BIGINT grid, by repeated
+    sqrt: each step maps the exact integer s to floor(√s · s_scale),
+    which both engines compute identically (s is exact in a double below
+    2⁵³ and IEEE sqrt is correctly rounded).  τ=1 is the identity
+    (proportional sampling), τ=0 the constant 1 (uniform)."""
+    if tau == 0.0:
+        return F.lit(1).cast("long")
+    steps = _TAU_SQRT_STEPS[tau]
+    s = tokens.cast("long")
+    for _ in range(steps):
+        s = F.floor(F.sqrt(s.cast("double")) * F.lit(float(s_scale))).cast("long")
+    return s
+
+
+def temperature_score_sql(expr: str, tau: float, s_scale: int = 10**6) -> str:
+    """The DuckDB twin of ``_temperature_score`` — the SAME repeated
+    floor(√s · scale) composition as a SQL fragment, so oracles stay in
+    lockstep with the Spark path by construction."""
+    if tau == 0.0:
+        return "CAST(1 AS BIGINT)"
+    s = f"CAST({expr} AS BIGINT)"
+    for _ in range(_TAU_SQRT_STEPS[tau]):
+        s = f"CAST(floor(sqrt(CAST({s} AS DOUBLE)) * {float(s_scale)!r}) AS BIGINT)"
+    return s
+
+
 def temperature_mixture_weights(
     docs: DataFrame,
     source_col: str = "source",
     text_col: str = "text",
     s_scale: int = 10**6,
+    tau: float = 0.5,
 ) -> DataFrame:
-    """Temperature-based domain mixture at τ = 1/2 (the multilingual-LM
-    standard — mBERT/XLM-R style q_i ∝ p_i^τ up-weighting of small
-    sources): per source, q_i ∝ √tokens_i, weight_i = q_i / p_i.
+    """Temperature-based domain mixture (mBERT/XLM-R style q_i ∝ p_i^τ
+    up-weighting of small sources): per source, q_i ∝ tokens_i^τ,
+    weight_i = q_i / p_i.  τ = 1/2 is the multilingual-LM standard
+    default; τ ∈ {1, 1/2, 1/4, 1/8, 0} are supported — exactly the
+    temperatures with an EXACT cross-engine form (free τ would need
+    pow(), whose cross-engine rounding is not pinned).
 
-    τ = 1/2 is the one temperature with an EXACT cross-engine form:
-    s_i = floor(√tokens · s_scale) is a BIGINT both engines compute
-    identically (tokens is exact in a double far beyond any corpus, and
-    IEEE sqrt is correctly rounded), the denominator Σs_i is an
-    order-free INTEGER sum, and the weight divides two exact integer
-    products once — no double accumulates across rows anywhere.
-    (A free-τ variant would need pow(), whose cross-engine rounding is
-    not pinned; τ = 1/4, 1/8... compose by repeated sqrt if ever needed.)
+    Every supported τ composes from correctly-rounded IEEE sqrt on a
+    BIGINT grid: s_i = floor(√·· s_scale) applied 0..3 times
+    (``_temperature_score``), so s_i is an integer both engines compute
+    identically, the denominator Σs_i is an order-free INTEGER sum, and
+    the weight divides two exact integer products once — no double
+    accumulates across rows anywhere.  Limits pinned by tests: τ=1 →
+    every weight exactly 1.0 (proportional); τ=0 → weight ∝ 1/p_i
+    (uniform-over-sources, matching ``mixture_weights``' default
+    target).
 
     weight > 1 = up-sample (small sources), < 1 = down-sample; at τ=1/2
     weights vary as 1/√p_i.  Products s_i·total_tokens stay in BIGINT
-    through ~10¹² tokens per source at the default scale; beyond that,
-    move both engines' products to DECIMAL/HUGEINT in lockstep.
+    through ~10¹² tokens per source at the default scale (the τ<1/2
+    grids are SMALLER — each extra sqrt shrinks s_i); beyond that, move
+    both engines' products to DECIMAL/HUGEINT in lockstep.
 
     Scale shape: identical to ``mixture_weights`` — one map-side-combined
     groupBy(source) + a single-row broadcast of the integer totals."""
+    if tau != 0.0 and tau not in _TAU_SQRT_STEPS:
+        raise ValueError(
+            f"tau={tau!r} has no exact integer-grid form; supported: "
+            f"{sorted(_TAU_SQRT_STEPS)} and 0.0"
+        )
     per = docs.groupBy(F.col(source_col).alias("source")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(token_count(text_col)).cast("long").alias("tokens"),
     )
-    s_i = F.floor(
-        F.sqrt(F.col("tokens").cast("double")) * F.lit(float(s_scale))
-    ).cast("long")
+    s_i = _temperature_score(F.col("tokens"), tau, s_scale)
     per = per.select("source", "n_docs", "tokens", s_i.alias("_s"))
     totals = F.broadcast(
         per.agg(

@@ -246,6 +246,43 @@ def llm_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_temperature_mixture_t25",
+    priority=1,
+    oracle=rf"""
+    WITH per AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len({_TOKS})) AS BIGINT) AS tokens
+        FROM documents GROUP BY source
+    ),
+    ss AS (SELECT source, n_docs, tokens,
+                  {sa.temperature_score_sql("tokens", 0.25)} AS s
+           FROM per),
+    tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+                   CAST(SUM(s) AS BIGINT) AS s_sum FROM ss)
+    SELECT source, n_docs, tokens,
+           CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS actual_share,
+           CAST(s AS DOUBLE) / CAST(s_sum AS DOUBLE) AS temp_share,
+           CAST(s * total_tokens AS DOUBLE) / CAST(s_sum * tokens AS DOUBLE) AS weight
+    FROM ss, tot
+    ORDER BY source
+    """,
+    tags=("llm", "curation", "mixture"),
+)
+def llm_temperature_mixture_t25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture at τ = 1/4 — the free-τ composition (VERDICT
+    r09 #4): tokens^(1/4) realized as TWO floor(√s·10⁶) steps on the
+    BIGINT grid, each a correctly-rounded IEEE sqrt of an exact integer,
+    so the denominator stays an order-free integer sum at every
+    temperature on the {1, 1/2, 1/4, 1/8} dyadic ladder.  The oracle's
+    score expression is generated by the SAME composition
+    (``sampling.temperature_score_sql``), so the two engines cannot
+    drift.  τ=1 (all weights exactly 1) and τ=0 (uniform, weight ∝ 1/p)
+    limits are pinned in tests/test_llm_ops.py."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    return sa.temperature_mixture_weights(d, tau=0.25).orderBy("source")
+
+
+@register(
     "llm_content_split",
     oracle=f"""
     WITH tagged AS (

@@ -794,6 +794,55 @@ class TestMixtureAndBoilerplate:
         assert abs(out["actual_share"].sum() - 1.0) < 1e-12
         assert (out["sampled_tokens"] <= out["tokens"] + 1e-9).all()
 
+    def test_temperature_mixture_limits(self, spark):
+        """The dyadic-τ ladder's endpoints (VERDICT r09 #4): τ=1 is
+        proportional sampling (every weight exactly 1.0 — the integer
+        products are identical on both sides of the division), τ=0 is
+        uniform-over-sources (temp_share = 1/n for every source, weight
+        ∝ 1/p), and each sqrt step strictly flattens the mixture in
+        between (temp_share spread shrinks monotonically in τ)."""
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.llm import sampling as sa
+
+        pdf = pd.DataFrame(
+            {
+                "source": ["a"] * 9 + ["b"] * 3 + ["c"],
+                "text": ["w1 w2 w3 w4"] * 9 + ["w1 w2"] * 3 + ["w1"],
+            }
+        )
+        docs = spark.createDataFrame(pdf)
+        by_tau = {
+            tau: sa.temperature_mixture_weights(docs, tau=tau)
+            .toPandas()
+            .set_index("source")
+            for tau in (1.0, 0.5, 0.25, 0.125, 0.0)
+        }
+        # τ=1: proportional — weights are the ratio of identical integer
+        # products, so EXACTLY 1.0, not approximately
+        assert (by_tau[1.0]["weight"] == 1.0).all()
+        # τ=0: uniform — every source gets temp_share exactly 1/3
+        assert (by_tau[0.0]["temp_share"] == pd.Series(1 / 3, index=by_tau[0.0].index)).all()
+        # monotone flattening: the largest source's temp_share decreases
+        # (and the smallest's increases) as τ drops along the ladder
+        ladder = [1.0, 0.5, 0.25, 0.125, 0.0]
+        big = [by_tau[t].loc["a", "temp_share"] for t in ladder]
+        small = [by_tau[t].loc["c", "temp_share"] for t in ladder]
+        assert all(x > y for x, y in zip(big, big[1:]))
+        assert all(x < y for x, y in zip(small, small[1:]))
+
+    def test_temperature_mixture_rejects_inexact_tau(self, spark):
+        import pandas as pd
+        import pytest as _pytest
+
+        from data_engineering_project_utn_spark.llm import sampling as sa
+
+        docs = spark.createDataFrame(
+            pd.DataFrame({"source": ["a"], "text": ["w1 w2"]})
+        )
+        with _pytest.raises(ValueError, match="no exact integer-grid form"):
+            sa.temperature_mixture_weights(docs, tau=0.3)
+
     def test_frequent_ngrams_df_counts_docs_not_occurrences(self, spark):
         import pandas as pd
 

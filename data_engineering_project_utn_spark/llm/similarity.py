@@ -118,8 +118,6 @@ def mmr_topk(
     Returns a list of (rank, vec_id, relevance, marginal) tuples —
     rank-1's marginal IS its relevance (nothing selected yet).
     Ties break to the lowest id at every step."""
-    import math
-
     qdf = embeddings.sparkSession.createDataFrame(
         [([float(x) for x in query_vec],)], "qv array<double>"
     )
@@ -132,6 +130,25 @@ def mmr_topk(
     cand = [
         (int(r[id_col]), [float(x) for x in r["_v"]], float(r["rel"])) for r in rows
     ]
+    return mmr_refine(cand, k=k, lam=lam, one_minus_lam=one_minus_lam)
+
+
+def mmr_refine(
+    cand: "list[tuple[int, list[float], float]]",
+    k: int = 5,
+    lam: float = 0.7,
+    one_minus_lam: float = 0.3,
+) -> "list[tuple[int, int, float, float]]":
+    """The model-size greedy MMR loop on an already-retrieved candidate
+    pool (id, vector, relevance) — shared by the exact-pool anchor
+    (``mmr_topk``) and the ANN-pooled composition, so the refine
+    semantics are defined ONCE.  k·|pool|² double ops; pair similarities
+    use Python's ``sum`` left fold and ``math.sqrt`` — bit-identical to
+    the engine folds — and λ/(1−λ) are SEPARATE literals (``1 − 0.7`` is
+    a different double than ``0.3``).  Selection order and every
+    tie-break (highest marginal, then lowest id) are input-order
+    independent."""
+    import math
 
     def _dot(a: "list[float]", b: "list[float]") -> float:
         return sum(x * y for x, y in zip(a, b))

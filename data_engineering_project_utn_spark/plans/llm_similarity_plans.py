@@ -2551,6 +2551,164 @@ def llm_ivfpq_residual_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mmr_ann_oracle(k: int = 5, pool: int = 32, lam: str = "0.7", oml: str = "0.3") -> str:
+    '''The ANN-pooled MMR oracle: the residual-IVFPQ CTE chain (reused
+    VERBATIM from ``_IVFPQ_RESIDUAL_SQL`` — extraction fails at import
+    time if that fragment drifts) produces the adc-ordered candidate
+    pool, exact cosine re-scores the pool members (standard
+    retrieve-approximately / rerank-exactly), and the same unrolled
+    greedy steps as ``_mmr_oracle`` select k.  A pool_overlap column
+    (|ANN pool ∩ exact top-pool|, constant across rows) pins the
+    retrieval-quality cost of the approximate pool.'''
+    marker = "SELECT a.vec_id, a.cell, a.adc_dist"
+    parts = _IVFPQ_RESIDUAL_SQL.split(marker)
+    if len(parts) != 2:
+        raise ValueError("IVFPQ oracle fragment drifted — final SELECT marker not found")
+    ivf_ctes = parts[0].rstrip().rstrip(",")  # "WITH cents AS (...), ..., adcr AS (...)"
+    rel = (
+        f"{_dot('q.qv', 'e.embedding')} / "
+        f"(sqrt({_dot('q.qv', 'q.qv')}) * sqrt({_dot('e.embedding', 'e.embedding')}))"
+    )
+    sim_ = (
+        f"{_dot('a.v', 'b.v')} / "
+        f"(sqrt({_dot('a.v', 'a.v')}) * sqrt({_dot('b.v', 'b.v')}))"
+    )
+    ctes = [
+        f'''annpool AS (SELECT a.vec_id FROM adcr a JOIN qp ON a.cell = qp.cell
+          WHERE a.vec_id <> 0 ORDER BY a.adc_dist, a.vec_id LIMIT {pool})''',
+        "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)",
+        f'''c AS (SELECT e.vec_id, e.embedding AS v, {rel} AS rel
+          FROM embeddings e JOIN annpool ap ON ap.vec_id = e.vec_id, q)''',
+        f'''ex AS (SELECT e.vec_id FROM embeddings e, q WHERE e.vec_id <> 0
+          ORDER BY {rel} DESC, e.vec_id LIMIT {pool})''',
+        '''ov AS (SELECT CAST(COUNT(*) AS BIGINT) AS pool_overlap
+          FROM annpool JOIN ex USING (vec_id))''',
+        f'''p AS (SELECT a.vec_id AS ia, b.vec_id AS ib, {sim_} AS sim
+          FROM c a JOIN c b ON a.vec_id <> b.vec_id)''',
+        "s1 AS (SELECT vec_id, rel, rel AS marginal FROM c ORDER BY rel DESC, vec_id LIMIT 1)",
+        "sel1 AS (SELECT vec_id FROM s1)",
+    ]
+    for j in range(2, k + 1):
+        ctes.append(
+            f'''m{j} AS (SELECT c.vec_id, c.rel,
+               {lam} * c.rel - {oml} * MAX(p.sim) AS marginal
+        FROM c JOIN p ON p.ia = c.vec_id
+        JOIN sel{j-1} s ON s.vec_id = p.ib
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{j-1})
+        GROUP BY c.vec_id, c.rel)'''
+        )
+        ctes.append(
+            f"s{j} AS (SELECT vec_id, rel, marginal FROM m{j} "
+            f"ORDER BY marginal DESC, vec_id LIMIT 1)"
+        )
+        ctes.append(
+            f"sel{j} AS (SELECT vec_id FROM sel{j-1} UNION ALL SELECT vec_id FROM s{j})"
+        )
+    finals = [
+        f"SELECT CAST({j} AS BIGINT) AS rank, CAST(vec_id AS BIGINT) AS vec_id, "
+        f"rel AS relevance, marginal FROM s{j}"
+        for j in range(1, k + 1)
+    ]
+    nl = chr(10)
+    union = (nl + "    UNION ALL ").join(finals)
+    return (
+        ivf_ctes
+        + "," + nl + "    "
+        + ("," + nl + "    ").join(ctes)
+        + nl + f"    SELECT u.rank, u.vec_id, u.relevance, u.marginal, ov.pool_overlap"
+        + nl + f"    FROM ({union}) u CROSS JOIN ov"
+        + nl + "    ORDER BY rank" + nl + "    "
+    )
+
+
+@register(
+    "llm_mmr_topk_ann",
+    priority=1,
+    oracle=_mmr_ann_oracle(),
+    tags=("llm", "similarity", "retrieval", "rerank", "ann"),
+)
+def llm_mmr_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    '''ANN-pooled MMR (VERDICT r09 #3): ``mmr_topk``'s candidate pool
+    sourced from the gated residual-IVFPQ path instead of the exact
+    brute-force top-k — the composition a 100 TB retrieval stack
+    actually runs (coarse-probe nprobe=2 cells → residual-ADC rank →
+    top-32 candidate pool → exact-cosine rerank → greedy MMR), held to
+    the exact-pool gate ``llm_mmr_topk`` as its anchor.
+
+    Phases at their altitudes: the corpus is touched ONLY by the gated
+    IVFPQ machinery (coarse assign + residual encode + cell-restricted
+    ADC — no new corpus shuffle is introduced; the pool fetch is a
+    32-literal IN filter pushed into the scan) and one exact-cosine
+    TakeOrdered for the overlap baseline; the rerank + greedy refine
+    (``similarity.mmr_refine``, shared with the anchor) run on the
+    32-row pool driver-side.
+
+    The ``pool_overlap`` column pins the retrieval-quality cost of the
+    approximate pool as a gated number: |ANN pool ∩ exact top-32| —
+    the anchor-vs-deployed pattern of ``llm_ccnet_assign``.'''
+    import math
+
+    from data_engineering_project_utn_spark.llm import similarity as sim2
+    from data_engineering_project_utn_spark.llm.similarity import cosine
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    pool = 32
+    e = track_persist(parallelize_compute(load_table(spark, sf_dir, "embeddings")))
+    small = {
+        int(r["vec_id"]): list(r["embedding"])
+        for r in e.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    }
+    cents = [(j, small[j]) for j in range(8)]
+    qv = small[0]
+
+    def cos_to(cv: "list[float]") -> float:
+        d = sum(float(a) * float(b) for a, b in zip(qv, cv))
+        return d / (
+            math.sqrt(sum(float(a) * float(a) for a in qv))
+            * math.sqrt(sum(float(b) * float(b) for b in cv))
+        )
+
+    probed = [
+        cid for cid, _ in sorted(cents, key=lambda c: (-cos_to(c[1]), -c[0]))[:2]
+    ]
+    res_cb = sim2.residual_codebook(e, cents, lo=16, hi=32)
+    scored = sim2.pq_encode_adc_residual(e, qv, cents, res_cb, m=2)
+    ann_ids = [
+        int(r["vec_id"])
+        for r in scored.filter(F.col("cell").isin([int(c) for c in probed]))
+        .filter(F.col("vec_id") != 0)
+        .orderBy("adc_dist", "vec_id")
+        .limit(pool)
+        .collect()
+    ]
+    qv_lit = F.array(*[F.lit(float(x)) for x in qv])
+    rel = cosine(qv_lit, F.col("embedding"))
+    cand = [
+        (int(r["vec_id"]), [float(x) for x in r["_v"]], float(r["rel"]))
+        for r in e.filter(F.col("vec_id").isin(ann_ids))
+        .select("vec_id", F.col("embedding").alias("_v"), rel.alias("rel"))
+        .collect()
+    ]
+    sel = sim2.mmr_refine(cand, k=5)
+    exact_ids = {
+        int(r["vec_id"])
+        for r in e.filter(F.col("vec_id") != 0)
+        .select("vec_id", rel.alias("rel"))
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(pool)
+        .collect()
+    }
+    overlap = len(set(ann_ids) & exact_ids)
+    return spark.createDataFrame(
+        [
+            (int(r), int(i), float(relv), float(m), int(overlap))
+            for r, i, relv, m in sel
+        ],
+        "rank: long, vec_id: long, relevance: double, marginal: double, "
+        "pool_overlap: long",
+    ).orderBy("rank")
+
+
 @register(
     "llm_sq8_error",
     priority=2,

@@ -2551,6 +2551,139 @@ def llm_ivfpq_residual_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_rank_eval_oracle(nprobes: "tuple[int, ...]" = (1, 2, 4)) -> str:
+    '''Rank-eval oracle over the residual-IVFPQ CTE chain (reused
+    VERBATIM — extraction fails at import time if the fragment drifts):
+    the true NN by exact cosine, then for each nprobe the candidate
+    count and the true NN's 1-based rank in the ADC ordering (0 = the
+    probe set missed its cell).'''
+    marker = "SELECT a.vec_id, a.cell, a.adc_dist"
+    parts = _IVFPQ_RESIDUAL_SQL.split(marker)
+    if len(parts) != 2:
+        raise ValueError("IVFPQ oracle fragment drifted — final SELECT marker not found")
+    ivf_ctes = parts[0].rstrip().rstrip(",")
+    rel = (
+        f"{_dot('q.qv', 'e.embedding')} / "
+        f"(sqrt({_dot('q.qv', 'q.qv')}) * sqrt({_dot('e.embedding', 'e.embedding')}))"
+    )
+    ctes = [
+        "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)",
+        f'''tn AS (SELECT e.vec_id FROM embeddings e, q WHERE e.vec_id <> 0
+          ORDER BY {rel} DESC, e.vec_id LIMIT 1)''',
+    ]
+    rows = []
+    for np_ in nprobes:
+        ctes.append(
+            f'''qp{np_} AS (SELECT cid AS cell FROM cscored
+          WHERE vec_id = 0 ORDER BY cos_c DESC, cid DESC LIMIT {np_})'''
+        )
+        ctes.append(
+            f'''cand{np_} AS (SELECT a.vec_id, a.adc_dist FROM adcr a
+          JOIN qp{np_} p ON a.cell = p.cell WHERE a.vec_id <> 0)'''
+        )
+        ctes.append(
+            f'''rk{np_} AS (SELECT vec_id, CAST(row_number() OVER (
+              ORDER BY adc_dist, vec_id) AS BIGINT) AS rn FROM cand{np_})'''
+        )
+        rows.append(
+            f'''SELECT CAST({np_} AS BIGINT) AS nprobe, t.vec_id AS true_nn,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cand{np_}) AS n_candidates,
+           COALESCE((SELECT rn FROM rk{np_} WHERE rk{np_}.vec_id = t.vec_id), 0)
+               AS approx_rank
+        FROM tn t'''
+        )
+    nl = chr(10)
+    return (
+        ivf_ctes
+        + "," + nl + "    "
+        + ("," + nl + "    ").join(ctes)
+        + nl + "    "
+        + (nl + "    UNION ALL ").join(rows)
+        + nl + "    ORDER BY nprobe" + nl + "    "
+    )
+
+
+@register(
+    "llm_ivfpq_rank_eval",
+    priority=1,
+    oracle=_ivfpq_rank_eval_oracle(),
+    tags=("llm", "similarity", "ann", "ivf", "pq", "report"),
+)
+def llm_ivfpq_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    '''Retrieval-quality metric for the composite residual-IVFPQ index
+    (VERDICT r09 #6) — the per-probe-depth twin of ``llm_ann_rank_eval``
+    (which scores the sign-LSH bucket ordering): for nprobe ∈ {1, 2, 4},
+    WHERE does the true nearest neighbor (exact cosine argmax, ties to
+    lowest id) land in the ADC ordering of the probed cells?
+    approx_rank 1 = the index's first answer IS the true NN; 0 = the
+    probe set missed the NN's cell entirely (the coarse-quantizer
+    false-negative case); n_candidates = how much of the corpus each
+    probe depth actually touches.  Integer ranks on integer ADC
+    distances — division-free, engine-exact.
+
+    Scale shape: one residual-ADC scoring pass over the corpus (the
+    gated ``pq_encode_adc_residual`` machinery), persisted and probed
+    three times with cell-literal filters; the exact arm is one
+    TakeOrdered(1); driver traffic is the query vector, the 8-cell
+    probe ranking, and three 1-row aggregates.'''
+    import math
+
+    from data_engineering_project_utn_spark.llm import similarity as sim2
+    from data_engineering_project_utn_spark.llm.similarity import cosine
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    e = track_persist(parallelize_compute(load_table(spark, sf_dir, "embeddings")))
+    small = {
+        int(r["vec_id"]): list(r["embedding"])
+        for r in e.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    }
+    cents = [(j, small[j]) for j in range(8)]
+    qv = small[0]
+
+    def cos_to(cv: "list[float]") -> float:
+        d = sum(float(a) * float(b) for a, b in zip(qv, cv))
+        return d / (
+            math.sqrt(sum(float(a) * float(a) for a in qv))
+            * math.sqrt(sum(float(b) * float(b) for b in cv))
+        )
+
+    ranking = [cid for cid, _ in sorted(cents, key=lambda c: (-cos_to(c[1]), -c[0]))]
+    res_cb = sim2.residual_codebook(e, cents, lo=16, hi=32)
+    scored = track_persist(
+        sim2.pq_encode_adc_residual(e, qv, cents, res_cb, m=2).filter(
+            F.col("vec_id") != 0
+        )
+    )
+    qv_lit = F.array(*[F.lit(float(x)) for x in qv])
+    t = (
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", cosine(qv_lit, F.col("embedding")).alias("rel"))
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(1)
+        .collect()[0]
+    )
+    t_id = int(t["vec_id"])
+    t_row = scored.filter(F.col("vec_id") == t_id).select("cell", "adc_dist").collect()
+    t_cell = int(t_row[0]["cell"])
+    t_dist = int(t_row[0]["adc_dist"])
+    out = []
+    for np_ in (1, 2, 4):
+        probes = [int(c) for c in ranking[:np_]]
+        cand = scored.filter(F.col("cell").isin(probes))
+        before = (F.col("adc_dist") < t_dist) | (
+            (F.col("adc_dist") == t_dist) & (F.col("vec_id") < t_id)
+        )
+        agg = cand.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(before, 1).otherwise(0)).cast("long").alias("n_before"),
+        ).collect()[0]
+        rank = int(agg["n_before"] or 0) + 1 if t_cell in probes else 0
+        out.append((np_, t_id, int(agg["n"]), rank))
+    return spark.createDataFrame(
+        out, "nprobe: long, true_nn: long, n_candidates: long, approx_rank: long"
+    ).orderBy("nprobe")
+
+
 def _mmr_ann_oracle(k: int = 5, pool: int = 32, lam: str = "0.7", oml: str = "0.3") -> str:
     '''The ANN-pooled MMR oracle: the residual-IVFPQ CTE chain (reused
     VERBATIM from ``_IVFPQ_RESIDUAL_SQL`` — extraction fails at import

@@ -1322,3 +1322,153 @@ def rl_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_name", "s_suppkey")
     )
+
+
+@register(
+    "rl_forecast_revenue_change",
+    priority=1,
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                    * CAST(l_discount AS DECIMAL(5,2))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("relational", "agg", "predicate", "bench"),
+)
+def rl_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped: the forecasting-revenue-change query — a pure
+    scan + conjunctive range predicates + one scalar aggregate, the
+    canonical predicate-pushdown benchmark.  Every conjunct (date range,
+    discount band, quantity cap) reaches the parquet scan as a pushed
+    filter over exactly 4 read columns; there is no join and no wide
+    shuffle — at 100 TB this is a map-only job whose cost is I/O after
+    row-group pruning.  Revenue (price × discount) accumulates in exact
+    DECIMAL."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount", 5, 2))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+@register(
+    "rl_product_type_profit",
+    priority=1,
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(5,2)))
+                    - CAST(p.p_retailprice AS DECIMAL(14,2))
+                      * CAST(l.l_quantity AS DECIMAL(14,2))) AS DOUBLE)
+               AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%ring%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    tags=("relational", "join", "agg"),
+)
+def rl_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped: product-type profit by nation and year — the
+    5-table star flake with a name-substring part filter.  Without a
+    partsupp table, unit cost is p_retailprice (profit = discounted
+    revenue − retailprice·qty — same expression tree as Q9's
+    ps_supplycost form, real columns).
+
+    Plan for 100 TB: the %ring% part filter broadcasts into the fact
+    scan FIRST (it cuts lineitem to the matching-part fraction before
+    anything else); supplier→nation broadcast; the one genuinely large
+    join is lineitem⋈orders on orderkey — a shuffle join on the fact's
+    natural key, which bucketing by orderkey co-locates at rest.
+    Profit accumulates in exact DECIMAL; the (nation, year) group key
+    space is model-size so the final aggregation is map-side combined
+    down to ~nations×years rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("ring"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    profit = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 5, 2)) - _dec(
+        "p_retailprice"
+    ) * _dec("l_quantity")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "rl_parts_supplier_counts",
+    priority=1,
+    oracle="""
+    WITH excl AS (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM excl)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    tags=("relational", "join", "distinct-agg", "anti-join"),
+)
+def rl_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped: supplier counts per (brand, type, size) with a
+    NOT-IN supplier exclusion — the countDistinct-over-join +
+    broadcast ANTI-join shape.  The partsupp bridge derives from
+    lineitem (l_partkey, l_suppkey); the 'customer complaints' exclusion
+    becomes the negative-balance suppliers (real column, same anti-join
+    plan).
+
+    Plan for 100 TB: part's brand/type/size-IN filters broadcast into
+    the fact (row-group pruning on the IN-list); the excluded-supplier
+    set is a broadcast LEFT-ANTI (a NOT IN on a nullable key would need
+    a null-safe anti join — suppkeys are non-null here, asserted by the
+    schema); COUNT(DISTINCT) goes through Spark's two-phase distinct
+    aggregation — partial distinct on (group, suppkey) map-side, so the
+    exchange carries unique pairs, not raw fact rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    excl = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(excl), li["l_suppkey"] == excl["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )

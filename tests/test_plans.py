@@ -437,6 +437,43 @@ def test_excess_stock_semi_join_shrinks_fact_first(spark, sf_dir):
     assert _single_partition_window_sorts(plan) == 0
 
 
+def test_forecast_revenue_is_map_only_pushed_scan(spark, sf_dir):
+    """Q6 shape: every conjunct reaches the lineitem scan's pushed
+    filters and the scan reads only the 4 needed columns — the pure
+    predicate-pushdown benchmark.  No join, no wide shuffle."""
+    plan = _plan(spark, sf_dir, "rl_forecast_revenue_change")
+    assert "Join" not in plan
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    li_scan = next(ln for ln in scans if "l_discount" in ln)
+    pushed = li_scan.split("PushedFilters", 1)[-1]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed to scan"
+    cols = li_scan.split("[", 1)[1].split("]", 1)[0].split(",")
+    assert len(cols) <= 4, cols
+
+
+def test_product_type_profit_broadcasts_all_dims(spark, sf_dir):
+    """Q9 shape: part/supplier/nation broadcast; the only shuffle join
+    is lineitem⋈orders on the fact's natural key; the name-substring
+    part filter must prune the part scan before the broadcast."""
+    plan = _plan(spark, sf_dir, "rl_product_type_profit")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "ring" in plan, "part name filter not visible in plan"
+
+
+def test_parts_supplier_counts_anti_join_broadcast(spark, sf_dir):
+    """Q16 shape: the excluded-supplier set rides a broadcast LEFT-ANTI
+    (never a shuffled anti join or a nested loop), and the IN-list size
+    filter reaches the part scan."""
+    plan = _plan(spark, sf_dir, "rl_parts_supplier_counts")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_rfm_segments_no_single_partition(spark, sf_dir):
     """The three RFM quartile ranks must ride the distributed
     range-partition rank machinery — a global-window row_number would

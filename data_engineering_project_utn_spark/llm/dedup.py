@@ -864,6 +864,8 @@ def semantic_neardup_pairs(
     centroids: "list[tuple[int, list[float]]] | DataFrame",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_cell_size: int | None = None,
+    two_level: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate candidates (Abbas et al.
     2023, "SemDeDup: Data-efficient learning at web-scale through
@@ -882,7 +884,20 @@ def semantic_neardup_pairs(
     ``similarity.derive_ivf_k``, exactly how the paper shards FAISS
     clusters), NEVER an all-pairs product.  Cosine is the shared
     left-fold ``similarity.dot`` — bit-identical to the oracle's
-    list_reduce — computed only for in-cell pairs."""
+    list_reduce — computed only for in-cell pairs.
+
+    ``max_cell_size`` bounds the per-cell pair space: an overfull cell
+    is split into 2^split_bits sub-cells by a *uniform id hash* —
+    exactly ``similarity.lsh_blocks``' split (same integer bit-length
+    sizing, same Knuth mix; a similarity-derived key cannot
+    redistribute near-identical vectors) — and pairs form within
+    (cell, sub) only.  That caps pair work at ≈ N·max_cell_size
+    (linear) where the uncapped √N-sized quantizer is Σ|cell|² ~ N^1.5
+    (measured 2.69×/2× at sf2→sf4, tracking the theoretical 2^1.5);
+    the trade is the bounded-sample approximation: each member of a
+    split cell meets a ~cap-row uniform sample of its cell peers, so
+    a near-dup GROUP stays internally connected with high probability
+    while some individual cross-sub pairs go unreported."""
     from data_engineering_project_utn_spark.llm import similarity as sim
     from data_engineering_project_utn_spark.llm.similarity import dot, norm
     from data_engineering_project_utn_spark.persist import track_persist
@@ -894,7 +909,15 @@ def semantic_neardup_pairs(
     # broadcast row (``ivf_cells_from_df``).  Both assignments are
     # bit-identical (same folds) and share one oracle.
     if isinstance(centroids, DataFrame):
-        assigned = sim.ivf_cells_from_df(embeddings, centroids, vec_col=vec_col)
+        if two_level:
+            # hierarchical descent: ≈2√k cosines/row instead of k — the
+            # assignment-side answer to √N quantizer growth (see
+            # similarity.ivf_cells_2level for the recall trade)
+            assigned = sim.ivf_cells_2level(embeddings, centroids, vec_col=vec_col)
+        else:
+            assigned = sim.ivf_cells_from_df(embeddings, centroids, vec_col=vec_col)
+    elif two_level:
+        raise ValueError("two_level requires the DataFrame centroid carrier")
     else:
         assigned = sim.ivf_cells(embeddings, centroids, vec_col=vec_col)
     # norms ride the persisted per-vector frame: the fold is identical to
@@ -907,21 +930,43 @@ def semantic_neardup_pairs(
             "_nrm", norm(F.col(vec_col))
         )
     )
+    keys = ["cell"]
+    if max_cell_size is not None:
+        cap = int(max_cell_size)
+        sizes = (
+            cells.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .filter(F.col("_cnt") > cap)
+        )
+        cells = cells.join(F.broadcast(sizes), "cell", "left")
+        q = F.floor((F.col("_cnt") + F.lit(cap - 1)) / F.lit(cap))
+        split_bits = (
+            F.when(F.col("_cnt").isNull(), F.lit(0))
+            .when(q <= 1, F.lit(0))
+            .otherwise(F.least(F.length(F.bin(q - 1)), F.lit(8)))
+            .cast("int")
+        )
+        mixed = (F.col(id_col).cast("long") * F.lit(31) + F.lit(7)) % F.lit(1000003)
+        sub = F.when(split_bits == 0, F.lit(0).cast("long")).otherwise(
+            mixed % F.pow(F.lit(2.0), split_bits).cast("long")
+        )
+        cells = cells.select(id_col, vec_col, "cell", "_nrm", sub.alias("sub"))
+        keys = ["cell", "sub"]
     a = cells.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("_va"),
-        "cell",
+        *keys,
         F.col("_nrm").alias("_na"),
     )
     b = cells.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("_vb"),
-        "cell",
+        *keys,
         F.col("_nrm").alias("_nb"),
     )
     cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     return (
-        a.join(b, "cell")
+        a.join(b, keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .select("cell", "id_a", "id_b", cos.alias("cos_sim"))
     )

@@ -608,6 +608,122 @@ def ivf_cells_from_df(
     )
 
 
+def derive_super_g(k: int) -> int:
+    """Level-1 fan-out for the two-level coarse quantizer: 2^⌈log2 √k⌉
+    clamped to [1, k] — per-row assignment work drops from k cosines to
+    ≈ g + k/g ≈ 2√k (the IMI / quantizer-on-quantizer balance point).
+    Mirrored digit-for-digit by the two-level oracles (POW/CEIL/LOG2/SQRT
+    over the same k)."""
+    import math
+
+    if k <= 1:
+        return 1
+    return min(k, max(1, 2 ** math.ceil(math.log2(math.sqrt(k)))))
+
+
+def ivf_cells_2level(
+    embeddings: DataFrame,
+    centroids_df: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """HIERARCHICAL IVF coarse assignment (FAISS's quantizer-on-quantizer
+    / inverted-multi-index idea): instead of scoring all k centroids per
+    row — the N·k·d term that makes flat assignment N^1.5 under √N
+    quantizer sizing (measured 2.05×/2× at sf2→sf4 even with capped
+    pairs) — descend a 2-level tree: argmax over g = 2^⌈log2 √k⌉
+    SUPER-centroids (the centroids with cid < g, the same deterministic
+    prefix rule that picks the centroids from the corpus), then argmax
+    over only that super's centroids.  Per-row work ≈ (g + k/g)·d ≈
+    2√k·d — at the 65536-centroid clamp that is 512 cosines instead of
+    65536.
+
+    The descent is an APPROXIMATION of the flat argmax: a vector whose
+    true nearest centroid lives under a different super-centroid lands
+    in a neighboring cell (the standard IVF-tree recall trade, recovered
+    in ANN settings by probing multiple supers).  For dedup blocking the
+    consequence is the same bounded-recall trade the cell cap already
+    makes; the two-level gate pins actual assignment values with its own
+    oracle rather than claiming flat-assign parity.
+
+    Every fold (cosine, tie-breaks: highest cosine then highest id at
+    BOTH levels) matches ``_scored_packed``, so the SQL twin reproduces
+    the descent bit-for-bit.  Centroids never touch the driver: the
+    super set packs into one broadcast row; the per-super leaf arrays
+    ride a g-row broadcast hash join keyed on the super id."""
+    cdf = centroids_df.select(
+        F.col("cid").cast("int").alias("cid"),
+        F.col("cv"),
+        norm(F.col("cv")).alias("cn"),
+    )
+    k = cdf.count()
+    g = derive_super_g(int(k))
+    supers = cdf.filter(F.col("cid") < g).select(
+        F.col("cid").alias("scid"),
+        F.col("cv").alias("scv"),
+        F.col("cn").alias("scn"),
+    )
+    spacked = (
+        supers.groupBy()
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("scid"), F.col("scv"), F.col("scn")))
+            ).alias("_supers")
+        )
+        .withColumn("_sk", F.lit(1))
+    )
+
+    def _super_of(col_name: str) -> Column:
+        return F.array_max(
+            F.transform(
+                F.col("_supers"),
+                lambda s: F.struct(
+                    (
+                        dot(F.col(col_name), s["scv"])
+                        / (norm(F.col(col_name)) * s["scn"])
+                    ).alias("c"),
+                    s["scid"].alias("cid"),
+                ),
+            )
+        )["cid"]
+
+    # level-1 assignment of the CENTROIDS themselves (k rows — tiny)
+    cents_assigned = (
+        cdf.withColumn("_sk", F.lit(1))
+        .join(F.broadcast(spacked), "_sk")
+        .withColumn("super", _super_of("cv"))
+        .drop("_sk", "_supers")
+    )
+    leaf_packed = F.broadcast(
+        cents_assigned.groupBy("super").agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("cid"), F.col("cv"), F.col("cn")))
+            ).alias("_leaves")
+        )
+    )
+    v = (
+        embeddings.withColumn("_sk", F.lit(1))
+        .join(F.broadcast(spacked), "_sk")
+        .withColumn("super", _super_of(vec_col))
+        .drop("_sk", "_supers")
+    )
+    leaf_cell = F.array_max(
+        F.transform(
+            F.col("_leaves"),
+            lambda s: F.struct(
+                (dot(F.col(vec_col), s["cv"]) / (norm(F.col(vec_col)) * s["cn"])).alias(
+                    "c"
+                ),
+                s["cid"].alias("cid"),
+            ),
+        )
+    )["cid"]
+    return (
+        v.join(leaf_packed, "super")
+        .withColumn("cell", leaf_cell)
+        .drop("_leaves", "super")
+    )
+
+
 def _ivf_scored(
     vec_col: str, centroids: list[tuple[int, list[float]]]
 ) -> Column:

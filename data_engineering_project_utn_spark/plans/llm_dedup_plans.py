@@ -1378,3 +1378,179 @@ def sim_derive_k(e: DataFrame) -> int:
     from data_engineering_project_utn_spark.llm import similarity as sim
 
     return sim.derive_ivf_k(e.count())
+
+
+def _semdedup_capped_oracle(cap: int) -> str:
+    """The capped-cell semdedup oracle: the kk/cents/cscored/cells prefix
+    reused VERBATIM from ``_SEMDEDUP_ORACLE`` (surgery fails at import
+    time if the fragment drifts), then the hot/blk/sb split chain — the
+    SAME integer split arithmetic as ``_capped_knn_tail`` keyed on the
+    IVF cell — and pairs within (cell, sub)."""
+    marker = "    ce AS"
+    parts = _SEMDEDUP_ORACLE.split(marker)
+    if len(parts) != 2:
+        raise ValueError("semdedup oracle fragment drifted — ce marker not found")
+    prefix = parts[0]  # WITH kk, cents, cscored, cells,
+    cos = """list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+                     q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)), (acc, x) -> acc + x)
+                 / (sqrt(list_reduce(list_transform(list_zip(a.embedding, a.embedding),
+                        q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)), (acc, x) -> acc + x))
+                    * sqrt(list_reduce(list_transform(list_zip(b.embedding, b.embedding),
+                        q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)), (acc, x) -> acc + x)))"""
+    return (
+        prefix
+        + f"""    ce AS (SELECT c.vec_id, c.cell, e.embedding
+           FROM cells c JOIN embeddings e USING (vec_id)),
+    hot AS (SELECT cell, COUNT(*) AS cnt FROM ce GROUP BY cell
+            HAVING COUNT(*) > {cap}),
+    blk AS (
+        SELECT ce.vec_id, ce.cell, ce.embedding,
+               CASE WHEN h.cnt IS NULL THEN 0
+                    WHEN CAST(FLOOR((h.cnt + {cap - 1}) / {cap}.0) AS BIGINT) <= 1 THEN 0
+                    ELSE LEAST(length(bin(
+                        CAST(FLOOR((h.cnt + {cap - 1}) / {cap}.0) AS BIGINT) - 1)), 8)
+               END AS split_bits
+        FROM ce LEFT JOIN hot h USING (cell)
+    ),
+    sb AS (
+        SELECT *, CASE WHEN split_bits = 0 THEN 0
+                       ELSE ((vec_id * 31 + 7) % 1000003)
+                            % CAST(POW(2, split_bits) AS BIGINT)
+                  END AS sub
+        FROM blk
+    ),
+    p AS (SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+                 {cos}
+                     AS cos_sim
+          FROM sb a JOIN sb b ON a.cell = b.cell AND a.sub = b.sub
+                             AND a.vec_id < b.vec_id)
+    SELECT cell, id_a, id_b, cos_sim FROM p
+    ORDER BY cos_sim DESC, id_a, id_b LIMIT 20
+    """
+    )
+
+
+def _semdedup_2level_oracle(cap: int) -> str:
+    """Two-level-assignment semdedup oracle: the SAME k rule, then the
+    hierarchical descent — centroid→super and vector→super argmax over
+    the g = 2^⌈log2 √k⌉ super-centroids, vector→leaf argmax within the
+    assigned super (every tie highest-cosine-then-highest-id, matching
+    the struct-max) — feeding the capped pair tail reused VERBATIM from
+    ``_semdedup_capped_oracle`` (surgery fails at import on drift)."""
+    tail_marker = "    ce AS"
+    parts = _semdedup_capped_oracle(cap).split(tail_marker)
+    if len(parts) != 2:
+        raise ValueError("capped semdedup oracle drifted — ce marker not found")
+    tail = tail_marker + parts[1]
+
+    def cos(a: str, b: str) -> str:
+        return f"""list_reduce(list_transform(list_zip({a}, {b}),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)
+               / (sqrt(list_reduce(list_transform(list_zip({a}, {a}),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x))
+                  * sqrt(list_reduce(list_transform(list_zip({b}, {b}),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)))"""
+
+    return f"""
+    WITH kk AS (SELECT LEAST(65536, GREATEST(4, CAST(POW(2, CEIL(LOG2(SQRT(
+                   CAST(COUNT(*) AS DOUBLE))))) AS BIGINT))) AS k
+                FROM embeddings),
+    cents AS (SELECT vec_id AS cid, embedding AS cv
+              FROM embeddings, kk WHERE vec_id < kk.k),
+    gg AS (SELECT LEAST(k, GREATEST(1, CAST(POW(2, CEIL(LOG2(SQRT(
+               CAST(k AS DOUBLE))))) AS BIGINT))) AS g FROM kk),
+    supers AS (SELECT cid AS sid, cv AS sv FROM cents, gg WHERE cid < gg.g),
+    cs AS (SELECT c.cid, s.sid,
+                  {cos('c.cv', 's.sv')} AS cc
+           FROM cents c CROSS JOIN supers s),
+    csup AS (SELECT cid, sid AS super FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY cid
+                                             ORDER BY cc DESC, sid DESC) AS rn
+                FROM cs) WHERE rn = 1),
+    vs AS (SELECT e.vec_id, s.sid,
+                  {cos('e.embedding', 's.sv')} AS vc
+           FROM embeddings e CROSS JOIN supers s),
+    vsup AS (SELECT vec_id, sid AS super FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                             ORDER BY vc DESC, sid DESC) AS rn
+                FROM vs) WHERE rn = 1),
+    vl AS (SELECT e.vec_id, c.cid,
+                  {cos('e.embedding', 'c.cv')} AS lc
+           FROM embeddings e
+           JOIN vsup v ON v.vec_id = e.vec_id
+           JOIN csup cp ON cp.super = v.super
+           JOIN cents c ON c.cid = cp.cid),
+    cells AS (SELECT vec_id, cid AS cell FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                             ORDER BY lc DESC, cid DESC) AS rn
+                FROM vl) WHERE rn = 1),
+{tail}"""
+
+
+@register(
+    "llm_semdedup_2level",
+    priority=1,
+    oracle=_semdedup_2level_oracle(16),
+    tags=("llm", "dedup", "similarity", "semantic", "scale-twin"),
+)
+def llm_semdedup_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE 100 TB semdedup deployment — BOTH scale fixes the
+    round-10 sf2→sf4 probes motivated, composed and value-gated:
+    hierarchical two-level coarse assignment (≈2√k cosines/row instead
+    of k — the N·k·d flat-assign term measured at 2.05×/2× even with
+    capped pairs drops to ≈N·2√k·d) AND the id-hash cell cap (pair
+    space ≈ N·cap).  FAISS reaches the same shape with a
+    quantizer-on-quantizer / HNSW coarse step; here both levels are
+    exact struct-max descents the oracle replays digit-for-digit —
+    approximation relative to FLAT assignment (boundary vectors can
+    land in a neighboring super's leaf) is the pinned, gated trade, not
+    a silent one.  Quantizer stays on the DataFrame/broadcast carrier
+    end to end: one packed super row + a g-row leaf-array broadcast
+    join; nothing collects."""
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    e = track_persist(parallelize_compute(load_table(spark, sf_dir, "embeddings")))
+    k = sim_derive_k(e)
+    cdf = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    return (
+        dd.semantic_neardup_pairs(e, cdf, max_cell_size=16, two_level=True)
+        .orderBy(F.desc("cos_sim"), "id_a", "id_b")
+        .limit(20)
+    )
+
+
+@register(
+    "llm_semdedup_capped",
+    priority=1,
+    oracle=_semdedup_capped_oracle(16),
+    tags=("llm", "dedup", "similarity", "semantic", "scale-twin"),
+)
+def llm_semdedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-size-capped SemDeDup — the LINEAR-pair-space deployment of
+    the semdedup family (round-10 answer to the sf2→sf4 probe): the
+    √N-sized quantizer's Σ|cell|² pair space grows as N^1.5 (measured
+    2.69× per 2× rows at sf2→sf4, tracking the theoretical 2^1.5 =
+    2.83); with ``max_cell_size``, every overfull cell splits into
+    id-hash sub-cells — the SAME integer split arithmetic as the capped
+    k-NN join (``lsh_blocks``), keyed on the IVF cell — so pair work is
+    ≈ N·cap at ANY corpus size.  The trade (each member of a split cell
+    meets a ~cap-row uniform sample of its peers; near-dup groups stay
+    internally connected, some individual cross-sub pairs go
+    unreported) is the same bounded-sample approximation the knn-join
+    cap already gates.  Quantizer rides the DataFrame/broadcast carrier
+    (``llm_semdedup_bcast``'s 100 TB dispatch); cap pinned at 16 so the
+    split path is exercised at every SF (sf0.01's mean cell is ~16)."""
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    e = track_persist(parallelize_compute(load_table(spark, sf_dir, "embeddings")))
+    k = sim_derive_k(e)
+    cdf = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    return (
+        dd.semantic_neardup_pairs(e, cdf, max_cell_size=16)
+        .orderBy(F.desc("cos_sim"), "id_a", "id_b")
+        .limit(20)
+    )

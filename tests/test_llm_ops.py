@@ -3122,6 +3122,52 @@ class TestSemDedupQuantizerCarriers:
             )
             assert lst == dfc and len(lst) > 0
 
+    def test_two_level_assign_mostly_agrees_with_flat(self, embeddings):
+        """The hierarchical descent is an approximation of the flat
+        argmax: most vectors land in the same cell (the descent only
+        diverges for boundary vectors whose nearest centroid lives
+        under a different super), and every assigned cell is a real
+        centroid id.  Pins the trade instead of assuming it."""
+        from data_engineering_project_utn_spark.llm import similarity as sim
+
+        cdf = self._cents_df(embeddings, 16)
+        flat = {
+            r["vec_id"]: r["cell"]
+            for r in sim.ivf_cells_from_df(embeddings, cdf)
+            .select("vec_id", "cell")
+            .collect()
+        }
+        two = {
+            r["vec_id"]: r["cell"]
+            for r in sim.ivf_cells_2level(embeddings, cdf)
+            .select("vec_id", "cell")
+            .collect()
+        }
+        assert set(two) == set(flat), "two-level must assign every vector"
+        assert set(two.values()) <= set(range(16))
+        agree = sum(1 for i, c in two.items() if flat[i] == c) / len(two)
+        assert agree >= 0.5, f"descent agreement collapsed: {agree:.2f}"
+
+    def test_cell_cap_yields_subset_with_intact_values(self, embeddings):
+        """max_cell_size pairs are a strict SUBSET of the uncapped pairs
+        (the id-hash split only removes cross-sub pairs, never invents
+        or rescores one) and the split actually fires at a small cap."""
+        cdf = self._cents_df(embeddings, 8)
+        full = {
+            (r["id_a"], r["id_b"]): r["cos_sim"]
+            for r in dd.semantic_neardup_pairs(embeddings, cdf).collect()
+        }
+        capped = {
+            (r["id_a"], r["id_b"]): r["cos_sim"]
+            for r in dd.semantic_neardup_pairs(
+                embeddings, cdf, max_cell_size=4
+            ).collect()
+        }
+        assert set(capped) < set(full), "cap must drop some cross-sub pairs"
+        assert len(capped) > 0
+        for key, cs in capped.items():
+            assert cs == full[key], "surviving pair rescored under the cap"
+
     def test_df_carrier_plan_independent_of_quantizer_size(self, embeddings):
         """No literal blow-up at large k: the packed-broadcast assignment
         plan must stay the same size whether the quantizer is 8 or 64

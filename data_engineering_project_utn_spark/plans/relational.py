@@ -1325,6 +1325,74 @@ def rl_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rl_important_stock",
+    priority=1,
+    oracle="""
+    WITH val AS (
+        SELECT l.l_partkey,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))) AS value_dec
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE s.s_nationkey = 0
+        GROUP BY l.l_partkey),
+    tot AS (SELECT SUM(value_dec) AS total, CAST(COUNT(*) AS BIGINT) AS n
+            FROM val)
+    SELECT v.l_partkey AS partkey, CAST(v.value_dec AS DOUBLE) AS value
+    FROM val v, tot
+    WHERE v.value_dec * tot.n > tot.total * 2
+    ORDER BY value DESC, partkey
+    """,
+    tags=("relational", "join", "having", "global-ratio"),
+)
+def rl_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped: important-stock identification — the
+    GLOBAL-RATIO HAVING (a per-group aggregate kept only when it
+    exceeds a fraction of the whole-table aggregate, Q11's scalar
+    subquery in the HAVING clause).  Stock value per part derives from
+    lineitem restricted to one nation's suppliers (no partsupp in the
+    testdata; same join graph).
+
+    The fraction cut scales with the data the way Q11's official
+    0.0001/SF does: a part survives when its share exceeds 2× the mean
+    (``value·n > total·2`` with n = part count) — scale-invariant
+    selectivity, and EXACT: both sides are DECIMAL×BIGINT integer
+    products, no fraction ever exists as a double on either engine, so
+    boundary parts cannot disagree cross-engine.
+
+    Plan for 100 TB: the nation's suppliers broadcast-join into the
+    fact scan, one aggregation on l_partkey (map-side combined), the
+    grand total is a 1-row broadcast back across the aggregate frame —
+    the fact is scanned ONCE and the ratio gate costs one broadcast,
+    not a second pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 0)
+        .select("s_suppkey")
+    )
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    val = track_persist(
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"], "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice")).alias("value_dec"))
+    )
+    tot = val.agg(
+        F.sum("value_dec").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return (
+        val.join(F.broadcast(tot))
+        .filter(F.col("value_dec") * F.col("n") > F.col("total") * F.lit(2))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("value_dec").cast("double").alias("value"),
+        )
+        .orderBy(F.desc("value"), "partkey")
+    )
+
+
+@register(
     "rl_forecast_revenue_change",
     priority=1,
     oracle="""

@@ -309,3 +309,43 @@ def test_token_count_matches_python_split(spark, texts):
         .toPandas()
     )
     assert list(out["n"]) == [len(t.lower().split()) for t in texts]
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-1.0, max_value=1.0, allow_nan=False).filter(
+                lambda x: abs(x) > 1e-6
+            ),
+            min_size=3,
+            max_size=3,
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    k=st.integers(min_value=1, max_value=6),
+)
+@_settings
+def test_mmr_refine_invariants(vecs, k):
+    """Pure-Python greedy MMR invariants on arbitrary candidate pools:
+    rank 1 is the relevance argmax (ties to lowest id) and its marginal
+    IS its relevance; ranks are 1..min(k, n) with distinct ids from the
+    pool; every later marginal ≤ λ·(max pool relevance) (the diversity
+    penalty is non-negative because cosine of the selected set's argmax
+    is bounded below by self-comparison ≥ -1 — the bound uses only
+    λ·rel); marginals are reproducible under input permutation."""
+    from data_engineering_project_utn_spark.llm.similarity import mmr_refine
+
+    cand = [(i, v, sum(v) / (1 + i)) for i, v in enumerate(vecs)]
+    out = mmr_refine(cand, k=k)
+    n = len(cand)
+    assert [r for r, *_ in out] == list(range(1, min(k, n) + 1))
+    ids = [i for _, i, _, _ in out]
+    assert len(set(ids)) == len(ids) and set(ids) <= {c[0] for c in cand}
+    best_rel = max(r for _, _, r in cand)
+    top = min(i for i, _, r in cand if r == best_rel)
+    assert out[0][1] == top and out[0][3] == out[0][2] == best_rel
+    for _, _, rel, marg in out[1:]:
+        assert marg <= 0.7 * best_rel + 1e-12
+    perm = list(reversed(cand))
+    assert mmr_refine(perm, k=k) == out

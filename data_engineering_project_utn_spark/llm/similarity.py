@@ -621,6 +621,64 @@ def derive_super_g(k: int) -> int:
     return min(k, max(1, 2 ** math.ceil(math.log2(math.sqrt(k)))))
 
 
+def _super_of(col_name: str) -> Column:
+    """Level-1 descent step: argmax cosine over the packed ``_supers``
+    array (ties: highest cosine, then highest super id — the struct-max
+    order every quantizer in this module uses)."""
+    return F.array_max(
+        F.transform(
+            F.col("_supers"),
+            lambda s: F.struct(
+                (
+                    dot(F.col(col_name), s["scv"]) / (norm(F.col(col_name)) * s["scn"])
+                ).alias("c"),
+                s["scid"].alias("cid"),
+            ),
+        )
+    )["cid"]
+
+
+def two_level_quantizer(
+    centroids_df: DataFrame,
+) -> "tuple[DataFrame, DataFrame, DataFrame]":
+    """The two-level quantizer's parts, shared by assignment
+    (``ivf_cells_2level``) and query-side probing (the 2-level ANN
+    gate): ``(supers, spacked, cents_assigned)`` where supers is the
+    g = 2^⌈log2 √k⌉ prefix of the centroids (scid, scv, scn), spacked
+    packs them into one broadcastable row, and cents_assigned carries
+    every centroid with its level-1 ``super`` assignment (k rows —
+    model-size, never collected)."""
+    cdf = centroids_df.select(
+        F.col("cid").cast("int").alias("cid"),
+        F.col("cv"),
+        norm(F.col("cv")).alias("cn"),
+    )
+    k = cdf.count()
+    g = derive_super_g(int(k))
+    supers = cdf.filter(F.col("cid") < g).select(
+        F.col("cid").alias("scid"),
+        F.col("cv").alias("scv"),
+        F.col("cn").alias("scn"),
+    )
+    spacked = (
+        supers.groupBy()
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("scid"), F.col("scv"), F.col("scn")))
+            ).alias("_supers")
+        )
+        .withColumn("_sk", F.lit(1))
+    )
+    # level-1 assignment of the CENTROIDS themselves (k rows — tiny)
+    cents_assigned = (
+        cdf.withColumn("_sk", F.lit(1))
+        .join(F.broadcast(spacked), "_sk")
+        .withColumn("super", _super_of("cv"))
+        .drop("_sk", "_supers")
+    )
+    return supers, spacked, cents_assigned
+
+
 def ivf_cells_2level(
     embeddings: DataFrame,
     centroids_df: DataFrame,
@@ -650,49 +708,7 @@ def ivf_cells_2level(
     the descent bit-for-bit.  Centroids never touch the driver: the
     super set packs into one broadcast row; the per-super leaf arrays
     ride a g-row broadcast hash join keyed on the super id."""
-    cdf = centroids_df.select(
-        F.col("cid").cast("int").alias("cid"),
-        F.col("cv"),
-        norm(F.col("cv")).alias("cn"),
-    )
-    k = cdf.count()
-    g = derive_super_g(int(k))
-    supers = cdf.filter(F.col("cid") < g).select(
-        F.col("cid").alias("scid"),
-        F.col("cv").alias("scv"),
-        F.col("cn").alias("scn"),
-    )
-    spacked = (
-        supers.groupBy()
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("scid"), F.col("scv"), F.col("scn")))
-            ).alias("_supers")
-        )
-        .withColumn("_sk", F.lit(1))
-    )
-
-    def _super_of(col_name: str) -> Column:
-        return F.array_max(
-            F.transform(
-                F.col("_supers"),
-                lambda s: F.struct(
-                    (
-                        dot(F.col(col_name), s["scv"])
-                        / (norm(F.col(col_name)) * s["scn"])
-                    ).alias("c"),
-                    s["scid"].alias("cid"),
-                ),
-            )
-        )["cid"]
-
-    # level-1 assignment of the CENTROIDS themselves (k rows — tiny)
-    cents_assigned = (
-        cdf.withColumn("_sk", F.lit(1))
-        .join(F.broadcast(spacked), "_sk")
-        .withColumn("super", _super_of("cv"))
-        .drop("_sk", "_supers")
-    )
+    supers, spacked, cents_assigned = two_level_quantizer(centroids_df)
     leaf_packed = F.broadcast(
         cents_assigned.groupBy("super").agg(
             F.sort_array(

@@ -1431,59 +1431,22 @@ def _semdedup_capped_oracle(cap: int) -> str:
 
 
 def _semdedup_2level_oracle(cap: int) -> str:
-    """Two-level-assignment semdedup oracle: the SAME k rule, then the
-    hierarchical descent — centroid→super and vector→super argmax over
-    the g = 2^⌈log2 √k⌉ super-centroids, vector→leaf argmax within the
-    assigned super (every tie highest-cosine-then-highest-id, matching
-    the struct-max) — feeding the capped pair tail reused VERBATIM from
-    ``_semdedup_capped_oracle`` (surgery fails at import on drift)."""
+    """Two-level-assignment semdedup oracle: the shared hierarchical
+    descent CTE chain (``llm_shared.two_level_cells_ctes`` — ONE SQL
+    definition with the ANN twin) feeding the capped pair tail reused
+    VERBATIM from ``_semdedup_capped_oracle`` (surgery fails at import
+    on drift)."""
+    from data_engineering_project_utn_spark.plans.llm_shared import (
+        two_level_cells_ctes,
+    )
+
     tail_marker = "    ce AS"
     parts = _semdedup_capped_oracle(cap).split(tail_marker)
     if len(parts) != 2:
         raise ValueError("capped semdedup oracle drifted — ce marker not found")
     tail = tail_marker + parts[1]
-
-    def cos(a: str, b: str) -> str:
-        return f"""list_reduce(list_transform(list_zip({a}, {b}),
-                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)
-               / (sqrt(list_reduce(list_transform(list_zip({a}, {a}),
-                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x))
-                  * sqrt(list_reduce(list_transform(list_zip({b}, {b}),
-                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)))"""
-
     return f"""
-    WITH kk AS (SELECT LEAST(65536, GREATEST(4, CAST(POW(2, CEIL(LOG2(SQRT(
-                   CAST(COUNT(*) AS DOUBLE))))) AS BIGINT))) AS k
-                FROM embeddings),
-    cents AS (SELECT vec_id AS cid, embedding AS cv
-              FROM embeddings, kk WHERE vec_id < kk.k),
-    gg AS (SELECT LEAST(k, GREATEST(1, CAST(POW(2, CEIL(LOG2(SQRT(
-               CAST(k AS DOUBLE))))) AS BIGINT))) AS g FROM kk),
-    supers AS (SELECT cid AS sid, cv AS sv FROM cents, gg WHERE cid < gg.g),
-    cs AS (SELECT c.cid, s.sid,
-                  {cos('c.cv', 's.sv')} AS cc
-           FROM cents c CROSS JOIN supers s),
-    csup AS (SELECT cid, sid AS super FROM (
-                SELECT *, ROW_NUMBER() OVER (PARTITION BY cid
-                                             ORDER BY cc DESC, sid DESC) AS rn
-                FROM cs) WHERE rn = 1),
-    vs AS (SELECT e.vec_id, s.sid,
-                  {cos('e.embedding', 's.sv')} AS vc
-           FROM embeddings e CROSS JOIN supers s),
-    vsup AS (SELECT vec_id, sid AS super FROM (
-                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                             ORDER BY vc DESC, sid DESC) AS rn
-                FROM vs) WHERE rn = 1),
-    vl AS (SELECT e.vec_id, c.cid,
-                  {cos('e.embedding', 'c.cv')} AS lc
-           FROM embeddings e
-           JOIN vsup v ON v.vec_id = e.vec_id
-           JOIN csup cp ON cp.super = v.super
-           JOIN cents c ON c.cid = cp.cid),
-    cells AS (SELECT vec_id, cid AS cell FROM (
-                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                             ORDER BY lc DESC, cid DESC) AS rn
-                FROM vl) WHERE rn = 1),
+    WITH {two_level_cells_ctes()},
 {tail}"""
 
 

@@ -158,3 +158,56 @@ def _plog2_sql(xs: str, frac_bits: int = 16) -> str:
         f"+ (({xs}) * CAST({k} AS BIGINT)) // (CAST(1 AS BIGINT) << ({blen} - 1)) "
         f"- {k})"
     )
+
+
+def _cos(a: str, b: str) -> str:
+    """Oracle fragment: cosine of two lists — the shared fold/division
+    shape of llm.similarity.cosine (dot over the product of two fresh
+    sqrt-of-self-dot norms)."""
+    return (
+        f"{_dot(a, b)}\n               / (sqrt({_dot(a, a)})\n"
+        f"                  * sqrt({_dot(b, b)}))"
+    )
+
+
+def two_level_cells_ctes() -> str:
+    """CTE chain ``kk, cents, gg, supers, cs, csup, vs, vsup, vl, cells``
+    for the HIERARCHICAL two-level coarse assignment
+    (llm.similarity.ivf_cells_2level): the same √N k rule, then
+    centroid→super and vector→super argmax over the g = 2^⌈log2 √k⌉
+    super-centroids, and vector→leaf argmax within the assigned super —
+    every tie highest-cosine-then-highest-id, matching the struct-max.
+    ONE SQL definition shared by the semdedup and ANN two-level oracles
+    so the descent arithmetic cannot fork."""
+    return f"""kk AS (SELECT LEAST(65536, GREATEST(4, CAST(POW(2, CEIL(LOG2(SQRT(
+                   CAST(COUNT(*) AS DOUBLE))))) AS BIGINT))) AS k
+                FROM embeddings),
+    cents AS (SELECT vec_id AS cid, embedding AS cv
+              FROM embeddings, kk WHERE vec_id < kk.k),
+    gg AS (SELECT LEAST(k, GREATEST(1, CAST(POW(2, CEIL(LOG2(SQRT(
+               CAST(k AS DOUBLE))))) AS BIGINT))) AS g FROM kk),
+    supers AS (SELECT cid AS sid, cv AS sv FROM cents, gg WHERE cid < gg.g),
+    cs AS (SELECT c.cid, s.sid,
+                  {_cos('c.cv', 's.sv')} AS cc
+           FROM cents c CROSS JOIN supers s),
+    csup AS (SELECT cid, sid AS super FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY cid
+                                             ORDER BY cc DESC, sid DESC) AS rn
+                FROM cs) WHERE rn = 1),
+    vs AS (SELECT e.vec_id, s.sid,
+                  {_cos('e.embedding', 's.sv')} AS vc
+           FROM embeddings e CROSS JOIN supers s),
+    vsup AS (SELECT vec_id, sid AS super FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                             ORDER BY vc DESC, sid DESC) AS rn
+                FROM vs) WHERE rn = 1),
+    vl AS (SELECT e.vec_id, c.cid,
+                  {_cos('e.embedding', 'c.cv')} AS lc
+           FROM embeddings e
+           JOIN vsup v ON v.vec_id = e.vec_id
+           JOIN csup cp ON cp.super = v.super
+           JOIN cents c ON c.cid = cp.cid),
+    cells AS (SELECT vec_id, cid AS cell FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                             ORDER BY lc DESC, cid DESC) AS rn
+                FROM vl) WHERE rn = 1)"""

@@ -2551,6 +2551,96 @@ def llm_ivfpq_residual_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_2level_ann_oracle(nprobe: int = 2, k: int = 10) -> str:
+    """Two-level ANN oracle: the shared hierarchical-descent CTE chain
+    (``llm_shared.two_level_cells_ctes`` — ONE SQL definition with the
+    semdedup twin), then the query's own descent re-read from those
+    CTEs: its super from vs, its top-``nprobe`` leaf cells from vl, and
+    exact cosine over the probed cells' members."""
+    from data_engineering_project_utn_spark.plans.llm_shared import (
+        _cos,
+        two_level_cells_ctes,
+    )
+
+    return f"""
+    WITH {two_level_cells_ctes()},
+    qleaf AS (SELECT cid AS cell FROM vl WHERE vec_id = 0
+              ORDER BY lc DESC, cid DESC LIMIT {nprobe}),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cand AS (SELECT e.vec_id, cl.cell,
+                    {_cos('q.qv', 'e.embedding')} AS cos_sim
+             FROM embeddings e
+             JOIN cells cl ON cl.vec_id = e.vec_id
+             JOIN qleaf ON cl.cell = qleaf.cell, q
+             WHERE e.vec_id <> 0)
+    SELECT vec_id, cell, cos_sim FROM cand
+    ORDER BY cos_sim DESC, vec_id LIMIT {k}
+    """
+
+
+@register(
+    "llm_ivf_2level_ann",
+    priority=1,
+    oracle=_ivf_2level_ann_oracle(),
+    tags=("llm", "similarity", "ann", "ivf", "scale-twin"),
+)
+def llm_ivf_2level_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over the HIERARCHICAL two-level quantizer (round-10's
+    assignment-side scale fix, composed into the retrieval path): the
+    corpus is cell-assigned by the ≈2√k-cosines-per-row descent
+    (``ivf_cells_2level`` — the N·k flat-assign term measured at
+    2.05×/2× drops to near-linear), the query descends the SAME tree
+    (its super, then its top-2 leaf cells within that super), and exact
+    cosine ranks the probed cells' members.  The dedup-side twin is
+    ``llm_semdedup_2level``; both hold the descent to ONE shared SQL
+    definition so the arithmetic cannot fork.
+
+    Probe-depth caveat pinned rather than hidden: probing within one
+    super only (nprobe leaf cells, same super) is the descent's
+    recall trade — a query on a super boundary misses cells under the
+    neighboring super; the flat-probed anchors (``llm_ivf_nprobe``,
+    ``llm_ivfpq_residual_ann``) remain the exact-probe baselines.
+
+    Driver traffic: the query vector, its 1-row super, and the 2-row
+    leaf ranking; centroids and corpus never collect."""
+    from data_engineering_project_utn_spark.llm import similarity as sim2
+    from data_engineering_project_utn_spark.llm.similarity import cosine
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    e = track_persist(parallelize_compute(load_table(spark, sf_dir, "embeddings")))
+    k = sim2.derive_ivf_k(e.count())
+    cdf = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    qv = list(
+        e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    )
+    qv_lit = F.array(*[F.lit(float(x)) for x in qv])
+    supers, _spacked, cents_assigned = sim2.two_level_quantizer(cdf)
+    q_super = int(
+        supers.select("scid", cosine(qv_lit, F.col("scv")).alias("c"))
+        .orderBy(F.desc("c"), F.desc("scid"))
+        .limit(1)
+        .collect()[0]["scid"]
+    )
+    probed = [
+        int(r["cid"])
+        for r in cents_assigned.filter(F.col("super") == q_super)
+        .select("cid", cosine(qv_lit, F.col("cv")).alias("c"))
+        .orderBy(F.desc("c"), F.desc("cid"))
+        .limit(2)
+        .collect()
+    ]
+    assigned = sim2.ivf_cells_2level(e, cdf)
+    return (
+        assigned.filter(F.col("cell").isin(probed))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "cell", cosine(qv_lit, F.col("embedding")).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
 def _ivfpq_rank_eval_oracle(nprobes: "tuple[int, ...]" = (1, 2, 4)) -> str:
     '''Rank-eval oracle over the residual-IVFPQ CTE chain (reused
     VERBATIM — extraction fails at import time if the fragment drifts):

@@ -1333,7 +1333,7 @@ def rl_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))) AS value_dec
         FROM lineitem l
         JOIN supplier s ON s.s_suppkey = l.l_suppkey
-        WHERE s.s_nationkey = 0
+        WHERE s.s_nationkey < 5
         GROUP BY l.l_partkey),
     tot AS (SELECT SUM(value_dec) AS total, CAST(COUNT(*) AS BIGINT) AS n
             FROM val)
@@ -1367,7 +1367,7 @@ def rl_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     s = (
         load_table(spark, sf_dir, "supplier")
-        .filter(F.col("s_nationkey") == 0)
+        .filter(F.col("s_nationkey") < 5)
         .select("s_suppkey")
     )
     from data_engineering_project_utn_spark.persist import track_persist

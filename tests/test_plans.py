@@ -239,6 +239,18 @@ def test_bloom_probe_broadcasts_bits_not_corpus(spark, sf_dir):
         "llm_sq8_error",
         "llm_gopher_filters",
         "rl_monthly_growth",
+        "rl_min_cost_supplier",
+        "rl_excess_stock_suppliers",
+        "rl_forecast_revenue_change",
+        "rl_product_type_profit",
+        "rl_parts_supplier_counts",
+        "rl_important_stock",
+        "llm_temperature_mixture_t25",
+        "llm_mmr_topk_ann",
+        "llm_ivfpq_rank_eval",
+        "llm_semdedup_capped",
+        "llm_semdedup_2level",
+        "llm_ivf_2level_ann",
     ],
 )
 def test_graph_family_gates_nonempty(spark, sf_dir, name):
@@ -336,6 +348,16 @@ def test_rrf_neighborhood_no_global_window(spark, sf_dir):
         "rl_rfm_segments",
         "llm_sq8_error",
         "llm_gopher_filters",
+        "rl_min_cost_supplier",
+        "rl_excess_stock_suppliers",
+        "rl_forecast_revenue_change",
+        "rl_product_type_profit",
+        "rl_parts_supplier_counts",
+        "rl_important_stock",
+        "llm_temperature_mixture_t25",
+        "llm_mmr_topk_ann",
+        "llm_ivfpq_rank_eval",
+        "llm_ivf_2level_ann",
     ],
 )
 def test_round7_family_no_quadratic_join(spark, sf_dir, name):
@@ -368,8 +390,35 @@ def test_round7_family_no_quadratic_join(spark, sf_dir, name):
         "llm_ccnet_assign": 1,
         # the packed-centroid 1-row broadcast of the coarse assignment
         "llm_ivfpq_residual_bcast": 1,
+        # Q11's 1-row (total, n) broadcast back over the aggregate frame
+        "rl_important_stock": 1,
+        # the single-row integer-totals broadcast (same as the τ=1/2 twin)
+        "llm_temperature_mixture_t25": 1,
+        # the packed-supers 1-row broadcast rides the descent twice in the
+        # live plan (corpus super-assign + the centroid frame feeding the
+        # leaf arrays; the persisted cells subtree is stripped)
+        "llm_ivf_2level_ann": 2,
     }
     assert bnlj <= allowed.get(name, 0), f"{name}: {bnlj} live BNLJ nodes"
+
+
+@pytest.mark.parametrize("name", ["llm_semdedup_capped", "llm_semdedup_2level"])
+def test_semdedup_scale_twins_fresh_plan_no_quadratic(spark, sf_dir, name):
+    """The capped/two-level semdedup twins, asserted on a FRESH-cache
+    plan: warm session state re-embeds previously-persisted subtrees'
+    build plans (including their sanctioned packed-broadcast 1-row
+    joins) outside any strippable InMemoryRelation, so a warm-plan
+    substring count floats with test order — the same plan-text hazard
+    class as the r09 metadata-truncation flake.  Clearing the cache
+    first makes the count deterministic: in a fresh plan every packed
+    join sits inside its persisted subtree and the LIVE count is 0."""
+    from data_engineering_project_utn_spark.persist import release_persisted
+
+    release_persisted()
+    spark.catalog.clearCache()
+    plan = _strip_cached_subtrees(_plan(spark, sf_dir, name))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 0
 
 
 def test_stratified_exact_no_global_sort(spark, sf_dir):

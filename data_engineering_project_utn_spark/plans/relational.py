@@ -1405,7 +1405,7 @@ def rl_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_discount BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
     """,
-    tags=("relational", "agg", "predicate", "bench"),
+    tags=("relational", "agg", "predicate"),
 )
 def rl_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6-shaped: the forecasting-revenue-change query — a pure

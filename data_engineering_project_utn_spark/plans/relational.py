@@ -1393,6 +1393,57 @@ def rl_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rl_shipping_priority_mix",
+    priority=1,
+    oracle="""
+    SELECT l.l_returnflag AS ship_class,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY ship_class
+    ORDER BY ship_class
+    """,
+    tags=("relational", "join", "conditional-agg"),
+)
+def rl_shipping_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped: the shipping-mode priority mix — per shipping
+    class, how many lines belong to high- vs low-priority orders
+    (Q12's paired CASE-sum conditional counts over the orders⋈lineitem
+    join).  The testdata carries no l_shipmode/receipt columns, so the
+    class key is l_returnflag and the date window rides l_shipdate —
+    identical aggregate/join structure on real columns.  This completes
+    the TPC-H shape family: all 22 query shapes now have a gated
+    equivalent (Q1-Q22, partsupp-dependent ones re-derived through the
+    lineitem bridge).
+
+    Plan for 100 TB: the date window prunes the fact scan (pushed
+    filters + partition pruning on a date-partitioned layout); the join
+    is the fact's natural orderkey; both CASE-sums fold in ONE
+    map-side-combined aggregation pass to a 3-row result — no second
+    scan, no wide exchange beyond the join."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+@register(
     "rl_forecast_revenue_change",
     priority=1,
     oracle="""

@@ -2641,6 +2641,142 @@ def llm_ivf_2level_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _2level_rank_eval_oracle(nprobes: "tuple[int, ...]" = (1, 2, 4)) -> str:
+    """Rank-eval oracle for the two-level descent: the shared CTE chain,
+    the exact-cosine true NN, and for each nprobe the candidate count
+    and the true NN's rank in the exact-cosine ordering of the query's
+    top-nprobe leaf cells (0 = missed: wrong super, or leaf not
+    probed)."""
+    from data_engineering_project_utn_spark.plans.llm_shared import (
+        _cos,
+        two_level_cells_ctes,
+    )
+
+    ctes = [
+        "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)",
+        f'''tn AS (SELECT e.vec_id FROM embeddings e, q WHERE e.vec_id <> 0
+          ORDER BY {_cos('q.qv', 'e.embedding')} DESC, e.vec_id LIMIT 1)''',
+    ]
+    rows = []
+    for np_ in nprobes:
+        ctes.append(
+            f'''ql{np_} AS (SELECT cid AS cell FROM vl WHERE vec_id = 0
+          ORDER BY lc DESC, cid DESC LIMIT {np_})'''
+        )
+        ctes.append(
+            f'''cd{np_} AS (SELECT e.vec_id,
+                  {_cos('q.qv', 'e.embedding')} AS cs
+          FROM embeddings e
+          JOIN cells cl ON cl.vec_id = e.vec_id
+          JOIN ql{np_} ON cl.cell = ql{np_}.cell, q
+          WHERE e.vec_id <> 0)'''
+        )
+        ctes.append(
+            f'''rk{np_} AS (SELECT vec_id, CAST(row_number() OVER (
+              ORDER BY cs DESC, vec_id) AS BIGINT) AS rn FROM cd{np_})'''
+        )
+        rows.append(
+            f'''SELECT CAST({np_} AS BIGINT) AS nprobe, t.vec_id AS true_nn,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cd{np_}) AS n_candidates,
+           COALESCE((SELECT rn FROM rk{np_} WHERE rk{np_}.vec_id = t.vec_id), 0)
+               AS approx_rank
+        FROM tn t'''
+        )
+    nl = chr(10)
+    return (
+        nl + "    WITH " + two_level_cells_ctes()
+        + "," + nl + "    "
+        + ("," + nl + "    ").join(ctes)
+        + nl + "    "
+        + (nl + "    UNION ALL ").join(rows)
+        + nl + "    ORDER BY nprobe" + nl + "    "
+    )
+
+
+@register(
+    "llm_2level_rank_eval",
+    priority=1,
+    oracle=_2level_rank_eval_oracle(),
+    tags=("llm", "similarity", "ann", "ivf", "report"),
+)
+def llm_2level_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    '''Retrieval-quality metric for the two-level descent — the third
+    member of the rank-eval trio (LSH buckets: ``llm_ann_rank_eval``;
+    residual IVFPQ: ``llm_ivfpq_rank_eval``): for nprobe ∈ {1, 2, 4}
+    leaf cells of the query's super, WHERE does the exact true NN land
+    in the probed exact-cosine ordering?  approx_rank 0 separates the
+    two miss modes the descent can make — the NN's cell under a
+    DIFFERENT super (unreachable at any within-super nprobe; the
+    descent's own recall cost, pinned here) or under the right super
+    but an unprobed leaf (recoverable by deeper nprobe).  Integer
+    ranks; division-free.
+
+    Scale shape: one two-level assignment pass over the corpus
+    (persisted, probed per depth with cell-literal filters), one exact
+    TakeOrdered(1); driver traffic is the query vector, the super row,
+    the leaf ranking, and three 1-row aggregates.'''
+    from data_engineering_project_utn_spark.llm import similarity as sim2
+    from data_engineering_project_utn_spark.llm.similarity import cosine
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    e = track_persist(parallelize_compute(load_table(spark, sf_dir, "embeddings")))
+    k = sim2.derive_ivf_k(e.count())
+    cdf = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    qv = list(
+        e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    )
+    qv_lit = F.array(*[F.lit(float(x)) for x in qv])
+    supers, _spacked, cents_assigned = sim2.two_level_quantizer(cdf)
+    q_super = int(
+        supers.select("scid", cosine(qv_lit, F.col("scv")).alias("c"))
+        .orderBy(F.desc("c"), F.desc("scid"))
+        .limit(1)
+        .collect()[0]["scid"]
+    )
+    leaf_ranking = [
+        int(r["cid"])
+        for r in cents_assigned.filter(F.col("super") == q_super)
+        .select("cid", cosine(qv_lit, F.col("cv")).alias("c"))
+        .orderBy(F.desc("c"), F.desc("cid"))
+        .limit(4)
+        .collect()
+    ]
+    assigned = track_persist(
+        sim2.ivf_cells_2level(e, cdf)
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "cell", cosine(qv_lit, F.col("embedding")).alias("cs"))
+    )
+    t = (
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", cosine(qv_lit, F.col("embedding")).alias("rel"))
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(1)
+        .collect()[0]
+    )
+    t_id = int(t["vec_id"])
+    t_row = assigned.filter(F.col("vec_id") == t_id).select("cell", "cs").collect()
+    t_cell = int(t_row[0]["cell"])
+    t_cs = float(t_row[0]["cs"])
+    out = []
+    for np_ in (1, 2, 4):
+        probes = leaf_ranking[:np_]
+        cand = assigned.filter(F.col("cell").isin(probes))
+        before = (F.col("cs") > t_cs) | (
+            (F.col("cs") == t_cs) & (F.col("vec_id") < t_id)
+        )
+        agg = cand.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(before, 1).otherwise(0)).cast("long").alias("n_before"),
+        ).collect()[0]
+        rank = int(agg["n_before"] or 0) + 1 if t_cell in probes else 0
+        out.append((np_, t_id, int(agg["n"]), rank))
+    return spark.createDataFrame(
+        out, "nprobe: long, true_nn: long, n_candidates: long, approx_rank: long"
+    ).orderBy("nprobe")
+
+
 def _ivfpq_rank_eval_oracle(nprobes: "tuple[int, ...]" = (1, 2, 4)) -> str:
     '''Rank-eval oracle over the residual-IVFPQ CTE chain (reused
     VERBATIM — extraction fails at import time if the fragment drifts):

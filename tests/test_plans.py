@@ -252,6 +252,7 @@ def test_bloom_probe_broadcasts_bits_not_corpus(spark, sf_dir):
         "llm_semdedup_2level",
         "llm_ivf_2level_ann",
         "rl_shipping_priority_mix",
+        "llm_2level_rank_eval",
     ],
 )
 def test_graph_family_gates_nonempty(spark, sf_dir, name):
@@ -360,6 +361,7 @@ def test_rrf_neighborhood_no_global_window(spark, sf_dir):
         "llm_ivfpq_rank_eval",
         "llm_ivf_2level_ann",
         "rl_shipping_priority_mix",
+        "llm_2level_rank_eval",
     ],
 )
 def test_round7_family_no_quadratic_join(spark, sf_dir, name):

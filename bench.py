@@ -182,6 +182,21 @@ EXTENDED_QUERIES = [
     "rl_bracket_revenue",
     "llm_mmr_topk",
     "llm_temperature_mixture",
+    # round 10
+    "rl_min_cost_supplier",
+    "rl_excess_stock_suppliers",
+    "rl_forecast_revenue_change",
+    "rl_product_type_profit",
+    "rl_parts_supplier_counts",
+    "rl_important_stock",
+    "rl_shipping_priority_mix",
+    "llm_temperature_mixture_t25",
+    "llm_mmr_topk_ann",
+    "llm_ivfpq_rank_eval",
+    "llm_semdedup_capped",
+    "llm_semdedup_2level",
+    "llm_ivf_2level_ann",
+    "llm_2level_rank_eval",
 ]
 
 

@@ -638,6 +638,23 @@ def _super_of(col_name: str) -> Column:
     )["cid"]
 
 
+def _supers_ranked(col_name: str, s: int) -> Column:
+    """Level-1 descent, multi-probe form: the top-``s`` (cosine, super
+    id) structs in descending struct order — the same (highest cosine,
+    then highest id) rank ``_super_of`` takes the max of, so element 0
+    is exactly the single-probe super."""
+    scored = F.transform(
+        F.col("_supers"),
+        lambda x: F.struct(
+            (
+                dot(F.col(col_name), x["scv"]) / (norm(F.col(col_name)) * x["scn"])
+            ).alias("c"),
+            x["scid"].alias("cid"),
+        ),
+    )
+    return F.slice(F.reverse(F.array_sort(scored)), 1, s)
+
+
 def two_level_quantizer(
     centroids_df: DataFrame,
 ) -> "tuple[DataFrame, DataFrame, DataFrame]":
@@ -683,6 +700,7 @@ def ivf_cells_2level(
     embeddings: DataFrame,
     centroids_df: DataFrame,
     vec_col: str = "embedding",
+    nprobe_super: int = 1,
 ) -> DataFrame:
     """HIERARCHICAL IVF coarse assignment (FAISS's quantizer-on-quantizer
     / inverted-multi-index idea): instead of scoring all k centroids per
@@ -697,46 +715,71 @@ def ivf_cells_2level(
 
     The descent is an APPROXIMATION of the flat argmax: a vector whose
     true nearest centroid lives under a different super-centroid lands
-    in a neighboring cell (the standard IVF-tree recall trade, recovered
-    in ANN settings by probing multiple supers).  For dedup blocking the
-    consequence is the same bounded-recall trade the cell cap already
-    makes; the two-level gate pins actual assignment values with its own
-    oracle rather than claiming flat-assign parity.
+    in a neighboring cell (the standard IVF-tree recall trade).
+    ``nprobe_super`` recovers it the way FAISS IMI deployments do:
+    descend the top-s supers (ranked by the same cosine/struct order)
+    and argmax over the UNION of their leaf sets — per-row work
+    ≈ (g + s·k/g)·d, still ≈ (1+s)√k·d, and the s=1 default is the
+    original single-probe descent value-for-value.  For dedup blocking
+    the consequence is the same bounded-recall trade the cell cap
+    already makes; the two-level gate pins actual assignment values
+    with its own oracle rather than claiming flat-assign parity.
+
+    A super whose leaf set is EMPTY (possible under float cosine ties:
+    a super-centroid whose own level-1 argmax lands on a parallel
+    higher-id super strips it of every leaf, while a nearby vector can
+    still strictly prefer it) must not drop rows — the leaf join is a
+    LEFT join and the cell falls back to the top super's own id, which
+    IS a centroid (cid < g).  The SQL twin carries the same LEFT
+    JOIN + COALESCE.
 
     Every fold (cosine, tie-breaks: highest cosine then highest id at
     BOTH levels) matches ``_scored_packed``, so the SQL twin reproduces
     the descent bit-for-bit.  Centroids never touch the driver: the
     super set packs into one broadcast row; the per-super leaf arrays
-    ride a g-row broadcast hash join keyed on the super id."""
+    ride g-row broadcast hash joins keyed on the probed super ids."""
+    s = max(1, int(nprobe_super))
     supers, spacked, cents_assigned = two_level_quantizer(centroids_df)
-    leaf_packed = F.broadcast(
-        cents_assigned.groupBy("super").agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("cid"), F.col("cv"), F.col("cn")))
-            ).alias("_leaves")
-        )
+    leaf_packed = cents_assigned.groupBy("super").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("cid"), F.col("cv"), F.col("cn")))
+        ).alias("_leaves")
     )
     v = (
         embeddings.withColumn("_sk", F.lit(1))
         .join(F.broadcast(spacked), "_sk")
-        .withColumn("super", _super_of(vec_col))
+        .withColumn("_sups", _supers_ranked(vec_col, s))
         .drop("_sk", "_supers")
     )
+    leaf_arrays = []
+    for i in range(s):
+        lp = F.broadcast(
+            leaf_packed.select(
+                F.col("super").alias(f"_s{i}"), F.col("_leaves").alias(f"_lv{i}")
+            )
+        )
+        v = v.join(lp, F.get(F.col("_sups"), i)["cid"] == F.col(f"_s{i}"), "left")
+        leaf_arrays.append(F.col(f"_lv{i}"))
+    # union of the probed supers' leaf sets (disjoint by construction:
+    # each centroid has exactly one level-1 assignment)
+    pooled = F.flatten(F.array_compact(F.array(*leaf_arrays)))
     leaf_cell = F.array_max(
         F.transform(
-            F.col("_leaves"),
-            lambda s: F.struct(
-                (dot(F.col(vec_col), s["cv"]) / (norm(F.col(vec_col)) * s["cn"])).alias(
+            pooled,
+            lambda x: F.struct(
+                (dot(F.col(vec_col), x["cv"]) / (norm(F.col(vec_col)) * x["cn"])).alias(
                     "c"
                 ),
-                s["cid"].alias("cid"),
+                x["cid"].alias("cid"),
             ),
         )
     )["cid"]
+    probe_cols = [f"_s{i}" for i in range(s)] + [f"_lv{i}" for i in range(s)]
     return (
-        v.join(leaf_packed, "super")
-        .withColumn("cell", leaf_cell)
-        .drop("_leaves", "super")
+        v.withColumn(
+            "cell", F.coalesce(leaf_cell, F.get(F.col("_sups"), 0)["cid"])
+        )
+        .drop("_sups", *probe_cols)
     )
 
 

@@ -170,15 +170,20 @@ def _cos(a: str, b: str) -> str:
     )
 
 
-def two_level_cells_ctes() -> str:
-    """CTE chain ``kk, cents, gg, supers, cs, csup, vs, vsup, vl, cells``
-    for the HIERARCHICAL two-level coarse assignment
+def two_level_cells_ctes(nprobe_super: int = 1) -> str:
+    """CTE chain ``kk, cents, gg, supers, cs, csup, vs, vsup, vl, lbest,
+    cells`` for the HIERARCHICAL two-level coarse assignment
     (llm.similarity.ivf_cells_2level): the same √N k rule, then
-    centroid→super and vector→super argmax over the g = 2^⌈log2 √k⌉
-    super-centroids, and vector→leaf argmax within the assigned super —
-    every tie highest-cosine-then-highest-id, matching the struct-max.
-    ONE SQL definition shared by the semdedup and ANN two-level oracles
-    so the descent arithmetic cannot fork."""
+    centroid→super argmax and vector→super top-``nprobe_super`` over the
+    g = 2^⌈log2 √k⌉ super-centroids, and vector→leaf argmax over the
+    UNION of the probed supers' leaf sets — every tie
+    highest-cosine-then-highest-id, matching the struct-max.  A vector
+    whose probed supers own no leaves (float-tie stripped supers) falls
+    back to its top super's own id via LEFT JOIN + COALESCE, mirroring
+    the Spark side's left leaf join.  ONE SQL definition shared by the
+    semdedup, ANN, and multi-probe two-level oracles so the descent
+    arithmetic cannot fork."""
+    s = max(1, int(nprobe_super))
     return f"""kk AS (SELECT LEAST(65536, GREATEST(4, CAST(POW(2, CEIL(LOG2(SQRT(
                    CAST(COUNT(*) AS DOUBLE))))) AS BIGINT))) AS k
                 FROM embeddings),
@@ -197,17 +202,20 @@ def two_level_cells_ctes() -> str:
     vs AS (SELECT e.vec_id, s.sid,
                   {_cos('e.embedding', 's.sv')} AS vc
            FROM embeddings e CROSS JOIN supers s),
-    vsup AS (SELECT vec_id, sid AS super FROM (
+    vsup AS (SELECT vec_id, sid AS super, rn FROM (
                 SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                              ORDER BY vc DESC, sid DESC) AS rn
-                FROM vs) WHERE rn = 1),
+                FROM vs) WHERE rn <= {s}),
     vl AS (SELECT e.vec_id, c.cid,
                   {_cos('e.embedding', 'c.cv')} AS lc
            FROM embeddings e
            JOIN vsup v ON v.vec_id = e.vec_id
            JOIN csup cp ON cp.super = v.super
            JOIN cents c ON c.cid = cp.cid),
-    cells AS (SELECT vec_id, cid AS cell FROM (
+    lbest AS (SELECT vec_id, cid AS cell FROM (
                 SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                              ORDER BY lc DESC, cid DESC) AS rn
-                FROM vl) WHERE rn = 1)"""
+                FROM vl) WHERE rn = 1),
+    cells AS (SELECT v.vec_id, COALESCE(b.cell, v.super) AS cell
+              FROM (SELECT vec_id, super FROM vsup WHERE rn = 1) v
+              LEFT JOIN lbest b ON b.vec_id = v.vec_id)"""

@@ -2759,22 +2759,290 @@ def llm_2level_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     t_row = assigned.filter(F.col("vec_id") == t_id).select("cell", "cs").collect()
     t_cell = int(t_row[0]["cell"])
     t_cs = float(t_row[0]["cs"])
+    # ONE conditional-aggregation pass over the persisted assignment
+    # scores every probe depth at once (the r10 shape re-scanned it per
+    # depth — the repo's steepest sf2→sf4 slope at 1.61×/2×); the three
+    # depth predicates are cell-literal IN lists, so each row
+    # contributes to every depth's (count, rank-preceding) pair in the
+    # same partial aggregate.
+    before = (F.col("cs") > t_cs) | ((F.col("cs") == t_cs) & (F.col("vec_id") < t_id))
+    aggs = []
+    for np_ in (1, 2, 4):
+        in_probe = F.col("cell").isin(leaf_ranking[:np_])
+        aggs.append(
+            F.sum(F.when(in_probe, 1).otherwise(0)).cast("long").alias(f"n{np_}")
+        )
+        aggs.append(
+            F.sum(F.when(in_probe & before, 1).otherwise(0))
+            .cast("long")
+            .alias(f"b{np_}")
+        )
+    row = assigned.agg(*aggs).collect()[0]
     out = []
     for np_ in (1, 2, 4):
-        probes = leaf_ranking[:np_]
-        cand = assigned.filter(F.col("cell").isin(probes))
-        before = (F.col("cs") > t_cs) | (
-            (F.col("cs") == t_cs) & (F.col("vec_id") < t_id)
+        rank = (
+            int(row[f"b{np_}"] or 0) + 1 if t_cell in leaf_ranking[:np_] else 0
         )
-        agg = cand.agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum(F.when(before, 1).otherwise(0)).cast("long").alias("n_before"),
-        ).collect()[0]
-        rank = int(agg["n_before"] or 0) + 1 if t_cell in probes else 0
-        out.append((np_, t_id, int(agg["n"]), rank))
+        out.append((np_, t_id, int(row[f"n{np_}"] or 0), rank))
     return spark.createDataFrame(
         out, "nprobe: long, true_nn: long, n_candidates: long, approx_rank: long"
     ).orderBy("nprobe")
+
+
+def _ivf_2level_multiprobe_oracle(
+    nprobe_super: int = 2, leaf_per_super: int = 2, k: int = 10
+) -> str:
+    """Multi-super two-level ANN oracle: the shared descent CTE chain at
+    ``nprobe_super`` supers (vsup keeps the top-s, vl carries leaves of
+    every probed super), then the query's top-``leaf_per_super`` leaf
+    cells WITHIN EACH probed super (ROW_NUMBER partitioned by the leaf's
+    own super via csup) and exact cosine over the probed cells'
+    members."""
+    from data_engineering_project_utn_spark.plans.llm_shared import (
+        _cos,
+        two_level_cells_ctes,
+    )
+
+    return f"""
+    WITH {two_level_cells_ctes(nprobe_super)},
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    qleaf AS (SELECT cid AS cell FROM (
+                SELECT l.cid, ROW_NUMBER() OVER (PARTITION BY cp.super
+                    ORDER BY l.lc DESC, l.cid DESC) AS rn
+                FROM vl l JOIN csup cp ON cp.cid = l.cid
+                WHERE l.vec_id = 0) WHERE rn <= {leaf_per_super}),
+    cand AS (SELECT e.vec_id, cl.cell,
+                    {_cos('q.qv', 'e.embedding')} AS cos_sim
+             FROM embeddings e
+             JOIN cells cl ON cl.vec_id = e.vec_id
+             JOIN qleaf ON cl.cell = qleaf.cell, q
+             WHERE e.vec_id <> 0)
+    SELECT vec_id, cell, cos_sim FROM cand
+    ORDER BY cos_sim DESC, vec_id LIMIT {k}
+    """
+
+
+@register(
+    "llm_ivf_2level_multiprobe",
+    priority=1,
+    oracle=_ivf_2level_multiprobe_oracle(),
+    tags=("llm", "similarity", "ann", "ivf", "scale-twin"),
+)
+def llm_ivf_2level_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-super probing for the hierarchical two-level quantizer —
+    the wrong-super recovery VERDICT r10 #1 asked for (the FAISS IMI
+    move: a query near a super boundary probes the top-s supers instead
+    of betting everything on one).  The corpus is assigned with
+    ``ivf_cells_2level(nprobe_super=2)`` (argmax over the UNION of the
+    top-2 supers' leaf sets — per-row work ≈ 3√k·d, still no flat N·k
+    term), the query descends the same tree at s=2 taking its top-2
+    leaf cells within EACH probed super, and exact cosine ranks the
+    probed cells' members.  Single-probe anchor: ``llm_ivf_2level_ann``
+    (same tree, s=1); the recall-monotone invariant (s=2 candidates ⊇
+    s=1 within a fixed assignment) is pinned in pytest.
+
+    Driver traffic: the query vector, a 2-row super ranking, and a
+    ≤4-row leaf ranking; centroids and corpus never collect."""
+    from data_engineering_project_utn_spark.llm import similarity as sim2
+    from data_engineering_project_utn_spark.llm.similarity import cosine
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    e = track_persist(parallelize_compute(load_table(spark, sf_dir, "embeddings")))
+    k = sim2.derive_ivf_k(e.count())
+    cdf = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    qv = list(
+        e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    )
+    qv_lit = F.array(*[F.lit(float(x)) for x in qv])
+    supers, _spacked, cents_assigned = sim2.two_level_quantizer(cdf)
+    probed_supers = [
+        int(r["scid"])
+        for r in supers.select("scid", cosine(qv_lit, F.col("scv")).alias("c"))
+        .orderBy(F.desc("c"), F.desc("scid"))
+        .limit(2)
+        .collect()
+    ]
+    probed: "list[int]" = []
+    for sid in probed_supers:
+        probed.extend(
+            int(r["cid"])
+            for r in cents_assigned.filter(F.col("super") == sid)
+            .select("cid", cosine(qv_lit, F.col("cv")).alias("c"))
+            .orderBy(F.desc("c"), F.desc("cid"))
+            .limit(2)
+            .collect()
+        )
+    assigned = sim2.ivf_cells_2level(e, cdf, nprobe_super=2)
+    return (
+        assigned.filter(F.col("cell").isin(probed))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "cell", cosine(qv_lit, F.col("embedding")).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+def _2level_super_rank_eval_oracle(
+    nprobe_supers: "tuple[int, ...]" = (1, 2, 4), leaf_per_super: int = 2
+) -> str:
+    """Rank-eval oracle pricing wrong-super recovery: the shared CTE
+    chain at the DEPLOYED single-probe assignment, the exact-cosine true
+    NN, and for each nprobe_super the candidate count and the true NN's
+    rank when the query probes its top-``leaf_per_super`` leaf cells in
+    each of its top-s supers (0 = missed even at this s)."""
+    from data_engineering_project_utn_spark.plans.llm_shared import (
+        _cos,
+        two_level_cells_ctes,
+    )
+
+    ctes = [
+        "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)",
+        f'''tn AS (SELECT e.vec_id FROM embeddings e, q WHERE e.vec_id <> 0
+          ORDER BY {_cos('q.qv', 'e.embedding')} DESC, e.vec_id LIMIT 1)''',
+        '''qs AS (SELECT sid, ROW_NUMBER() OVER (ORDER BY vc DESC, sid DESC)
+              AS srn FROM vs WHERE vec_id = 0)''',
+        f'''qlc0 AS (SELECT c.cid, cp.super, {_cos('q.qv', 'c.cv')} AS lc
+          FROM cents c JOIN csup cp ON cp.cid = c.cid, q)''',
+        '''qlc AS (SELECT cid, super, ROW_NUMBER() OVER (PARTITION BY super
+              ORDER BY lc DESC, cid DESC) AS rn FROM qlc0)''',
+    ]
+    rows = []
+    for s in nprobe_supers:
+        ctes.append(
+            f'''ql{s} AS (SELECT l.cid AS cell FROM qlc l
+          JOIN qs ON qs.sid = l.super
+          WHERE qs.srn <= {s} AND l.rn <= {leaf_per_super})'''
+        )
+        ctes.append(
+            f'''cd{s} AS (SELECT e.vec_id,
+                  {_cos('q.qv', 'e.embedding')} AS cs
+          FROM embeddings e
+          JOIN cells cl ON cl.vec_id = e.vec_id
+          JOIN ql{s} ON cl.cell = ql{s}.cell, q
+          WHERE e.vec_id <> 0)'''
+        )
+        ctes.append(
+            f'''rk{s} AS (SELECT vec_id, CAST(row_number() OVER (
+              ORDER BY cs DESC, vec_id) AS BIGINT) AS rn FROM cd{s})'''
+        )
+        rows.append(
+            f'''SELECT CAST({s} AS BIGINT) AS nprobe_super, t.vec_id AS true_nn,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cd{s}) AS n_candidates,
+           COALESCE((SELECT rn FROM rk{s} WHERE rk{s}.vec_id = t.vec_id), 0)
+               AS approx_rank
+        FROM tn t'''
+        )
+    nl = chr(10)
+    return (
+        nl + "    WITH " + two_level_cells_ctes()
+        + "," + nl + "    "
+        + ("," + nl + "    ").join(ctes)
+        + nl + "    "
+        + (nl + "    UNION ALL ").join(rows)
+        + nl + "    ORDER BY nprobe_super" + nl + "    "
+    )
+
+
+@register(
+    "llm_2level_super_rank_eval",
+    priority=1,
+    oracle=_2level_super_rank_eval_oracle(),
+    tags=("llm", "similarity", "ann", "ivf", "report"),
+)
+def llm_2level_super_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    '''Prices the wrong-super recovery the multi-probe descent buys: at
+    the DEPLOYED single-probe assignment and a fixed 2-leaf-per-super
+    probe budget, WHERE does the exact true NN land as the query widens
+    from its top super to its top-2 and top-4 supers?  The s=1 row
+    reproduces the wrong-super miss class ``llm_2level_rank_eval``
+    attributes (approx_rank 0 with the NN under a different super);
+    rows s=2 and s=4 show it shrinking — candidate sets are nested in
+    s, so approx_rank>0 at s implies approx_rank>0 at every larger s
+    (pinned in pytest).  Integer ranks; division-free.
+
+    Scale shape: one single-probe assignment pass (persisted), then ONE
+    conditional-aggregation pass scoring all three s-depths (no
+    per-depth re-scan — the fused shape VERDICT r10 #4 prescribes);
+    driver traffic is the query vector, a ≤4-row super ranking, a
+    ≤8-row leaf ranking, and one 6-column aggregate row.'''
+    from data_engineering_project_utn_spark.llm import similarity as sim2
+    from data_engineering_project_utn_spark.llm.similarity import cosine
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    e = track_persist(parallelize_compute(load_table(spark, sf_dir, "embeddings")))
+    k = sim2.derive_ivf_k(e.count())
+    cdf = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    qv = list(
+        e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    )
+    qv_lit = F.array(*[F.lit(float(x)) for x in qv])
+    supers, _spacked, cents_assigned = sim2.two_level_quantizer(cdf)
+    ranked_supers = [
+        int(r["scid"])
+        for r in supers.select("scid", cosine(qv_lit, F.col("scv")).alias("c"))
+        .orderBy(F.desc("c"), F.desc("scid"))
+        .limit(4)
+        .collect()
+    ]
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("super").orderBy(F.desc("c"), F.desc("cid"))
+    top_leaves = (
+        cents_assigned.filter(F.col("super").isin(ranked_supers))
+        .select("super", "cid", cosine(qv_lit, F.col("cv")).alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("super", "cid")
+        .collect()
+    )
+    leaves_of = {int(s): [] for s in ranked_supers}
+    for r in top_leaves:
+        leaves_of[int(r["super"])].append(int(r["cid"]))
+    probes = {
+        s: [c for sid in ranked_supers[:s] for c in leaves_of[sid]]
+        for s in (1, 2, 4)
+    }
+    assigned = track_persist(
+        sim2.ivf_cells_2level(e, cdf)
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "cell", cosine(qv_lit, F.col("embedding")).alias("cs"))
+    )
+    t = (
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", cosine(qv_lit, F.col("embedding")).alias("rel"))
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(1)
+        .collect()[0]
+    )
+    t_id = int(t["vec_id"])
+    t_row = assigned.filter(F.col("vec_id") == t_id).select("cell", "cs").collect()
+    t_cell = int(t_row[0]["cell"])
+    t_cs = float(t_row[0]["cs"])
+    before = (F.col("cs") > t_cs) | ((F.col("cs") == t_cs) & (F.col("vec_id") < t_id))
+    aggs = []
+    for s in (1, 2, 4):
+        in_probe = F.col("cell").isin(probes[s])
+        aggs.append(
+            F.sum(F.when(in_probe, 1).otherwise(0)).cast("long").alias(f"n{s}")
+        )
+        aggs.append(
+            F.sum(F.when(in_probe & before, 1).otherwise(0))
+            .cast("long")
+            .alias(f"b{s}")
+        )
+    row = assigned.agg(*aggs).collect()[0]
+    out = []
+    for s in (1, 2, 4):
+        rank = int(row[f"b{s}"] or 0) + 1 if t_cell in probes[s] else 0
+        out.append((s, t_id, int(row[f"n{s}"] or 0), rank))
+    return spark.createDataFrame(
+        out,
+        "nprobe_super: long, true_nn: long, n_candidates: long, approx_rank: long",
+    ).orderBy("nprobe_super")
 
 
 def _ivfpq_rank_eval_oracle(nprobes: "tuple[int, ...]" = (1, 2, 4)) -> str:

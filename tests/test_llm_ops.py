@@ -3186,6 +3186,127 @@ class TestSemDedupQuantizerCarriers:
         )
 
 
+class TestTwoLevelMultiprobe:
+    """VERDICT r10 #1 'Done =' conditions for multi-super probing of the
+    hierarchical two-level quantizer, plus the ADVICE r10 empty-super
+    drop-hazard regression (left leaf join + COALESCE fallback)."""
+
+    def _cents_df(self, embeddings, k):
+        return embeddings.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+        )
+
+    def test_empty_super_fallback_no_rows_dropped(self, spark):
+        """Float-tie witness (found by search over the exact Python
+        folds, which the engine reproduces bit-for-bit): c1 ∥ c0 with
+        cos(c0,c0) == cos(c0,c1) == 1.0, so the tie-break (highest
+        super id) strips super 0 of its OWN centroid — and of every
+        leaf, since c2 = c3 = c1 tie the same way — while the probe
+        vector v still strictly prefers super 0 (cos 1.0000000000000002
+        vs 1.0).  The r10 inner leaf join silently DROPPED v; the left
+        join must keep it with cell = the super's own id (a real
+        centroid, cid < g)."""
+        c0 = [0.6888437030500962, 0.515908805880605, -0.15885683833831]
+        c1 = [0.5861085721601653, 0.438965431839836, -0.13516470323250357]
+        v = [0.688843703866322, 0.5159088058899787, -0.1588568387746343]
+        import math
+
+        def _d(a, b):
+            return sum(x * y for x, y in zip(a, b))
+
+        def _c(a, b):
+            return _d(a, b) / (math.sqrt(_d(a, a)) * math.sqrt(_d(b, b)))
+
+        assert _c(c0, c1) >= _c(c0, c0), "witness must tie c0 toward super 1"
+        assert _c(v, c0) > _c(v, c1), "witness vector must prefer super 0"
+        cents = spark.createDataFrame(
+            [(0, c0), (1, c1), (2, c1), (3, c1)], "cid int, cv array<double>"
+        )
+        emb = spark.createDataFrame(
+            [(100, v), (101, c1)], "vec_id int, embedding array<double>"
+        )
+        out = {
+            int(r["vec_id"]): int(r["cell"])
+            for r in sim.ivf_cells_2level(emb, cents).collect()
+        }
+        assert set(out) == {100, 101}, "no input row may be dropped"
+        assert out[100] == 0, "empty-super vector must fall back to its super id"
+        # multi-probe recovers a REAL leaf argmax for the same vector:
+        # super 1 owns every centroid, and v's best leaf there is c0's
+        # parallel twin family — strictly better than the bare fallback
+        out2 = {
+            int(r["vec_id"]): int(r["cell"])
+            for r in sim.ivf_cells_2level(emb, cents, nprobe_super=2).collect()
+        }
+        assert set(out2) == {100, 101}
+        assert out2[100] in {0, 1, 2, 3}
+
+    def test_multiprobe_assignment_dominates_single_probe(self, embeddings):
+        """nprobe_super=2 argmaxes over a SUPERSET of the s=1 leaf pool,
+        so per vector the chosen cell's cosine can only improve, every
+        vector stays assigned, and agreement with the flat argmax is at
+        least the single-probe agreement."""
+        import math
+
+        cdf = self._cents_df(embeddings, 16)
+        cents = {
+            int(r["cid"]): list(r["cv"]) for r in cdf.collect()
+        }
+
+        def _d(a, b):
+            return sum(x * y for x, y in zip(a, b))
+
+        def _c(a, b):
+            return _d(a, b) / (math.sqrt(_d(a, a)) * math.sqrt(_d(b, b)))
+
+        vecs = {
+            int(r["vec_id"]): list(r["embedding"])
+            for r in embeddings.select("vec_id", "embedding").collect()
+        }
+        flat = {
+            r["vec_id"]: r["cell"]
+            for r in sim.ivf_cells_from_df(embeddings, cdf)
+            .select("vec_id", "cell")
+            .collect()
+        }
+        s1 = {
+            r["vec_id"]: r["cell"]
+            for r in sim.ivf_cells_2level(embeddings, cdf)
+            .select("vec_id", "cell")
+            .collect()
+        }
+        s2 = {
+            r["vec_id"]: r["cell"]
+            for r in sim.ivf_cells_2level(embeddings, cdf, nprobe_super=2)
+            .select("vec_id", "cell")
+            .collect()
+        }
+        assert set(s2) == set(s1) == set(flat)
+        for i, cell in s2.items():
+            assert _c(vecs[i], cents[cell]) >= _c(vecs[i], cents[s1[i]]) - 1e-12
+        agree1 = sum(1 for i in s1 if s1[i] == flat[i])
+        agree2 = sum(1 for i in s2 if s2[i] == flat[i])
+        assert agree2 >= agree1
+
+    def test_super_rank_eval_monotone_in_s(self, spark, sf_dir):
+        """The gated wrong-super pricing query: candidate sets are
+        nested in nprobe_super, so n_candidates is nondecreasing and a
+        hit (approx_rank > 0) at s stays a hit at every larger s with a
+        rank that can only move by insertions (never to 0)."""
+        from data_engineering_project_utn_spark.plans import all_queries
+
+        q = all_queries()["llm_2level_super_rank_eval"]
+        rows = {
+            int(r["nprobe_super"]): (int(r["n_candidates"]), int(r["approx_rank"]))
+            for r in q.build(spark, sf_dir).collect()
+        }
+        assert set(rows) == {1, 2, 4}
+        assert rows[1][0] <= rows[2][0] <= rows[4][0]
+        for lo, hi in ((1, 2), (2, 4)):
+            if rows[lo][1] > 0:
+                assert rows[hi][1] > 0, "a hit must survive widening s"
+
+
 class TestPQOPQ:
     """VERDICT r08 #4 'Done =' conditions for the OPQ-lite rotation gate:
     recall(opq) >= recall(residual PQ) on the planted-cluster fixture

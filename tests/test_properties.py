@@ -330,10 +330,14 @@ def test_mmr_refine_invariants(vecs, k):
     """Pure-Python greedy MMR invariants on arbitrary candidate pools:
     rank 1 is the relevance argmax (ties to lowest id) and its marginal
     IS its relevance; ranks are 1..min(k, n) with distinct ids from the
-    pool; every later marginal ≤ λ·(max pool relevance) (the diversity
-    penalty is non-negative because cosine of the selected set's argmax
-    is bounded below by self-comparison ≥ -1 — the bound uses only
-    λ·rel); marginals are reproducible under input permutation."""
+    pool; each later marginal EQUALS λ·rel − (1−λ)·max-cosine to the
+    already-selected prefix (recomputed here with the same sum/sqrt
+    folds) and is the maximum over the remaining pool with ties to
+    lowest id — note λ·best_rel is NOT an upper bound: a negative
+    max-cosine makes the penalty a bonus, only λ·best_rel + (1−λ)
+    bounds it; marginals are reproducible under input permutation."""
+    import math
+
     from data_engineering_project_utn_spark.llm.similarity import mmr_refine
 
     cand = [(i, v, sum(v) / (1 + i)) for i, v in enumerate(vecs)]
@@ -345,7 +349,24 @@ def test_mmr_refine_invariants(vecs, k):
     best_rel = max(r for _, _, r in cand)
     top = min(i for i, _, r in cand if r == best_rel)
     assert out[0][1] == top and out[0][3] == out[0][2] == best_rel
-    for _, _, rel, marg in out[1:]:
-        assert marg <= 0.7 * best_rel + 1e-12
+
+    def _dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    vec = {i: v for i, v, _ in cand}
+    rel = {i: r for i, _, r in cand}
+    nrm = {i: math.sqrt(_dot(v, v)) for i, v in vec.items()}
+
+    def _marg(i, prefix):
+        ms = max(_dot(vec[i], vec[j]) / (nrm[i] * nrm[j]) for j in prefix)
+        return 0.7 * rel[i] - 0.3 * ms
+
+    for pos, (_, sel_id, sel_rel, sel_marg) in enumerate(out[1:], start=1):
+        prefix = [i for _, i, _, _ in out[:pos]]
+        assert sel_rel == rel[sel_id] and sel_marg == _marg(sel_id, prefix)
+        assert sel_marg <= 0.7 * best_rel + 0.3 + 1e-12
+        pool = [i for i in vec if i not in prefix]
+        exp = max(pool, key=lambda i: (_marg(i, prefix), -i))
+        assert sel_id == exp
     perm = list(reversed(cand))
     assert mmr_refine(perm, k=k) == out

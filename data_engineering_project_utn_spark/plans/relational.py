@@ -1539,6 +1539,99 @@ def rl_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q9_bucketed_join(spark: SparkSession, sf_dir: str, buckets: int = 16) -> DataFrame:
+    """The Q9 join tree over AT-REST BUCKETED facts: lineitem and orders
+    are persisted as catalog tables bucketed (and sorted) on their
+    orderkey with the same bucket count, so the one genuinely large
+    exchange in ``rl_product_type_profit`` — the lineitem⋈orders shuffle
+    — is satisfied from disk: NO Exchange above either scan
+    (plan-asserted in ``test_bucketed_join.test_q9_bucketed_fact_join_
+    has_no_shuffle``).  Dims still broadcast, and broadcast joins
+    preserve the streamed side's bucketing, so the part/supplier/nation
+    enrichment rides between the scan and the merge join without
+    re-clustering.  The merge hint pins the scale-representative
+    SortMergeJoin at test scale, where orders would otherwise fit under
+    the broadcast threshold.
+
+    The table write here is the DEMO of the layout; at warehouse scale
+    the bucketed facts are maintained once by ingestion/compaction and
+    amortized over every orderkey join.  Tables are tagged by the
+    sf_dir basename and rebuilt only when their row count no longer
+    matches the source (cheap: parquet metadata counts)."""
+    import re
+
+    from data_engineering_project_utn_spark.sources.io import (
+        table_exists,
+        write_bucketed_table,
+    )
+
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    facts = {}
+    for tbl, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        src = load_table(spark, sf_dir, tbl)
+        name = f"q9_{tbl}_bkt_{tag}"
+        if table_exists(spark, name) and spark.table(name).count() == src.count():
+            facts[tbl] = spark.table(name)
+        else:
+            facts[tbl] = write_bucketed_table(spark, src, name, buckets, key)
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("ring"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    li, o = facts["lineitem"], facts["orders"]
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(o.hint("merge"), li["l_orderkey"] == o["o_orderkey"])
+    )
+
+
+@register(
+    "rl_product_type_profit_bucketed",
+    priority=1,
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(5,2)))
+                    - CAST(p.p_retailprice AS DECIMAL(14,2))
+                      * CAST(l.l_quantity AS DECIMAL(14,2))) AS DOUBLE)
+               AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%ring%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    tags=("relational", "join", "agg", "bucketed", "scale-twin"),
+)
+def rl_product_type_profit_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rl_product_type_profit`` (TPC-H Q9 shape) over AT-REST BUCKETED
+    facts — the co-location demo VERDICT r10 #2 asked for, sharing the
+    anchor's oracle verbatim: bucketing is a physical layout choice and
+    must not move a single value.
+
+    Plan at any scale: two bucketed scans, three broadcast dims, one
+    exchange-free SortMergeJoin on orderkey, then ONE hash exchange for
+    the model-size (nation, year) aggregate — vs the anchor's plan where
+    the orderkey join re-shuffles the entire fact (1.47×/2× at sf2→sf4,
+    the repo's largest exchange; SCALE.md Q9 row)."""
+    profit = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 5, 2)) - _dec(
+        "p_retailprice"
+    ) * _dec("l_quantity")
+    return (
+        _q9_bucketed_join(spark, sf_dir)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
 @register(
     "rl_parts_supplier_counts",
     priority=1,

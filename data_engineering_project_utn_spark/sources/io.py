@@ -117,6 +117,51 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
     writer.parquet(path)
 
 
+def write_bucketed_table(
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    buckets: int,
+    *cols: str,
+) -> DataFrame:
+    """Persist ``df`` as a catalog table BUCKETED (and sorted) on ``cols``
+    — the at-rest co-location layout for repeated fact⋈fact joins: two
+    tables bucketed on their join key with the same bucket count satisfy
+    the join's clustering from disk, so the exchange that dominates a
+    100 TB shuffle join disappears from the plan (the general form of
+    ``llm.spans.write_span_index_bucketed``; plan-asserted for the Q9
+    orderkey join in ``test_bucketed_join``).
+
+    ``df`` is repartitioned by the bucket columns first so each bucket
+    lands in ONE file (Spark's bucket hash and ``repartition`` both use
+    Murmur3 mod n, so the write-side partitioning aligns with the bucket
+    spec); at warehouse scale this writer is the nightly compaction job,
+    not a per-query step.  Any stale catalog entry or orphaned managed
+    path from an earlier session is cleared before the CTAS — a fresh
+    session's in-memory catalog has forgotten the table, but its files
+    survive in the warehouse dir."""
+    import os
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for prefix in ("file://", "file:"):
+        if wh.startswith(prefix):
+            wh = wh[len(prefix):]
+            break
+    orphan = os.path.join(wh, name.lower())
+    if os.path.exists(orphan):
+        shutil.rmtree(orphan)
+    (
+        df.repartition(buckets, *[F.col(c) for c in cols])
+        .write.bucketBy(buckets, *cols)
+        .sortBy(*cols)
+        .mode("overwrite")
+        .saveAsTable(name)
+    )
+    return spark.table(name)
+
+
 def append_csv(df: DataFrame, path: str) -> None:
     """S9 CSV append sink (`Historical_data_cleaning.py:123`)."""
     df.write.mode("append").option("header", True).csv(path)

@@ -197,3 +197,24 @@ def test_span_index_bucketed_probe(spark, tmp_path_factory):
     )
     cplan = control._jdf.queryExecution().executedPlan().toString()
     assert "Bucketed: true" not in cplan
+
+
+def test_q9_bucketed_fact_join_has_no_shuffle(spark, sf_dir):
+    """VERDICT r10 #2: the Q9 orderkey join — the repo's one genuinely
+    large exchange — disappears when lineitem and orders are bucketed at
+    rest on orderkey: NO hash exchange above either scan, both scans
+    bucketed, the join a SortMergeJoin (merge-hinted so test scale
+    matches the 100 TB plan); the fully-composed gate keeps exactly ONE
+    hash exchange — the model-size (nation, year) aggregate."""
+    from data_engineering_project_utn_spark.plans import all_queries
+    from data_engineering_project_utn_spark.plans.relational import _q9_bucketed_join
+
+    j = _q9_bucketed_join(spark, sf_dir)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2, plan
+
+    full = all_queries()["rl_product_type_profit_bucketed"].build(spark, sf_dir)
+    fp = full._jdf.queryExecution().executedPlan().toString()
+    assert fp.count("Exchange hashpartitioning") == 1, fp

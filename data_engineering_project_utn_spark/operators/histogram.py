@@ -29,6 +29,7 @@ def with_global_rank(
     df: DataFrame,
     order_cols: list[str],
     num_partitions: int | None = None,
+    dedup: bool = False,
 ) -> DataFrame:
     """Attach a 0-based global rank over a total order, computed distributed:
     range-partition on the sort key, collect only the P per-partition counts
@@ -38,9 +39,23 @@ def with_global_rank(
 
     ``order_cols`` must define a total order (add tiebreakers) for the
     assignment to be deterministic.
-    """
+
+    ``dedup=True`` folds a full-row DISTINCT into the range exchange:
+    RangePartitioning on ``order_cols`` satisfies the deduplication's
+    clustering requirement whenever ``order_cols`` covers every column of
+    ``df`` (duplicate rows share the sort key, so they co-locate), so the
+    aggregate rides the exchange the ranking needs anyway — one shuffle
+    where a caller-side ``dropDuplicates()`` would pay two
+    (plan-asserted in test_plans.py).  Requires ``order_cols`` ⊇ the
+    frame's columns; asserted, because a partial cover would silently
+    leave cross-partition duplicates."""
     p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     cols = [F.col(c) for c in order_cols]
+    if dedup and not set(df.columns) <= set(order_cols):
+        raise ValueError(
+            "dedup=True needs order_cols to cover every column: "
+            f"{sorted(set(df.columns) - set(order_cols))} uncovered"
+        )
     # persist is CORRECTNESS here, not caching: repartitionByRange samples
     # its boundaries, and the offsets branch and the rank branch would
     # otherwise each evaluate the exchange — with possibly different
@@ -49,9 +64,10 @@ def with_global_rank(
     # under AQE).  One materialization pins one partitioning for both.
     # pin, don't track: release_persisted() must never free this (recompute
     # would resample range boundaries and desync the offsets — see persist.py)
-    ranged = pin_for_correctness(
-        df.repartitionByRange(p, *cols).withColumn("_pid", F.spark_partition_id())
-    )
+    ranged = df.repartitionByRange(p, *cols)
+    if dedup:
+        ranged = ranged.dropDuplicates()
+    ranged = pin_for_correctness(ranged.withColumn("_pid", F.spark_partition_id()))
     # Per-partition counts → rank offsets + grand total.  The P counts are
     # collected to the driver (model-size: one long per partition) and the
     # prefix sum computed there — a declarative window over the count frame
@@ -77,18 +93,109 @@ def with_global_rank(
     )
 
 
+def with_global_rank_bounded(
+    df: DataFrame,
+    order_cols: list[str],
+    lo: float,
+    hi: float,
+    num_partitions: int | None = None,
+    dedup: bool = False,
+    buckets_per_partition: int = 4,
+) -> DataFrame:
+    """``with_global_rank`` for sort keys whose FIRST column has a known
+    bounded numeric domain [lo, hi] (relative positions, ratios,
+    percentages): the range split is ARITHMETIC — bucket =
+    clamp(floor((x − lo)/(hi − lo) · B)) — so there is no boundary-
+    sampling job (``repartitionByRange`` spends one extra pass over the
+    child to sample split points) and the partitioning is DETERMINISTIC,
+    which drops the correctness-pin a sampled exchange needs (re-
+    evaluation cannot resample different boundaries; the persist below
+    is a releasable optimization, not a pin).  Global order still holds:
+    every row with the same leading value shares a bucket, buckets are
+    ordered by construction, and the within-bucket window over the full
+    sort key finishes the total order.  NULLs sort first (bucket 0) and
+    NaNs last (top bucket), matching ASC NULLS FIRST / NaN-greatest.
+
+    B = ``buckets_per_partition``·P buckets ride a plain hash exchange
+    (bucket placement by hash — physical scrambling is irrelevant
+    because ranks come from per-BUCKET offsets, not partition ids;
+    over-bucketing smooths hash collisions).  Cost vs the sampled
+    version: one exchange + two jobs instead of one sampling pass + one
+    exchange + two jobs.  Skew: a value-concentrated domain hot-spots a
+    bucket — callers with unknown or adversarial distributions should
+    use ``with_global_rank``; this variant is the measured win for the
+    decile headline, whose domain is uniform-ish by construction.
+
+    ``dedup=True`` as in ``with_global_rank`` (requires ``order_cols``
+    to cover every input column; duplicates share the leading value, so
+    they share a bucket)."""
+    p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if dedup and not set(df.columns) <= set(order_cols):
+        raise ValueError(
+            "dedup=True needs order_cols to cover every column: "
+            f"{sorted(set(df.columns) - set(order_cols))} uncovered"
+        )
+    nb = p * buckets_per_partition
+    x = F.col(order_cols[0])
+    # branch order matters: NULL and NaN first (least/greatest SKIP nulls
+    # instead of propagating them, so a null reaching the clamp would land
+    # in the TOP bucket); the clamp runs on the double BEFORE the int cast
+    # so ±Infinity strays clamp instead of overflowing the ANSI cast
+    frac = (x - F.lit(float(lo))) / F.lit(float(hi - lo)) * nb
+    clamped = F.greatest(F.least(frac, F.lit(float(nb - 1))), F.lit(0.0))
+    bkt = (
+        F.when(x.isNull(), F.lit(0))
+        .when(F.isnan(x), F.lit(nb - 1))
+        .otherwise(F.floor(clamped).cast("int"))
+    )
+    bucketed = df.withColumn("_bkt", bkt).repartition(p, F.col("_bkt"))
+    if dedup:
+        bucketed = bucketed.dropDuplicates()
+    bucketed = track_persist(bucketed)
+    cnt_rows = bucketed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt")).collect()
+    counts = {int(r["_bkt"]): int(r["_cnt"]) for r in cnt_rows}
+    total = sum(counts.values())
+    acc = 0
+    rows = []
+    for b in sorted(counts):
+        rows.append((b, acc, total))
+        acc += counts[b]
+    offsets = bucketed.sparkSession.createDataFrame(
+        rows, schema="_bkt int, _offset bigint, _total bigint"
+    )
+    cols = [F.col(c) for c in order_cols]
+    w = Window.partitionBy("_bkt").orderBy(*cols)
+    rank0 = (F.row_number().over(w) + F.col("_offset") - 1).cast("bigint")
+    return (
+        bucketed.join(F.broadcast(offsets), "_bkt")
+        .withColumn("_rank0", rank0)
+        .drop("_bkt", "_offset")
+    )
+
+
 def distributed_ntile(
     df: DataFrame,
     order_cols: list[str],
     n_bins: int,
     bin_col: str = "bin",
     num_partitions: int | None = None,
+    dedup: bool = False,
+    domain: "tuple[float, float] | None" = None,
 ) -> DataFrame:
     """Exact NTILE(n) over a global total order, computed distributed
     (see ``with_global_rank``): closed-form bin arithmetic over the global
     rank — N rows into n bins → the first r = N mod n bins hold q+1 rows
-    (q = N div n), the rest hold q rows."""
-    ranked = with_global_rank(df, order_cols, num_partitions)
+    (q = N div n), the rest hold q rows.  ``dedup`` folds a full-row
+    DISTINCT into the range exchange (see ``with_global_rank``);
+    ``domain=(lo, hi)`` switches to the sampling-free arithmetic range
+    split of ``with_global_rank_bounded`` when the leading sort column's
+    domain is known."""
+    if domain is not None:
+        ranked = with_global_rank_bounded(
+            df, order_cols, domain[0], domain[1], num_partitions, dedup=dedup
+        )
+    else:
+        ranked = with_global_rank(df, order_cols, num_partitions, dedup=dedup)
     rank0 = F.col("_rank0")
     q = F.floor(F.col("_total") / n_bins)
     r = F.col("_total") % n_bins
@@ -100,13 +207,20 @@ def distributed_ntile(
     return ranked.withColumn(bin_col, bin_expr).drop("_rank0", "_total")
 
 
-def relative_to_next(output_table: DataFrame, analytical: DataFrame) -> DataFrame:
+def relative_to_next(
+    output_table: DataFrame, analytical: DataFrame, dedup: bool = True
+) -> DataFrame:
     """DISTINCT (instance, query, table, relative position) for selects in
-    analytical tables (`Dashboard_Historical_Final.py:438-453`)."""
+    analytical tables (`Dashboard_Historical_Final.py:438-453`).
+
+    ``dedup=False`` defers the DISTINCT to a downstream operator that can
+    satisfy it from an exchange it already pays for (the decile headline
+    folds it into ``distributed_ntile``'s range partitioning — one
+    shuffle instead of two)."""
     keys = analytical.select(F.col("table_id").alias("read_table_id")).distinct()
     num = epoch_ms(F.col("arrival_timestamp"), F.col("last_write_table_insert"))
     den = epoch_ms(F.col("next_write_table_insert"), F.col("last_write_table_insert"))
-    return (
+    out = (
         output_table.filter(F.col("query_type") == "select")
         .join(F.broadcast(keys), on="read_table_id", how="left_semi")
         .select(
@@ -115,8 +229,8 @@ def relative_to_next(output_table: DataFrame, analytical: DataFrame) -> DataFram
             "read_table_id",
             (num / den).alias("relative_to_next"),
         )
-        .dropDuplicates()
     )
+    return out.dropDuplicates() if dedup else out
 
 
 # Below this many rel rows the one-reducer window NTILE beats the two-job
@@ -127,7 +241,10 @@ DECILE_AUTO_CROSSOVER_ROWS = 10_000_000
 
 
 def decile_histogram(
-    rel: DataFrame, n_bins: int = 10, distributed: bool | str = True
+    rel: DataFrame,
+    n_bins: int = 10,
+    distributed: bool | str = True,
+    dedup: bool = False,
 ) -> DataFrame:
     """NTILE(n) over global ORDER BY relative_to_next → counts per
     (instance_id, read_table_id, bin) (`Dashboard_Historical_Final.py:455-463`).
@@ -145,11 +262,18 @@ def decile_histogram(
     ``distributed="auto"`` spends one count job on the (already reduced)
     rel frame and picks the strategy by ``DECILE_AUTO_CROSSOVER_ROWS`` —
     the stats-driven selection the reference's fixed SQL can't make.
+
+    ``dedup=True`` takes a NOT-yet-distinct rel frame and satisfies the
+    DISTINCT from the strategy's own exchange (the range partitioning in
+    the distributed plan) instead of a second upstream shuffle — pair
+    with ``relative_to_next(..., dedup=False)``.
     """
     if distributed == "auto":
         # the count and the chosen strategy share one scan; released via
         # persist.release_persisted() in long-lived sessions (safe: either
         # strategy recomputes rel to the same rows)
+        if dedup:
+            rel, dedup = rel.dropDuplicates(), False
         rel = track_persist(rel)
         distributed = rel.count() >= DECILE_AUTO_CROSSOVER_ROWS
     if distributed:
@@ -157,8 +281,14 @@ def decile_histogram(
             rel,
             ["relative_to_next", "instance_id", "query_id", "read_table_id"],
             n_bins,
+            dedup=dedup,
+            # relative position is a within-interval ratio: [0, 1] by
+            # construction (clamped arithmetic split tolerates strays)
+            domain=(0.0, 1.0),
         )
     else:
+        if dedup:
+            rel = rel.dropDuplicates()
         w = Window.orderBy(
             "relative_to_next", "instance_id", "query_id", "read_table_id"
         )

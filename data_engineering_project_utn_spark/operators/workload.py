@@ -67,6 +67,42 @@ def analytical_tables(workload: DataFrame, threshold: float = 0.80) -> DataFrame
     )
 
 
+def analytical_table_keys(
+    output_table: DataFrame, threshold: float = 0.80
+) -> DataFrame:
+    """The analytical-table id set (column ``table_id``) in ONE
+    conditional aggregation instead of ``tables_workload_count``'s
+    two-aggregate FULL OUTER JOIN — for consumers that only need the
+    keys (the decile family semi-joins on table_id alone).  Equivalent
+    set: the outer join's NULL counts and the conditional sums' zeros
+    land on the same side of the share > threshold cut (NULL select
+    share filters false, as does 0; absent transforms COALESCE to 0 in
+    the anchor and sum to 0 here), verified by the shared decile
+    oracles.  One shuffle on (instance, table) and a model-size
+    result."""
+    key = F.when(
+        F.col("query_type") == "select", F.col("read_table_id")
+    ).otherwise(F.col("write_table_id"))
+    wl = (
+        output_table.filter(
+            F.col("query_type").isin("select", "update", "delete")
+        )
+        .groupBy("instance_id", key.alias("table_id"))
+        .agg(
+            F.sum(
+                F.when(F.col("query_type") == "select", 1).otherwise(0)
+            ).alias("select_count"),
+            F.sum(
+                F.when(F.col("query_type") != "select", 1).otherwise(0)
+            ).alias("transform_count"),
+        )
+    )
+    share = F.col("select_count").cast("double") / (
+        F.col("transform_count") + F.col("select_count")
+    ).cast("double")
+    return wl.filter(share > threshold).select("table_id")
+
+
 def ingestion_freshness(
     output_table: DataFrame, analytical: DataFrame, limit: int = 12
 ) -> DataFrame:

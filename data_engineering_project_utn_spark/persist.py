@@ -20,8 +20,9 @@ Two classes of pin, with different release rules:
   incremental-dedup hook releases only perf pins for exactly this reason).
 
 Between per-call and all-or-nothing there is ``pin_scope()``: a context
-manager that captures every correctness pin registered on the current
-thread inside the ``with`` block and unpersists them on exit.  A
+manager that captures every correctness pin — and every perf persist,
+which is always safe to free — registered on the current thread inside
+the ``with`` block and unpersists them on exit.  A
 long-lived process that rebuilds pin-bearing queries repeatedly (the
 ResultCache-TTL dashboard loop) wraps each build-and-materialize in a
 scope so pinned executor storage is bounded by one build, not session
@@ -53,11 +54,27 @@ def _scope_stack() -> list[list[DataFrame]]:
     return _TL.stack
 
 
+def _perf_scope_stack() -> list[list[DataFrame]]:
+    if not hasattr(_TL, "perf_stack"):
+        _TL.perf_stack = []
+    return _TL.perf_stack
+
+
 def track_persist(df: DataFrame) -> DataFrame:
-    """Persist ``df`` as a releasable perf cache (see module docstring)."""
+    """Persist ``df`` as a releasable perf cache (see module docstring).
+    Inside a ``pin_scope()`` on this thread the handle belongs to the
+    scope and is unpersisted at exit — always safe for perf persists
+    (materialized results keep their values; unmaterialized ones
+    recompute identically), and it keeps scope-wrapped rebuild loops
+    (ResultCache TTL) from accumulating perf storage across builds just
+    like correctness pins."""
     handle = df.persist()
-    with _LOCK:
-        _PERSISTED.append(handle)
+    perf_stack = _perf_scope_stack()
+    if perf_stack:
+        perf_stack[-1].append(handle)
+    else:
+        with _LOCK:
+            _PERSISTED.append(handle)
     return handle
 
 
@@ -85,12 +102,17 @@ def pin_scope():
     downstream lazy evaluation after exit would recompute (and for range
     pins possibly resample) the unpinned frame."""
     scope: list[DataFrame] = []
+    perf_scope: list[DataFrame] = []
     _scope_stack().append(scope)
+    _perf_scope_stack().append(perf_scope)
     try:
         yield scope
     finally:
         _scope_stack().pop()
+        _perf_scope_stack().pop()
         for h in scope:
+            h.unpersist()
+        for h in perf_scope:
             h.unpersist()
 
 

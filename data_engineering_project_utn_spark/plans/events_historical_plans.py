@@ -358,11 +358,10 @@ _DECILE_ORACLE = WORKLOAD_CTE + """
     """
 
 
-def _decile_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _decile_rel(spark: SparkSession, sf_dir: str, dedup: bool = True) -> DataFrame:
     out = _output_table(spark, sf_dir)
-    wl = wl_ops.tables_workload_count(out)
-    analytical = wl_ops.analytical_tables(wl)
-    return hist_ops.relative_to_next(out, analytical).filter(
+    analytical = wl_ops.analytical_table_keys(out)
+    return hist_ops.relative_to_next(out, analytical, dedup=dedup).filter(
         F.col("relative_to_next").isNotNull()
     )
 
@@ -378,9 +377,14 @@ def ri_decile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingestion) are excluded — their relative position is undefined and
     NULL-ordering differs between engines.  Runs the *distributed* NTILE
     (no single-partition stage — asserted in test_plans.py); the window
-    twin below pins the small-data strategy under the same oracle."""
-    rel = _decile_rel(spark, sf_dir)
-    return hist_ops.decile_histogram(rel).withColumnRenamed("count", "n_queries")
+    twin below pins the small-data strategy under the same oracle.  The
+    DISTINCT over rel rides the ranking's own range exchange
+    (``dedup=True`` + a not-yet-distinct rel) — one wide shuffle of rel
+    instead of two, plan-asserted."""
+    rel = _decile_rel(spark, sf_dir, dedup=False)
+    return hist_ops.decile_histogram(rel, dedup=True).withColumnRenamed(
+        "count", "n_queries"
+    )
 
 
 @register(

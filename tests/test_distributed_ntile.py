@@ -179,3 +179,124 @@ def test_release_pin_frees_one_global_pin(spark):
     assert ps.release_pin(pinned) is True
     assert not pinned.storageLevel.useMemory
     assert ps.release_pin(pinned) is False  # already released
+
+
+class TestBoundedRank:
+    """with_global_rank_bounded: the sampling-free arithmetic range split
+    for known-domain leading sort columns — must be bit-identical to the
+    sampled with_global_rank / window NTILE, place NULLs first and NaNs
+    last, clamp strays outside [lo, hi], and fold the DISTINCT into its
+    one exchange (no second shuffle; no sampling pass in the plan)."""
+
+    def _rel(self, spark, n=400):
+        pdf = pd.DataFrame(
+            {
+                "relative_to_next": [((i * 7919) % n) / n for i in range(n)],
+                "instance_id": [i % 4 for i in range(n)],
+                "query_id": range(n),
+                "read_table_id": [i % 10 for i in range(n)],
+            }
+        )
+        return spark.createDataFrame(pdf)
+
+    ORDER = ["relative_to_next", "instance_id", "query_id", "read_table_id"]
+
+    def test_matches_window_ntile(self, spark):
+        rel = self._rel(spark)
+        got = (
+            distributed_ntile(rel, self.ORDER, 10, num_partitions=8, domain=(0.0, 1.0))
+            .select(*self.ORDER, "bin")
+            .toPandas()
+            .sort_values(self.ORDER)
+            .reset_index(drop=True)
+        )
+        w = Window.orderBy(*self.ORDER)
+        exp = (
+            rel.withColumn("bin", F.ntile(10).over(w))
+            .select(*self.ORDER, "bin")
+            .toPandas()
+            .sort_values(self.ORDER)
+            .reset_index(drop=True)
+        )
+        assert got["bin"].tolist() == exp["bin"].tolist()
+
+    def test_nan_last_null_first_strays_clamped(self, spark):
+        """NaN must outrank every finite value (Spark sorts NaN greatest),
+        NULL must rank first (ASC NULLS FIRST), and out-of-domain values
+        must land in the clamped edge buckets with correct global ranks."""
+        from data_engineering_project_utn_spark.operators.histogram import (
+            with_global_rank_bounded,
+        )
+
+        # tuples, not pandas: pandas float columns fold BOTH None and NaN
+        # into NULL on conversion, which would silently skip the NaN arm
+        rows = [
+            (0.5, 1),
+            (float("nan"), 2),
+            (None, 3),
+            (-3.0, 4),
+            (9.0, 5),
+            (float("inf"), 6),
+            (0.1, 7),
+            (0.9, 8),
+            (float("-inf"), 9),
+        ]
+        out = {
+            int(r["id"]): int(r["_rank0"])
+            for r in with_global_rank_bounded(
+                spark.createDataFrame(rows, "v double, id int"),
+                ["v", "id"],
+                0.0,
+                1.0,
+                4,
+            ).collect()
+        }
+        # ASC NULLS FIRST, NaN greatest:
+        # None, -inf, -3.0, 0.1, 0.5, 0.9, 9.0, inf, NaN
+        assert out == {3: 0, 9: 1, 4: 2, 7: 3, 1: 4, 8: 5, 5: 6, 6: 7, 2: 8}
+
+    def test_dedup_folds_into_single_exchange(self, spark):
+        """dedup=True over a duplicate-bearing frame: values equal the
+        upstream-dropDuplicates composition, the plan carries exactly ONE
+        exchange (hash on the bucket), and no range sampling exists."""
+        rel = self._rel(spark, 200)
+        dup = rel.unionByName(rel)
+        fused = distributed_ntile(
+            dup, self.ORDER, 10, num_partitions=8, dedup=True, domain=(0.0, 1.0)
+        )
+        anchor = distributed_ntile(
+            rel.dropDuplicates(), self.ORDER, 10, num_partitions=8, domain=(0.0, 1.0)
+        )
+        key = lambda df: sorted(  # noqa: E731
+            tuple(r) for r in df.select(*self.ORDER, "bin").collect()
+        )
+        assert key(fused) == key(anchor)
+        plan = fused._jdf.queryExecution().executedPlan().toString()
+        # identify exchanges structurally (a cached AdaptiveSparkPlan prints
+        # the same node in its Final and Initial sections, with fresh
+        # plan_ids after in-suite re-planning): every hash exchange must be
+        # the explicit bucket repartition — the dedup aggregate and the
+        # offsets join must not have added an ENSURE_REQUIREMENTS shuffle
+        import re
+
+        kinds = set(
+            re.findall(r"Exchange hashpartitioning\((\w+)#\d+[^)]*\), (\w+)", plan)
+        )
+        assert kinds == {("_bkt", "REPARTITION_BY_NUM")}, plan
+        assert "Exchange rangepartitioning" not in plan, plan
+
+    def test_headline_plan_has_no_range_sampling(self, spark, sf_dir):
+        """ri_decile_histogram end-to-end: the rank path must show the
+        arithmetic bucket split (one hash exchange carrying the DISTINCT),
+        not a sampled rangepartitioning, and still no SinglePartition."""
+        from data_engineering_project_utn_spark.plans import all_queries
+        from data_engineering_project_utn_spark.plans import reference_events as _re
+
+        spark.catalog.clearCache()
+        _re._OUTPUT_TABLE_CACHE.clear()
+        df = all_queries()["ri_decile_histogram"].build(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange SinglePartition" not in plan
+        # the only rangepartitioning allowed is the final tiny ORDER BY
+        # over the aggregated (instance, table, bin) rows
+        assert plan.count("Exchange rangepartitioning") <= 1, plan

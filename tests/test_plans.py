@@ -535,3 +535,57 @@ def test_rfm_segments_no_single_partition(spark, sf_dir):
     plan = _plan(spark, sf_dir, "rl_rfm_segments")
     assert _single_partition_window_sorts(plan) == 0
     assert "CartesianProduct" not in plan
+
+
+# Every TPC-H query shape, one uniform hygiene gate (VERDICT r10 #6): the
+# per-shape tests above pin shape-specific structure (Q2 window-min, Q20
+# semi-first, Q6 pushed scan, Q9 broadcast dims); this sweep pins the
+# invariants EVERY shape must hold so a plan regression in any of the 22
+# can't land silently.
+_TPCH_SHAPES = {
+    # name -> (allowed live BNLJ nodes, expected pushed-filter literals
+    #          as (scan column marker, pushed column) pairs)
+    "rl_pricing_summary": (0, []),                       # Q1
+    "rl_min_cost_supplier": (0, []),                     # Q2
+    "rl_top_revenue_orders": (0, []),                    # Q3
+    "rl_order_priority_counts": (0, []),                 # Q4
+    "rl_nation_revenue": (0, []),                        # Q5
+    "rl_forecast_revenue_change": (0, [("l_discount", "l_shipdate")]),  # Q6
+    "rl_nation_trade_volume": (0, []),                   # Q7
+    "rl_market_share": (1, []),                          # Q8: 1-row total bcast
+    "rl_product_type_profit": (0, []),                   # Q9
+    "rl_returned_item_ranking": (0, []),                 # Q10
+    "rl_important_stock": (1, []),                       # Q11: 1-row (total, n)
+    "rl_shipping_priority_mix": (0, [("l_returnflag", "l_shipdate")]),  # Q12
+    "rl_order_count_distribution": (0, []),              # Q13
+    "rl_promo_revenue": (0, [("l_extendedprice", "l_shipdate")]),  # Q14
+    "rl_top_supplier_revenue": (1, []),                  # Q15: 1-row max bcast
+    "rl_parts_supplier_counts": (0, []),                 # Q16
+    "rl_small_quantity_revenue": (0, []),                # Q17
+    "rl_large_volume_orders": (0, []),                   # Q18
+    "rl_bracket_revenue": (0, []),                       # Q19
+    "rl_excess_stock_suppliers": (0, []),                # Q20
+    "rl_sole_late_supplier": (0, []),                    # Q21
+    "rl_global_sales_opportunity": (1, []),              # Q22: 1-row threshold
+    "rl_product_type_profit_bucketed": (0, []),          # Q9 at-rest twin
+}
+
+
+@pytest.mark.parametrize("name", sorted(_TPCH_SHAPES))
+def test_tpch_shape_plan_hygiene(spark, sf_dir, name):
+    """Uniform invariants for every TPC-H shape: no cartesian product, no
+    BroadcastNestedLoopJoin beyond the shape's sanctioned 1-row-total
+    broadcasts, no global-window funnel (Exchange SinglePartition feeding
+    a Sort), and the shape's fact date-window literals pushed into the
+    fact scan where declared."""
+    bnlj_budget, pushed_pairs = _TPCH_SHAPES[name]
+    plan = _strip_cached_subtrees(_plan(spark, sf_dir, name))
+    assert "CartesianProduct" not in plan, name
+    bnlj = plan.count("BroadcastNestedLoopJoin")
+    assert bnlj <= bnlj_budget, f"{name}: {bnlj} live BNLJ nodes"
+    assert _single_partition_window_sorts(plan) == 0, name
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    for marker, pushed_col in pushed_pairs:
+        scan = next(ln for ln in scans if marker in ln)
+        meta = scan.split("PushedFilters", 1)[-1]
+        assert pushed_col in meta, f"{name}: {pushed_col} not pushed"

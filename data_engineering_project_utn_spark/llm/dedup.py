@@ -488,6 +488,55 @@ def incremental_neardup(
     )
 
 
+def incremental_semantic_neardup(
+    incoming: DataFrame,
+    corpus_embeddings: "DataFrame | None",
+    centroids_df: DataFrame,
+    threshold: float = 0.99,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+    corpus_cells: "DataFrame | None" = None,
+) -> DataFrame:
+    """The SEMANTIC arm of incremental dedup — ``incremental_neardup``'s
+    embedding-space twin, catching paraphrases/re-encodings that share no
+    n-grams: which INCOMING vectors cosine-duplicate (≥ ``threshold``)
+    any CORPUS vector.  Asymmetric like the MinHash arm: the incoming
+    micro-batch descends the two-level quantizer
+    (``similarity.ivf_cells_2level`` — ≈2√k cosines/row, never N·k), its
+    (small) assigned frame BROADCASTS into the corpus's at-rest cell
+    frame, and exact cosine runs on in-cell cross pairs only — cost
+    Σ|batch ∩ cell|·|corpus ∩ cell|, never batch×corpus; the corpus is
+    neither re-assigned nor re-shuffled per batch.
+
+    Pass ``corpus_cells`` (columns ``id_col``, ``vec_col``, ``cell``) to
+    probe the assignment a deployment stores at rest — computed once per
+    stream by the caller, the ``make_curation_batch_fn`` shape; with
+    ``corpus_embeddings`` instead, the at-rest frame is derived here.
+    Columns: doc_new, doc_existing, cos_sim."""
+    from data_engineering_project_utn_spark.llm import similarity as sim
+    from data_engineering_project_utn_spark.llm.similarity import dot, norm
+
+    if corpus_cells is None:
+        if corpus_embeddings is None:
+            raise ValueError("need corpus_embeddings or corpus_cells")
+        corpus_cells = sim.ivf_cells_2level(
+            corpus_embeddings, centroids_df, vec_col=vec_col
+        )
+    a = sim.ivf_cells_2level(incoming, centroids_df, vec_col=vec_col).select(
+        F.col(id_col).alias("doc_new"), F.col(vec_col).alias("_va"), "cell"
+    )
+    b = corpus_cells.select(
+        F.col(id_col).alias("doc_existing"), F.col(vec_col).alias("_vb"), "cell"
+    )
+    cos = dot(F.col("_va"), F.col("_vb")) / (norm(F.col("_va")) * norm(F.col("_vb")))
+    return (
+        F.broadcast(a)
+        .join(b, "cell")
+        .select("doc_new", "doc_existing", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def contaminated_doc_ids(
     docs: DataFrame,
     benchmark: DataFrame,

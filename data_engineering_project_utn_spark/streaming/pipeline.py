@@ -1092,6 +1092,10 @@ def make_curation_batch_fn(
     accept_sink: Callable[[DataFrame, int], None],
     min_quality: float = 0.4,
     threshold: float = 0.5,
+    corpus_embeddings: "DataFrame | None" = None,
+    centroids: "DataFrame | None" = None,
+    semantic_threshold: float = 0.99,
+    embedding_col: str = "embedding",
     **neardup_kwargs: Any,
 ):
     """foreachBatch function for streaming corpus curation — the composed
@@ -1101,25 +1105,61 @@ def make_curation_batch_fn(
     1. near-dup-checked against the corpus at rest
        (``llm.dedup.incremental_neardup`` — asymmetric band join, never
        corpus²),
-    2. quality-gated (``llm.text.quality_score`` ≥ ``min_quality``), and
-    3. the surviving docs handed to ``accept_sink(accepted_df, batch_id)``
+    2. if the stream carries embeddings (``corpus_embeddings`` +
+       ``centroids`` given and ``embedding_col`` present on the batch):
+       SEMANTICALLY near-dup-checked against the corpus's at-rest
+       two-level cell assignment
+       (``llm.dedup.incremental_semantic_neardup`` — the batch descends
+       the quantizer and broadcasts into the cell frame; the corpus
+       assignment is computed ONCE per stream here and persisted, the
+       layout a deployment stores at rest — catching paraphrases the
+       MinHash arm structurally cannot see),
+    3. quality-gated (``llm.text.quality_score`` ≥ ``min_quality``), and
+    4. the surviving docs handed to ``accept_sink(accepted_df, batch_id)``
        with their quality scores attached.
 
-    Near-dup flagging is computed on the full batch (not the post-gate
-    subset) so acceptance is independent of batching: the union of
-    per-batch accepted sets equals the one-shot batch curation over all
-    batches at once (tested), exactly like ``incremental_dedup_batch_fn``.
-    The batch twin is the oracle-gated ``llm_curation_gate`` query.
+    Both dedup arms flag against the STATIC corpus on the full batch (not
+    the post-gate subset) so acceptance is independent of batching: the
+    union of per-batch accepted sets equals the one-shot batch curation
+    over all batches at once (tested), exactly like
+    ``incremental_dedup_batch_fn``.  The batch twin is the oracle-gated
+    ``llm_curation_gate`` query.
     """
     from data_engineering_project_utn_spark.llm import text as tx
-    from data_engineering_project_utn_spark.llm.dedup import incremental_neardup
+    from data_engineering_project_utn_spark.llm.dedup import (
+        incremental_neardup,
+        incremental_semantic_neardup,
+    )
     from data_engineering_project_utn_spark.persist import release_persisted
+
+    corpus_cells = None
+    if corpus_embeddings is not None and centroids is not None:
+        from data_engineering_project_utn_spark.llm import similarity as sim
+
+        # the at-rest assignment: once per stream, NOT per micro-batch
+        # (persist() directly, not track_persist — per-batch
+        # release_persisted() must not free cross-batch state)
+        corpus_cells = sim.ivf_cells_2level(
+            corpus_embeddings, centroids, vec_col=embedding_col
+        ).persist()
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         pairs = incremental_neardup(
             batch_df, corpus, threshold=threshold, **neardup_kwargs
         )
         flagged = pairs.select(F.col("doc_new").alias("doc_id")).distinct()
+        if corpus_cells is not None and embedding_col in batch_df.columns:
+            sem = incremental_semantic_neardup(
+                batch_df.select("doc_id", embedding_col),
+                None,
+                centroids,
+                threshold=semantic_threshold,
+                vec_col=embedding_col,
+                corpus_cells=corpus_cells,
+            )
+            flagged = flagged.unionByName(
+                sem.select(F.col("doc_new").alias("doc_id"))
+            ).distinct()
         accepted = (
             batch_df.withColumn("quality", tx.quality_score(F.col("text")))
             .filter(F.col("quality") >= min_quality)

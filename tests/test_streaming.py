@@ -2034,3 +2034,155 @@ class TestIntervalValidation:
     def test_valid_units_accepted(self):
         for ok in ("1 second", "10 minutes", "2 hours", "1 day", "3 weeks"):
             sp._check_interval(ok, "within")
+
+
+class TestSemanticCurationStream:
+    """VERDICT r10 #7: the streaming curation gate's SEMANTIC arm — the
+    two-level-quantizer embedding dedup composed into the micro-batch fn
+    with batch-vs-corpus asymmetry, plus the batching-independence parity
+    the MinHash arm already pins."""
+
+    D = 4
+
+    def _vec(self, seed, eps=0.0):
+        base = {
+            "a": [1.0, 0.1, 0.0, 0.0],
+            "b": [0.0, 1.0, 0.1, 0.0],
+            "c": [0.0, 0.0, 1.0, 0.1],
+            "d": [0.1, 0.0, 0.0, 1.0],
+        }[seed]
+        return [x + (eps if i == 0 else 0.0) for i, x in enumerate(base)]
+
+    def _fixture(self, spark):
+        """Corpus of 4 docs whose embeddings are also the centroids; the
+        incoming batch holds one text near-dup (flagged by MinHash), one
+        PARAPHRASE — disjoint text, near-identical embedding (only the
+        semantic arm can flag it) — and two genuinely new docs."""
+        base = "a long enough shared document body with many words " * 3
+        rich = (
+            "the market of ideas is open and it is a fair trade of thought "
+            "to reason in the open air with many distinct words "
+        )
+        corpus = spark.createDataFrame(
+            [(1, base), (2, "other corpus content entirely unrelated here")],
+            "doc_id long, text string",
+        )
+        cvecs = [self._vec(s) for s in "abcd"]
+        corpus_emb = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(cvecs)],
+            "doc_id long, embedding array<double>",
+        )
+        centroids = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(cvecs)], "cid int, cv array<double>"
+        )
+        inc = [
+            # text near-dup of corpus doc 1, embedding far from everything
+            (10, base + " slightly extended", self._vec("b", 0.4)),
+            # PARAPHRASE: no shared shingles, embedding ≈ corpus vec 'a'
+            (11, rich, self._vec("a", 1e-6)),
+            # clean: distinct text AND distinct-direction embeddings
+            (12, rich + " but argued from first principles instead",
+             self._vec("c", 0.4)),
+            (13, "completely different prose goes here with many new words "
+                 "arranged in a long and unrepeated order of tokens",
+             self._vec("d", 0.4)),
+        ]
+        return corpus, corpus_emb, centroids, inc
+
+    def test_semantic_probe_is_asymmetric_and_broadcast(self, spark):
+        """incremental_semantic_neardup: only batch→corpus pairs (never
+        corpus² or batch²), the paraphrase found at the cosine threshold,
+        and the corpus cell frame probed WITHOUT a wide exchange — the
+        batch side broadcasts."""
+        from data_engineering_project_utn_spark.llm.dedup import (
+            incremental_semantic_neardup,
+        )
+
+        _, corpus_emb, centroids, inc = self._fixture(spark)
+        batch = spark.createDataFrame(
+            [(i, v) for i, _, v in inc], "doc_id long, embedding array<double>"
+        )
+        pairs = incremental_semantic_neardup(
+            batch, corpus_emb, centroids, threshold=0.99
+        )
+        got = {(int(r["doc_new"]), int(r["doc_existing"])) for r in pairs.collect()}
+        assert got == {(11, 0)}, got
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        # the only permitted hash exchange is the quantizer's k-row
+        # centroid groupBy(super) (model-size); neither the corpus cell
+        # frame nor the batch may shuffle on data-sized keys
+        for ln in plan.splitlines():
+            if "Exchange hashpartitioning" in ln:
+                assert "super#" in ln, ln
+        assert "BroadcastHashJoin" in plan
+
+    def test_streamed_accept_set_equals_one_shot_with_semantic_arm(
+        self, spark, tmp_path
+    ):
+        """Union of per-micro-batch accepted docs == the one-shot batch
+        composition (MinHash flags ∪ semantic flags, quality gate) — and
+        the paraphrase is rejected ONLY because of the semantic arm."""
+        from data_engineering_project_utn_spark.llm import text as tx
+        from data_engineering_project_utn_spark.llm.dedup import (
+            incremental_neardup,
+            incremental_semantic_neardup,
+        )
+
+        corpus, corpus_emb, centroids, inc = self._fixture(spark)
+        schema = "doc_id long, text string, embedding array<double>"
+        in_dir = str(tmp_path / "semcur_in")
+        spark.createDataFrame(inc[:2], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        spark.createDataFrame(inc[2:], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+        got: dict = {}
+
+        def sink(accepted_df, batch_id):
+            for r in accepted_df.collect():
+                got[r["doc_id"]] = r["quality"]
+
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+            .writeStream.foreachBatch(
+                sp.make_curation_batch_fn(
+                    corpus,
+                    sink,
+                    min_quality=0.3,
+                    threshold=0.5,
+                    corpus_embeddings=corpus_emb,
+                    centroids=centroids,
+                    semantic_threshold=0.99,
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "semcur_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        all_inc = spark.createDataFrame(inc, schema)
+        text_flags = incremental_neardup(all_inc, corpus, threshold=0.5).select(
+            F.col("doc_new").alias("doc_id")
+        )
+        sem_flags = incremental_semantic_neardup(
+            all_inc.select("doc_id", "embedding"), corpus_emb, centroids,
+            threshold=0.99,
+        ).select(F.col("doc_new").alias("doc_id"))
+        flagged = text_flags.unionByName(sem_flags).distinct()
+        one_shot = {
+            r["doc_id"]: r["quality"]
+            for r in all_inc.withColumn("quality", tx.quality_score(F.col("text")))
+            .filter(F.col("quality") >= 0.3)
+            .join(flagged, "doc_id", "left_anti")
+            .collect()
+        }
+        assert got == one_shot and len(got) > 0
+        assert 11 not in got, "paraphrase must be rejected by the semantic arm"
+        assert 10 not in got, "text near-dup must stay rejected"
+        # and the semantic arm was the DECIDING gate for the paraphrase:
+        assert 11 not in {r["doc_id"] for r in text_flags.collect()}

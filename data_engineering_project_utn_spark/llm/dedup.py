@@ -915,6 +915,7 @@ def semantic_neardup_pairs(
     id_col: str = "vec_id",
     max_cell_size: int | None = None,
     two_level: bool = False,
+    nprobe_super: int = 1,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate candidates (Abbas et al.
     2023, "SemDeDup: Data-efficient learning at web-scale through
@@ -961,8 +962,12 @@ def semantic_neardup_pairs(
         if two_level:
             # hierarchical descent: ≈2√k cosines/row instead of k — the
             # assignment-side answer to √N quantizer growth (see
-            # similarity.ivf_cells_2level for the recall trade)
-            assigned = sim.ivf_cells_2level(embeddings, centroids, vec_col=vec_col)
+            # similarity.ivf_cells_2level for the recall trade;
+            # nprobe_super > 1 recovers wrong-super assignments by
+            # descending the top-s supers, ≈(1+s)√k cosines/row)
+            assigned = sim.ivf_cells_2level(
+                embeddings, centroids, vec_col=vec_col, nprobe_super=nprobe_super
+            )
         else:
             assigned = sim.ivf_cells_from_df(embeddings, centroids, vec_col=vec_col)
     elif two_level:

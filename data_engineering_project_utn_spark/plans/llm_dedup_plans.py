@@ -1484,6 +1484,61 @@ def llm_semdedup_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semdedup_multiprobe_oracle(cap: int, nprobe_super: int) -> str:
+    """Multi-super semdedup oracle: the shared descent CTE chain at
+    ``nprobe_super`` supers feeding the same capped pair tail as the
+    single-probe and capped twins (reused verbatim — surgery fails at
+    import on drift)."""
+    from data_engineering_project_utn_spark.plans.llm_shared import (
+        two_level_cells_ctes,
+    )
+
+    tail_marker = "    ce AS"
+    parts = _semdedup_capped_oracle(cap).split(tail_marker)
+    if len(parts) != 2:
+        raise ValueError("capped semdedup oracle drifted — ce marker not found")
+    tail = tail_marker + parts[1]
+    return f"""
+    WITH {two_level_cells_ctes(nprobe_super)},
+{tail}"""
+
+
+@register(
+    "llm_semdedup_multiprobe",
+    priority=1,
+    oracle=_semdedup_multiprobe_oracle(16, 2),
+    tags=("llm", "dedup", "similarity", "semantic", "scale-twin"),
+)
+def llm_semdedup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup side of multi-super probing (VERDICT r10 #1's recovery
+    move, completing what ``llm_ivf_2level_multiprobe`` gates for
+    retrieval): two-level + capped semdedup with ``nprobe_super=2`` —
+    each vector argmaxes over the UNION of its top-2 supers' leaf sets,
+    so a boundary vector whose true nearest centroid lives under the
+    neighboring super lands in the RIGHT cell and its near-dup pairs
+    stop being structurally invisible.  Per-row assignment ≈ 3√k·d
+    (1536 cosines at the 65536-centroid clamp vs 65536 flat); pair
+    space still ≈ N·cap.  Assignment agreement with the flat argmax is
+    ≥ the single-probe descent's by construction (superset leaf pools;
+    pytest-pinned), so recall sits between ``llm_semdedup_2level`` and
+    the flat ``llm_semdedup_capped`` at ~1.5× single-probe assignment
+    cost — the same recall/cost dial FAISS IMI deployments expose."""
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    e = track_persist(parallelize_compute(load_table(spark, sf_dir, "embeddings")))
+    k = sim_derive_k(e)
+    cdf = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    return (
+        dd.semantic_neardup_pairs(
+            e, cdf, max_cell_size=16, two_level=True, nprobe_super=2
+        )
+        .orderBy(F.desc("cos_sim"), "id_a", "id_b")
+        .limit(20)
+    )
+
+
 @register(
     "llm_semdedup_capped",
     priority=1,

@@ -3376,3 +3376,73 @@ def llm_sq8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
     return sim2.scalar_quantization_report(e)
+
+
+_HARD_NEGATIVES_ORACLE = f"""
+    WITH anch AS (SELECT vec_id AS aid, label AS albl, embedding AS av
+                  FROM embeddings WHERE vec_id < 6),
+    sc AS (SELECT a.aid, e.vec_id,
+                  {_dot('a.av', 'e.embedding')}
+                  / (sqrt({_dot('a.av', 'a.av')})
+                     * sqrt({_dot('e.embedding', 'e.embedding')})) AS cos_sim
+           FROM anch a JOIN embeddings e ON e.label <> a.albl),
+    rk AS (SELECT aid, vec_id, cos_sim,
+                  ROW_NUMBER() OVER (PARTITION BY aid
+                                     ORDER BY cos_sim DESC, vec_id) AS rnk
+           FROM sc)
+    SELECT aid AS anchor_id, CAST(rnk AS BIGINT) AS neg_rank,
+           vec_id AS neg_id, cos_sim
+    FROM rk WHERE rnk <= 3
+    ORDER BY anchor_id, neg_rank
+    """
+
+
+@register(
+    "llm_hard_negatives",
+    priority=1,
+    oracle=_HARD_NEGATIVES_ORACLE,
+    tags=("llm", "similarity", "training", "report"),
+)
+def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive embedding training (the
+    in-batch-negatives upgrade every dense-retrieval recipe ships —
+    DPR/Karpukhin et al. 2020 §4.2's "hard negatives" move): for each
+    anchor in a model-size training batch, the top-3 most-cosine-similar
+    corpus vectors carrying a DIFFERENT label — similar-but-wrong
+    examples, the gradient-dense negatives random sampling almost never
+    finds at scale.
+
+    Scale shape: anchors are a training BATCH (bounded, driver-held —
+    here the 6-row deterministic prefix); per anchor the corpus is
+    scanned with one inline cosine fold and top-3 selected by
+    TakeOrdered (per-partition heap + k·P driver merge — never a global
+    sort, never a shuffle; the label-mismatch filter is scan-side).
+    Total: |batch| passes over the cached corpus, zero wide exchanges,
+    3·|batch| driver rows.  At 100 TB with large batches, flip the loop
+    into the packed-anchor broadcast + per-anchor windowed top-k — the
+    same trade ``llm_knn_join`` documents; the per-anchor TakeOrdered is
+    the exchange-free shape for batch-sized anchor sets."""
+    from data_engineering_project_utn_spark.llm.similarity import cosine
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    e = track_persist(parallelize_compute(load_table(spark, sf_dir, "embeddings")))
+    anchors = (
+        e.filter(F.col("vec_id") < 6)
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    out = []
+    for a in sorted(anchors, key=lambda r: int(r["vec_id"])):
+        av = F.array(*[F.lit(float(x)) for x in a["embedding"]])
+        negs = (
+            e.filter(F.col("label") != int(a["label"]))
+            .select("vec_id", cosine(av, F.col("embedding")).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), "vec_id")
+            .limit(3)
+            .collect()
+        )
+        for i, r in enumerate(negs):
+            out.append((int(a["vec_id"]), i + 1, int(r["vec_id"]), float(r["cos_sim"])))
+    return spark.createDataFrame(
+        out, "anchor_id: long, neg_rank: long, neg_id: long, cos_sim: double"
+    ).orderBy("anchor_id", "neg_rank")

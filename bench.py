@@ -197,6 +197,12 @@ EXTENDED_QUERIES = [
     "llm_semdedup_2level",
     "llm_ivf_2level_ann",
     "llm_2level_rank_eval",
+    # round 11
+    "llm_ivf_2level_multiprobe",
+    "llm_2level_super_rank_eval",
+    "llm_semdedup_multiprobe",
+    "llm_hard_negatives",
+    "rl_product_type_profit_bucketed",
 ]
 
 

@@ -496,6 +496,7 @@ def incremental_semantic_neardup(
     vec_col: str = "embedding",
     id_col: str = "doc_id",
     corpus_cells: "DataFrame | None" = None,
+    nprobe_super: int = 1,
 ) -> DataFrame:
     """The SEMANTIC arm of incremental dedup — ``incremental_neardup``'s
     embedding-space twin, catching paraphrases/re-encodings that share no
@@ -512,7 +513,12 @@ def incremental_semantic_neardup(
     probe the assignment a deployment stores at rest — computed once per
     stream by the caller, the ``make_curation_batch_fn`` shape; with
     ``corpus_embeddings`` instead, the at-rest frame is derived here.
-    Columns: doc_new, doc_existing, cos_sim."""
+    ``nprobe_super`` MUST match the setting the at-rest frame was built
+    with: dedup recall rides on near-dups CO-assigning, and an
+    asymmetric descent (batch corrected to the right super, corpus
+    still in the neighbor) can split a boundary pair both sides of a
+    symmetric descent would co-assign.  Columns: doc_new, doc_existing,
+    cos_sim."""
     from data_engineering_project_utn_spark.llm import similarity as sim
     from data_engineering_project_utn_spark.llm.similarity import dot, norm
 
@@ -520,9 +526,12 @@ def incremental_semantic_neardup(
         if corpus_embeddings is None:
             raise ValueError("need corpus_embeddings or corpus_cells")
         corpus_cells = sim.ivf_cells_2level(
-            corpus_embeddings, centroids_df, vec_col=vec_col
+            corpus_embeddings, centroids_df, vec_col=vec_col,
+            nprobe_super=nprobe_super,
         )
-    a = sim.ivf_cells_2level(incoming, centroids_df, vec_col=vec_col).select(
+    a = sim.ivf_cells_2level(
+        incoming, centroids_df, vec_col=vec_col, nprobe_super=nprobe_super
+    ).select(
         F.col(id_col).alias("doc_new"), F.col(vec_col).alias("_va"), "cell"
     )
     b = corpus_cells.select(

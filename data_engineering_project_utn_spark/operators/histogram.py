@@ -300,7 +300,12 @@ def decile_histogram(
     )
 
 
-def decile_by_percent_rank(rel: DataFrame, n_bins: int = 10) -> DataFrame:
+def decile_by_percent_rank(
+    rel: DataFrame,
+    n_bins: int = 10,
+    dedup: bool = False,
+    domain: "tuple[float, float] | None" = None,
+) -> DataFrame:
     """Percent-rank decile binning, computed distributed.
 
     Bucket = floor(percent_rank · n) + 1 clipped to n, with
@@ -310,10 +315,17 @@ def decile_by_percent_rank(rel: DataFrame, n_bins: int = 10) -> DataFrame:
     window, which Spark would plan as Exchange SinglePartition.  Differs
     from NTILE at bucket boundaries when group sizes don't divide evenly —
     a different (equally standard) quantile convention, value-checked by
-    its own percent_rank oracle (``ri_decile_percentrank``)."""
-    ranked = with_global_rank(
-        rel, ["relative_to_next", "instance_id", "query_id", "read_table_id"]
-    )
+    its own percent_rank oracle (``ri_decile_percentrank``).  ``dedup``
+    and ``domain`` as in ``distributed_ntile``: fold the DISTINCT into
+    the rank exchange, and switch to the sampling-free arithmetic range
+    split when the leading sort column's domain is known."""
+    order_cols = ["relative_to_next", "instance_id", "query_id", "read_table_id"]
+    if domain is not None:
+        ranked = with_global_rank_bounded(
+            rel, order_cols, domain[0], domain[1], dedup=dedup
+        )
+    else:
+        ranked = with_global_rank(rel, order_cols, dedup=dedup)
     # single-row edge: SQL percent_rank defines 0 when N == 1 (0/0 → NaN here)
     pct = F.when(F.col("_total") == 1, F.lit(0.0)).otherwise(
         F.col("_rank0") / (F.col("_total") - 1)

@@ -424,9 +424,15 @@ def ri_decile_percentrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/histogram.py decile_by_percent_rank).  The oracle runs DuckDB's
     actual percent_rank() over the same total order, so the rank machinery
     and the boundary arithmetic are both value-checked — keeping the 100×
-    scale path continuously verified, not just pytest-exercised."""
-    rel = _decile_rel(spark, sf_dir)
-    return hist_ops.decile_by_percent_rank(rel).withColumnRenamed("count", "n_queries")
+    scale path continuously verified, not just pytest-exercised.  Shares
+    the headline's round-11 rank-path structure: the DISTINCT rides the
+    rank exchange and the [0, 1] relative-position domain replaces the
+    sampled range split (one wide shuffle of rel, no boundary-sampling
+    pass)."""
+    rel = _decile_rel(spark, sf_dir, dedup=False)
+    return hist_ops.decile_by_percent_rank(
+        rel, dedup=True, domain=(0.0, 1.0)
+    ).withColumnRenamed("count", "n_queries")
 
 
 # ---------------------------------------------------------------------------

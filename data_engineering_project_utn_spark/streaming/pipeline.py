@@ -1096,6 +1096,7 @@ def make_curation_batch_fn(
     centroids: "DataFrame | None" = None,
     semantic_threshold: float = 0.99,
     embedding_col: str = "embedding",
+    nprobe_super: int = 1,
     **neardup_kwargs: Any,
 ):
     """foreachBatch function for streaming corpus curation — the composed
@@ -1138,9 +1139,13 @@ def make_curation_batch_fn(
 
         # the at-rest assignment: once per stream, NOT per micro-batch
         # (persist() directly, not track_persist — per-batch
-        # release_persisted() must not free cross-batch state)
+        # release_persisted() must not free cross-batch state); the
+        # batch descent below uses the SAME nprobe_super — asymmetric
+        # descents can split boundary pairs (see
+        # incremental_semantic_neardup)
         corpus_cells = sim.ivf_cells_2level(
-            corpus_embeddings, centroids, vec_col=embedding_col
+            corpus_embeddings, centroids, vec_col=embedding_col,
+            nprobe_super=nprobe_super,
         ).persist()
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -1156,6 +1161,7 @@ def make_curation_batch_fn(
                 threshold=semantic_threshold,
                 vec_col=embedding_col,
                 corpus_cells=corpus_cells,
+                nprobe_super=nprobe_super,
             )
             flagged = flagged.unionByName(
                 sem.select(F.col("doc_new").alias("doc_id"))

@@ -2107,6 +2107,16 @@ class TestSemanticCurationStream:
         )
         got = {(int(r["doc_new"]), int(r["doc_existing"])) for r in pairs.collect()}
         assert got == {(11, 0)}, got
+        # symmetric multi-probe descent (both sides s=2) must keep the
+        # co-assigned pair — the recovery knob never loses a pair this
+        # fixture's single-probe descent already catches
+        got2 = {
+            (int(r["doc_new"]), int(r["doc_existing"]))
+            for r in incremental_semantic_neardup(
+                batch, corpus_emb, centroids, threshold=0.99, nprobe_super=2
+            ).collect()
+        }
+        assert got2 >= got, (got2, got)
         plan = pairs._jdf.queryExecution().executedPlan().toString()
         # the only permitted hash exchange is the quantizer's k-row
         # centroid groupBy(super) (model-size); neither the corpus cell

@@ -709,3 +709,56 @@ def winnow_fingerprints(
         )
         .distinct()
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window token chunking — the context-window segmentation
+    every RAG / pretraining prep pipeline runs before embedding or
+    packing: chunk i covers tokens [i·stride, i·stride + chunk_tokens)
+    of the shared whitespace tokenization (``tokens`` — the chunk text
+    is the single-space rejoin, so re-tokenizing a chunk reproduces its
+    token slice exactly).  ``stride < chunk_tokens`` yields the overlap
+    (chunk_tokens − stride tokens) that keeps boundary-spanning facts
+    retrievable.
+
+    Chunk count = 1 + ⌈max(n − chunk_tokens, 0) / stride⌉ (n = doc
+    tokens): every token is covered, the final chunk may be short, a doc
+    with n ≤ chunk_tokens is exactly one chunk, and empty/whitespace
+    docs yield NO rows (the tokenizer's empty-array contract).
+
+    Scale shape: tokenize + per-doc index explode + slice — all narrow
+    (scan-speed, no shuffle, no UDF); output rows ≈ Σ n_i / stride.
+    Columns: id_col, chunk_id, n_tokens, chunk_text."""
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    n_chunks = (
+        F.lit(1)
+        + F.floor(
+            (F.greatest(n - F.lit(chunk_tokens), F.lit(0)) + F.lit(stride - 1))
+            / F.lit(stride)
+        )
+    ).cast("int")
+    return (
+        docs.filter(n > 0)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+            t.alias("_t"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.size(F.slice(F.col("_t"), F.col("chunk_id") * stride + 1, chunk_tokens))
+            .cast("long")
+            .alias("n_tokens"),
+            F.array_join(
+                F.slice(F.col("_t"), F.col("chunk_id") * stride + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+        )
+    )

@@ -953,3 +953,45 @@ def llm_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rule", "n_flagged"),
         "n_docs",
     ).orderBy("rule")
+
+
+_CHUNK_ORACLE = f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    nz AS (SELECT doc_id, t, len(t) AS n FROM tk WHERE len(t) > 0),
+    ix AS (SELECT doc_id, t,
+                  unnest(range(0, 1 + ((GREATEST(n - 64, 0) + 47) // 48)))
+                      AS chunk_id
+           FROM nz),
+    ch AS (SELECT doc_id, chunk_id,
+                  t[chunk_id*48 + 1 : chunk_id*48 + 64] AS ct
+           FROM ix)
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(ct) AS BIGINT) AS n_tokens,
+           array_to_string(ct, ' ') AS chunk_text
+    FROM ch ORDER BY doc_id, chunk_id
+    """
+
+
+@register(
+    "llm_chunk_documents",
+    priority=1,
+    oracle=_CHUNK_ORACLE,
+    tags=("llm", "curation", "chunking"),
+)
+def llm_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (``llm/text.chunk_documents``) —
+    the RAG / pretraining context-window segmentation: 64-token chunks
+    at stride 48 (16-token overlap), chunk text the single-space rejoin
+    of the shared whitespace tokenization so re-tokenizing a chunk
+    reproduces its slice.  Every token covered; final chunk may be
+    short; empty docs contribute no rows.
+
+    Scale shape: tokenize + per-doc index explode + slice, all narrow —
+    scan-speed with zero shuffles before the presentation sort; output
+    rows ≈ Σ tokens/stride.  At 100 TB chunking feeds the embedding
+    stage directly (chunk rows are what ``llm_semdedup_*`` and the ANN
+    family index), so keeping it exchange-free matters."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    return tx.chunk_documents(d, chunk_tokens=64, stride=48).orderBy(
+        "doc_id", "chunk_id"
+    )

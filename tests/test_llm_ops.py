@@ -3495,3 +3495,45 @@ class TestMMR:
         # rank 1 is NOT guaranteed (rel varies), but each is <= its rel
         for _, _i, rel, marg in sel[1:]:
             assert marg <= rel + 1e-12
+
+
+class TestChunkDocuments:
+    """chunk_documents invariants: full coverage with exact overlap,
+    single-chunk short docs, no rows for empty docs, and chunk text that
+    re-tokenizes to its own slice."""
+
+    def test_coverage_overlap_and_edges(self, spark):
+        from data_engineering_project_utn_spark.llm import text as tx
+
+        docs = spark.createDataFrame(
+            [
+                (1, " ".join(f"t{i}" for i in range(10))),   # 10 tokens, 2 chunks
+                (2, "a b c"),                                  # short: 1 chunk
+                (3, "   "),                                    # whitespace: 0 rows
+                (4, " ".join(f"w{i}" for i in range(4))),     # exactly chunk: 1 chunk
+            ],
+            "doc_id long, text string",
+        )
+        out = tx.chunk_documents(docs, chunk_tokens=4, stride=3)
+        rows = sorted(
+            ((r["doc_id"], r["chunk_id"], r["n_tokens"], r["chunk_text"])
+             for r in out.collect())
+        )
+        by_doc: dict = {}
+        for d, c, n, t in rows:
+            by_doc.setdefault(d, []).append((c, n, t))
+        assert 3 not in by_doc
+        assert [c for c, _, _ in by_doc[2]] == [0] and by_doc[2][0][2] == "a b c"
+        assert [c for c, _, _ in by_doc[4]] == [0]
+        # doc 1: 10 tokens, chunk 4 stride 3 → chunks at 0,3,6 and final at 9?
+        # n_chunks = 1 + ceil(6/3) = 3 → starts 0,3,6; chunk 2 covers 6..9
+        toks = [f"t{i}" for i in range(10)]
+        assert [c for c, _, _ in by_doc[1]] == [0, 1, 2]
+        for c, n, t in by_doc[1]:
+            expect = toks[c * 3 : c * 3 + 4]
+            assert t.split(" ") == expect and n == len(expect)
+        # every token covered: union of slices == all tokens
+        covered = set()
+        for c, _, t in by_doc[1]:
+            covered.update(t.split(" "))
+        assert covered == set(toks)

@@ -529,15 +529,32 @@ def incremental_semantic_neardup(
             corpus_embeddings, centroids_df, vec_col=vec_col,
             nprobe_super=nprobe_super,
         )
-    a = sim.ivf_cells_2level(
-        incoming, centroids_df, vec_col=vec_col, nprobe_super=nprobe_super
-    ).select(
-        F.col(id_col).alias("doc_new"), F.col(vec_col).alias("_va"), "cell"
+    # norms ride the per-ROW frames, never the per-pair expression — the
+    # same 2·O(d)-folds-per-pair cost semantic_neardup_pairs measured and
+    # removed (its _nrm column); an at-rest corpus frame that already
+    # carries "_nrm" (the make_curation_batch_fn shape: computed once per
+    # stream, persisted with the cells) is used as-is, so batch probes
+    # never recompute corpus norms
+    a = (
+        sim.ivf_cells_2level(
+            incoming, centroids_df, vec_col=vec_col, nprobe_super=nprobe_super
+        )
+        .select(F.col(id_col).alias("doc_new"), F.col(vec_col).alias("_va"), "cell")
+        .withColumn("_na", norm(F.col("_va")))
     )
     b = corpus_cells.select(
-        F.col(id_col).alias("doc_existing"), F.col(vec_col).alias("_vb"), "cell"
+        F.col(id_col).alias("doc_existing"),
+        F.col(vec_col).alias("_vb"),
+        "cell",
+        *(
+            [F.col("_nrm").alias("_nb")]
+            if "_nrm" in corpus_cells.columns
+            else []
+        ),
     )
-    cos = dot(F.col("_va"), F.col("_vb")) / (norm(F.col("_va")) * norm(F.col("_vb")))
+    if "_nb" not in b.columns:
+        b = b.withColumn("_nb", norm(F.col("_vb")))
+    cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     return (
         F.broadcast(a)
         .join(b, "cell")

@@ -735,6 +735,14 @@ def chunk_documents(
     Scale shape: tokenize + per-doc index explode + slice — all narrow
     (scan-speed, no shuffle, no UDF); output rows ≈ Σ n_i / stride.
     Columns: id_col, chunk_id, n_tokens, chunk_text."""
+    if not 0 < stride <= chunk_tokens:
+        # stride > chunk_tokens would leave token GAPS between chunks
+        # (silently breaking the coverage contract) and can emit phantom
+        # empty chunks whose slice starts past the end of the doc
+        raise ValueError(
+            f"stride must be in (0, chunk_tokens], got stride={stride}, "
+            f"chunk_tokens={chunk_tokens}"
+        )
     t = tokens(F.col(text_col))
     n = F.size(t)
     n_chunks = (

@@ -130,6 +130,11 @@ def with_global_rank_bounded(
     to cover every input column; duplicates share the leading value, so
     they share a bucket)."""
     p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if not lo < hi:
+        # an inverted domain would make the bucket expression DECREASING
+        # in x (globally scrambled ranks, no exception); lo == hi would
+        # NULL every finite bucket via divide-by-zero
+        raise ValueError(f"domain must satisfy lo < hi, got ({lo}, {hi})")
     if dedup and not set(df.columns) <= set(order_cols):
         raise ValueError(
             "dedup=True needs order_cols to cover every column: "

@@ -132,10 +132,19 @@ def release_pin(df: DataFrame) -> bool:
 
 
 def release_persisted() -> None:
-    """Unpersist every releasable perf intermediate.  Correctness pins stay."""
+    """Unpersist every releasable perf intermediate.  Correctness pins
+    stay.  Also drains THIS thread's active perf scopes — a per-batch
+    release hook running inside a ``pin_scope()`` (a scope-wrapped
+    driver pumping micro-batches) must still free each batch's perf
+    frames, or N batches accumulate N× persisted state until scope
+    exit; freeing a perf persist early is always safe (identical
+    recompute)."""
     with _LOCK:
         handles = _PERSISTED[:]
         _PERSISTED.clear()
+    for perf_scope in _perf_scope_stack():
+        handles.extend(perf_scope)
+        perf_scope.clear()
     for h in handles:
         h.unpersist()
 

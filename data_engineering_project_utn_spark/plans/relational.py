@@ -1556,8 +1556,14 @@ def _q9_bucketed_join(spark: SparkSession, sf_dir: str, buckets: int = 16) -> Da
     The table write here is the DEMO of the layout; at warehouse scale
     the bucketed facts are maintained once by ingestion/compaction and
     amortized over every orderkey join.  Tables are tagged by the
-    sf_dir basename and rebuilt only when their row count no longer
-    matches the source (cheap: parquet metadata counts)."""
+    sf_dir basename PLUS a filesystem fingerprint of the source parquet
+    (file names, sizes, mtimes — no data scan), so a regenerated
+    sf_dir is rebuilt even when its ROW COUNT is unchanged (TPC-H
+    cardinalities are a pure function of SF, so a count check alone
+    would silently serve stale data after a same-cardinality fixture
+    refresh)."""
+    import hashlib
+    import os
     import re
 
     from data_engineering_project_utn_spark.sources.io import (
@@ -1565,12 +1571,24 @@ def _q9_bucketed_join(spark: SparkSession, sf_dir: str, buckets: int = 16) -> Da
         write_bucketed_table,
     )
 
+    def _fs_fingerprint(path: str) -> str:
+        parts = []
+        if os.path.isdir(path):
+            for fn in sorted(os.listdir(path)):
+                st = os.stat(os.path.join(path, fn))
+                parts.append((fn, st.st_size, st.st_mtime_ns))
+        else:
+            st = os.stat(path)
+            parts.append((os.path.basename(path), st.st_size, st.st_mtime_ns))
+        return hashlib.md5(repr(parts).encode()).hexdigest()[:8]
+
     tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
     facts = {}
     for tbl, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
         src = load_table(spark, sf_dir, tbl)
-        name = f"q9_{tbl}_bkt_{tag}"
-        if table_exists(spark, name) and spark.table(name).count() == src.count():
+        fp = _fs_fingerprint(f"{sf_dir}/{tbl}.parquet")
+        name = f"q9_{tbl}_bkt_{tag}_{fp}"
+        if table_exists(spark, name):
             facts[tbl] = spark.table(name)
         else:
             facts[tbl] = write_bucketed_table(spark, src, name, buckets, key)

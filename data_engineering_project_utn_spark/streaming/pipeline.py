@@ -1136,17 +1136,23 @@ def make_curation_batch_fn(
     corpus_cells = None
     if corpus_embeddings is not None and centroids is not None:
         from data_engineering_project_utn_spark.llm import similarity as sim
+        from data_engineering_project_utn_spark.llm.similarity import norm
+        from data_engineering_project_utn_spark.persist import pin_for_correctness
 
-        # the at-rest assignment: once per stream, NOT per micro-batch
-        # (persist() directly, not track_persist — per-batch
-        # release_persisted() must not free cross-batch state); the
-        # batch descent below uses the SAME nprobe_super — asymmetric
-        # descents can split boundary pairs (see
-        # incremental_semantic_neardup)
-        corpus_cells = sim.ivf_cells_2level(
-            corpus_embeddings, centroids, vec_col=embedding_col,
-            nprobe_super=nprobe_super,
-        ).persist()
+        # the at-rest assignment (WITH its norms — probes must never
+        # recompute corpus norms per batch): once per stream, NOT per
+        # micro-batch.  Registered via pin_for_correctness so it is
+        # exempt from the per-batch release_persisted() below but still
+        # freed by release_all()/pin_scope exit — here the registry is a
+        # LIFETIME boundary, not a correctness pin: the descent is
+        # deterministic, so a post-release lazy recompute would still be
+        # value-identical
+        corpus_cells = pin_for_correctness(
+            sim.ivf_cells_2level(
+                corpus_embeddings, centroids, vec_col=embedding_col,
+                nprobe_super=nprobe_super,
+            ).withColumn("_nrm", norm(F.col(embedding_col)))
+        )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         pairs = incremental_neardup(

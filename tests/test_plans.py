@@ -33,6 +33,16 @@ def _plan(spark, sf_dir, name: str) -> str:
             spark.conf.set(key, prev)
 
 
+def _pushed_filters(scan_line: str) -> str:
+    """The bracketed PushedFilters list of a FileScan line, EXCLUDING the
+    trailing ReadSchema — a naive split-tail includes ReadSchema, which
+    always names every read column, so `col in tail` stays true even
+    after a pushdown regresses to a post-scan Filter (the exact
+    regression these asserts exist to catch)."""
+    tail = scan_line.split("PushedFilters", 1)[-1]
+    return tail.split("ReadSchema", 1)[0]
+
+
 def test_interval_core_never_nested_loop(spark, sf_dir):
     """The as-of merge (J4 replacement) must stay a hash/sort-merge path —
     a BNLJ here is quadratic at scale."""
@@ -443,8 +453,8 @@ def test_bracket_revenue_pushes_disjunction_hulls(spark, sf_dir):
     part_scan = next(ln for ln in scans if "p_brand" in ln)
     li_scan = next(ln for ln in scans if "l_quantity" in ln)
     assert "Brand#12" in part_scan, "brand disjunction hull not pushed"
-    assert "l_quantity" in li_scan.split("PushedFilters", 1)[-1] or (
-        "l_quantity" in li_scan.split("DataFilters", 1)[-1]
+    assert "l_quantity" in _pushed_filters(li_scan) or (
+        "l_quantity" in li_scan.split("DataFilters", 1)[-1].split("ReadSchema", 1)[0]
     ), "quantity hull not pushed"
     for ln, nmax in ((part_scan, 4), (li_scan, 5)):
         cols = ln.split("[", 1)[1].split("]", 1)[0].split(",")
@@ -498,7 +508,7 @@ def test_forecast_revenue_is_map_only_pushed_scan(spark, sf_dir):
     assert "Join" not in plan
     scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
     li_scan = next(ln for ln in scans if "l_discount" in ln)
-    pushed = li_scan.split("PushedFilters", 1)[-1]
+    pushed = _pushed_filters(li_scan)
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert col in pushed, f"{col} not pushed to scan"
     cols = li_scan.split("[", 1)[1].split("]", 1)[0].split(",")
@@ -587,5 +597,5 @@ def test_tpch_shape_plan_hygiene(spark, sf_dir, name):
     scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
     for marker, pushed_col in pushed_pairs:
         scan = next(ln for ln in scans if marker in ln)
-        meta = scan.split("PushedFilters", 1)[-1]
+        meta = _pushed_filters(scan)
         assert pushed_col in meta, f"{name}: {pushed_col} not pushed"

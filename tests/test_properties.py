@@ -370,3 +370,133 @@ def test_mmr_refine_invariants(vecs, k):
         assert sel_id == exp
     perm = list(reversed(cand))
     assert mmr_refine(perm, k=k) == out
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab \t", min_size=0, max_size=40), min_size=1, max_size=5
+    ),
+    chunk=st.integers(min_value=1, max_value=6),
+    stride_frac=st.integers(min_value=1, max_value=6),
+)
+@_settings
+def test_chunk_documents_coverage_law(spark, texts, chunk, stride_frac):
+    """chunk_documents laws on arbitrary whitespace-dirty docs and any
+    valid (chunk_tokens, stride): chunk count matches the closed form,
+    chunk i's text is exactly the single-space rejoin of tokens
+    [i·stride, i·stride+chunk), every token is covered, no chunk is
+    empty, and docs with no tokens contribute no rows."""
+    from data_engineering_project_utn_spark.llm.text import chunk_documents
+
+    stride = max(1, min(chunk, stride_frac))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {}
+    for r in chunk_documents(docs, chunk_tokens=chunk, stride=stride).collect():
+        out.setdefault(int(r["doc_id"]), []).append(
+            (int(r["chunk_id"]), int(r["n_tokens"]), r["chunk_text"])
+        )
+    for i, t in enumerate(texts):
+        toks = [w for w in t.lower().replace("\t", " ").split(" ") if w]
+        if not toks:
+            assert i not in out
+            continue
+        n = len(toks)
+        expected_chunks = 1 + -(-max(n - chunk, 0) // stride)  # ceil div
+        got = sorted(out[i])
+        assert [c for c, _, _ in got] == list(range(expected_chunks))
+        covered = []
+        for c, ntok, text_out in got:
+            exp = toks[c * stride : c * stride + chunk]
+            assert text_out.split(" ") == exp and ntok == len(exp) > 0
+            covered.extend(exp)
+        assert set(covered) == set(toks)
+
+
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.floats(min_value=-2.0, max_value=3.0, allow_nan=False),
+            st.just(float("nan")),
+            st.none(),
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    parts=st.integers(min_value=1, max_value=5),
+)
+@_settings
+def test_bounded_rank_equals_sampled_rank_law(spark, vals, parts):
+    """with_global_rank_bounded must agree RANK-FOR-RANK with the sampled
+    with_global_rank on arbitrary doubles — including NULLs (first), NaNs
+    (last), ties (broken by id), and values straying outside the declared
+    [0, 1] domain (clamped into edge buckets but still exactly ordered by
+    the within-bucket window)."""
+    from data_engineering_project_utn_spark.operators.histogram import (
+        with_global_rank,
+        with_global_rank_bounded,
+    )
+
+    rows = [(v, i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "v double, id long")
+    bounded = {
+        int(r["id"]): int(r["_rank0"])
+        for r in with_global_rank_bounded(df, ["v", "id"], 0.0, 1.0, parts).collect()
+    }
+    sampled = {
+        int(r["id"]): int(r["_rank0"])
+        for r in with_global_rank(df, ["v", "id"], parts).collect()
+    }
+    assert bounded == sampled and len(bounded) == len(rows)
+
+
+@given(
+    n_batch=st.integers(min_value=1, max_value=4),
+    n_corpus=st.integers(min_value=4, max_value=8),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+@_settings
+def test_incremental_semantic_neardup_asymmetry_law(spark, n_batch, n_corpus, seed):
+    """incremental_semantic_neardup laws on random vectors: every output
+    pair is (batch id, corpus id) — never corpus×corpus or batch×batch —
+    every reported cosine clears the threshold, and reported cosines
+    equal the direct fold recomputed in Python."""
+    import math
+    import random
+
+    from data_engineering_project_utn_spark.llm.dedup import (
+        incremental_semantic_neardup,
+    )
+
+    rng = random.Random(seed)
+
+    def vec():
+        return [rng.uniform(-1, 1) or 1.0 for _ in range(4)]
+
+    corpus = [(i, vec()) for i in range(n_corpus)]
+    batch = [(100 + i, vec()) for i in range(n_batch)]
+    cd = spark.createDataFrame(corpus, "doc_id long, embedding array<double>")
+    bd = spark.createDataFrame(batch, "doc_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(i, v) for i, v in corpus[:4]], "cid int, cv array<double>"
+    )
+    thr = 0.3
+    got = incremental_semantic_neardup(bd, cd, cents, threshold=thr).collect()
+    bids = {i for i, _ in batch}
+    cids = {i for i, _ in corpus}
+
+    def _dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    def _cos(a, b):
+        return _dot(a, b) / (math.sqrt(_dot(a, a)) * math.sqrt(_dot(b, b)))
+
+    bvec = dict(batch)
+    cvec = dict(corpus)
+    for r in got:
+        assert int(r["doc_new"]) in bids and int(r["doc_existing"]) in cids
+        assert float(r["cos_sim"]) >= thr
+        assert float(r["cos_sim"]) == _cos(
+            bvec[int(r["doc_new"])], cvec[int(r["doc_existing"])]
+        )

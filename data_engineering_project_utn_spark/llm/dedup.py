@@ -314,6 +314,60 @@ def minhash_candidates(
     return _candidates_from_banded(track_persist(_banded(sh, k, bands)), max_bucket_size)
 
 
+def editdist_neardup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    n: int = 5,
+    threshold: float = 0.97,
+) -> DataFrame:
+    """Edit-distance-verified near-dup detection — the Levenshtein member
+    of the filter-verify dedup family: MinHash band buckets propose the
+    candidate pairs (the same Σ|bucket|² bound as ``minhash_neardup``,
+    never all-pairs), and each candidate is VERIFIED with the exact
+    character-level Levenshtein distance (unit-cost insert / delete /
+    substitute — Spark's built-in JVM ``levenshtein``; DuckDB's
+    ``levenshtein`` computes the identical classic DP, so the oracle is
+    bit-exact).  Pairs survive when the normalized edit similarity
+    ``1 − lev / max(len_a, len_b)`` reaches ``threshold``.
+
+    Why a second verifier besides Jaccard: shingle sets are order-blind
+    beyond the n-gram radius and collapse repeats, so a shuffled or
+    lightly rewritten document can score high Jaccard while being a
+    poor character-level match; edit distance prices every
+    transposition and local rewrite — the standard verification for
+    plagiarism-grade duplication (Gusfield '97 ch.11; the
+    filter-verify shape is AllPairs/PPJoin's).
+
+    Scale: verification is O(L²) per CANDIDATE, not per document pair;
+    candidate volume is bounded by the band buckets, so total verify
+    work is Σ|bucket|²·L² and the only wide exchanges are the band
+    groupBy and the two id-keyed text joins (projection pruned to
+    (id, text) below the join).
+    """
+    d = parallelize_compute(docs)
+    cand = minhash_candidates(d, id_col, text_col, k, bands, n, max_bucket_size=None)
+    ta = d.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("_ta"))
+    tb = d.select(F.col(id_col).alias("doc_b"), F.col(text_col).alias("_tb"))
+    lev = F.levenshtein("_ta", "_tb").cast("long")
+    sim = F.lit(1.0) - lev.cast("double") / F.greatest(
+        F.length("_ta"), F.length("_tb")
+    ).cast("double")
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            lev.alias("edit_distance"),
+            sim.alias("edit_sim"),
+        )
+        .filter(F.col("edit_sim") >= F.lit(float(threshold)))
+    )
+
+
 def _free_local_checkpoint(df: DataFrame) -> None:
     """Release the executor blocks behind a ``localCheckpoint``'ed frame.
 

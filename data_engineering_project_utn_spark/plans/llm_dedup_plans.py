@@ -80,6 +80,38 @@ def llm_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_editdist_neardup",
+    oracle="WITH " + _MINHASH_CTES + """
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance,
+           1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+                 / CAST(greatest(length(da.text), length(db.text)) AS DOUBLE)
+               AS edit_sim
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.doc_a
+    JOIN documents db ON db.doc_id = c.doc_b
+    WHERE 1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+          / CAST(greatest(length(da.text), length(db.text)) AS DOUBLE) >= 0.97
+    """,
+    tags=("llm", "dedup", "editdist"),
+)
+def llm_editdist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein-verified near-duplicate pairs: the MinHash band buckets
+    propose, the exact character-level edit distance disposes (normalized
+    edit similarity ≥ 0.97 — a threshold the banded candidate set actually
+    straddles at every SF, so the verifier is non-vacuous).
+
+    Character-level verification is the plagiarism-grade complement to
+    shingle Jaccard: order-blind set overlap saturates on shuffled or
+    repeat-heavy text, while the DP edit distance prices every local
+    rewrite.  Verify cost is O(L²) per banded candidate — Σ|bucket|²·L²
+    total, the PPJoin filter-verify shape, never all-pairs.
+    """
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    return dd.editdist_neardup(d, k=8, bands=4, n=5, threshold=0.97)
+
+
+@register(
     "llm_bottomk_neardup",
     priority=0,
     oracle="WITH " + must_replace(

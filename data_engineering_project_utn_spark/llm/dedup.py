@@ -368,6 +368,78 @@ def editdist_neardup(
     )
 
 
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 3,
+    n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Sorted-neighborhood near-dup blocking (Hernández–Stolfo merge/purge):
+    sort the corpus by an order-invariant fingerprint — the sorted distinct
+    token set, the same normalization ``normalized_hash`` keys on — and
+    compare only documents within ``window`` positions of each other in the
+    GLOBAL sort order, verifying survivors with exact shingle Jaccard.
+
+    The blocking complement to LSH: band buckets catch pairs sharing
+    minhash minima, the sorted neighborhood catches pairs whose
+    normalized forms are lexicographically adjacent (prefix-sharing
+    rewrites, token-permuted copies) with a HARD pair bound of
+    ``window``·N — no bucket-skew term at all, the reason merge/purge
+    remains the ER workhorse for adversarially skewed keys.
+
+    Scale: the global rank comes from ``with_global_rank`` (range
+    exchange + per-partition offsets, no SinglePartition stage); the
+    neighborhood join is an equi-join on rank-block ``rank DIV window``
+    with each left row probing its own and the next block — every pair
+    with gap ∈ [1, window] meets in exactly one block, so the join is
+    hash-partitioned and linear, never a theta/BNL join.  Texts ride the
+    rank exchange once and the block join twice (2N text copies total,
+    the same volume two id-keyed verify joins would move, one stage
+    fewer)."""
+    d = parallelize_compute(docs).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    from data_engineering_project_utn_spark.operators.histogram import (
+        with_global_rank,
+    )
+
+    keyed = d.withColumn(
+        "_k", F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.col("text")))))
+    )
+    ranked = track_persist(
+        with_global_rank(keyed, ["_k", "doc_id"]).select("doc_id", "text", "_rank0")
+    )
+    w = int(window)
+    a = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("_ta"),
+        F.col("_rank0").alias("_ra"),
+        F.explode(
+            F.array(F.expr(f"_rank0 DIV {w}"), F.expr(f"_rank0 DIV {w} + 1"))
+        ).alias("_blk"),
+    )
+    b = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("_tb"),
+        F.col("_rank0").alias("_rb"),
+        F.expr(f"_rank0 DIV {w}").alias("_blk"),
+    )
+    gap = F.col("_rb") - F.col("_ra")
+    return (
+        a.join(b, "_blk")
+        .filter((gap >= 1) & (gap <= w))
+        .select(
+            "doc_a",
+            "doc_b",
+            gap.alias("gap"),
+            shingle_jaccard(F.col("_ta"), F.col("_tb"), n).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(float(threshold)))
+    )
+
+
 def _free_local_checkpoint(df: DataFrame) -> None:
     """Release the executor blocks behind a ``localCheckpoint``'ed frame.
 

@@ -112,6 +112,47 @@ def llm_editdist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_sorted_neighborhood",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, text, {_TOKS} AS t FROM documents),
+    ky AS (SELECT doc_id, array_to_string(list_sort(list_distinct(t)), ' ') AS k
+           FROM tk),
+    rk AS (SELECT doc_id, k,
+                  row_number() OVER (ORDER BY k, doc_id) - 1 AS rn
+           FROM ky),
+    sh AS (SELECT doc_id, list_distinct({_SHINGLES}) AS shset FROM tk),
+    pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(b.rn - a.rn AS BIGINT) AS gap
+           FROM rk a JOIN rk b ON b.rn - a.rn BETWEEN 1 AND 3),
+    j AS (SELECT pr.doc_a, pr.doc_b, pr.gap,
+                 CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
+                 / (CAST(len(sa.shset) + len(sb.shset) AS DOUBLE)
+                    - CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE))
+                     AS jaccard
+          FROM pr
+          JOIN sh sa ON sa.doc_id = pr.doc_a
+          JOIN sh sb ON sb.doc_id = pr.doc_b)
+    SELECT doc_a, doc_b, gap, jaccard FROM j WHERE jaccard >= 0.5
+    """,
+    tags=("llm", "dedup", "blocking"),
+)
+def llm_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood (merge/purge) near-dup detection: global sort on
+    the order-invariant token fingerprint, window-3 neighborhoods, exact
+    shingle-Jaccard verification at 0.5 — the blocking family member with
+    a HARD window·N pair bound (no bucket-skew term), complementing the
+    probabilistic LSH gates on the same table and threshold.
+
+    The Spark plan is a range exchange (global rank, per-partition
+    offsets) plus ONE equi-join on rank-block — pinned linear; the
+    DuckDB oracle reproduces the identical total order (ASCII keys →
+    binary collation agrees cross-engine) and window semantics.
+    """
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    return dd.sorted_neighborhood_pairs(d, window=3, n=5, threshold=0.5)
+
+
+@register(
     "llm_bottomk_neardup",
     priority=0,
     oracle="WITH " + must_replace(

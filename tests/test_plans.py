@@ -104,6 +104,25 @@ def test_decile_headline_has_no_single_partition_stage(spark, sf_dir):
     assert "SinglePartition" in window_twin
 
 
+def test_sorted_neighborhood_linear_plan(spark, sf_dir):
+    """Merge/purge blocking must keep its two scale pins: the neighborhood
+    pairing is an EQUI-join on rank-block (a theta join on rank distance
+    would plan BNLJ — quadratic), and the global rank comes from the
+    distributed range-exchange machinery (no SinglePartition window)."""
+    plan = _plan(spark, sf_dir, "llm_sorted_neighborhood")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_editdist_verify_rides_banded_candidates(spark, sf_dir):
+    """Levenshtein verification must stay filter-verify: pairs come from
+    the band-bucket equi-join, never an all-pairs text comparison."""
+    plan = _plan(spark, sf_dir, "llm_editdist_neardup")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_pipeline_manifest_no_single_partition(spark, sf_dir):
     """The end-to-end curation composition must inherit the distributed
     sharding machinery — a global-window row_number would plan an Exchange

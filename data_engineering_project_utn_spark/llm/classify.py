@@ -1,0 +1,178 @@
+"""In-engine classifier training / evaluation over embedding columns.
+
+The training-data-pipeline use case: a LEARNED filter (quality, topic,
+language) scored over the whole corpus — CCNet's fastText quality model,
+GPT-3's WebText-vs-Common-Crawl logistic filter — where the model is
+model-size (d+1 weights) but the training pass is corpus-size.  Spark
+shape: every iteration is ONE aggregate over the quantized feature
+frame (map-side partial sums, no shuffle beyond the d-group aggregate);
+the weight vector is driver state between iterations, exactly like the
+IVF centroid and power-iteration machinery (similarity.py).
+
+Arithmetic contract (the determinism rule every gate here rides):
+features quantize to an integer grid — ``floor(x · 1000)`` per
+dimension plus a bias fixed at the same scale — so per-row margins,
+per-step updates, and weight vectors are EXACT BIGINT quantities with
+no float-order dependence; the DuckDB oracles unroll the identical
+integer recurrence (the BPE-style unrolled-CTE pattern).
+
+Why a perceptron and not logistic GD: the logistic gradient needs a
+sigmoid — a transcendental whose last-ulp behavior differs across
+engines — while the perceptron update Σ_{margin≤0} y·x is pure integer
+arithmetic, closed under the grid.  Magnitude bound: |x_i| ≤ 1000,
+|w_i| after T steps ≤ T·N·1000, so a margin fold is ≤ (d+1)·T·N·10⁶ —
+under 2⁶³ for N up to ~10¹² rows at T=3, d=64 (document before raising
+T or the grid).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_engineering_project_utn_spark.persist import track_persist
+
+#: Feature grid: matches the oracle literal 1000.0 (and the bias lit).
+X_SCALE = 1000
+
+
+def quantized_features(
+    embeddings: DataFrame,
+    pos_label: int,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(vec_id, y ∈ {+1,−1}, x array<bigint>) — bias X_SCALE prepended,
+    every dimension floor-quantized to the X_SCALE grid (the same floor
+    contract as the power-iteration base; oracle: ``list_prepend``)."""
+    xq = F.concat(
+        F.array(F.lit(X_SCALE).cast("long")),
+        F.transform(
+            F.col(vec_col),
+            lambda e: F.floor(e.cast("double") * F.lit(float(X_SCALE))).cast("long"),
+        ),
+    )
+    y = (
+        F.when(F.col(label_col) == F.lit(int(pos_label)), F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+    )
+    return embeddings.select("vec_id", y.alias("y"), xq.alias("x"))
+
+
+def _margin(w_col: str = "w") -> F.Column:
+    """y · ⟨w, x⟩ as an exact BIGINT left fold (== oracle list_reduce)."""
+    return F.col("y") * F.aggregate(
+        F.zip_with(F.col("x"), F.col(w_col), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc + e,
+    )
+
+
+def perceptron_train(
+    feat: DataFrame, steps: int = 3
+) -> "tuple[list[tuple[int, int, int]], list[int]]":
+    """Batch (Rosenblatt) perceptron: w₀ = 0; per step, every currently
+    misclassified row (margin ≤ 0) contributes y·x to the update, in one
+    distributed pass.  Returns ([(step, mis_before, ‖w‖₁ after)], w).
+
+    Per step the ONLY driver traffic is d+1 (dim, Σ y·xᵢ, count) rows —
+    model-size, like the IVF centroid collects; the misclassified count
+    rides the same aggregate (every misclassified row explodes all d+1
+    dims, so any dim's group count IS the row count).  The feature frame
+    must be persisted by the caller (each step re-scans it once)."""
+    d1 = len(feat.select("x").first()["x"])
+    spark = feat.sparkSession
+    w = [0] * d1
+    history: list[tuple[int, int, int]] = []
+    for t in range(1, steps + 1):
+        wrow = spark.createDataFrame([([int(v) for v in w],)], "w array<bigint>")
+        upd = (
+            feat.crossJoin(F.broadcast(wrow))
+            .filter(_margin() <= 0)
+            .select("y", F.posexplode("x").alias("dim", "xi"))
+            .groupBy("dim")
+            .agg(
+                F.sum(F.col("y") * F.col("xi")).alias("u"),
+                F.count(F.lit(1)).alias("c"),
+            )
+            .collect()
+        )
+        mis = int(upd[0]["c"]) if upd else 0
+        for r in upd:
+            w[int(r["dim"])] += int(r["u"])
+        history.append((t, mis, sum(abs(v) for v in w)))
+    return history, w
+
+
+def perceptron_eval_mis(feat: DataFrame, w: "list[int]") -> int:
+    """Misclassified count of ``feat`` under fixed weights ``w``."""
+    spark = feat.sparkSession
+    wrow = spark.createDataFrame([([int(v) for v in w],)], "w array<bigint>")
+    row = (
+        feat.crossJoin(F.broadcast(wrow))
+        .agg(F.sum(F.when(_margin() <= 0, 1).otherwise(0)).alias("mis"))
+        .first()
+    )
+    return int(row["mis"] or 0)
+
+
+def knn_label_eval(
+    embeddings: DataFrame,
+    n_queries: int = 16,
+    k: int = 5,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote classification eval — the embedding-quality
+    probe behind "do my vectors cluster by label?": for each of the
+    first ``n_queries`` vectors, take the k exact-cosine nearest
+    OTHER vectors (total order: cosine DESC, vec_id ASC), majority-vote
+    their labels (ties → more votes first, then smaller label), and
+    report (query_id, true_label, pred_label, votes, correct).
+
+    Scale shape: the query block is n_queries rows — broadcast against
+    the corpus (n_q·N cosine folds, embarrassingly parallel); per-query
+    top-k is a window over the n_q partitions (each a candidate set of
+    N rows hash-partitioned by query id — at 100 TB swap the brute
+    scan for the IVF/two-level probe, same vote logic).  The vote agg
+    and argmax are k·n_q rows — model-size."""
+    from pyspark.sql.window import Window
+
+    from data_engineering_project_utn_spark.llm.similarity import cosine
+
+    e = track_persist(embeddings.select("vec_id", vec_col, label_col))
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("qid"),
+            F.col(vec_col).alias("qv"),
+            F.col(label_col).alias("true_label"),
+        )
+    )
+    scored = (
+        q.join(e, F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "true_label",
+            "vec_id",
+            F.col(label_col).alias("nl"),
+            cosine(F.col("qv"), F.col(vec_col)).alias("cs"),
+        )
+    )
+    wk = Window.partitionBy("qid").orderBy(F.desc("cs"), F.asc("vec_id"))
+    top = scored.withColumn("rnk", F.row_number().over(wk)).filter(F.col("rnk") <= k)
+    votes = top.groupBy("qid", "true_label", "nl").agg(
+        F.count(F.lit(1)).cast("long").alias("votes")
+    )
+    wv = Window.partitionBy("qid").orderBy(F.desc("votes"), F.asc("nl"))
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            F.col("qid").cast("long").alias("query_id"),
+            F.col("true_label").cast("long").alias("true_label"),
+            F.col("nl").cast("long").alias("pred_label"),
+            "votes",
+            (F.col("nl") == F.col("true_label")).alias("correct"),
+        )
+    )

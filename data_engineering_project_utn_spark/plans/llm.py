@@ -14,3 +14,4 @@ from data_engineering_project_utn_spark.plans import llm_dedup_plans  # noqa: F4
 from data_engineering_project_utn_spark.plans import llm_similarity_plans  # noqa: F401
 from data_engineering_project_utn_spark.plans import llm_multimodal_plans  # noqa: F401
 from data_engineering_project_utn_spark.plans import llm_curation_plans  # noqa: F401
+from data_engineering_project_utn_spark.plans import llm_classify_plans  # noqa: F401

@@ -1,0 +1,151 @@
+"""Classifier plan family: in-engine trained linear probe + k-NN
+label-vote eval over the embeddings table (llm/classify.py).
+
+Family split per the staleness-ledger design (plans/llm.py): editing
+this module stales only the classifier gates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_engineering_project_utn_spark.llm import classify as cl
+from data_engineering_project_utn_spark.llm.compute import parallelize_compute
+from data_engineering_project_utn_spark.persist import track_persist
+
+# module-object import so the staleness closure includes llm_shared.py
+from data_engineering_project_utn_spark.plans import llm_shared as _llm_shared  # noqa: F401
+from data_engineering_project_utn_spark.plans.llm_shared import _cos
+from data_engineering_project_utn_spark.plans.registry import register
+from data_engineering_project_utn_spark.tables import load_table
+
+#: range() upper bound (exclusive) for the 65 feature positions: bias + 64.
+_D1 = 66
+
+
+def _perceptron_oracle(steps: int = 3, pos_label: int = 2) -> str:
+    """Unrolled batch-perceptron recurrence (the BPE-style unrolled-CTE
+    oracle pattern): w₀ = 0, per step one integer update CTE chain —
+    bit-for-bit the recurrence ``classify.perceptron_train`` runs, since
+    every quantity is BIGINT on the X_SCALE grid (no float order
+    anywhere)."""
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(list_zip({a}, {b}), p -> p[1]*p[2]), "
+            f"(a, b) -> a + b)"
+        )
+
+    ctes = [
+        f"""xq AS MATERIALIZED (SELECT vec_id,
+            CAST(CASE WHEN label = {pos_label} THEN 1 ELSE -1 END AS BIGINT) AS y,
+            list_prepend(CAST({cl.X_SCALE} AS BIGINT),
+                list_transform(embedding,
+                    e -> CAST(floor(CAST(e AS DOUBLE) * {cl.X_SCALE}.0) AS BIGINT))) AS x
+        FROM embeddings)""",
+        "m1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS mis FROM xq)",
+        f"u1 AS (SELECT i, SUM(y * x[i]) AS u FROM xq, range(1, {_D1}) r(i) GROUP BY i)",
+        f"""w1 AS (SELECT list(CAST(COALESCE(u.u, 0) AS BIGINT) ORDER BY r.i) AS w
+        FROM range(1, {_D1}) r(i) LEFT JOIN u1 u ON u.i = r.i)""",
+    ]
+    for t in range(2, steps + 1):
+        ctes += [
+            f"g{t} AS (SELECT y, x, y * {dot('x', 'w.w')} AS marg FROM xq, w{t-1} w)",
+            f"""m{t} AS (SELECT CAST(COUNT(*) FILTER (WHERE marg <= 0) AS BIGINT) AS mis
+            FROM g{t})""",
+            f"""u{t} AS (SELECT i, SUM(y * x[i]) AS u FROM g{t}, range(1, {_D1}) r(i)
+            WHERE marg <= 0 GROUP BY i)""",
+            f"""w{t} AS (SELECT list(CAST(w.w[r.i] + COALESCE(u.u, 0) AS BIGINT)
+                ORDER BY r.i) AS w
+            FROM range(1, {_D1}) r(i) LEFT JOIN u{t} u ON u.i = r.i, w{t-1} w)""",
+        ]
+    fin = steps + 1
+    ctes += [
+        f"g{fin} AS (SELECT y * {dot('x', f'w.w')} AS marg FROM xq, w{steps} w)",
+        f"""m{fin} AS (SELECT CAST(COUNT(*) FILTER (WHERE marg <= 0) AS BIGINT) AS mis
+        FROM g{fin})""",
+    ]
+    l1 = "list_reduce(list_transform(w, v -> abs(v)), (a, b) -> a + b)"
+    rows = [
+        f"""SELECT CAST({t} AS BIGINT) AS step, (SELECT mis FROM m{t}) AS mis_before,
+           CAST((SELECT {l1} FROM w{min(t, steps)}) AS BIGINT) AS w_l1"""
+        for t in range(1, fin + 1)
+    ]
+    nl = chr(10)
+    return (
+        nl + "    WITH " + ("," + nl + "    ").join(ctes)
+        + nl + "    "
+        + (nl + "    UNION ALL ").join(rows)
+        + nl + "    ORDER BY step" + nl + "    "
+    )
+
+
+@register(
+    "llm_linear_probe_perceptron",
+    oracle=_perceptron_oracle(),
+    tags=("llm", "classify", "report"),
+)
+def llm_linear_probe_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear probe trained IN-ENGINE: 3 batch-perceptron steps on the
+    integer-quantized embeddings (label 2 vs rest — the learned-filter
+    workload: CCNet/GPT-3-style model-based curation, with the model
+    trained by the same engine that scores the corpus).
+
+    Each step is ONE distributed aggregate (map-side partial sums; d+1
+    driver rows — model-size, like the IVF centroid collects); all
+    arithmetic is BIGINT on the X_SCALE grid, so the unrolled-CTE
+    oracle reproduces the training run bit-for-bit.  Rows: per step the
+    misclassified count BEFORE the update and ‖w‖₁ AFTER it, plus a
+    final held-in eval row under the trained weights.
+    """
+    feat = track_persist(
+        cl.quantized_features(
+            parallelize_compute(load_table(spark, sf_dir, "embeddings")), pos_label=2
+        )
+    )
+    history, w = cl.perceptron_train(feat, steps=3)
+    final_mis = cl.perceptron_eval_mis(feat, w)
+    rows = [(t, mis, l1) for t, mis, l1 in history]
+    rows.append((len(history) + 1, final_mis, history[-1][2]))
+    return spark.createDataFrame(
+        rows, "step bigint, mis_before bigint, w_l1 bigint"
+    ).orderBy("step")
+
+
+@register(
+    "llm_knn_label_eval",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS true_label
+               FROM embeddings WHERE vec_id < 16),
+    sc AS (SELECT q.qid, q.true_label, e.vec_id, e.label AS nl,
+                  {_cos('q.qv', 'e.embedding')} AS cs
+           FROM q JOIN embeddings e ON e.vec_id <> q.qid),
+    top AS (SELECT *, row_number() OVER (PARTITION BY qid
+                ORDER BY cs DESC, vec_id) AS rnk FROM sc),
+    v AS (SELECT qid, true_label, nl, CAST(COUNT(*) AS BIGINT) AS votes
+          FROM top WHERE rnk <= 5 GROUP BY qid, true_label, nl),
+    p AS (SELECT *, row_number() OVER (PARTITION BY qid
+              ORDER BY votes DESC, nl) AS vr FROM v)
+    SELECT CAST(qid AS BIGINT) AS query_id,
+           CAST(true_label AS BIGINT) AS true_label,
+           CAST(nl AS BIGINT) AS pred_label,
+           votes,
+           nl = true_label AS correct
+    FROM p WHERE vr = 1
+    """,
+    tags=("llm", "classify", "knn", "report"),
+)
+def llm_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote label eval for the first 16 vectors: does the
+    embedding space cluster by label?  Exact-cosine 5-NN (total order:
+    cosine DESC, id ASC), majority vote (votes DESC, label ASC) — the
+    retrieval-quality counterpart of the rank-eval trio, measured on
+    LABELS instead of ranks.
+
+    The 16-query block broadcasts against the corpus (linear, the
+    knn-brute pattern); votes and argmax are model-size.  At 100 TB the
+    brute scan swaps for the IVF/two-level probe with the same vote
+    logic.
+    """
+    e = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
+    return cl.knn_label_eval(e, n_queries=16, k=5)

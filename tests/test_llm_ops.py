@@ -3537,3 +3537,79 @@ class TestChunkDocuments:
         for c, _, t in by_doc[1]:
             covered.update(t.split(" "))
         assert covered == set(toks)
+
+
+class TestClassify:
+    def test_perceptron_matches_pure_python_recurrence(self, spark):
+        """The distributed trainer must reproduce the integer recurrence
+        exactly: w₀=0; per step every margin≤0 row adds y·x; history
+        records (step, mis_before, ‖w‖₁ after)."""
+        from data_engineering_project_utn_spark.llm import classify as cl
+
+        rows = [
+            (0, [0.25, -0.5], 1),
+            (1, [-0.75, 0.3], 0),
+            (2, [0.6, 0.1], 1),
+            (3, [-0.2, -0.9], 0),
+            (4, [0.05, 0.45], 1),
+        ]
+        e = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        feat = cl.quantized_features(e, pos_label=1)
+        history, w = cl.perceptron_train(feat, steps=3)
+
+        # pure-Python twin of the same integer recurrence
+        import math
+
+        py = []
+        for vid, emb, lab in rows:
+            x = [cl.X_SCALE] + [math.floor(float(np32(v)) * cl.X_SCALE) for v in emb]
+            py.append((1 if lab == 1 else -1, x))
+        pw = [0] * 3
+        hist = []
+        for t in (1, 2, 3):
+            mis = [(y, x) for y, x in py if y * sum(a * b for a, b in zip(pw, x)) <= 0]
+            for y, x in mis:
+                for i in range(3):
+                    pw[i] += y * x[i]
+            hist.append((t, len(mis), sum(abs(v) for v in pw)))
+        assert history == hist
+        assert w == pw
+        assert cl.perceptron_eval_mis(feat, w) == sum(
+            1 for y, x in py if y * sum(a * b for a, b in zip(pw, x)) <= 0
+        )
+
+    def test_perceptron_separable_converges_to_zero(self, spark):
+        """On linearly separable data the batch perceptron reaches zero
+        misclassified (Novikoff), and the final eval row agrees."""
+        from data_engineering_project_utn_spark.llm import classify as cl
+
+        rows = [(i, [2.0 if i % 2 else -2.0], 1 if i % 2 else 0) for i in range(8)]
+        e = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        feat = cl.quantized_features(e, pos_label=1)
+        history, w = cl.perceptron_train(feat, steps=4)
+        assert history[-1][1] == 0 or cl.perceptron_eval_mis(feat, w) == 0
+
+    def test_knn_label_eval_perfect_clusters(self, spark):
+        """Three orthogonal clusters: every query's 2-NN share its label,
+        so the vote is unanimous and correct."""
+        from data_engineering_project_utn_spark.llm import classify as cl
+
+        rows = []
+        for c in range(3):
+            for j in range(4):
+                v = [0.0, 0.0, 0.0]
+                v[c] = 1.0 + 0.01 * j
+                rows.append((c * 4 + j, v, c))
+        e = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        out = cl.knn_label_eval(e, n_queries=3, k=2).collect()
+        assert len(out) == 3
+        for r in out:
+            assert r["pred_label"] == r["true_label"]
+            assert bool(r["correct"]) and r["votes"] == 2
+
+
+def np32(v: float) -> float:
+    """float32 round-trip (createDataFrame stores array<float>)."""
+    import struct
+
+    return struct.unpack("f", struct.pack("f", v))[0]

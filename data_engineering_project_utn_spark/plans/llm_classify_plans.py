@@ -8,6 +8,7 @@ this module stales only the classifier gates.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from data_engineering_project_utn_spark.llm import classify as cl
 from data_engineering_project_utn_spark.llm.compute import parallelize_compute
@@ -15,7 +16,10 @@ from data_engineering_project_utn_spark.persist import track_persist
 
 # module-object import so the staleness closure includes llm_shared.py
 from data_engineering_project_utn_spark.plans import llm_shared as _llm_shared  # noqa: F401
-from data_engineering_project_utn_spark.plans.llm_shared import _cos
+from data_engineering_project_utn_spark.plans.llm_shared import (
+    _cos,
+    two_level_cells_ctes,
+)
 from data_engineering_project_utn_spark.plans.registry import register
 from data_engineering_project_utn_spark.tables import load_table
 
@@ -149,3 +153,78 @@ def llm_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
     return cl.knn_label_eval(e, n_queries=16, k=5)
+
+
+@register(
+    "llm_cell_label_transfer",
+    oracle=f"""
+    WITH {two_level_cells_ctes()},
+    sd AS (SELECT c.cell, e.label FROM cells c
+           JOIN embeddings e USING (vec_id) WHERE e.vec_id < 64),
+    cvotes AS (SELECT cell, label, CAST(COUNT(*) AS BIGINT) AS votes
+               FROM sd GROUP BY cell, label),
+    cl AS (SELECT cell, label AS cell_label FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY cell
+                  ORDER BY votes DESC, label) AS rn FROM cvotes) WHERE rn = 1),
+    ul AS (SELECT c.vec_id, e.label AS true_label,
+                  COALESCE(cl.cell_label, -1) AS pred_label
+           FROM cells c
+           JOIN embeddings e USING (vec_id)
+           LEFT JOIN cl USING (cell)
+           WHERE e.vec_id >= 64)
+    SELECT CAST(true_label AS BIGINT) AS true_label,
+           CAST(pred_label AS BIGINT) AS pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ul GROUP BY true_label, pred_label
+    """,
+    tags=("llm", "classify", "ivf", "report"),
+)
+def llm_cell_label_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide label transfer through the two-level IVF partition —
+    the SCALE path of nearest-neighbor labeling: where ``llm_knn_label_eval``
+    scans the corpus per query (exact, per-query cost O(N·d)), this labels
+    EVERY unlabeled vector in one assignment pass: seeds (vec_id < 64)
+    vote per cell (votes DESC, label ASC), each non-seed inherits its
+    cell's majority label (cells with no seed → −1), and the gate pins
+    the full confusion matrix (true_label, pred_label, n).
+
+    This is the semdedup-style cluster-labeling workload: one two-level
+    descent per row (≈2√k cosines), one cell-key aggregate over 64 seed
+    rows, and a ≤k-row broadcast join back — no per-query corpus scan,
+    the same one-pass shape that labels 10¹¹ rows on a 1000-executor
+    cluster.  Shares the descent CTE with the semdedup/ANN twins so the
+    assignment arithmetic cannot fork.
+    """
+    from pyspark.sql.window import Window
+
+    from data_engineering_project_utn_spark.llm import similarity as sim
+
+    e = track_persist(parallelize_compute(load_table(spark, sf_dir, "embeddings")))
+    k = sim.derive_ivf_k(e.count())
+    cdf = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    cells = track_persist(
+        sim.ivf_cells_2level(e, cdf).select("vec_id", "label", "cell")
+    )
+    votes = (
+        cells.filter(F.col("vec_id") < 64)
+        .groupBy("cell", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("votes"))
+    )
+    wv = Window.partitionBy("cell").orderBy(F.desc("votes"), F.asc("label"))
+    cell_label = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("cell", F.col("label").alias("cell_label"))
+    )
+    return (
+        cells.filter(F.col("vec_id") >= 64)
+        .join(F.broadcast(cell_label), "cell", "left")
+        .select(
+            F.col("label").cast("long").alias("true_label"),
+            F.coalesce(F.col("cell_label"), F.lit(-1)).cast("long").alias("pred_label"),
+        )
+        .groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

@@ -176,3 +176,100 @@ def knn_label_eval(
             (F.col("nl") == F.col("true_label")).alias("correct"),
         )
     )
+
+
+def quantized_embedding(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(vec_id, label, x array<bigint>) — X_SCALE floor grid, NO bias
+    (the centroid family wants raw dimensions; the probe adds its own)."""
+    xq = F.transform(
+        F.col(vec_col),
+        lambda e: F.floor(e.cast("double") * F.lit(float(X_SCALE))).cast("long"),
+    )
+    return embeddings.select("vec_id", F.col(label_col).alias("label"), xq.alias("x"))
+
+
+#: Centroid mean grid: c_l[i] = floor(Σx_i · C_SCALE / n_l) — the scale that
+#: makes integer mean centroids N-INDEPENDENT in magnitude (≤ X_SCALE·C_SCALE
+#: per entry), so the classify dot fold stays < 2⁶³ at any corpus size.
+C_SCALE = 10**6
+
+
+def rocchio_centroids(
+    xq: DataFrame, n_seeds: int = 64
+) -> "list[tuple[int, list[int]]]":
+    """Per-label integer mean centroids from the seed prefix
+    (vec_id < n_seeds): exact BIGINT dimension sums (one distributed
+    aggregate, |labels|·d driver rows — model-size), then the exact
+    floor mean on the C_SCALE grid, computed driver-side with Python's
+    floor division (== the oracle's subtract-positive-remainder-then-
+    divide, since the adjusted dividend is exactly divisible)."""
+    rows = (
+        xq.filter(F.col("vec_id") < n_seeds)
+        .select("label", F.posexplode("x").alias("dim", "xi"))
+        .groupBy("label", "dim")
+        .agg(F.sum("xi").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_label: dict[int, dict[int, tuple[int, int]]] = {}
+    for r in rows:
+        by_label.setdefault(int(r["label"]), {})[int(r["dim"])] = (
+            int(r["s"]),
+            int(r["n"]),
+        )
+    cents = []
+    for lbl in sorted(by_label):
+        dims = by_label[lbl]
+        d = len(dims)
+        cents.append(
+            (lbl, [(dims[i][0] * C_SCALE) // dims[i][1] for i in range(d)])
+        )
+    return cents
+
+
+def rocchio_confusion(
+    xq: DataFrame,
+    cents: "list[tuple[int, list[int]]]",
+    n_seeds: int = 64,
+) -> DataFrame:
+    """Confusion matrix (true_label, pred_label, n) of nearest-centroid
+    classification over the non-seed rows: pred = argmax over labels of
+    the integer dot ⟨x, c_l⟩ (average-similarity-to-class on the grid;
+    ties → higher label, the struct-max order).  Centroids ride the plan
+    as literals (|labels|·d ints — model-size, the literal-centroid
+    regime of ``_ivf_scored``); one scan, no shuffle before the final
+    |labels|²-row aggregate."""
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(lbl)).cast("long").alias("lb"),
+                F.array(*[F.lit(int(v)).cast("long") for v in cv]).alias("cv"),
+            )
+            for lbl, cv in cents
+        ]
+    )
+    score = F.array_max(
+        F.transform(
+            cent_lit,
+            lambda cc: F.struct(
+                F.aggregate(
+                    F.zip_with(F.col("x"), cc["cv"], lambda a, b: a * b),
+                    F.lit(0).cast("long"),
+                    lambda acc, e: acc + e,
+                ).alias("sc"),
+                cc["lb"].alias("lb"),
+            ),
+        )
+    )["lb"]
+    return (
+        xq.filter(F.col("vec_id") >= n_seeds)
+        .select(
+            F.col("label").cast("long").alias("true_label"),
+            score.alias("pred_label"),
+        )
+        .groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

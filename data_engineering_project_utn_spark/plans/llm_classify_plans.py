@@ -228,3 +228,58 @@ def llm_cell_label_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_label", "pred_label")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+@register(
+    "llm_rocchio_centroid_eval",
+    oracle=f"""
+    WITH xq AS MATERIALIZED (SELECT vec_id, label,
+            list_transform(embedding,
+                e -> CAST(floor(CAST(e AS DOUBLE) * {cl.X_SCALE}.0) AS BIGINT)) AS x
+        FROM embeddings),
+    su AS (SELECT label, i, SUM(xi) AS s, CAST(COUNT(*) AS BIGINT) AS n
+           FROM (SELECT label, unnest(range(1, len(x) + 1)) AS i,
+                        unnest(x) AS xi
+                 FROM xq WHERE vec_id < 64)
+           GROUP BY label, i),
+    ce AS (SELECT label,
+                  list(CAST((s * {cl.C_SCALE}
+                             - ((s * {cl.C_SCALE} % n) + n) % n) // n AS BIGINT)
+                       ORDER BY i) AS c
+           FROM su GROUP BY label),
+    sc AS (SELECT q.vec_id, q.label AS true_label, ce.label AS cl,
+                  list_reduce(list_transform(list_zip(q.x, ce.c),
+                      p -> p[1] * p[2]), (a, b) -> a + b) AS sc
+           FROM xq q CROSS JOIN ce WHERE q.vec_id >= 64),
+    pr AS (SELECT true_label, cl AS pred_label FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                  ORDER BY sc DESC, cl DESC) AS rn FROM sc) WHERE rn = 1)
+    SELECT CAST(true_label AS BIGINT) AS true_label,
+           CAST(pred_label AS BIGINT) AS pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pr GROUP BY true_label, pred_label
+    """,
+    tags=("llm", "classify", "report"),
+)
+def llm_rocchio_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-class-centroid (Rocchio) classification eval: per-label
+    integer MEAN centroids from the seed prefix (vec_id < 64) on the
+    C_SCALE grid, every non-seed row assigned to the centroid with the
+    highest integer dot product (= highest average similarity to the
+    class seeds; ties → higher label, the struct-max order), confusion
+    matrix out.
+
+    The arithmetic survives any N: mean centroids are N-independent in
+    magnitude (≤ X_SCALE·C_SCALE per entry), so the classify fold stays
+    < 2⁶³ at 10¹¹ rows — unlike sum-centroids, whose dot grows with N.
+    One seed aggregate (model-size driver rows), one literal-centroid
+    scan, one |labels|²-row aggregate; no shuffle touches the corpus.
+    The floor mean is exact cross-engine: Python's floor division ==
+    the oracle's subtract-positive-remainder-then-truncate (the
+    adjusted dividend is exactly divisible, so DuckDB's toward-zero
+    ``//`` computes the same quotient).
+    """
+    e = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
+    xq = track_persist(cl.quantized_embedding(e))
+    cents = cl.rocchio_centroids(xq, n_seeds=64)
+    return cl.rocchio_confusion(xq, cents, n_seeds=64)

@@ -3607,6 +3607,53 @@ class TestClassify:
             assert r["pred_label"] == r["true_label"]
             assert bool(r["correct"]) and r["votes"] == 2
 
+    def test_rocchio_centroids_match_python_twin(self, spark):
+        """Distributed seed sums + driver floor mean must equal the pure
+        integer recurrence (floor division on the C_SCALE grid)."""
+        import math
+
+        from data_engineering_project_utn_spark.llm import classify as cl
+
+        rows = [
+            (0, [0.31, -0.42], 0),
+            (1, [-0.11, 0.27], 1),
+            (2, [0.65, 0.08], 0),
+            (3, [-0.5, -0.33], 1),
+            (4, [0.2, 0.9], 0),   # non-seed with n_seeds=4
+        ]
+        e = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        xq = cl.quantized_embedding(e)
+        cents = cl.rocchio_centroids(xq, n_seeds=4)
+        exp = {}
+        for vid, emb, lab in rows[:4]:
+            x = [math.floor(float(np32(v)) * cl.X_SCALE) for v in emb]
+            s, n = exp.setdefault(lab, ([0] * len(x), 0))
+            exp[lab] = ([a + b for a, b in zip(s, x)], n + 1)
+        expected = [
+            (lbl, [(s_i * cl.C_SCALE) // n for s_i in s])
+            for lbl, (s, n) in sorted(exp.items())
+        ]
+        assert cents == expected
+
+    def test_rocchio_perfect_clusters_diagonal(self, spark):
+        """Orthogonal clusters with seeds from each class: the confusion
+        matrix is purely diagonal."""
+        from data_engineering_project_utn_spark.llm import classify as cl
+
+        rows = []
+        for c in range(3):
+            for j in range(5):
+                v = [0.0, 0.0, 0.0]
+                v[c] = 0.8 + 0.02 * j
+                rows.append((c + 3 * j, v, c))  # interleave ids so seeds cover all classes
+        e = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        xq = cl.quantized_embedding(e)
+        cents = cl.rocchio_centroids(xq, n_seeds=9)
+        out = cl.rocchio_confusion(xq, cents, n_seeds=9).collect()
+        assert sum(r["n"] for r in out) == 6
+        for r in out:
+            assert r["pred_label"] == r["true_label"]
+
 
 def np32(v: float) -> float:
     """float32 round-trip (createDataFrame stores array<float>)."""

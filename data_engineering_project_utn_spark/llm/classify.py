@@ -273,3 +273,24 @@ def rocchio_confusion(
         .groupBy("true_label", "pred_label")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+def perceptron_score(w: "list[int]", vec_col: str = "embedding") -> F.Column:
+    """Deployment-side score of a trained probe: ⟨w, [X_SCALE] ++
+    floor(v·X_SCALE)⟩ as an exact BIGINT fold (accept when > 0 — the
+    model-based curation filter).  The weights ride the plan as literals
+    (model-size, like the literal centroids), so scoring is one
+    JVM-side fold per row with no join at all."""
+    xq = F.concat(
+        F.array(F.lit(X_SCALE).cast("long")),
+        F.transform(
+            F.col(vec_col),
+            lambda e: F.floor(e.cast("double") * F.lit(float(X_SCALE))).cast("long"),
+        ),
+    )
+    warr = F.array(*[F.lit(int(v)).cast("long") for v in w])
+    return F.aggregate(
+        F.zip_with(xq, warr, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc + e,
+    )

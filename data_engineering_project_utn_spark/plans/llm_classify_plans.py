@@ -17,6 +17,7 @@ from data_engineering_project_utn_spark.persist import track_persist
 # module-object import so the staleness closure includes llm_shared.py
 from data_engineering_project_utn_spark.plans import llm_shared as _llm_shared  # noqa: F401
 from data_engineering_project_utn_spark.plans.llm_shared import (
+    _QUALITY_CTES,
     _cos,
     two_level_cells_ctes,
 )
@@ -27,19 +28,20 @@ from data_engineering_project_utn_spark.tables import load_table
 _D1 = 66
 
 
-def _perceptron_oracle(steps: int = 3, pos_label: int = 2) -> str:
-    """Unrolled batch-perceptron recurrence (the BPE-style unrolled-CTE
-    oracle pattern): w₀ = 0, per step one integer update CTE chain —
-    bit-for-bit the recurrence ``classify.perceptron_train`` runs, since
-    every quantity is BIGINT on the X_SCALE grid (no float order
-    anywhere)."""
+def _idot(a: str, b: str) -> str:
+    """Exact BIGINT dot of two integer lists (== the Spark fold)."""
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), p -> p[1]*p[2]), "
+        f"(a, b) -> a + b)"
+    )
 
-    def dot(a: str, b: str) -> str:
-        return (
-            f"list_reduce(list_transform(list_zip({a}, {b}), p -> p[1]*p[2]), "
-            f"(a, b) -> a + b)"
-        )
 
+def _perceptron_ctes(steps: int = 3, pos_label: int = 2) -> "list[str]":
+    """Unrolled batch-perceptron training CTE chain (xq, m1..m_{steps+1},
+    u*, w*, g*) — ONE definition shared by the training gate and every
+    oracle that deploys the trained weights, so the recurrence cannot
+    fork.  All BIGINT on the X_SCALE grid; w₀ = 0."""
+    dot = _idot
     ctes = [
         f"""xq AS MATERIALIZED (SELECT vec_id,
             CAST(CASE WHEN label = {pos_label} THEN 1 ELSE -1 END AS BIGINT) AS y,
@@ -65,10 +67,18 @@ def _perceptron_oracle(steps: int = 3, pos_label: int = 2) -> str:
         ]
     fin = steps + 1
     ctes += [
-        f"g{fin} AS (SELECT y * {dot('x', f'w.w')} AS marg FROM xq, w{steps} w)",
+        f"g{fin} AS (SELECT y * {dot('x', 'w.w')} AS marg FROM xq, w{steps} w)",
         f"""m{fin} AS (SELECT CAST(COUNT(*) FILTER (WHERE marg <= 0) AS BIGINT) AS mis
         FROM g{fin})""",
     ]
+    return ctes
+
+
+def _perceptron_oracle(steps: int = 3, pos_label: int = 2) -> str:
+    """Training-history oracle: per step the misclassified count before
+    the update and ‖w‖₁ after it, plus the final eval row."""
+    ctes = _perceptron_ctes(steps, pos_label)
+    fin = steps + 1
     l1 = "list_reduce(list_transform(w, v -> abs(v)), (a, b) -> a + b)"
     rows = [
         f"""SELECT CAST({t} AS BIGINT) AS step, (SELECT mis FROM m{t}) AS mis_before,
@@ -283,3 +293,73 @@ def llm_rocchio_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     xq = track_persist(cl.quantized_embedding(e))
     cents = cl.rocchio_centroids(xq, n_seeds=64)
     return cl.rocchio_confusion(xq, cents, n_seeds=64)
+
+
+def _model_quality_oracle() -> str:
+    """Quality CTEs + the SHARED perceptron training chain, composed:
+    quality-passing docs (≥ 0.4) are RANKED by the trained-probe score
+    and the top half kept — 0-based rank r keeps 2r < N (ceil(N/2)
+    rows), ties broken by doc_id, so the cut is exact and non-vacuous
+    regardless of score calibration."""
+    ctes = _QUALITY_CTES.rstrip() + ",\n    " + (",\n    ").join(_perceptron_ctes())
+    sc = _idot("x.x", "w.w")
+    return f"""
+    WITH {ctes},
+    scored AS (SELECT q.doc_id, q.quality, CAST({sc} AS BIGINT) AS score
+               FROM q JOIN xq x ON x.vec_id = q.doc_id, w3 w
+               WHERE q.quality >= 0.4),
+    ranked AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) - 1 AS r,
+                      CAST(COUNT(*) OVER () AS BIGINT) AS total
+               FROM scored)
+    SELECT doc_id, quality, score FROM ranked WHERE r * 2 < total
+    """
+
+
+@register(
+    "llm_model_quality_gate",
+    oracle=_model_quality_oracle(),
+    tags=("llm", "classify", "curation"),
+)
+def llm_model_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based curation, batch twin: train the linear probe in-engine
+    (3 perceptron steps on the embeddings, label 2 vs rest), score every
+    quality-passing document (heuristic quality ≥ 0.4), and keep the TOP
+    HALF by probe score — the relative cut real deployments use (GPT-3's
+    classifier filter, CCNet's head/middle buckets): an absolute
+    score > 0 threshold is hostage to class balance and calibration
+    (here it is vacuously empty — labels are chance-level against these
+    embeddings), while a rank cut keeps exactly ⌈N/2⌉ rows under ANY
+    score distribution.  The streaming arm deploys the same weights
+    absolutely via ``make_curation_batch_fn(model_w=...)`` where the
+    caller picks the threshold.
+
+    Scale shape: scoring is one literal-weight JVM fold per row; the
+    rank cut rides the distributed global-rank machinery (range
+    exchange + per-partition offsets, no SinglePartition stage).
+    """
+    from data_engineering_project_utn_spark.llm import text as tx
+    from data_engineering_project_utn_spark.operators.histogram import (
+        with_global_rank,
+    )
+
+    docs = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    emb = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
+    feat = track_persist(cl.quantized_features(emb, pos_label=2))
+    _, w = cl.perceptron_train(feat, steps=3)
+    scored = (
+        docs.withColumn("quality", tx.quality_score(F.col("text")))
+        .filter(F.col("quality") >= 0.4)
+        .join(
+            emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+        )
+        .select(
+            "doc_id",
+            "quality",
+            cl.perceptron_score(w).alias("score"),
+        )
+        .withColumn("_negs", -F.col("score"))
+    )
+    ranked = with_global_rank(scored, ["_negs", "doc_id"])
+    return ranked.filter(F.col("_rank0") * 2 < F.col("_total")).select(
+        "doc_id", "quality", "score"
+    )

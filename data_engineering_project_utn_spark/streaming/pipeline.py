@@ -1097,6 +1097,7 @@ def make_curation_batch_fn(
     semantic_threshold: float = 0.99,
     embedding_col: str = "embedding",
     nprobe_super: int = 1,
+    model_w: "list[int] | None" = None,
     **neardup_kwargs: Any,
 ):
     """foreachBatch function for streaming corpus curation — the composed
@@ -1115,8 +1116,13 @@ def make_curation_batch_fn(
        assignment is computed ONCE per stream here and persisted, the
        layout a deployment stores at rest — catching paraphrases the
        MinHash arm structurally cannot see),
-    3. quality-gated (``llm.text.quality_score`` ≥ ``min_quality``), and
-    4. the surviving docs handed to ``accept_sink(accepted_df, batch_id)``
+    3. quality-gated (``llm.text.quality_score`` ≥ ``min_quality``),
+    4. if ``model_w`` is given and the batch carries embeddings:
+       MODEL-gated by the trained linear probe
+       (``llm.classify.perceptron_score`` > 0 — the CCNet-style learned
+       filter deployed in the ingest path; the weights are plan
+       literals, so the arm is one JVM fold per row, no join), and
+    5. the surviving docs handed to ``accept_sink(accepted_df, batch_id)``
        with their quality scores attached.
 
     Both dedup arms flag against the STATIC corpus on the full batch (not
@@ -1177,6 +1183,14 @@ def make_curation_batch_fn(
             .filter(F.col("quality") >= min_quality)
             .join(flagged, "doc_id", "left_anti")
         )
+        if model_w is not None and embedding_col in batch_df.columns:
+            from data_engineering_project_utn_spark.llm.classify import (
+                perceptron_score,
+            )
+
+            accepted = accepted.filter(
+                perceptron_score(model_w, embedding_col) > 0
+            )
         try:
             accept_sink(accepted, batch_id)
         finally:

@@ -2196,3 +2196,85 @@ class TestSemanticCurationStream:
         assert 10 not in got, "text near-dup must stay rejected"
         # and the semantic arm was the DECIDING gate for the paraphrase:
         assert 11 not in {r["doc_id"] for r in text_flags.collect()}
+
+
+class TestCurationModelArm:
+    def test_model_gate_streamed_equals_one_shot(self, spark, tmp_path):
+        """The learned-filter arm (perceptron_score > 0) must be
+        batching-independent like the other curation arms: union of
+        per-micro-batch accepted ids == the one-shot composition, and
+        the model rejects exactly the negative-score docs."""
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.llm import text as tx
+        from data_engineering_project_utn_spark.llm.classify import perceptron_score
+        from data_engineering_project_utn_spark.llm.dedup import incremental_neardup
+
+        rich_a = (
+            "the market of ideas is open and it is a fair trade of thought "
+            "to reason in the open air with many distinct words "
+        )
+        rich_b = (
+            "a river runs through the quiet valley and the light is kind "
+            "to every stone it touches on the way down to the sea "
+        )
+        corpus = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "text": ["other corpus content entirely unrelated here"]})
+        )
+        # weights: bias 0, first dim decides — accept iff e0 > 0
+        w = [0, 1000, 0]
+        inc = [
+            (10, rich_a, [0.5, 0.1]),
+            (11, rich_b, [-0.5, 0.2]),     # model-rejected
+            (12, rich_a + " again", [0.25, -0.4]),
+            (13, rich_b + " too", [-0.01, 0.9]),  # model-rejected (floor -> -10)
+        ]
+        doc_schema = "doc_id long, text string, embedding array<float>"
+        in_dir = str(tmp_path / "mcur_in")
+        spark.createDataFrame(inc[:2], doc_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        spark.createDataFrame(inc[2:], doc_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+        got: dict = {}
+
+        def sink(accepted_df, batch_id):
+            for r in accepted_df.collect():
+                got[r["doc_id"]] = r["quality"]
+
+        stream = (
+            spark.readStream.schema(doc_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                sp.make_curation_batch_fn(
+                    corpus, sink, min_quality=0.3, threshold=0.5, model_w=w
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "mcur_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        all_inc = spark.createDataFrame(inc, doc_schema)
+        flagged = (
+            incremental_neardup(all_inc.select("doc_id", "text"), corpus, threshold=0.5)
+            .select(F.col("doc_new").alias("doc_id"))
+            .distinct()
+        )
+        one_shot = {
+            r["doc_id"]: r["quality"]
+            for r in all_inc.withColumn("quality", tx.quality_score(F.col("text")))
+            .filter(F.col("quality") >= 0.3)
+            .join(flagged, "doc_id", "left_anti")
+            .filter(perceptron_score(w) > 0)
+            .collect()
+        }
+        assert got == one_shot
+        assert 10 in got and 12 in got
+        assert 11 not in got and 13 not in got

@@ -203,6 +203,13 @@ EXTENDED_QUERIES = [
     "llm_semdedup_multiprobe",
     "llm_hard_negatives",
     "rl_product_type_profit_bucketed",
+    "llm_editdist_neardup",
+    "llm_sorted_neighborhood",
+    "llm_linear_probe_perceptron",
+    "llm_knn_label_eval",
+    "llm_cell_label_transfer",
+    "llm_rocchio_centroid_eval",
+    "llm_model_quality_gate",
 ]
 
 

@@ -352,8 +352,12 @@ def editdist_neardup(
     ta = d.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("_ta"))
     tb = d.select(F.col(id_col).alias("doc_b"), F.col(text_col).alias("_tb"))
     lev = F.levenshtein("_ta", "_tb").cast("long")
+    # denominator clamped to 1: two EMPTY texts can band-match (an empty
+    # token list still yields one '' shingle), and under ANSI mode the
+    # 0/0 would THROW, not NULL — clamping defines empty ≡ empty as a
+    # perfect duplicate (lev 0 → sim 1.0), identically in the oracle
     sim = F.lit(1.0) - lev.cast("double") / F.greatest(
-        F.length("_ta"), F.length("_tb")
+        F.length("_ta"), F.length("_tb"), F.lit(1)
     ).cast("double")
     return (
         cand.join(ta, "doc_a")

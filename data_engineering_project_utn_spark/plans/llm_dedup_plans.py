@@ -85,13 +85,13 @@ def llm_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.doc_a, c.doc_b,
            CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance,
            1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
-                 / CAST(greatest(length(da.text), length(db.text)) AS DOUBLE)
+                 / CAST(greatest(length(da.text), length(db.text), 1) AS DOUBLE)
                AS edit_sim
     FROM cand c
     JOIN documents da ON da.doc_id = c.doc_a
     JOIN documents db ON db.doc_id = c.doc_b
     WHERE 1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
-          / CAST(greatest(length(da.text), length(db.text)) AS DOUBLE) >= 0.97
+          / CAST(greatest(length(da.text), length(db.text), 1) AS DOUBLE) >= 0.97
     """,
     tags=("llm", "dedup", "editdist"),
 )

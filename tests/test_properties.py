@@ -500,3 +500,139 @@ def test_incremental_semantic_neardup_asymmetry_law(spark, n_batch, n_corpus, se
         assert float(r["cos_sim"]) == _cos(
             bvec[int(r["doc_new"])], cvec[int(r["doc_existing"])]
         )
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.text(alphabet="ab c", min_size=0, max_size=16),
+            st.text(alphabet="ab c", min_size=0, max_size=16),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@_settings
+def test_levenshtein_verifier_matches_classic_dp(spark, pairs):
+    """The edit-distance verifier's engine primitive (F.levenshtein) must
+    equal the classic unit-cost DP on arbitrary strings — the contract
+    that makes the DuckDB twin bit-exact — and the normalized similarity
+    1 − lev/max(len) must match the per-row float arithmetic."""
+
+    def dp(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[len(b)]
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)], "i long, a string, b string"
+    )
+    out = {
+        r["i"]: (r["lev"], r["sim"])
+        for r in df.select(
+            "i",
+            F.levenshtein("a", "b").cast("long").alias("lev"),
+            (
+                F.lit(1.0)
+                - F.levenshtein("a", "b").cast("double")
+                / F.greatest(F.length("a"), F.length("b"), F.lit(1)).cast("double")
+            ).alias("sim"),
+        ).collect()
+    }
+    for i, (a, b) in enumerate(pairs):
+        lev, sim = out[i]
+        assert lev == dp(a, b)
+        m = max(len(a), len(b), 1)  # clamped: empty ≡ empty → sim 1.0
+        assert sim == 1.0 - lev / m
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc xy", min_size=0, max_size=24),
+        min_size=2,
+        max_size=8,
+    ),
+    window=st.integers(min_value=1, max_value=4),
+)
+@_settings
+def test_sorted_neighborhood_equals_bruteforce_window(spark, texts, window):
+    """sorted_neighborhood_pairs == the brute-force definition: sort docs
+    by (sorted-distinct-token fingerprint, id), pair every two docs
+    within `window` positions, keep shingle-Jaccard ≥ τ.  The rank-block
+    equi-join must lose no pair and invent none, for any window."""
+    from data_engineering_project_utn_spark.llm.dedup import sorted_neighborhood_pairs
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["gap"], r["jaccard"])
+        for r in sorted_neighborhood_pairs(
+            docs, window=window, n=5, threshold=0.0
+        ).collect()
+    }
+
+    def toks(t):
+        return [w for w in t.lower().split() if w]
+
+    def shset(t):
+        tk = toks(t)
+        n = 5
+        if len(tk) <= n:
+            return {" ".join(tk)} if tk else {""}
+        return {" ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)}
+
+    order = sorted(range(len(texts)), key=lambda i: (" ".join(sorted(set(toks(texts[i])))), i))
+    exp = {}
+    for p in range(len(order)):
+        for q in range(p + 1, min(p + window + 1, len(order))):
+            a, b = order[p], order[q]
+            sa, sb = shset(texts[a]), shset(texts[b])
+            inter = len(sa & sb)
+            jac = inter / (len(sa) + len(sb) - inter)
+            exp[(a, b)] = (q - p, jac)
+    assert set(got) == set(exp)
+    for k, (gap, jac) in got.items():
+        assert gap == exp[k][0]
+        assert abs(jac - exp[k][1]) < 1e-12
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-1, max_value=1, allow_nan=False, width=32),
+            min_size=2,
+            max_size=2,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    w=st.lists(st.integers(-5000, 5000), min_size=3, max_size=3),
+)
+@_settings
+def test_perceptron_score_is_exact_integer_dot(spark, vecs, w):
+    """perceptron_score == the pure integer dot ⟨w, bias ++ floor grid⟩
+    for arbitrary float32 embeddings and weights."""
+    import math
+
+    from data_engineering_project_utn_spark.llm.classify import (
+        X_SCALE,
+        perceptron_score,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    got = {
+        r["vec_id"]: r["s"]
+        for r in df.select("vec_id", perceptron_score(w).alias("s")).collect()
+    }
+    for i, v in enumerate(vecs):
+        x = [X_SCALE] + [math.floor(float(pd.Series(v, dtype="float32")[j]) * X_SCALE) for j in range(len(v))]
+        assert got[i] == sum(a * b for a, b in zip(w, x))

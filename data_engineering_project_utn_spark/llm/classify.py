@@ -294,3 +294,114 @@ def perceptron_score(w: "list[int]", vec_col: str = "embedding") -> F.Column:
         F.lit(0).cast("long"),
         lambda acc, e: acc + e,
     )
+
+
+def multiclass_perceptron_train(
+    feat: DataFrame, labels: "list[int]", steps: int = 3
+) -> "dict[int, list[int]]":
+    """One-vs-rest batch perceptron over ALL classes in one pass per
+    step: every (row, class) pair whose binary margin y_l·⟨w_l, x⟩ ≤ 0
+    (y_l = +1 iff label = l) contributes y_l·x to that class's update.
+    Returns {label: w}.
+
+    The per-step plan is ONE scan of the feature frame exploded by the
+    |labels|-element class list (a broadcast literal — rows × classes is
+    a narrow ×L map, not a shuffle), one (class, dim) aggregate —
+    |labels|·(d+1) driver rows, model-size.  Same BIGINT grid as the
+    binary trainer; the margin bound gains a factor |labels| in the
+    weight magnitude, still < 2⁶³ for any realistic corpus."""
+    d1 = len(feat.select("x").first()["x"])
+    spark = feat.sparkSession
+    ws: dict[int, list[int]] = {int(lb): [0] * d1 for lb in labels}
+    for _t in range(steps):
+        wmat = F.array(
+            *[
+                F.struct(
+                    F.lit(int(lb)).cast("long").alias("lb"),
+                    F.array(*[F.lit(int(v)).cast("long") for v in ws[lb]]).alias(
+                        "w"
+                    ),
+                )
+                for lb in sorted(ws)
+            ]
+        )
+        y = F.when(F.col("label") == F.col("_wl")["lb"], F.lit(1)).otherwise(
+            F.lit(-1)
+        ).cast("long")
+        marg = F.col("_y") * F.aggregate(
+            F.zip_with(F.col("x"), F.col("_wl")["w"], lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, e: acc + e,
+        )
+        upd = (
+            feat.select("label", "x", F.explode(wmat).alias("_wl"))
+            .withColumn("_y", y)
+            .withColumn("_m", marg)
+            .filter(F.col("_m") <= 0)
+            .select(F.col("_wl")["lb"].alias("lb"), "_y", F.posexplode("x").alias("dim", "xi"))
+            .groupBy("lb", "dim")
+            .agg(F.sum(F.col("_y") * F.col("xi")).alias("u"))
+            .collect()
+        )
+        for r in upd:
+            ws[int(r["lb"])][int(r["dim"])] += int(r["u"])
+    return ws
+
+
+def multiclass_confusion(
+    feat: DataFrame, ws: "dict[int, list[int]]"
+) -> DataFrame:
+    """Confusion matrix (true_label, pred_label, n) of the one-vs-rest
+    argmax: pred = class with the highest ⟨w_l, x⟩ (ties → higher label,
+    the struct-max order).  Literal weight matrix, one scan, final
+    |labels|²-row aggregate."""
+    wmat = F.array(
+        *[
+            F.struct(
+                F.lit(int(lb)).cast("long").alias("lb"),
+                F.array(*[F.lit(int(v)).cast("long") for v in ws[lb]]).alias("w"),
+            )
+            for lb in sorted(ws)
+        ]
+    )
+    pred = F.array_max(
+        F.transform(
+            wmat,
+            lambda wl: F.struct(
+                F.aggregate(
+                    F.zip_with(F.col("x"), wl["w"], lambda a, b: a * b),
+                    F.lit(0).cast("long"),
+                    lambda acc, e: acc + e,
+                ).alias("sc"),
+                wl["lb"].alias("lb"),
+            ),
+        )
+    )["lb"]
+    return (
+        feat.select(
+            F.col("label").cast("long").alias("true_label"),
+            pred.alias("pred_label"),
+        )
+        .groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def quantized_features_labeled(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(vec_id, label, x array<bigint>) with the bias prepended — the
+    multiclass trainer's input (per-class ±1 targets derive inside the
+    step, so the label rides raw)."""
+    xq = F.concat(
+        F.array(F.lit(X_SCALE).cast("long")),
+        F.transform(
+            F.col(vec_col),
+            lambda e: F.floor(e.cast("double") * F.lit(float(X_SCALE))).cast("long"),
+        ),
+    )
+    return embeddings.select(
+        "vec_id", F.col(label_col).alias("label"), xq.alias("x")
+    )

@@ -363,3 +363,83 @@ def llm_model_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("_rank0") * 2 < F.col("_total")).select(
         "doc_id", "quality", "score"
     )
+
+
+def _multiclass_oracle(steps: int = 3) -> str:
+    """One-vs-rest unrolled recurrence, all classes per CTE level: the
+    class list is a first-class relation (lab), so one chain trains
+    |labels| probes simultaneously — exactly the Spark step's
+    explode-by-class shape."""
+    dot = _idot
+    ctes = [
+        f"""xq AS MATERIALIZED (SELECT vec_id, label,
+            list_prepend(CAST({cl.X_SCALE} AS BIGINT),
+                list_transform(embedding,
+                    e -> CAST(floor(CAST(e AS DOUBLE) * {cl.X_SCALE}.0) AS BIGINT))) AS x
+        FROM embeddings)""",
+        "lab AS (SELECT DISTINCT label FROM embeddings)",
+        f"""u1 AS (SELECT l.label AS lb, r.i,
+            SUM(CASE WHEN x.label = l.label THEN 1 ELSE -1 END * x.x[r.i]) AS u
+        FROM xq x, lab l, range(1, {_D1}) r(i) GROUP BY l.label, r.i)""",
+        f"""w1 AS (SELECT ll.label AS lb,
+            list(CAST(COALESCE(u.u, 0) AS BIGINT) ORDER BY r.i) AS w
+        FROM lab ll CROSS JOIN range(1, {_D1}) r(i)
+        LEFT JOIN u1 u ON u.lb = ll.label AND u.i = r.i
+        GROUP BY ll.label)""",
+    ]
+    for t in range(2, steps + 1):
+        ctes += [
+            f"""g{t} AS (SELECT x.vec_id, x.label, x.x, w.lb,
+                CAST(CASE WHEN x.label = w.lb THEN 1 ELSE -1 END AS BIGINT) AS y,
+                CAST(CASE WHEN x.label = w.lb THEN 1 ELSE -1 END AS BIGINT)
+                    * {dot('x.x', 'w.w')} AS marg
+            FROM xq x CROSS JOIN w{t-1} w)""",
+            f"""u{t} AS (SELECT g.lb, r.i, SUM(g.y * g.x[r.i]) AS u
+            FROM g{t} g, range(1, {_D1}) r(i) WHERE g.marg <= 0
+            GROUP BY g.lb, r.i)""",
+            f"""w{t} AS (SELECT w.lb,
+                list(CAST(w.w[r.i] + COALESCE(u.u, 0) AS BIGINT) ORDER BY r.i) AS w
+            FROM w{t-1} w CROSS JOIN range(1, {_D1}) r(i)
+            LEFT JOIN u{t} u ON u.lb = w.lb AND u.i = r.i
+            GROUP BY w.lb)""",
+        ]
+    return (
+        "WITH " + (",\n    ").join(ctes) + f""",
+    sc AS (SELECT x.vec_id, x.label AS true_label, w.lb,
+                  {dot('x.x', 'w.w')} AS sc
+           FROM xq x CROSS JOIN w{steps} w),
+    pr AS (SELECT true_label, lb AS pred_label FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                  ORDER BY sc DESC, lb DESC) AS rn FROM sc) WHERE rn = 1)
+    SELECT CAST(true_label AS BIGINT) AS true_label,
+           CAST(pred_label AS BIGINT) AS pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pr GROUP BY true_label, pred_label
+    """
+    )
+
+
+@register(
+    "llm_multiclass_perceptron_eval",
+    oracle=_multiclass_oracle(),
+    tags=("llm", "classify", "report"),
+)
+def llm_multiclass_perceptron_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest multiclass linear probe: ALL classes' binary
+    perceptrons train simultaneously — per step one scan of the feature
+    frame exploded by the class list, one (class, dim) aggregate
+    (|labels|·(d+1) driver rows, model-size) — then every row is
+    classified by the argmax of the |labels| integer scores (ties →
+    higher label, the struct-max order) and the full confusion matrix is
+    pinned.  The multiclass counterpart of ``llm_linear_probe_perceptron``
+    (same grid, same recurrence per class) and the LEARNED counterpart of
+    ``llm_rocchio_centroid_eval`` (trained probes vs class means over the
+    identical features).
+    """
+    e = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
+    feat = track_persist(cl.quantized_features_labeled(e))
+    labels = sorted(
+        int(r["label"]) for r in e.select("label").distinct().collect()
+    )
+    ws = cl.multiclass_perceptron_train(feat, labels, steps=3)
+    return cl.multiclass_confusion(feat, ws)

@@ -3654,6 +3654,60 @@ class TestClassify:
         for r in out:
             assert r["pred_label"] == r["true_label"]
 
+    def test_multiclass_perceptron_matches_python_twin(self, spark):
+        """The all-classes-at-once trainer must equal |labels| independent
+        runs of the binary integer recurrence."""
+        import math
+
+        from data_engineering_project_utn_spark.llm import classify as cl
+
+        rows = [
+            (0, [0.4, -0.2], 0),
+            (1, [-0.3, 0.6], 1),
+            (2, [0.1, 0.9], 2),
+            (3, [0.5, 0.5], 0),
+            (4, [-0.6, -0.1], 1),
+        ]
+        e = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        feat = cl.quantized_features_labeled(e)
+        ws = cl.multiclass_perceptron_train(feat, [0, 1, 2], steps=3)
+
+        py = [
+            (lab, [cl.X_SCALE] + [math.floor(float(np32(v)) * cl.X_SCALE) for v in emb])
+            for _, emb, lab in rows
+        ]
+        for lb in (0, 1, 2):
+            w = [0] * 3
+            for _ in range(3):
+                mis = [
+                    (1 if lab == lb else -1, x)
+                    for lab, x in py
+                    if (1 if lab == lb else -1) * sum(a * b for a, b in zip(w, x)) <= 0
+                ]
+                for y, x in mis:
+                    for i in range(3):
+                        w[i] += y * x[i]
+            assert ws[lb] == w
+
+    def test_multiclass_separable_diagonal(self, spark):
+        """Three orthogonal clusters: the one-vs-rest argmax confusion is
+        purely diagonal after training."""
+        from data_engineering_project_utn_spark.llm import classify as cl
+
+        rows = []
+        for c in range(3):
+            for j in range(4):
+                v = [-0.3, -0.3, -0.3]
+                v[c] = 0.9 + 0.02 * j
+                rows.append((c * 4 + j, v, c))
+        e = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        feat = cl.quantized_features_labeled(e)
+        ws = cl.multiclass_perceptron_train(feat, [0, 1, 2], steps=4)
+        out = cl.multiclass_confusion(feat, ws).collect()
+        assert sum(r["n"] for r in out) == 12
+        for r in out:
+            assert r["pred_label"] == r["true_label"]
+
 
 def np32(v: float) -> float:
     """float32 round-trip (createDataFrame stores array<float>)."""

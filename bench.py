@@ -210,6 +210,7 @@ EXTENDED_QUERIES = [
     "llm_cell_label_transfer",
     "llm_rocchio_centroid_eval",
     "llm_model_quality_gate",
+    "llm_multiclass_perceptron_eval",
 ]
 
 

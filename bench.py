@@ -211,6 +211,7 @@ EXTENDED_QUERIES = [
     "llm_rocchio_centroid_eval",
     "llm_model_quality_gate",
     "llm_multiclass_perceptron_eval",
+    "llm_collocation_pmi",
 ]
 
 

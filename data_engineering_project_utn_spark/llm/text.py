@@ -770,3 +770,87 @@ def chunk_documents(
             ).alias("chunk_text"),
         )
     )
+
+
+def collocation_pmi(
+    docs: DataFrame,
+    text_col: str = "text",
+    window: int = 3,
+    min_support: int = 5,
+    topk: int = 20,
+) -> DataFrame:
+    """Collocation extraction by windowed PMI (Church & Hanks '90): ordered
+    token pairs (a, b) with b at most ``window`` positions after a, scored
+    by pointwise mutual information on the FIXED-POINT integer log₂
+    (``functions.scalar.plog2_sql`` — the engine-reproducible log), as
+    pmi_fp = plog2(c_ab) + plog2(P) − plog2(c_a→) − plog2(→c_b), where
+    c_a→ / →c_b are a's left-slot and b's right-slot occurrence counts
+    and P the total window-pair count.  The 4-term sum keeps every plog2
+    argument an independent count (each well under the 2⁴⁶ contract at
+    any corpus size), unlike plog2(c_ab·P) whose product overflows the
+    fixed-point domain at ~10¹³ pairs.
+
+    The POSITIONAL complement of the document-level 2-itemset gate
+    (``llm_token_pairs``): itemset support is order- and distance-blind;
+    collocations demand adjacency.  Top-k by (pmi_fp DESC, a, b) under a
+    total order; ``min_support`` keeps hapax pairs (whose PMI is
+    maximal by construction) out.
+
+    Scale: pairs build NARROW per row (window·len structs via in-row
+    transforms — no self-join on positions); the shuffles are the
+    (a, b) / a / b count aggregates (map-side combined) and P is a
+    1-row broadcast.  Work is window·tokens — linear in corpus size.
+    """
+    from data_engineering_project_utn_spark.functions.scalar import plog2_sql
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    pair_t = "array<struct<a:string,b:string>>"
+
+    def gap_pairs(g: int) -> Column:
+        return (
+            F.when(
+                F.size("_t") > g,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_t") - g),
+                    lambda i: F.struct(
+                        F.element_at(F.col("_t"), i).alias("a"),
+                        F.element_at(F.col("_t"), i + g).alias("b"),
+                    ),
+                ),
+            )
+            .otherwise(F.array().cast(pair_t))
+        )
+
+    prs = track_persist(
+        docs.select(tokens(text_col).alias("_t"))
+        .select(
+            F.explode(
+                F.flatten(F.array(*[gap_pairs(g) for g in range(1, window + 1)]))
+            ).alias("_p")
+        )
+        .select(F.col("_p")["a"].alias("a"), F.col("_p")["b"].alias("b"))
+    )
+    cab = prs.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("support"))
+    ca = prs.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("_ca"))
+    cb = prs.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("_cb"))
+    tot = prs.agg(F.count(F.lit(1)).cast("long").alias("_p_total"))
+    pmi = (
+        F.expr(plog2_sql("support"))
+        + F.expr(plog2_sql("_p_total"))
+        - F.expr(plog2_sql("_ca"))
+        - F.expr(plog2_sql("_cb"))
+    ).cast("long")
+    return (
+        cab.filter(F.col("support") >= int(min_support))
+        .join(ca, "a")
+        .join(cb, "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("a").alias("tok_a"),
+            F.col("b").alias("tok_b"),
+            "support",
+            pmi.alias("pmi_fp"),
+        )
+        .orderBy(F.desc("pmi_fp"), "tok_a", "tok_b")
+        .limit(int(topk))
+    )

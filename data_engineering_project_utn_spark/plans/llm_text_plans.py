@@ -1696,3 +1696,39 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("novelty_ppm"), "doc_id")
         .limit(20)
     )
+
+
+@register(
+    "llm_collocation_pmi",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    pos AS (SELECT t, unnest(range(1, len(t) + 1)) AS i FROM tk),
+    pr AS (SELECT t[i] AS a, t[i + g.g] AS b
+           FROM pos, range(1, 4) g(g) WHERE i + g.g <= len(t)),
+    cab AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS support
+            FROM pr GROUP BY a, b),
+    ca AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS ca FROM pr GROUP BY a),
+    cb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cb FROM pr GROUP BY b),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS p FROM pr)
+    SELECT cab.a AS tok_a, cab.b AS tok_b, support,
+           CAST({_plog2_sql('support')} + {_plog2_sql('tot.p')}
+                - {_plog2_sql('ca.ca')} - {_plog2_sql('cb.cb')} AS BIGINT)
+               AS pmi_fp
+    FROM cab JOIN ca USING (a) JOIN cb USING (b), tot
+    WHERE support >= 5
+    ORDER BY pmi_fp DESC, tok_a, tok_b LIMIT 20
+    """,
+    tags=("llm", "text", "collocation"),
+)
+def llm_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed-PMI collocation extraction (Church & Hanks): ordered token
+    pairs within 3 positions, scored plog2(c_ab) + plog2(P) − plog2(c_a→)
+    − plog2(→c_b) on the shared fixed-point integer log₂ — the
+    POSITIONAL counterpart of the document-level 2-itemset gate
+    (order/distance-blind support vs adjacency-demanding collocations).
+    Support ≥ 5 keeps maximal-PMI hapax pairs out; top-20 under a total
+    order.  Pairs build narrow per row (no positional self-join); only
+    count aggregates shuffle.
+    """
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    return tx.collocation_pmi(d, window=3, min_support=5, topk=20)

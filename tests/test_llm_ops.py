@@ -3708,6 +3708,45 @@ class TestClassify:
         for r in out:
             assert r["pred_label"] == r["true_label"]
 
+    def test_collocation_pmi_matches_python_twin(self, spark):
+        """Windowed pair counts and the 4-term fixed-point PMI must equal
+        the pure-Python recurrence (plog2: exponent from bit length,
+        chord mantissa, K=16)."""
+        from collections import Counter
+
+        from data_engineering_project_utn_spark.llm.text import collocation_pmi
+
+        texts = [
+            "a b a b a b c d",
+            "a b c a b c",
+            "x y x y x y x y",
+            "a b x y a b x y",
+        ] * 3
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        out = collocation_pmi(docs, window=3, min_support=5, topk=100).collect()
+
+        def plog2(x: int, k: int = 1 << 16) -> int:
+            e = x.bit_length() - 1
+            return e * k + (x * k) // (1 << e) - k
+
+        cab, ca, cb = Counter(), Counter(), Counter()
+        for t in texts:
+            toks = t.split()
+            for g in (1, 2, 3):
+                for i in range(len(toks) - g):
+                    cab[(toks[i], toks[i + g])] += 1
+                    ca[toks[i]] += 1
+                    cb[toks[i + g]] += 1
+        p = sum(cab.values())
+        exp = {}
+        for (a, b), s in cab.items():
+            if s >= 5:
+                exp[(a, b)] = (s, plog2(s) + plog2(p) - plog2(ca[a]) - plog2(cb[b]))
+        got = {(r["tok_a"], r["tok_b"]): (r["support"], r["pmi_fp"]) for r in out}
+        assert got == exp
+
 
 def np32(v: float) -> float:
     """float32 round-trip (createDataFrame stores array<float>)."""

@@ -212,6 +212,7 @@ EXTENDED_QUERIES = [
     "llm_model_quality_gate",
     "llm_multiclass_perceptron_eval",
     "llm_collocation_pmi",
+    "llm_minhash_estimate_error",
 ]
 
 

@@ -1645,3 +1645,65 @@ def llm_semdedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), "id_a", "id_b")
         .limit(20)
     )
+
+
+@register(
+    "llm_minhash_estimate_error",
+    oracle="WITH " + _MINHASH_CTES + """
+    SELECT j.doc_a, j.doc_b,
+           CAST(len(list_filter(list_zip(ga.sg, gb.sg), p -> p[1] = p[2]))
+               AS BIGINT) AS est_matches,
+           j.jaccard
+    FROM j
+    JOIN sig ga ON ga.doc_id = j.doc_a
+    JOIN sig gb ON gb.doc_id = j.doc_b
+    """,
+    tags=("llm", "dedup", "minhash", "report"),
+)
+def llm_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy eval for the MinHash family: per banded candidate
+    pair, the SIGNATURE-level similarity estimate (matching permutation
+    minima out of k=8 — the quantity LSH banding actually thresholds on)
+    next to the exact shingle Jaccard the verifier computes.  E[est/k] =
+    J, so this gate pins how far the 8-perm rotation family's estimates
+    sit from truth on real candidates — the dedup-side counterpart of
+    the ANN rank-eval trio (every approximate path's quality is a gated
+    number, not a hope).
+
+    Integer match counts (no float estimate column — est/k is k-denominated
+    and the reader divides); same Σ|bucket|² candidate bound as every
+    banded gate.
+    """
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    sh = track_persist(dd.shingle_frame(d, "doc_id", "text", 5))
+    sig = sh.select(
+        "doc_id", dd._signature_from_digests(F.col("hd"), 8).alias("sg")
+    )
+    banded = track_persist(dd._banded(sh, 8, 4))
+    cand = dd._candidates_from_banded(banded, None)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("_sa"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("_sb"))
+    ga = sig.select(F.col("doc_id").alias("doc_a"), F.col("sg").alias("_ga"))
+    gb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sg").alias("_gb"))
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb"))).cast("double")
+    union = (F.size("_sa") + F.size("_sb")).cast("double") - inter
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("_ga"), F.col("_gb"), lambda a, b: a == b),
+            lambda x: x,
+        )
+    ).cast("long")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            est.alias("est_matches"),
+            (inter / union).alias("jaccard"),
+        )
+    )

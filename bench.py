@@ -213,6 +213,7 @@ EXTENDED_QUERIES = [
     "llm_multiclass_perceptron_eval",
     "llm_collocation_pmi",
     "llm_minhash_estimate_error",
+    "llm_editdist_clusters",
 ]
 
 

@@ -1707,3 +1707,40 @@ def llm_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             (inter / union).alias("jaccard"),
         )
     )
+
+
+@register(
+    "llm_editdist_clusters",
+    oracle="WITH RECURSIVE " + _MINHASH_CTES + """,
+    ep AS (SELECT c.doc_a, c.doc_b
+           FROM cand c
+           JOIN documents da ON da.doc_id = c.doc_a
+           JOIN documents db ON db.doc_id = c.doc_b
+           WHERE 1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+                 / CAST(greatest(length(da.text), length(db.text), 1) AS DOUBLE)
+                 >= 0.97),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM ep
+              UNION SELECT doc_b, doc_a FROM ep),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS keeper_doc
+    FROM reach GROUP BY src ORDER BY doc_id
+    """,
+    tags=("llm", "dedup", "clusters", "editdist"),
+)
+def llm_editdist_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup DECISION step over the character-level pair source: connected
+    components of the Levenshtein-verified near-dup graph, each component
+    keeping its min doc_id — the edit-distance twin of the lexical and
+    semantic cluster gates, riding the same label-propagation operator
+    (O(log diameter) rounds) and recursive-CTE oracle shape.  Shows the
+    new pair source feeds the standard keeper machinery unchanged.
+    """
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    pairs = dd.editdist_neardup(d, k=8, bands=4, n=5, threshold=0.97).select(
+        "doc_a", "doc_b"
+    )
+    return dd.dedup_clusters(pairs).orderBy("doc_id")

@@ -214,6 +214,7 @@ EXTENDED_QUERIES = [
     "llm_collocation_pmi",
     "llm_minhash_estimate_error",
     "llm_editdist_clusters",
+    "llm_sorted_neighborhood_multipass",
 ]
 
 

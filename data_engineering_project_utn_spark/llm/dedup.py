@@ -379,6 +379,7 @@ def sorted_neighborhood_pairs(
     window: int = 3,
     n: int = 5,
     threshold: float = 0.5,
+    reverse_key: bool = False,
 ) -> DataFrame:
     """Sorted-neighborhood near-dup blocking (Hernández–Stolfo merge/purge):
     sort the corpus by an order-invariant fingerprint — the sorted distinct
@@ -415,9 +416,15 @@ def sorted_neighborhood_pairs(
     toks_df = d.select("doc_id", tokens("text").alias("toks"))
     k = F.size(F.col("toks"))
     idx = F.sequence(F.lit(1), F.greatest(k - F.lit(n - 1), F.lit(1)))
+    fp = F.concat_ws(" ", F.array_sort(F.array_distinct("toks")))
+    if reverse_key:
+        # second merge/purge pass: the REVERSED fingerprint clusters by
+        # shared suffix instead of shared prefix — the classic multi-pass
+        # recall lever (two cheap passes beat one wide window)
+        fp = F.reverse(fp)
     keyed = toks_df.select(
         "doc_id",
-        F.concat_ws(" ", F.array_sort(F.array_distinct("toks"))).alias("_k"),
+        fp.alias("_k"),
         F.array_distinct(
             F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, n)))
         ).alias("shset"),

@@ -1744,3 +1744,90 @@ def llm_editdist_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b"
     )
     return dd.dedup_clusters(pairs).orderBy("doc_id")
+
+
+@register(
+    "llm_sorted_neighborhood_multipass",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, text, {_TOKS} AS t FROM documents),
+    ky AS (SELECT doc_id, array_to_string(list_sort(list_distinct(t)), ' ') AS k
+           FROM tk),
+    sh AS (SELECT doc_id, list_distinct({_SHINGLES}) AS shset FROM tk),
+    rkf AS (SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) - 1 AS rn
+            FROM ky),
+    rkr AS (SELECT doc_id, row_number() OVER (ORDER BY reverse(k), doc_id) - 1 AS rn
+            FROM ky),
+    jac AS (SELECT sa.doc_id AS ia, sb.doc_id AS ib,
+                   CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
+                   / (CAST(len(sa.shset) + len(sb.shset) AS DOUBLE)
+                      - CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE))
+                       AS jaccard
+            FROM sh sa JOIN sh sb ON sa.doc_id < sb.doc_id),
+    pf AS (SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
+                  GREATEST(a.doc_id, b.doc_id) AS doc_b
+           FROM rkf a JOIN rkf b ON b.rn - a.rn BETWEEN 1 AND 3),
+    pr AS (SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
+                  GREATEST(a.doc_id, b.doc_id) AS doc_b
+           FROM rkr a JOIN rkr b ON b.rn - a.rn BETWEEN 1 AND 3),
+    ff AS (SELECT pf.doc_a, pf.doc_b, j.jaccard, TRUE AS in_fwd
+           FROM pf JOIN jac j ON j.ia = pf.doc_a AND j.ib = pf.doc_b
+           WHERE j.jaccard >= 0.5),
+    rr AS (SELECT pr.doc_a, pr.doc_b, j.jaccard, TRUE AS in_rev
+           FROM pr JOIN jac j ON j.ia = pr.doc_a AND j.ib = pr.doc_b
+           WHERE j.jaccard >= 0.5)
+    SELECT COALESCE(ff.doc_a, rr.doc_a) AS doc_a,
+           COALESCE(ff.doc_b, rr.doc_b) AS doc_b,
+           COALESCE(ff.jaccard, rr.jaccard) AS jaccard,
+           COALESCE(in_fwd, FALSE) AS in_fwd,
+           COALESCE(in_rev, FALSE) AS in_rev
+    FROM ff FULL OUTER JOIN rr
+      ON ff.doc_a = rr.doc_a AND ff.doc_b = rr.doc_b
+    """,
+    tags=("llm", "dedup", "blocking"),
+)
+def llm_sorted_neighborhood_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-PASS merge/purge (the Hernández–Stolfo recall lever: several
+    cheap passes under different keys beat one wide window): pass 1 sorts
+    by the token fingerprint (prefix clustering), pass 2 by its REVERSAL
+    (suffix clustering), pairs canonicalized to (lo, hi) and full-outer
+    merged with per-pass provenance flags — the gate pins exactly which
+    pairs each key ordering contributes, so the multipass recall gain is
+    a value, not a claim.
+
+    Each pass is the linear rank + block equi-join of the single-pass
+    gate (2·window·N pair bound total); the merge is one equi-join on
+    the canonical pair key.
+
+    Oracle note: the brute jac CTE scores all id-ordered pairs — oracle
+    clarity over oracle cost; the SPARK side verifies only within
+    neighborhoods (the deployed shape).
+    """
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+
+    def canon(df, flag):
+        return df.select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+            "jaccard",
+            F.lit(True).alias(flag),
+        )
+
+    p1 = canon(
+        dd.sorted_neighborhood_pairs(d, window=3, n=5, threshold=0.5), "in_fwd"
+    )
+    p2 = canon(
+        dd.sorted_neighborhood_pairs(
+            d, window=3, n=5, threshold=0.5, reverse_key=True
+        ),
+        "in_rev",
+    )
+    j = p1.withColumnRenamed("jaccard", "_j1").join(
+        p2.withColumnRenamed("jaccard", "_j2"), ["doc_a", "doc_b"], "full"
+    )
+    return j.select(
+        "doc_a",
+        "doc_b",
+        F.coalesce(F.col("_j1"), F.col("_j2")).alias("jaccard"),
+        F.coalesce(F.col("in_fwd"), F.lit(False)).alias("in_fwd"),
+        F.coalesce(F.col("in_rev"), F.lit(False)).alias("in_rev"),
+    )

@@ -215,6 +215,7 @@ EXTENDED_QUERIES = [
     "llm_minhash_estimate_error",
     "llm_editdist_clusters",
     "llm_sorted_neighborhood_multipass",
+    "llm_probe_calibration",
 ]
 
 

@@ -443,3 +443,68 @@ def llm_multiclass_perceptron_eval(spark: SparkSession, sf_dir: str) -> DataFram
     )
     ws = cl.multiclass_perceptron_train(feat, labels, steps=3)
     return cl.multiclass_confusion(feat, ws)
+
+
+def _calibration_oracle() -> str:
+    """Perceptron chain + NTILE(10) lift table over the trained score."""
+    ctes = (",\n    ").join(_perceptron_ctes())
+    sc = _idot("x.x", "w.w")
+    return f"""
+    WITH {ctes},
+    scr AS (SELECT x.vec_id, CASE WHEN x.y = 1 THEN 1 ELSE 0 END AS pos,
+                   {sc} AS s
+            FROM xq x, w3 w),
+    nb AS (SELECT *, ntile(10) OVER (ORDER BY -s, vec_id) AS bin FROM scr)
+    SELECT CAST(bin AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(pos) AS BIGINT) AS n_pos
+    FROM nb GROUP BY bin ORDER BY decile
+    """
+
+
+@register(
+    "llm_probe_calibration",
+    oracle=_calibration_oracle(),
+    tags=("llm", "classify", "report"),
+)
+def llm_probe_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lift table for the trained linear probe: score every row with the
+    trained weights, NTILE(10) by score (best decile first), and pin the
+    positive count per decile — the calibration artifact that justifies
+    (or indicts) the model gate's top-half rank cut: a working probe
+    concentrates positives in the low deciles, a chance-level one
+    spreads them flat, and either way the number is GATED, not assumed.
+
+    The decile split is the distributed exact NTILE (range exchange +
+    closed-form bin arithmetic, no SinglePartition window — same
+    machinery as the decile headline); scoring is one literal-weight
+    fold per row; training is the shared 3-step recurrence.
+    """
+    from data_engineering_project_utn_spark.operators.histogram import (
+        distributed_ntile,
+    )
+
+    e = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
+    feat = track_persist(cl.quantized_features(e, pos_label=2))
+    _, w = cl.perceptron_train(feat, steps=3)
+    warr = F.array(*[F.lit(int(v)).cast("long") for v in w])
+    s = F.aggregate(
+        F.zip_with(F.col("x"), warr, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, e_: acc + e_,
+    )
+    scored = feat.select(
+        "vec_id",
+        (F.col("y") == 1).cast("long").alias("_pos"),
+        s.alias("_s"),
+    ).withColumn("_negs", -F.col("_s"))
+    binned = distributed_ntile(scored, ["_negs", "vec_id"], 10)
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_pos").cast("long").alias("n_pos"),
+        )
+        .select(F.col("bin").cast("long").alias("decile"), "n", "n_pos")
+        .orderBy("decile")
+    )

@@ -216,6 +216,7 @@ EXTENDED_QUERIES = [
     "llm_editdist_clusters",
     "llm_sorted_neighborhood_multipass",
     "llm_probe_calibration",
+    "llm_knn_label_eval_ann",
 ]
 
 

@@ -508,3 +508,116 @@ def llm_probe_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("bin").cast("long").alias("decile"), "n", "n_pos")
         .orderBy("decile")
     )
+
+
+@register(
+    "llm_knn_label_eval_ann",
+    oracle=f"""
+    WITH {two_level_cells_ctes()},
+    q AS (SELECT c.vec_id AS qid, c.cell, e.embedding AS qv,
+                 e.label AS true_label
+          FROM cells c JOIN embeddings e USING (vec_id)
+          WHERE c.vec_id < 16),
+    cd AS (SELECT q.qid, q.true_label, c.vec_id, e.label AS nl,
+                  {_cos('q.qv', 'e.embedding')} AS cs
+           FROM q
+           JOIN cells c ON c.cell = q.cell AND c.vec_id <> q.qid
+           JOIN embeddings e ON e.vec_id = c.vec_id),
+    np AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_candidates
+           FROM cd GROUP BY qid),
+    top AS (SELECT *, row_number() OVER (PARTITION BY qid
+                ORDER BY cs DESC, vec_id) AS rnk FROM cd),
+    v AS (SELECT qid, true_label, nl, CAST(COUNT(*) AS BIGINT) AS votes
+          FROM top WHERE rnk <= 5 GROUP BY qid, true_label, nl),
+    p AS (SELECT *, row_number() OVER (PARTITION BY qid
+              ORDER BY votes DESC, nl) AS vr FROM v)
+    SELECT CAST(q.qid AS BIGINT) AS query_id,
+           CAST(q.true_label AS BIGINT) AS true_label,
+           CAST(COALESCE(p.nl, -1) AS BIGINT) AS pred_label,
+           COALESCE(p.votes, 0) AS votes,
+           COALESCE(np.n_candidates, 0) AS n_candidates,
+           COALESCE(p.nl, -1) = q.true_label AS correct
+    FROM q
+    LEFT JOIN p ON p.qid = q.qid AND p.vr = 1
+    LEFT JOIN np ON np.qid = q.qid
+    """,
+    tags=("llm", "classify", "knn", "ivf", "report"),
+)
+def llm_knn_label_eval_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEPLOYED twin of ``llm_knn_label_eval``: the same 16 queries
+    vote over their CELL-MATES in the at-rest two-level assignment
+    instead of the whole corpus — no per-query scan, the candidate pool
+    is the layout a production index already stores (exactly what the
+    brute gate's docstring promises at 100 TB), and the accuracy cost of
+    the pool restriction is pinned side-by-side with the exact gate.
+    ``n_candidates`` prices the pool; a query alone in its cell predicts
+    −1 with zero votes (LEFT semantics, never dropped).
+
+    One shared descent (the semdedup/ANN/label-transfer CTE), one
+    cell-key equi-join for pools, model-size votes.
+    """
+    from pyspark.sql.window import Window
+
+    from data_engineering_project_utn_spark.llm import similarity as sim
+    from data_engineering_project_utn_spark.llm.similarity import cosine
+
+    e = track_persist(parallelize_compute(load_table(spark, sf_dir, "embeddings")))
+    k = sim.derive_ivf_k(e.count())
+    cdf = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    cells = track_persist(
+        sim.ivf_cells_2level(e, cdf).select("vec_id", "label", "embedding", "cell")
+    )
+    q = F.broadcast(
+        cells.filter(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("qid"),
+            F.col("cell").alias("_qcell"),
+            F.col("embedding").alias("qv"),
+            F.col("label").alias("true_label"),
+        )
+    )
+    cd = (
+        q.join(
+            cells,
+            (F.col("cell") == F.col("_qcell")) & (F.col("vec_id") != F.col("qid")),
+        )
+        .select(
+            "qid",
+            "true_label",
+            "vec_id",
+            F.col("label").alias("nl"),
+            cosine(F.col("qv"), F.col("embedding")).alias("cs"),
+        )
+    )
+    np_ = cd.groupBy("qid").agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    wk = Window.partitionBy("qid").orderBy(F.desc("cs"), F.asc("vec_id"))
+    votes = (
+        cd.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= 5)
+        .groupBy("qid", "nl")
+        .agg(F.count(F.lit(1)).cast("long").alias("votes"))
+    )
+    wv = Window.partitionBy("qid").orderBy(F.desc("votes"), F.asc("nl"))
+    pred = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("qid", F.col("nl").alias("_pred"), F.col("votes").alias("_votes"))
+    )
+    return (
+        q.select("qid", "true_label")
+        .join(pred, "qid", "left")
+        .join(np_, "qid", "left")
+        .select(
+            F.col("qid").cast("long").alias("query_id"),
+            F.col("true_label").cast("long").alias("true_label"),
+            F.coalesce(F.col("_pred"), F.lit(-1)).cast("long").alias("pred_label"),
+            F.coalesce(F.col("_votes"), F.lit(0)).cast("long").alias("votes"),
+            F.coalesce(F.col("n_candidates"), F.lit(0)).cast("long").alias(
+                "n_candidates"
+            ),
+            (
+                F.coalesce(F.col("_pred"), F.lit(-1)) == F.col("true_label")
+            ).alias("correct"),
+        )
+    )

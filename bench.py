@@ -217,6 +217,7 @@ EXTENDED_QUERIES = [
     "llm_sorted_neighborhood_multipass",
     "llm_probe_calibration",
     "llm_knn_label_eval_ann",
+    "llm_uncertainty_sample",
 ]
 
 

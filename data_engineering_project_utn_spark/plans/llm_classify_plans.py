@@ -621,3 +621,53 @@ def llm_knn_label_eval_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("correct"),
         )
     )
+
+
+def _uncertainty_oracle() -> str:
+    """Perceptron chain + lowest-|score| selection (most uncertain rows)."""
+    ctes = (",\n    ").join(_perceptron_ctes())
+    sc = _idot("x.x", "w.w")
+    return f"""
+    WITH {ctes},
+    scr AS (SELECT x.vec_id, x.y, {sc} AS score FROM xq x, w3 w)
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(score AS BIGINT) AS score,
+           CAST(abs(score) AS BIGINT) AS margin_abs,
+           y = 1 AS is_pos
+    FROM scr
+    ORDER BY abs(score), vec_id LIMIT 16
+    """
+
+
+@register(
+    "llm_uncertainty_sample",
+    oracle=_uncertainty_oracle(),
+    tags=("llm", "classify", "curation", "report"),
+)
+def llm_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-learning pool selection (uncertainty sampling, Lewis & Gale
+    '94): the 16 rows the trained probe is LEAST sure about — smallest
+    \\|score\\|, ties by id — are exactly the rows a labeling budget buys
+    the most from; the curation loop behind every iteratively-trained
+    quality filter.  Integer scores, total order, TakeOrdered(16) — no
+    global sort materializes.
+    """
+    e = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
+    feat = track_persist(cl.quantized_features(e, pos_label=2))
+    _, w = cl.perceptron_train(feat, steps=3)
+    warr = F.array(*[F.lit(int(v)).cast("long") for v in w])
+    s = F.aggregate(
+        F.zip_with(F.col("x"), warr, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, e_: acc + e_,
+    )
+    return (
+        feat.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            s.alias("score"),
+            F.abs(s).alias("margin_abs"),
+            (F.col("y") == 1).alias("is_pos"),
+        )
+        .orderBy("margin_abs", "vec_id")
+        .limit(16)
+    )

@@ -218,6 +218,7 @@ EXTENDED_QUERIES = [
     "llm_probe_calibration",
     "llm_knn_label_eval_ann",
     "llm_uncertainty_sample",
+    "llm_averaged_perceptron_eval",
 ]
 
 

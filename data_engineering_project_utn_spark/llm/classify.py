@@ -70,7 +70,9 @@ def _margin(w_col: str = "w") -> F.Column:
 
 
 def perceptron_train(
-    feat: DataFrame, steps: int = 3
+    feat: DataFrame,
+    steps: int = 3,
+    collect_steps: "list[list[int]] | None" = None,
 ) -> "tuple[list[tuple[int, int, int]], list[int]]":
     """Batch (Rosenblatt) perceptron: w₀ = 0; per step, every currently
     misclassified row (margin ≤ 0) contributes y·x to the update, in one
@@ -102,6 +104,8 @@ def perceptron_train(
         for r in upd:
             w[int(r["dim"])] += int(r["u"])
         history.append((t, mis, sum(abs(v) for v in w)))
+        if collect_steps is not None:
+            collect_steps.append(list(w))
     return history, w
 
 

@@ -671,3 +671,61 @@ def llm_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("margin_abs", "vec_id")
         .limit(16)
     )
+
+
+def _averaged_oracle(steps: int = 3) -> str:
+    """Perceptron chain + the AVERAGED weight vector (elementwise sum of
+    the per-step snapshots — integer, no division: scaling a linear
+    scorer by 1/T never changes sign or order, so Σw_t classifies
+    identically to the mean) evaluated beside the final weights."""
+    ctes = (",\n    ").join(_perceptron_ctes(steps))
+    sc_f = _idot("x.x", "w.w")
+    wl = " + ".join(f"w{t}.w[r.i]" for t in range(1, steps + 1))
+    frm = ", ".join(f"w{t}" for t in range(1, steps + 1))
+    l1 = "list_reduce(list_transform(w, v -> abs(v)), (a, b) -> a + b)"
+    return f"""
+    WITH {ctes},
+    wa AS (SELECT list(CAST({wl} AS BIGINT) ORDER BY r.i) AS w
+           FROM range(1, {_D1}) r(i), {frm}),
+    mf AS (SELECT CAST(COUNT(*) FILTER (WHERE x.y * ({sc_f}) <= 0) AS BIGINT)
+               AS mis FROM xq x, w{steps} w),
+    ma AS (SELECT CAST(COUNT(*) FILTER (WHERE x.y * ({sc_f}) <= 0) AS BIGINT)
+               AS mis FROM xq x, wa w)
+    SELECT 'final' AS variant, (SELECT mis FROM mf) AS mis,
+           CAST((SELECT {l1} FROM w{steps}) AS BIGINT) AS w_l1
+    UNION ALL
+    SELECT 'averaged' AS variant, (SELECT mis FROM ma) AS mis,
+           CAST((SELECT {l1} FROM wa) AS BIGINT) AS w_l1
+    ORDER BY variant
+    """
+
+
+@register(
+    "llm_averaged_perceptron_eval",
+    oracle=_averaged_oracle(),
+    tags=("llm", "classify", "report"),
+)
+def llm_averaged_perceptron_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Averaged perceptron (Freund & Schapire '99) beside the plain final
+    weights: the averaged variant sums the per-step weight snapshots —
+    kept INTEGER (Σw_t classifies identically to the mean: a positive
+    scalar never flips a linear score's sign), so the comparison stays
+    on the exact grid.  Averaging damps the last-update thrash that
+    makes the vanilla perceptron order-sensitive in deployment; whether
+    it helps HERE is a gated number (mis per variant), not folklore.
+    """
+    feat = track_persist(
+        cl.quantized_features(
+            parallelize_compute(load_table(spark, sf_dir, "embeddings")), pos_label=2
+        )
+    )
+    snaps: "list[list[int]]" = []
+    _, w_final = cl.perceptron_train(feat, steps=3, collect_steps=snaps)
+    w_avg = [sum(ws[i] for ws in snaps) for i in range(len(w_final))]
+    rows = [
+        ("averaged", cl.perceptron_eval_mis(feat, w_avg), sum(abs(v) for v in w_avg)),
+        ("final", cl.perceptron_eval_mis(feat, w_final), sum(abs(v) for v in w_final)),
+    ]
+    return spark.createDataFrame(rows, "variant string, mis bigint, w_l1 bigint").orderBy(
+        "variant"
+    )

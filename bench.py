@@ -219,6 +219,8 @@ EXTENDED_QUERIES = [
     "llm_knn_label_eval_ann",
     "llm_uncertainty_sample",
     "llm_averaged_perceptron_eval",
+    "llm_dedup_source_overlap",
+    "llm_combined_dedup_clusters",
 ]
 
 

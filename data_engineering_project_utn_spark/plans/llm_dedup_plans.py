@@ -1831,3 +1831,132 @@ def llm_sorted_neighborhood_multipass(spark: SparkSession, sf_dir: str) -> DataF
         F.coalesce(F.col("in_fwd"), F.lit(False)).alias("in_fwd"),
         F.coalesce(F.col("in_rev"), F.lit(False)).alias("in_rev"),
     )
+
+
+_EDIT_SIM = (
+    "1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)"
+    " / CAST(greatest(length(da.text), length(db.text), 1) AS DOUBLE)"
+)
+
+#: Shared oracle tail: the three pair sources (MinHash > 0.5, edit-sim
+#: ≥ 0.97, sorted-neighborhood ≥ 0.5) as canonical (lo, hi) CTEs riding
+#: ONE _MINHASH_CTES chain (tk/sh/cand/j are shared — the snm verify
+#: reuses sh.shset, the editdist verify reuses cand).
+_PAIR_SOURCES_CTES = f"""mhp AS (SELECT doc_a, doc_b FROM j WHERE jaccard > 0.5),
+    edp AS (SELECT c.doc_a, c.doc_b
+            FROM cand c
+            JOIN documents da ON da.doc_id = c.doc_a
+            JOIN documents db ON db.doc_id = c.doc_b
+            WHERE {_EDIT_SIM} >= 0.97),
+    ky AS (SELECT doc_id, array_to_string(list_sort(list_distinct(t)), ' ') AS k
+           FROM tk),
+    rk AS (SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) - 1 AS rn
+           FROM ky),
+    snc AS (SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
+                   GREATEST(a.doc_id, b.doc_id) AS doc_b
+            FROM rk a JOIN rk b ON b.rn - a.rn BETWEEN 1 AND 3),
+    snp AS (SELECT s.doc_a, s.doc_b
+            FROM snc s
+            JOIN sh sa ON sa.doc_id = s.doc_a
+            JOIN sh sb ON sb.doc_id = s.doc_b
+            WHERE CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
+                  / (CAST(len(sa.shset) + len(sb.shset) AS DOUBLE)
+                     - CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE))
+                  >= 0.5),
+    allp AS (SELECT doc_a, doc_b, TRUE AS m, FALSE AS e, FALSE AS s FROM mhp
+             UNION ALL
+             SELECT doc_a, doc_b, FALSE, TRUE, FALSE FROM edp
+             UNION ALL
+             SELECT doc_a, doc_b, FALSE, FALSE, TRUE FROM snp)"""
+
+
+@register(
+    "llm_dedup_source_overlap",
+    oracle="WITH " + _MINHASH_CTES + ",\n    " + _PAIR_SOURCES_CTES + """
+    SELECT doc_a, doc_b,
+           bool_or(m) AS in_minhash,
+           bool_or(e) AS in_editdist,
+           bool_or(s) AS in_snm
+    FROM allp GROUP BY doc_a, doc_b
+    """,
+    tags=("llm", "dedup", "report"),
+)
+def llm_dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-family blocking overlap: every near-dup pair found by ANY of
+    the three blockers — MinHash bands (Jaccard > 0.5), edit-distance
+    verify (sim ≥ 0.97), sorted-neighborhood (Jaccard ≥ 0.5) — with a
+    provenance flag per family, at each family's own deployed threshold.
+    Pins which duplicate classes each blocker alone would miss (band
+    recall gaps, window locality, character-level strictness) — the
+    measurement behind choosing a production blocking ensemble.
+
+    One union + one (lo, hi)-keyed aggregate on top of the three
+    existing linear pipelines; no new shuffle class.
+    """
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    mh = dd.minhash_neardup(d, k=8, bands=4, n=5, threshold=0.5, max_bucket_size=None)
+    ed = dd.editdist_neardup(d, k=8, bands=4, n=5, threshold=0.97)
+    sn = dd.sorted_neighborhood_pairs(d, window=3, n=5, threshold=0.5)
+    t, f = F.lit(True), F.lit(False)
+    u = (
+        mh.select("doc_a", "doc_b", t.alias("m"), f.alias("e"), f.alias("s"))
+        .unionByName(
+            ed.select("doc_a", "doc_b", f.alias("m"), t.alias("e"), f.alias("s"))
+        )
+        .unionByName(
+            sn.select(
+                F.least("doc_a", "doc_b").alias("doc_a"),
+                F.greatest("doc_a", "doc_b").alias("doc_b"),
+                f.alias("m"),
+                f.alias("e"),
+                t.alias("s"),
+            )
+        )
+    )
+    return u.groupBy("doc_a", "doc_b").agg(
+        F.max("m").alias("in_minhash"),
+        F.max("e").alias("in_editdist"),
+        F.max("s").alias("in_snm"),
+    )
+
+
+@register(
+    "llm_combined_dedup_clusters",
+    oracle="WITH RECURSIVE " + _MINHASH_CTES + ",\n    " + _PAIR_SOURCES_CTES + """,
+    up AS (SELECT DISTINCT doc_a, doc_b FROM allp),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM up
+              UNION SELECT doc_b, doc_a FROM up),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS keeper_doc
+    FROM reach GROUP BY src ORDER BY doc_id
+    """,
+    tags=("llm", "dedup", "clusters", "report"),
+)
+def llm_combined_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENSEMBLE dedup decision: connected components over the UNION of
+    all three blocking families' verified pairs — the manifest a
+    production pipeline actually deletes from, since each family alone
+    has a recall hole the others cover (pinned by
+    ``llm_dedup_source_overlap``).  Same label-propagation operator and
+    keeper convention as every cluster gate.
+    """
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    mh = dd.minhash_neardup(d, k=8, bands=4, n=5, threshold=0.5, max_bucket_size=None)
+    ed = dd.editdist_neardup(d, k=8, bands=4, n=5, threshold=0.97)
+    sn = dd.sorted_neighborhood_pairs(d, window=3, n=5, threshold=0.5)
+    pairs = (
+        mh.select("doc_a", "doc_b")
+        .unionByName(ed.select("doc_a", "doc_b"))
+        .unionByName(
+            sn.select(
+                F.least("doc_a", "doc_b").alias("doc_a"),
+                F.greatest("doc_a", "doc_b").alias("doc_b"),
+            )
+        )
+        .distinct()
+    )
+    return dd.dedup_clusters(pairs).orderBy("doc_id")

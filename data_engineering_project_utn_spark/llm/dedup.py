@@ -157,9 +157,16 @@ def minhash_neardup(
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("sb"))
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
     union = (F.size("sa") + F.size("sb")).cast("double") - inter
+    # hint("merge"): the verify sides are CORPUS-scale (shset/text per
+    # doc) but their STATIC size estimate derives from compressed parquet
+    # bytes, so the planner broadcasts a frame whose in-memory
+    # HashedRelation is 10-50x larger -- measured: three such pipelines in
+    # one job OOM an 8g driver at sf4, and at 100 TB any one of them is a
+    # scale-killer.  SMJ keys the exchange on the ids, as the docstrings
+    # always claimed.
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(sa.hint("merge"), "doc_a")
+        .join(sb.hint("merge"), "doc_b")
         .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") > threshold)
     )
@@ -201,8 +208,8 @@ def bottomk_neardup(
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
     union = (F.size("sa") + F.size("sb")).cast("double") - inter
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(sa.hint("merge"), "doc_a")
+        .join(sb.hint("merge"), "doc_b")
         .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") > threshold)
     )
@@ -245,10 +252,13 @@ def _candidates_from_banded(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
     ]
+    # hint("merge"): the banded frame is N*bands rows -- a static-estimate
+    # broadcast of it is the same sf4-measured OOM class as the verify
+    # sides (see minhash_neardup); the bucket join keys the exchange
     all_pairs = (
         banded.alias("a")
         .join(
-            banded.alias("b"),
+            banded.alias("b").hint("merge"),
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -359,9 +369,11 @@ def editdist_neardup(
     sim = F.lit(1.0) - lev.cast("double") / F.greatest(
         F.length("_ta"), F.length("_tb"), F.lit(1)
     ).cast("double")
+    # hint("merge"): see minhash_neardup -- corpus-scale text sides must
+    # not ride a static-estimate broadcast
     return (
-        cand.join(ta, "doc_a")
-        .join(tb, "doc_b")
+        cand.join(ta.hint("merge"), "doc_a")
+        .join(tb.hint("merge"), "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -450,8 +462,10 @@ def sorted_neighborhood_pairs(
     gap = F.col("_rb") - F.col("_ra")
     inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb"))).cast("double")
     union = (F.size("_sa") + F.size("_sb")).cast("double") - inter
+    # hint("merge"): b carries corpus-scale shset arrays (see
+    # minhash_neardup on static-estimate broadcasts)
     return (
-        a.join(b, "_blk")
+        a.join(b.hint("merge"), "_blk")
         .filter((gap >= 1) & (gap <= w))
         .select(
             "doc_a",
@@ -629,9 +643,11 @@ def incremental_neardup(
     )
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
     union = (F.size("sa") + F.size("sb")).cast("double") - inter
+    # hint("merge") on the CORPUS side only: the batch side (sa) is
+    # genuinely small and may broadcast; sb is corpus-scale shsets
     return (
         cand.join(sa, "doc_new")
-        .join(sb, "doc_existing")
+        .join(sb.hint("merge"), "doc_existing")
         .select("doc_new", "doc_existing", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") > threshold)
     )

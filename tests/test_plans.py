@@ -123,6 +123,22 @@ def test_editdist_verify_rides_banded_candidates(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+@pytest.mark.parametrize(
+    "name", ["llm_minhash_neardup", "llm_editdist_neardup", "llm_bottomk_neardup"]
+)
+def test_dedup_verify_joins_never_broadcast_corpus(spark, sf_dir, name):
+    """The verify sides (per-doc shingle sets / texts) and the banded
+    self-join are CORPUS-scale, but their static size estimate derives
+    from compressed parquet bytes — without the merge hints the planner
+    broadcasts frames whose in-memory relation is 10-50x larger
+    (measured: an 8 GB driver OOM at the sf4 probe when three such
+    pipelines composed in one job).  These plans must carry NO broadcast
+    exchange at all."""
+    plan = _plan(spark, sf_dir, name)
+    assert "BroadcastExchange" not in plan
+    assert "SortMergeJoin" in plan
+
+
 def test_pipeline_manifest_no_single_partition(spark, sf_dir):
     """The end-to-end curation composition must inherit the distributed
     sharding machinery — a global-window row_number would plan an Exchange

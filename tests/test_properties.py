@@ -636,3 +636,109 @@ def test_perceptron_score_is_exact_integer_dot(spark, vecs, w):
     for i, v in enumerate(vecs):
         x = [X_SCALE] + [math.floor(float(pd.Series(v, dtype="float32")[j]) * X_SCALE) for j in range(len(v))]
         assert got[i] == sum(a * b for a, b in zip(w, x))
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab xy", min_size=0, max_size=30), min_size=1, max_size=6
+    ),
+    window=st.integers(min_value=1, max_value=3),
+)
+@_settings
+def test_collocation_pmi_matches_python_twin_on_arbitrary_text(spark, texts, window):
+    """Windowed pair counts and the 4-term fixed-point PMI equal the pure
+    recurrence for ANY whitespace-dirty corpus and window (min_support 1
+    so every emitted pair is checked; empty corpora emit no rows)."""
+    from collections import Counter
+
+    from data_engineering_project_utn_spark.llm.text import collocation_pmi
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = collocation_pmi(
+        docs, window=window, min_support=1, topk=10**6
+    ).collect()
+
+    def plog2(x: int, k: int = 1 << 16) -> int:
+        e = x.bit_length() - 1
+        return e * k + (x * k) // (1 << e) - k
+
+    cab, ca, cb = Counter(), Counter(), Counter()
+    for t in texts:
+        toks = [w for w in t.lower().split() if w]
+        for g in range(1, window + 1):
+            for i in range(len(toks) - g):
+                cab[(toks[i], toks[i + g])] += 1
+                ca[toks[i]] += 1
+                cb[toks[i + g]] += 1
+    p = sum(cab.values())
+    exp = {
+        (a, b): (s, plog2(s) + plog2(p) - plog2(ca[a]) - plog2(cb[b]))
+        for (a, b), s in cab.items()
+    }
+    got = {(r["tok_a"], r["tok_b"]): (r["support"], r["pmi_fp"]) for r in out}
+    assert got == exp
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=20), min_size=2, max_size=6
+    )
+)
+@_settings
+def test_multipass_snm_superset_of_each_pass(spark, texts):
+    """Multipass merge/purge law: the merged pair set is exactly the union
+    of the forward and reverse passes (canonicalized), each provenance
+    flag is truthful, and jaccard agrees across passes for shared pairs."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_utn_spark.llm.dedup import sorted_neighborhood_pairs
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    def canon(df):
+        return {
+            (min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"])): r["jaccard"]
+            for r in df.collect()
+        }
+
+    fwd = canon(sorted_neighborhood_pairs(docs, window=2, n=5, threshold=0.0))
+    rev = canon(
+        sorted_neighborhood_pairs(docs, window=2, n=5, threshold=0.0, reverse_key=True)
+    )
+    p1 = sorted_neighborhood_pairs(docs, window=2, n=5, threshold=0.0).select(
+        F.least("doc_a", "doc_b").alias("doc_a"),
+        F.greatest("doc_a", "doc_b").alias("doc_b"),
+        "jaccard",
+        F.lit(True).alias("in_fwd"),
+    )
+    p2 = sorted_neighborhood_pairs(
+        docs, window=2, n=5, threshold=0.0, reverse_key=True
+    ).select(
+        F.least("doc_a", "doc_b").alias("doc_a"),
+        F.greatest("doc_a", "doc_b").alias("doc_b"),
+        "jaccard",
+        F.lit(True).alias("in_rev"),
+    )
+    j = (
+        p1.withColumnRenamed("jaccard", "_j1")
+        .join(p2.withColumnRenamed("jaccard", "_j2"), ["doc_a", "doc_b"], "full")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce("_j1", "_j2").alias("jaccard"),
+            F.coalesce("in_fwd", F.lit(False)).alias("in_fwd"),
+            F.coalesce("in_rev", F.lit(False)).alias("in_rev"),
+        )
+    )
+    rows = j.collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} == set(fwd) | set(rev)
+    for r in rows:
+        key = (r["doc_a"], r["doc_b"])
+        assert r["in_fwd"] == (key in fwd)
+        assert r["in_rev"] == (key in rev)
+        if key in fwd and key in rev:
+            assert fwd[key] == rev[key] == r["jaccard"]

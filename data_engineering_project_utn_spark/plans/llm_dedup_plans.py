@@ -1695,11 +1695,15 @@ def llm_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: x,
         )
     ).cast("long")
+    # hint("merge"): sa/sb carry the corpus-scale shset and ga/gb the
+    # per-doc signatures — the same static-parquet-byte underestimate that
+    # OOM'd the 8 GB driver at sf4 for the other verify joins applies here
+    # (llm/dedup.py:160); pin every corpus-scale side to sort-merge.
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .join(ga, "doc_a")
-        .join(gb, "doc_b")
+        cand.join(sa.hint("merge"), "doc_a")
+        .join(sb.hint("merge"), "doc_b")
+        .join(ga.hint("merge"), "doc_a")
+        .join(gb.hint("merge"), "doc_b")
         .select(
             "doc_a",
             "doc_b",

@@ -1117,11 +1117,13 @@ def make_curation_batch_fn(
        layout a deployment stores at rest — catching paraphrases the
        MinHash arm structurally cannot see),
     3. quality-gated (``llm.text.quality_score`` ≥ ``min_quality``),
-    4. if ``model_w`` is given and the batch carries embeddings:
-       MODEL-gated by the trained linear probe
+    4. if ``model_w`` is given: MODEL-gated by the trained linear probe
        (``llm.classify.perceptron_score`` > 0 — the CCNet-style learned
        filter deployed in the ingest path; the weights are plan
-       literals, so the arm is one JVM fold per row, no join), and
+       literals, so the arm is one JVM fold per row, no join).  With
+       ``model_w`` set, a batch MISSING ``embedding_col`` raises — a
+       configured curation gate must never silently accept everything
+       because a column was misnamed — and
     5. the surviving docs handed to ``accept_sink(accepted_df, batch_id)``
        with their quality scores attached.
 
@@ -1183,7 +1185,17 @@ def make_curation_batch_fn(
             .filter(F.col("quality") >= min_quality)
             .join(flagged, "doc_id", "left_anti")
         )
-        if model_w is not None and embedding_col in batch_df.columns:
+        if model_w is not None:
+            # a curation deployment that configured the learned gate but
+            # feeds batches without the embedding column would otherwise
+            # silently accept everything — fail loudly instead
+            if embedding_col not in batch_df.columns:
+                raise ValueError(
+                    f"make_curation_batch_fn: model_w is set but batch "
+                    f"column {embedding_col!r} is missing "
+                    f"(got {batch_df.columns}); the learned filter arm "
+                    f"cannot run"
+                )
             from data_engineering_project_utn_spark.llm.classify import (
                 perceptron_score,
             )

@@ -124,7 +124,13 @@ def test_editdist_verify_rides_banded_candidates(spark, sf_dir):
 
 
 @pytest.mark.parametrize(
-    "name", ["llm_minhash_neardup", "llm_editdist_neardup", "llm_bottomk_neardup"]
+    "name",
+    [
+        "llm_minhash_neardup",
+        "llm_editdist_neardup",
+        "llm_bottomk_neardup",
+        "llm_minhash_estimate_error",
+    ],
 )
 def test_dedup_verify_joins_never_broadcast_corpus(spark, sf_dir, name):
     """The verify sides (per-doc shingle sets / texts) and the banded

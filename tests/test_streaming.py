@@ -1143,6 +1143,28 @@ class TestCurationStream:
         fn(batch, 0)  # replay after a simulated failure
         assert seen[0] == seen[1] and seen[0]
 
+    def test_curation_model_gate_requires_embedding_column(self, spark):
+        """A configured learned filter (model_w set) must FAIL LOUDLY when
+        the batch lacks the embedding column (e.g. misnamed) — silently
+        disabling the gate would accept everything with no signal."""
+        import pandas as pd
+
+        corpus = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "text": ["corpus body of words here"]})
+        )
+        batch = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [10], "text": ["fresh doc one"]})
+        )
+        fn = sp.make_curation_batch_fn(
+            corpus,
+            lambda df, bid: df.collect(),
+            min_quality=0.0,
+            threshold=0.5,
+            model_w=[1, 0, 0, 0],
+        )
+        with pytest.raises(ValueError, match="embedding"):
+            fn(batch, 0)
+
 
 class TestSocketSink:
     """Outbound twin of TestSocketTransport: a streaming query's batches are

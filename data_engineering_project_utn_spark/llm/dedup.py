@@ -85,6 +85,7 @@ def shingle_frame(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 5,
+    with_key: bool = False,
 ) -> DataFrame:
     """Per-doc shingle digests + distinct shingle set, built as *stepwise
     projections over materialized columns*.
@@ -94,20 +95,37 @@ def shingle_frame(
     sf0.1); binding tokens to an attribute first makes each stage evaluate
     once per row.  Columns: doc_id, hd (array<md5>), shset (distinct
     shingle strings).
+
+    ``with_key=True`` additionally emits ``_k`` — the sorted-distinct-token
+    fingerprint the sorted-neighborhood blocker sorts on (its reversed pass
+    derives ``reverse(_k)`` from the same column) — so ONE persisted frame
+    can feed all three blocking families in an ensemble job: tokenization
+    and shingle materialization are the dominant per-doc cost, and running
+    the families against separate persisted copies both triples that work
+    and (measured at the sf4 probe) pushes the combined job's storage past
+    the executor storage fraction, where eviction/recompute makes the
+    composition super-linear even though each family alone is linear.
     """
     toks_df = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
     k = F.size(F.col("toks"))
     idx = F.sequence(F.lit(1), F.greatest(k - F.lit(n - 1), F.lit(1)))
+    key_cols = (
+        [F.concat_ws(" ", F.array_sort(F.array_distinct("toks"))).alias("_k")]
+        if with_key
+        else []
+    )
     sh = toks_df.select(
         "doc_id",
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, n))).alias(
             "sh"
         ),
+        *key_cols,
     )
     return sh.select(
         "doc_id",
         F.transform("sh", F.md5).alias("hd"),
         F.array_distinct("sh").alias("shset"),
+        *(["_k"] if with_key else []),
     )
 
 
@@ -136,6 +154,8 @@ def minhash_neardup(
     n: int = 5,
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
+    shingles: DataFrame | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end near-dup pipeline: shingle → minhash → band → bucket join
     → exact-Jaccard verify.  The per-doc shingle frame is persisted and
@@ -146,13 +166,29 @@ def minhash_neardup(
     what the oracle-gated queries pin.  Pass ``max_bucket_size`` (e.g. 256)
     to opt into chain pairing for duplicate-skewed corpora, bounding pair
     blowup at the cost of the approximation described in
-    ``_candidates_from_banded``."""
-    sh = track_persist(shingle_frame(parallelize_compute(docs), id_col, text_col, n))
-    # persist banded too: the signature expression is interpreted (HOF
-    # lambdas) — without this both self-join sides re-evaluate it
-    # (tracked: persist.release_persisted() frees these in long sessions)
-    banded = track_persist(_banded(sh, k, bands))
-    cand = _candidates_from_banded(banded, max_bucket_size)
+    ``_candidates_from_banded``.
+
+    ``shingles`` / ``candidates``: ensemble jobs that run several blocking
+    families over the SAME corpus pass a shared, caller-persisted
+    ``shingle_frame`` (and optionally the shared banded candidate set —
+    the edit-distance verifier proposes from the identical banding) so the
+    dominant per-doc shingle work is computed and cached ONCE per job
+    instead of once per family (see ``shingle_frame``)."""
+    sh = (
+        shingles
+        if shingles is not None
+        else track_persist(
+            shingle_frame(parallelize_compute(docs), id_col, text_col, n)
+        )
+    )
+    if candidates is not None:
+        cand = candidates
+    else:
+        # persist banded too: the signature expression is interpreted (HOF
+        # lambdas) — without this both self-join sides re-evaluate it
+        # (tracked: persist.release_persisted() frees these in long sessions)
+        banded = track_persist(_banded(sh, k, bands))
+        cand = _candidates_from_banded(banded, max_bucket_size)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sa"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("sb"))
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
@@ -332,6 +368,7 @@ def editdist_neardup(
     bands: int = 4,
     n: int = 5,
     threshold: float = 0.97,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Edit-distance-verified near-dup detection — the Levenshtein member
     of the filter-verify dedup family: MinHash band buckets propose the
@@ -351,32 +388,68 @@ def editdist_neardup(
     plagiarism-grade duplication (Gusfield '97 ch.11; the
     filter-verify shape is AllPairs/PPJoin's).
 
-    Scale: verification is O(L²) per CANDIDATE, not per document pair;
-    candidate volume is bounded by the band buckets, so total verify
-    work is Σ|bucket|²·L² and the only wide exchanges are the band
-    groupBy and the two id-keyed text joins (projection pruned to
-    (id, text) below the join).
+    Scale: verification is O(L·εL) per CANDIDATE, not per document pair
+    and not the naive O(L²): since ``lev ≥ |len_a − len_b|`` and a
+    surviving pair needs ``lev ≤ (1−τ)·max_len``, (a) a cheap
+    length-difference prefilter rejects most candidates before any DP
+    runs, and (b) the survivors run Spark's THRESHOLD-BANDED
+    ``levenshtein(l, r, t)`` (diagonal band of width ~2t, Ukkonen '85),
+    which returns the exact distance when ≤ t and −1 otherwise.  Both
+    bounds carry a slack margin (+1e-3 relative, +1 absolute) over the
+    float threshold so no row the exact float filter would keep can be
+    pre-rejected — the FINAL filter is the same
+    ``1 − lev/max_len ≥ τ`` double expression as the oracle, bit-exact.
+    Candidate volume is bounded by the band buckets; the only wide
+    exchanges are the band groupBy and the two id-keyed text joins
+    (projection pruned to (id, text) below the join).
+
+    ``candidates``: ensemble jobs pass the shared banded candidate set
+    (see ``minhash_neardup``); default builds its own.
     """
     d = parallelize_compute(docs)
-    cand = minhash_candidates(d, id_col, text_col, k, bands, n, max_bucket_size=None)
+    cand = (
+        candidates
+        if candidates is not None
+        else minhash_candidates(d, id_col, text_col, k, bands, n, max_bucket_size=None)
+    )
     ta = d.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("_ta"))
     tb = d.select(F.col(id_col).alias("doc_b"), F.col(text_col).alias("_tb"))
-    lev = F.levenshtein("_ta", "_tb").cast("long")
-    # denominator clamped to 1: two EMPTY texts can band-match (an empty
-    # token list still yields one '' shingle), and under ANSI mode the
-    # 0/0 would THROW, not NULL — clamping defines empty ≡ empty as a
-    # perfect duplicate (lev 0 → sim 1.0), identically in the oracle
-    sim = F.lit(1.0) - lev.cast("double") / F.greatest(
-        F.length("_ta"), F.length("_tb"), F.lit(1)
-    ).cast("double")
     # hint("merge"): see minhash_neardup -- corpus-scale text sides must
     # not ride a static-estimate broadcast
+    joined = cand.join(ta.hint("merge"), "doc_a").join(tb.hint("merge"), "doc_b")
+    return _editdist_verified(joined, ["doc_a", "doc_b"], threshold)
+
+
+def _editdist_verified(
+    joined: DataFrame, out_cols: list, threshold: float
+) -> DataFrame:
+    """Shared edit-distance verify tail over a frame carrying ``_ta``/
+    ``_tb`` text columns: length prefilter (``lev ≥ |len_a − len_b|`` —
+    integer arithmetic rejects pairs whose length gap alone breaks the
+    budget, before any DP runs) → threshold-banded JVM ``levenshtein(l,
+    r, t)`` (O(L·εL) diagonal band, −1 above budget) → the FINAL filter
+    is the exact float ``1 − lev/max_len ≥ τ`` the oracles pin, so the
+    prefilters only ever skip work, never change the answer (the budget
+    carries a +1e-3 relative / +1 absolute slack over the float
+    threshold, ~12 orders of magnitude beyond ulp-level rounding).
+
+    Denominator clamped to 1: two EMPTY texts can band-match (an empty
+    token list still yields one '' shingle), and under ANSI mode the
+    0/0 would THROW, not NULL — clamping defines empty ≡ empty as a
+    perfect duplicate (lev 0 → sim 1.0), identically in the oracle."""
+    max_len = F.greatest(F.length("_ta"), F.length("_tb"), F.lit(1))
+    budget = (
+        (F.lit(1.0 - float(threshold) + 1e-3) * max_len.cast("double")) + F.lit(1.0)
+    ).cast("int")
+    lev = F.col("_lev").cast("long")
+    sim = F.lit(1.0) - lev.cast("double") / max_len.cast("double")
     return (
-        cand.join(ta.hint("merge"), "doc_a")
-        .join(tb.hint("merge"), "doc_b")
+        joined.filter(F.abs(F.length("_ta") - F.length("_tb")) <= budget)
+        .withColumn("_b", budget)
+        .withColumn("_lev", F.expr("levenshtein(_ta, _tb, _b)"))
+        .filter(F.col("_lev") >= 0)
         .select(
-            "doc_a",
-            "doc_b",
+            *out_cols,
             lev.alias("edit_distance"),
             sim.alias("edit_sim"),
         )
@@ -392,6 +465,7 @@ def sorted_neighborhood_pairs(
     n: int = 5,
     threshold: float = 0.5,
     reverse_key: bool = False,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Sorted-neighborhood near-dup blocking (Hernández–Stolfo merge/purge):
     sort the corpus by an order-invariant fingerprint — the sorted distinct
@@ -417,30 +491,45 @@ def sorted_neighborhood_pairs(
     inline nested-lambda shingles re-evaluates the tokenizer per
     shingle index, quadratic per doc: measured 190 s vs ~20 s at the
     sf2 probe), and ride the rank exchange and block join in place of
-    the raw text."""
-    d = parallelize_compute(docs).select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
-    )
+    the raw text.
+
+    ``shingles``: a caller-persisted ``shingle_frame(..., with_key=True)``
+    — both merge/purge passes (and any co-running blocking family) then
+    rank off the SAME cached (doc_id, _k, shset) child, so multipass is
+    two range exchanges over one tokenization instead of two full
+    re-tokenizations (the ``reverse_key`` pass derives ``reverse(_k)``
+    from the shared column)."""
     from data_engineering_project_utn_spark.operators.histogram import (
         with_global_rank,
     )
 
-    toks_df = d.select("doc_id", tokens("text").alias("toks"))
-    k = F.size(F.col("toks"))
-    idx = F.sequence(F.lit(1), F.greatest(k - F.lit(n - 1), F.lit(1)))
-    fp = F.concat_ws(" ", F.array_sort(F.array_distinct("toks")))
-    if reverse_key:
-        # second merge/purge pass: the REVERSED fingerprint clusters by
-        # shared suffix instead of shared prefix — the classic multi-pass
-        # recall lever (two cheap passes beat one wide window)
-        fp = F.reverse(fp)
-    keyed = toks_df.select(
-        "doc_id",
-        fp.alias("_k"),
-        F.array_distinct(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, n)))
-        ).alias("shset"),
-    )
+    if shingles is not None:
+        fp = F.col("_k")
+        if reverse_key:
+            fp = F.reverse(fp)
+        keyed = shingles.select("doc_id", fp.alias("_k"), "shset")
+    else:
+        d = parallelize_compute(docs).select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+        toks_df = d.select("doc_id", tokens("text").alias("toks"))
+        k = F.size(F.col("toks"))
+        idx = F.sequence(F.lit(1), F.greatest(k - F.lit(n - 1), F.lit(1)))
+        fp = F.concat_ws(" ", F.array_sort(F.array_distinct("toks")))
+        if reverse_key:
+            # second merge/purge pass: the REVERSED fingerprint clusters by
+            # shared suffix instead of shared prefix — the classic multi-pass
+            # recall lever (two cheap passes beat one wide window)
+            fp = F.reverse(fp)
+        keyed = toks_df.select(
+            "doc_id",
+            fp.alias("_k"),
+            F.array_distinct(
+                F.transform(
+                    idx, lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, n))
+                )
+            ).alias("shset"),
+        )
     ranked = track_persist(
         with_global_rank(keyed, ["_k", "doc_id"]).select("doc_id", "shset", "_rank0")
     )
@@ -651,6 +740,61 @@ def incremental_neardup(
         .select("doc_new", "doc_existing", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") > threshold)
     )
+
+
+def incremental_editdist_neardup(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    n: int = 5,
+    threshold: float = 0.97,
+) -> DataFrame:
+    """The EDIT-DISTANCE arm of incremental dedup —
+    ``incremental_neardup``'s character-level twin: which INCOMING docs
+    Levenshtein-duplicate (normalized edit sim ≥ ``threshold``) any
+    CORPUS doc.  Asymmetric like the MinHash arm: the incoming batch's
+    bands probe the corpus's at-rest band frame (cost Σ|incoming ∩
+    bucket|·|corpus ∩ bucket|, never corpus²), and the banded DP
+    verifies batch×candidates only (``_editdist_verified`` — length
+    prefilter, threshold-banded JVM DP, oracle-exact float filter).
+
+    Batch-independence holds by the same asymmetry argument as the
+    MinHash arm: each incoming doc's verdict depends only on (doc,
+    corpus), so the union of per-batch results equals the one-shot run
+    over all batches at once (streaming parity tested).  Columns:
+    doc_new, doc_existing, edit_distance, edit_sim.
+    """
+    sh_in = track_persist(
+        shingle_frame(parallelize_compute(incoming), id_col, text_col, n)
+    )
+    sh_co = track_persist(
+        shingle_frame(parallelize_compute(corpus), id_col, text_col, n)
+    )
+    cand = (
+        _banded(sh_in, k, bands)
+        .alias("a")
+        .join(
+            _banded(sh_co, k, bands).alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_new"),
+            F.col("b.doc_id").alias("doc_existing"),
+        )
+        .distinct()
+    )
+    ta = incoming.select(F.col(id_col).alias("doc_new"), F.col(text_col).alias("_ta"))
+    tb = corpus.select(
+        F.col(id_col).alias("doc_existing"), F.col(text_col).alias("_tb")
+    )
+    # hint("merge") on the CORPUS text side only: the batch side is
+    # genuinely small and may broadcast; _tb is corpus-scale
+    joined = cand.join(ta, "doc_new").join(tb.hint("merge"), "doc_existing")
+    return _editdist_verified(joined, ["doc_new", "doc_existing"], threshold)
 
 
 def incremental_semantic_neardup(

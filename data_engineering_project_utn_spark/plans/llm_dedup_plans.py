@@ -25,6 +25,11 @@ from data_engineering_project_utn_spark.plans.llm_shared import (
 from data_engineering_project_utn_spark.plans.registry import must_replace, register
 from data_engineering_project_utn_spark.tables import load_table
 
+_EDIT_SIM = (
+    "1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)"
+    " / CAST(greatest(length(da.text), length(db.text), 1) AS DOUBLE)"
+)
+
 @register(
     "llm_dedup_summary",
     oracle=f"""
@@ -79,6 +84,84 @@ def llm_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_neardup(d, k=8, bands=4, n=5, threshold=0.5, max_bucket_size=None)
 
 
+def _dedup_corpus_bucketed(
+    spark: SparkSession, sf_dir: str, buckets: int = 16
+) -> DataFrame:
+    """The documents corpus AT REST for dedup: (doc_id, hd, shset, _k,
+    text) bucketed AND sorted on doc_id — the 100 TB answer to the
+    SMJ-pinned verify joins' local cost: every id-keyed verify side
+    (minhash Jaccard, edit-distance texts, signature compares) is
+    satisfied from disk with NO exchange on the corpus side; only the
+    (bounded) candidate pair set shuffles.  The shingle materialization
+    — the dominant per-doc cost — is paid ONCE at write time (the
+    nightly compaction job at warehouse scale), not per query; ``_k``
+    (the sorted-token fingerprint) makes the table the shared base for
+    ALL THREE blocking families (``_shared_dedup_sources``' at-rest
+    twin).
+
+    Same build-once convention as the Q9 bucketed facts
+    (``plans/relational.py:_q9_bucketed_join``): tables are tagged by the
+    sf_dir basename plus a filesystem fingerprint of the source parquet,
+    so a regenerated sf_dir rebuilds even at unchanged cardinality."""
+    import hashlib
+    import os
+    import re
+
+    from data_engineering_project_utn_spark.sources.io import (
+        table_exists,
+        write_bucketed_table,
+    )
+
+    def _fs_fingerprint(path: str) -> str:
+        parts = []
+        if os.path.isdir(path):
+            for fn in sorted(os.listdir(path)):
+                st = os.stat(os.path.join(path, fn))
+                parts.append((fn, st.st_size, st.st_mtime_ns))
+        else:
+            st = os.stat(path)
+            parts.append((os.path.basename(path), st.st_size, st.st_mtime_ns))
+        return hashlib.md5(repr(parts).encode()).hexdigest()[:8]
+
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    fp = _fs_fingerprint(f"{sf_dir}/documents.parquet")
+    # v2: schema carries _k — versioned name so a warehouse table written
+    # by an older build is never reused with a missing column
+    name = f"dedup_corpus_bkt2_{tag}_{fp}"
+    if table_exists(spark, name):
+        return spark.table(name)
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    at_rest = dd.shingle_frame(d, "doc_id", "text", 5, with_key=True).join(
+        d.select("doc_id", "text"), "doc_id"
+    )
+    return write_bucketed_table(spark, at_rest, name, buckets, "doc_id")
+
+
+@register(
+    "llm_minhash_neardup_bucketed",
+    oracle="WITH " + _MINHASH_CTES + """
+    SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard > 0.5
+    """,
+    tags=("llm", "dedup", "minhash", "bucketed", "scale-twin"),
+)
+def llm_minhash_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``llm_minhash_neardup`` over the AT-REST bucketed shingle corpus —
+    sharing the anchor's oracle verbatim (bucketing is a physical layout
+    choice and must not move a value).
+
+    Plan at any scale: the two exact-Jaccard verify sides read the
+    doc_id-bucketed table with NO exchange (plan-asserted — only the
+    candidate pair set hash-exchanges on doc_a/doc_b, once each), and the
+    shingle pipeline is a parquet scan instead of a per-query
+    re-tokenization.  This claws back the SMJ pin's per-query cost while
+    keeping the pin's scale guarantee: nothing corpus-sized is ever
+    broadcast OR re-shuffled."""
+    bkt = _dedup_corpus_bucketed(spark, sf_dir)
+    return dd.minhash_neardup(
+        None, threshold=0.5, shingles=bkt.select("doc_id", "hd", "shset")
+    )
+
+
 @register(
     "llm_editdist_neardup",
     oracle="WITH " + _MINHASH_CTES + """
@@ -104,8 +187,10 @@ def llm_editdist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Character-level verification is the plagiarism-grade complement to
     shingle Jaccard: order-blind set overlap saturates on shuffled or
     repeat-heavy text, while the DP edit distance prices every local
-    rewrite.  Verify cost is O(L²) per banded candidate — Σ|bucket|²·L²
-    total, the PPJoin filter-verify shape, never all-pairs.
+    rewrite.  Verify cost is O(L·εL) per banded candidate — a length
+    prefilter rejects most pairs with integer arithmetic, survivors run
+    the THRESHOLD-BANDED JVM DP (see ``llm.dedup.editdist_neardup``);
+    the final filter is the oracle's own float expression, bit-exact.
     """
     d = parallelize_compute(load_table(spark, sf_dir, "documents"))
     return dd.editdist_neardup(d, k=8, bands=4, n=5, threshold=0.97)
@@ -369,6 +454,43 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming = d.filter(F.col("doc_id") % 3 == 0)
     corpus = d.filter(F.col("doc_id") % 3 != 0)
     return dd.incremental_neardup(incoming, corpus, threshold=0.5)
+
+
+@register(
+    "llm_incremental_editdist",
+    oracle="WITH " + must_replace(
+        _MINHASH_CTES,
+        """cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id),""",
+        """cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+              AND a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0),""",
+    ) + f"""
+    SELECT c.doc_a AS doc_new, c.doc_b AS doc_existing,
+           CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance,
+           {_EDIT_SIM} AS edit_sim
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.doc_a
+    JOIN documents db ON db.doc_id = c.doc_b
+    WHERE {_EDIT_SIM} >= 0.97
+    """,
+    tags=("llm", "dedup", "incremental", "editdist"),
+)
+def llm_incremental_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The edit-distance arm of incremental dedup (VERDICT r11 #7): a new
+    batch (every 3rd doc plays the incoming crawl) Levenshtein-verified
+    against the already-ingested corpus — bands propose asymmetrically
+    against the corpus's at-rest band frame, the banded DP verifies
+    batch×candidates only (see ``llm.dedup.incremental_editdist_neardup``).
+    Same oracle split as ``llm_incremental_dedup``, same verify expression
+    as ``llm_editdist_neardup``."""
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    incoming = d.filter(F.col("doc_id") % 3 == 0)
+    corpus = d.filter(F.col("doc_id") % 3 != 0)
+    return dd.incremental_editdist_neardup(incoming, corpus, threshold=0.97)
 
 
 @register(
@@ -1800,13 +1922,20 @@ def llm_sorted_neighborhood_multipass(spark: SparkSession, sf_dir: str) -> DataF
 
     Each pass is the linear rank + block equi-join of the single-pass
     gate (2·window·N pair bound total); the merge is one equi-join on
-    the canonical pair key.
+    the canonical pair key.  Both passes rank off ONE cached keyed
+    frame (``shingle_frame(with_key=True)`` — the reversed pass derives
+    ``reverse(_k)`` from the shared column), so the second pass costs a
+    range exchange + block join, not a second tokenization/shingle
+    materialization.
 
     Oracle note: the brute jac CTE scores all id-ordered pairs — oracle
     clarity over oracle cost; the SPARK side verifies only within
     neighborhoods (the deployed shape).
     """
+    from data_engineering_project_utn_spark.persist import track_persist
+
     d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    sh = track_persist(dd.shingle_frame(d, "doc_id", "text", 5, with_key=True))
 
     def canon(df, flag):
         return df.select(
@@ -1817,11 +1946,12 @@ def llm_sorted_neighborhood_multipass(spark: SparkSession, sf_dir: str) -> DataF
         )
 
     p1 = canon(
-        dd.sorted_neighborhood_pairs(d, window=3, n=5, threshold=0.5), "in_fwd"
+        dd.sorted_neighborhood_pairs(d, window=3, n=5, threshold=0.5, shingles=sh),
+        "in_fwd",
     )
     p2 = canon(
         dd.sorted_neighborhood_pairs(
-            d, window=3, n=5, threshold=0.5, reverse_key=True
+            d, window=3, n=5, threshold=0.5, reverse_key=True, shingles=sh
         ),
         "in_rev",
     )
@@ -1837,10 +1967,30 @@ def llm_sorted_neighborhood_multipass(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
-_EDIT_SIM = (
-    "1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)"
-    " / CAST(greatest(length(da.text), length(db.text), 1) AS DOUBLE)"
-)
+def _shared_dedup_sources(spark: SparkSession, sf_dir: str):
+    """The three blocking families over ONE cached base — the ensemble
+    composition the overlap/combined gates run.
+
+    Separate per-family pipelines each re-tokenize and re-persist the
+    corpus (3 shingle frames + 2 identical banded candidate sets alive in
+    one job); measured at the sf4 probe that pushes storage past the
+    executor storage fraction and the eviction/recompute makes the
+    composed job super-linear (sf2→sf4 2.27×/2×) even though each family
+    alone is ≤1.94×.  Sharing one ``with_key=True`` shingle frame and one
+    banded candidate set across MinHash-verify, edit-distance-verify and
+    sorted-neighborhood restores the sum-of-parts cost: tokenization once,
+    banding once, candidates persisted once.
+    """
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    sh = track_persist(dd.shingle_frame(d, "doc_id", "text", 5, with_key=True))
+    banded = track_persist(dd._banded(sh, 8, 4))
+    cand = track_persist(dd._candidates_from_banded(banded, None))
+    mh = dd.minhash_neardup(d, threshold=0.5, shingles=sh, candidates=cand)
+    ed = dd.editdist_neardup(d, threshold=0.97, candidates=cand)
+    sn = dd.sorted_neighborhood_pairs(d, window=3, n=5, threshold=0.5, shingles=sh)
+    return mh, ed, sn
 
 #: Shared oracle tail: the three pair sources (MinHash > 0.5, edit-sim
 #: ≥ 0.97, sorted-neighborhood ≥ 0.5) as canonical (lo, hi) CTEs riding
@@ -1895,12 +2045,10 @@ def llm_dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     measurement behind choosing a production blocking ensemble.
 
     One union + one (lo, hi)-keyed aggregate on top of the three
-    existing linear pipelines; no new shuffle class.
+    pipelines sharing one cached base (``_shared_dedup_sources``); no
+    new shuffle class.
     """
-    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
-    mh = dd.minhash_neardup(d, k=8, bands=4, n=5, threshold=0.5, max_bucket_size=None)
-    ed = dd.editdist_neardup(d, k=8, bands=4, n=5, threshold=0.97)
-    sn = dd.sorted_neighborhood_pairs(d, window=3, n=5, threshold=0.5)
+    mh, ed, sn = _shared_dedup_sources(spark, sf_dir)
     t, f = F.lit(True), F.lit(False)
     u = (
         mh.select("doc_a", "doc_b", t.alias("m"), f.alias("e"), f.alias("s"))
@@ -1946,12 +2094,20 @@ def llm_combined_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     production pipeline actually deletes from, since each family alone
     has a recall hole the others cover (pinned by
     ``llm_dedup_source_overlap``).  Same label-propagation operator and
-    keeper convention as every cluster gate.
+    keeper convention as every cluster gate; the three pair sources ride
+    one cached base (``_shared_dedup_sources`` — CC itself measured FLAT
+    at 2 rounds / ~5 s at both sf2 and sf4, the scaling cost was the
+    per-family re-materialization).
     """
-    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
-    mh = dd.minhash_neardup(d, k=8, bands=4, n=5, threshold=0.5, max_bucket_size=None)
-    ed = dd.editdist_neardup(d, k=8, bands=4, n=5, threshold=0.97)
-    sn = dd.sorted_neighborhood_pairs(d, window=3, n=5, threshold=0.5)
+    mh, ed, sn = _shared_dedup_sources(spark, sf_dir)
+    return _combined_clusters_from(mh, ed, sn)
+
+
+def _combined_clusters_from(
+    mh: DataFrame, ed: DataFrame, sn: DataFrame
+) -> DataFrame:
+    """Union the three families' pairs (snm canonicalized to (lo, hi)) and
+    run the standard keeper machinery."""
     pairs = (
         mh.select("doc_a", "doc_b")
         .unionByName(ed.select("doc_a", "doc_b"))
@@ -1964,3 +2120,52 @@ def llm_combined_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return dd.dedup_clusters(pairs).orderBy("doc_id")
+
+
+@register(
+    "llm_combined_dedup_clusters_at_rest",
+    oracle="WITH RECURSIVE " + _MINHASH_CTES + ",\n    " + _PAIR_SOURCES_CTES + """,
+    up AS (SELECT DISTINCT doc_a, doc_b FROM allp),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM up
+              UNION SELECT doc_b, doc_a FROM up),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS keeper_doc
+    FROM reach GROUP BY src ORDER BY doc_id
+    """,
+    tags=("llm", "dedup", "clusters", "bucketed", "scale-twin"),
+)
+def llm_combined_dedup_clusters_at_rest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ensemble dedup decision over the AT-REST bucketed shingle
+    corpus — the production nightly shape: ALL THREE blocking families
+    (MinHash verify, edit-distance verify, sorted-neighborhood) read the
+    ONE doc_id-bucketed (doc_id, hd, shset, _k, text) table
+    (``_dedup_corpus_bucketed``), so query-time work is zero
+    tokenization, zero corpus-side verify exchanges (bucketing satisfies
+    every id-keyed join from disk), and the only shuffles are the band
+    groupBy, the bounded candidate set, and the snm range exchange.
+    Same oracle as ``llm_combined_dedup_clusters`` verbatim — layout
+    must not move a value."""
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    bkt = _dedup_corpus_bucketed(spark, sf_dir)
+    sh = bkt.select("doc_id", "hd", "shset", "_k")
+    banded = track_persist(dd._banded(sh, 8, 4))
+    cand = track_persist(dd._candidates_from_banded(banded, None))
+    mh = dd.minhash_neardup(None, threshold=0.5, shingles=sh, candidates=cand)
+    ta = bkt.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
+    tb = bkt.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb"))
+    ed = dd._editdist_verified(
+        cand.join(ta.hint("merge"), "doc_a").join(tb.hint("merge"), "doc_b"),
+        ["doc_a", "doc_b"],
+        0.97,
+    )
+    sn = dd.sorted_neighborhood_pairs(
+        None, window=3, n=5, threshold=0.5, shingles=sh
+    )
+    return _combined_clusters_from(mh, ed, sn)

@@ -903,6 +903,42 @@ def incremental_dedup_batch_fn(
     return process
 
 
+def incremental_editdist_batch_fn(
+    corpus: DataFrame,
+    sink,
+    threshold: float = 0.97,
+    **neardup_kwargs,
+):
+    """foreachBatch function for streaming EDIT-DISTANCE incremental dedup
+    — ``incremental_dedup_batch_fn``'s character-level twin: each incoming
+    micro-batch is Levenshtein-verified against the static corpus
+    (``llm.dedup.incremental_editdist_neardup`` — the batch's bands probe
+    the corpus band frame, the threshold-banded DP verifies
+    batch×candidates only) and the flagged pairs handed to
+    ``sink(pairs_df, batch_id)``.
+
+    Batch-independence by the same asymmetry argument: incoming docs are
+    never compared to each other, so the union of per-batch results
+    equals the one-shot check over all batches at once (tested).  The
+    batch twin is the oracle-gated ``llm_incremental_editdist`` query.
+    """
+    from data_engineering_project_utn_spark.llm.dedup import (
+        incremental_editdist_neardup,
+    )
+    from data_engineering_project_utn_spark.persist import release_persisted
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        pairs = incremental_editdist_neardup(
+            batch_df, corpus, threshold=threshold, **neardup_kwargs
+        )
+        try:
+            sink(pairs, batch_id)
+        finally:
+            release_persisted()
+
+    return process
+
+
 # ---------------------------------------------------------------------------
 # Incremental historical pipeline (T4/T5) — foreachBatch over batch operators
 # ---------------------------------------------------------------------------

@@ -218,3 +218,31 @@ def test_q9_bucketed_fact_join_has_no_shuffle(spark, sf_dir):
     full = all_queries()["rl_product_type_profit_bucketed"].build(spark, sf_dir)
     fp = full._jdf.queryExecution().executedPlan().toString()
     assert fp.count("Exchange hashpartitioning") == 1, fp
+
+
+def test_dedup_verify_joins_bucketed_corpus_no_corpus_exchange(spark, sf_dir):
+    """VERDICT r11 #4: the at-rest answer to the SMJ-pinned dedup verify
+    joins — with the shingle corpus bucketed+sorted on doc_id, BOTH
+    exact-Jaccard verify sides are satisfied from disk: the plan keeps
+    exactly the candidate-side exchanges (the (doc_a, doc_b) distinct +
+    one join exchange per verify key) and loses the two corpus-side
+    re-clusterings the unbucketed anchor pays; nothing corpus-scale is
+    broadcast."""
+    from data_engineering_project_utn_spark.plans import all_queries
+
+    qs = all_queries()
+    bkt = qs["llm_minhash_neardup_bucketed"].build(spark, sf_dir)
+    plan = bkt._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Bucketed: true") >= 2, plan
+    assert "BroadcastExchange" not in plan, plan
+    assert "SortMergeJoin" in plan
+    # corpus side never re-clusters: its bucketing IS the join clustering
+    assert plan.count("Exchange hashpartitioning(doc_id") == 0, plan
+
+    anchor = qs["llm_minhash_neardup"].build(spark, sf_dir)
+    ap = anchor._jdf.queryExecution().executedPlan().toString()
+    # one fewer exchange per verify key than the unbucketed anchor
+    for key in ("doc_a", "doc_b"):
+        got = plan.count(f"Exchange hashpartitioning({key}")
+        ref = ap.count(f"Exchange hashpartitioning({key}")
+        assert got == ref - 1, (key, got, ref, plan)

@@ -523,6 +523,52 @@ class TestDedupProps:
             a, b = r["doc_id"], r["doc_id"] + 100000
             assert labels[b] <= a  # dup resolves to (at most) the original
 
+    def test_editdist_banded_verify_equals_full_dp(self, spark, documents):
+        """The length prefilter + threshold-banded DP must be pure
+        WORK-SKIPPING: identical output to the unbanded full-DP verify at
+        thresholds the candidate set straddles, including near-miss pairs
+        built to sit at the prune boundaries (verbatim dup, one-char edit,
+        truncation = pure length-gap rejection)."""
+        d = documents.limit(60)
+        twists = d.select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.when(F.col("doc_id") % 3 == 0, F.col("text"))  # verbatim
+            .when(
+                F.col("doc_id") % 3 == 1,
+                F.concat(F.substring("text", 1, 2_000_000), F.lit("!")),
+            )  # one-char append
+            .otherwise(F.substring("text", 1, 40))  # hard truncation
+            .alias("text"),
+        )
+        corpus = d.select("doc_id", "text").unionByName(twists)
+        cand = dd.minhash_candidates(corpus, k=8, bands=4)
+        ta = corpus.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
+        tb = corpus.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb"))
+        lev = F.levenshtein("_ta", "_tb").cast("long")
+        sim_e = F.lit(1.0) - lev.cast("double") / F.greatest(
+            F.length("_ta"), F.length("_tb"), F.lit(1)
+        ).cast("double")
+        for thr in (0.5, 0.9, 0.97):
+            slow = (
+                cand.join(ta, "doc_a")
+                .join(tb, "doc_b")
+                .select(
+                    "doc_a",
+                    "doc_b",
+                    lev.alias("edit_distance"),
+                    sim_e.alias("edit_sim"),
+                )
+                .filter(F.col("edit_sim") >= F.lit(thr))
+            )
+            fast = dd._editdist_verified(
+                cand.join(ta, "doc_a").join(tb, "doc_b"), ["doc_a", "doc_b"], thr
+            )
+            key = lambda r: (r["doc_a"], r["doc_b"])
+            got = sorted(fast.collect(), key=key)
+            want = sorted(slow.collect(), key=key)
+            assert [tuple(r) for r in got] == [tuple(r) for r in want], thr
+            assert got, thr  # non-vacuous at every threshold
+
     def test_dedup_clusters_chain_converges_in_log_rounds(self, spark):
         """Pointer doubling: a path component of diameter 32 must converge
         well within O(log d) iterations, with every node labeled by the

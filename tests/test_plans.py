@@ -117,10 +117,20 @@ def test_sorted_neighborhood_linear_plan(spark, sf_dir):
 
 def test_editdist_verify_rides_banded_candidates(spark, sf_dir):
     """Levenshtein verification must stay filter-verify: pairs come from
-    the band-bucket equi-join, never an all-pairs text comparison."""
+    the band-bucket equi-join, never an all-pairs text comparison — and
+    the DP itself must be the THRESHOLD-BANDED form (O(L·εL) diagonal
+    band with the per-row budget column, not the full O(L²) matrix),
+    behind the integer length prefilter."""
     plan = _plan(spark, sf_dir, "llm_editdist_neardup")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+    # the 3-arg banded form (Catalyst collapses the budget column into the
+    # call: levenshtein(_ta#…, _tb#…, Some(cast(…)))), plus the integer
+    # length prefilter
+    import re
+
+    assert re.search(r"levenshtein\(_ta#\d+, _tb#\d+, Some\(", plan), plan
+    assert re.search(r"abs\(\(length\(_ta#\d+\) - length\(_tb#\d+\)\)\)", plan), plan
 
 
 @pytest.mark.parametrize(

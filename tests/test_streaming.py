@@ -579,6 +579,80 @@ class TestIncrementalDedupStream:
         assert len(collected) == len(set(collected))  # no batch double-counts
         assert (10, 1) in one_shot  # the verbatim copy is flagged
 
+    def test_editdist_arm_per_batch_union_equals_one_shot(self, spark, tmp_path):
+        """The edit-distance incremental arm (VERDICT r11 #7) has the same
+        batch-independence law: bands propose asymmetrically against the
+        corpus, the banded DP verifies batch×candidates — streamed results
+        union to the one-shot run."""
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.llm.dedup import (
+            incremental_editdist_neardup,
+        )
+
+        base = "a long enough shared document body with many words " * 3
+        corpus = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2],
+                    "text": [base, "other corpus content entirely unrelated here"],
+                }
+            )
+        )
+        inc = pd.DataFrame(
+            {
+                "doc_id": [10, 11, 12, 13],
+                # 10: verbatim copy (sim 1.0); 12: one-char edit (sim just
+                # under 1.0, above 0.9); 11/13: fresh (band-match unlikely,
+                # verify-fail certain)
+                "text": [base, "fresh unseen one", base[:-1] + "!",
+                         "fresh unseen two"],
+            }
+        )
+        in_dir = str(tmp_path / "ed_docs_in")
+        doc_schema = "doc_id long, text string"
+        spark.createDataFrame(inc.iloc[:2], doc_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        spark.createDataFrame(inc.iloc[2:], doc_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+        collected: list = []
+
+        def sink(pairs_df, batch_id):
+            collected.extend(
+                (r["doc_new"], r["doc_existing"], r["edit_distance"])
+                for r in pairs_df.collect()
+            )
+
+        stream = (
+            spark.readStream.schema(doc_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                sp.incremental_editdist_batch_fn(corpus, sink, threshold=0.9)
+            )
+            .option("checkpointLocation", str(tmp_path / "ed_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        one_shot = {
+            (r["doc_new"], r["doc_existing"], r["edit_distance"])
+            for r in incremental_editdist_neardup(
+                spark.createDataFrame(inc, doc_schema), corpus, threshold=0.9
+            ).collect()
+        }
+        assert set(collected) == one_shot
+        assert len(collected) == len(set(collected))
+        assert (10, 1, 0) in one_shot  # verbatim copy: distance 0
+        assert (12, 1, 1) in one_shot  # one-char rewrite: exact distance 1
+        assert not any(p[0] in (11, 13) for p in one_shot)  # fresh docs pass
+
 
 class TestStatefulEMATws:
     def test_transform_with_state_matches_batch_ema(self, spark, event_dir, tmp_path):

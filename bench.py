@@ -221,6 +221,11 @@ EXTENDED_QUERIES = [
     "llm_averaged_perceptron_eval",
     "llm_dedup_source_overlap",
     "llm_combined_dedup_clusters",
+    # round 12
+    "llm_minhash_neardup_bucketed",
+    "llm_incremental_editdist",
+    "llm_combined_dedup_clusters_at_rest",
+    "llm_dedup_golden_record",
 ]
 
 

@@ -684,6 +684,56 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     return labels
 
 
+def golden_record(
+    labels: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Survivorship — the third step of the merge/purge pipeline
+    (Hernández–Stolfo: block → cluster → MERGE the cluster into one
+    surviving record): per near-dup cluster, pick the canonical member
+    (longest text, ties to the min doc_id — a total order, so the
+    choice is deterministic and oracle-matchable) and summarize the
+    cluster it replaces.
+
+    ``labels`` is ``dedup_clusters`` output (doc_id, keeper_doc); docs
+    provides the texts.  Columns: keeper_doc, n_members, total_chars,
+    canonical_doc, canonical_len — all BIGINT (hash-stable, no float
+    aggregation).
+
+    Scale shape: one id-keyed join (labels are cluster-member-sized,
+    not corpus-sized), one groupBy keeper_doc and one window ranked by
+    keeper_doc — clusters are overwhelmingly pairs/triples, so the
+    window partition is tiny by construction and both exchanges key on
+    keeper_doc (no SinglePartition, no skew term beyond the largest
+    duplicate family)."""
+    from pyspark.sql import Window
+
+    m = labels.join(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.length(text_col).cast("long").alias("_len"),
+        ),
+        "doc_id",
+    )
+    w = Window.partitionBy("keeper_doc").orderBy(F.desc("_len"), F.asc("doc_id"))
+    best = (
+        m.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "keeper_doc",
+            F.col("doc_id").alias("canonical_doc"),
+            F.col("_len").alias("canonical_len"),
+        )
+    )
+    agg = m.groupBy("keeper_doc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("_len").cast("long").alias("total_chars"),
+    )
+    return agg.join(best, "keeper_doc")
+
+
 def incremental_neardup(
     incoming: DataFrame,
     corpus: DataFrame,

@@ -85,19 +85,26 @@ def llm_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_corpus_bucketed(
-    spark: SparkSession, sf_dir: str, buckets: int = 16
+    spark: SparkSession, sf_dir: str, buckets: int = 32
 ) -> DataFrame:
-    """The documents corpus AT REST for dedup: (doc_id, hd, shset, _k,
-    text) bucketed AND sorted on doc_id — the 100 TB answer to the
-    SMJ-pinned verify joins' local cost: every id-keyed verify side
-    (minhash Jaccard, edit-distance texts, signature compares) is
-    satisfied from disk with NO exchange on the corpus side; only the
-    (bounded) candidate pair set shuffles.  The shingle materialization
-    — the dominant per-doc cost — is paid ONCE at write time (the
-    nightly compaction job at warehouse scale), not per query; ``_k``
-    (the sorted-token fingerprint) makes the table the shared base for
-    ALL THREE blocking families (``_shared_dedup_sources``' at-rest
-    twin).
+    """The documents corpus AT REST for dedup: (doc_id, text) bucketed
+    AND sorted on doc_id — the 100 TB answer to the SMJ-pinned verify
+    joins' local cost: every id-keyed verify side (minhash Jaccard,
+    edit-distance texts, signature compares) is satisfied from disk with
+    NO exchange on the corpus side; only the (bounded) candidate pair
+    set shuffles.
+
+    Deliberately TEXT-ONLY: a first cut also materialized the shingle
+    digest/set arrays at rest, and measured SLOWER than the recomputing
+    anchor at sf2 (25.6 vs 14.0 s) — the arrays blow the table up ~20×
+    over the source parquet (290 MB vs 15 MB at sf2), and a byte-bound
+    20× scan loses to an in-scan projection every time.  Shingles are
+    instead derived as a NARROW projection over the bucketed scan
+    (projections preserve the scan's clustering) and persisted once per
+    query — same compute and cache footprint as the anchor, minus the
+    two corpus-side exchanges.  At 100 TB the same arithmetic holds:
+    store bytes once, derive columns in-scan, let bucketing carry the
+    join clustering.
 
     Same build-once convention as the Q9 bucketed facts
     (``plans/relational.py:_q9_bucketed_join``): tables are tagged by the
@@ -125,15 +132,12 @@ def _dedup_corpus_bucketed(
 
     tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
     fp = _fs_fingerprint(f"{sf_dir}/documents.parquet")
-    # v2: schema carries _k — versioned name so a warehouse table written
-    # by an older build is never reused with a missing column
-    name = f"dedup_corpus_bkt2_{tag}_{fp}"
+    # v3: text-only schema (see docstring) — versioned name so a warehouse
+    # table written by an older build is never reused with a stale schema
+    name = f"dedup_corpus_bkt3_{tag}_{fp}"
     if table_exists(spark, name):
         return spark.table(name)
-    d = parallelize_compute(load_table(spark, sf_dir, "documents"))
-    at_rest = dd.shingle_frame(d, "doc_id", "text", 5, with_key=True).join(
-        d.select("doc_id", "text"), "doc_id"
-    )
+    at_rest = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return write_bucketed_table(spark, at_rest, name, buckets, "doc_id")
 
 
@@ -151,15 +155,17 @@ def llm_minhash_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan at any scale: the two exact-Jaccard verify sides read the
     doc_id-bucketed table with NO exchange (plan-asserted — only the
-    candidate pair set hash-exchanges on doc_a/doc_b, once each), and the
-    shingle pipeline is a parquet scan instead of a per-query
-    re-tokenization.  This claws back the SMJ pin's per-query cost while
-    keeping the pin's scale guarantee: nothing corpus-sized is ever
-    broadcast OR re-shuffled."""
+    candidate pair set hash-exchanges on doc_a/doc_b, once each); the
+    shingle columns derive as a narrow projection over the bucketed scan
+    (clustering-preserving) and persist once, exactly like the anchor.
+    This claws back the SMJ pin's per-query cost while keeping the pin's
+    scale guarantee: nothing corpus-sized is ever broadcast OR
+    re-shuffled."""
+    from data_engineering_project_utn_spark.persist import track_persist
+
     bkt = _dedup_corpus_bucketed(spark, sf_dir)
-    return dd.minhash_neardup(
-        None, threshold=0.5, shingles=bkt.select("doc_id", "hd", "shset")
-    )
+    sh = track_persist(dd.shingle_frame(bkt, "doc_id", "text", 5))
+    return dd.minhash_neardup(None, threshold=0.5, shingles=sh)
 
 
 @register(
@@ -2123,6 +2129,61 @@ def _combined_clusters_from(
 
 
 @register(
+    "llm_dedup_golden_record",
+    oracle="WITH RECURSIVE " + _MINHASH_CTES + ",\n    " + _PAIR_SOURCES_CTES + """,
+    up AS (SELECT DISTINCT doc_a, doc_b FROM allp),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM up
+              UNION SELECT doc_b, doc_a FROM up),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    lab AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS keeper_doc
+            FROM reach GROUP BY src),
+    m AS (SELECT l.keeper_doc, l.doc_id, CAST(length(d.text) AS BIGINT) AS len
+          FROM lab l JOIN documents d ON d.doc_id = l.doc_id),
+    best AS (SELECT keeper_doc, doc_id, len,
+                    row_number() OVER (PARTITION BY keeper_doc
+                                       ORDER BY len DESC, doc_id) AS rn
+             FROM m),
+    agg AS (SELECT keeper_doc, CAST(COUNT(*) AS BIGINT) AS n_members,
+                   CAST(SUM(len) AS BIGINT) AS total_chars
+            FROM m GROUP BY keeper_doc)
+    SELECT a.keeper_doc, a.n_members, a.total_chars,
+           b.doc_id AS canonical_doc, b.len AS canonical_len
+    FROM agg a JOIN best b ON b.keeper_doc = a.keeper_doc AND b.rn = 1
+    ORDER BY a.keeper_doc
+    """,
+    tags=("llm", "dedup", "clusters", "report"),
+)
+def llm_dedup_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVIVORSHIP — the merge/purge pipeline's third step (Hernández–
+    Stolfo: block → cluster → merge each cluster into one surviving
+    record): per ensemble near-dup cluster, the canonical member (longest
+    text, ties to min doc_id — a deterministic total order) plus the
+    cluster summary a manifest keeps when the rest is deleted.  Completes
+    the ER story the three blocking families + label propagation start:
+    the output IS the dedup'd corpus directory entry.  All-BIGINT output
+    (member count, char totals) — no float aggregation.
+    """
+    mh, ed, sn = _shared_dedup_sources(spark, sf_dir)
+    labels = dd.dedup_clusters(
+        mh.select("doc_a", "doc_b")
+        .unionByName(ed.select("doc_a", "doc_b"))
+        .unionByName(
+            sn.select(
+                F.least("doc_a", "doc_b").alias("doc_a"),
+                F.greatest("doc_a", "doc_b").alias("doc_b"),
+            )
+        )
+        .distinct()
+    )
+    d = load_table(spark, sf_dir, "documents")
+    return dd.golden_record(labels, d).orderBy("keeper_doc")
+
+
+@register(
     "llm_combined_dedup_clusters_at_rest",
     oracle="WITH RECURSIVE " + _MINHASH_CTES + ",\n    " + _PAIR_SOURCES_CTES + """,
     up AS (SELECT DISTINCT doc_a, doc_b FROM allp),
@@ -2141,20 +2202,20 @@ def _combined_clusters_from(
 def llm_combined_dedup_clusters_at_rest(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """The ensemble dedup decision over the AT-REST bucketed shingle
-    corpus — the production nightly shape: ALL THREE blocking families
-    (MinHash verify, edit-distance verify, sorted-neighborhood) read the
-    ONE doc_id-bucketed (doc_id, hd, shset, _k, text) table
-    (``_dedup_corpus_bucketed``), so query-time work is zero
-    tokenization, zero corpus-side verify exchanges (bucketing satisfies
-    every id-keyed join from disk), and the only shuffles are the band
-    groupBy, the bounded candidate set, and the snm range exchange.
-    Same oracle as ``llm_combined_dedup_clusters`` verbatim — layout
-    must not move a value."""
+    """The ensemble dedup decision over the AT-REST bucketed corpus —
+    the production nightly shape: ALL THREE blocking families (MinHash
+    verify, edit-distance verify, sorted-neighborhood) read the ONE
+    doc_id-bucketed (doc_id, text) table (``_dedup_corpus_bucketed``);
+    shingles/fingerprints derive as ONE persisted clustering-preserving
+    projection, so there are zero corpus-side verify exchanges
+    (bucketing satisfies every id-keyed join from disk) and the only
+    shuffles are the band groupBy, the bounded candidate set, and the
+    snm range exchange.  Same oracle as ``llm_combined_dedup_clusters``
+    verbatim — layout must not move a value."""
     from data_engineering_project_utn_spark.persist import track_persist
 
     bkt = _dedup_corpus_bucketed(spark, sf_dir)
-    sh = bkt.select("doc_id", "hd", "shset", "_k")
+    sh = track_persist(dd.shingle_frame(bkt, "doc_id", "text", 5, with_key=True))
     banded = track_persist(dd._banded(sh, 8, 4))
     cand = track_persist(dd._candidates_from_banded(banded, None))
     mh = dd.minhash_neardup(None, threshold=0.5, shingles=sh, candidates=cand)

@@ -743,6 +743,7 @@ def incremental_neardup(
     bands: int = 4,
     n: int = 5,
     threshold: float = 0.5,
+    corpus_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric near-dup join: which INCOMING docs near-duplicate any
     CORPUS doc — the production shape of dedup, where a new crawl batch is
@@ -755,12 +756,21 @@ def incremental_neardup(
     — cost Σ|incoming ∩ bucket|·|corpus ∩ bucket|, never corpus².  Exact
     Jaccard verification touches only candidates.  Columns: doc_new,
     doc_existing, jaccard.
+
+    ``corpus_shingles``: a caller-persisted ``shingle_frame`` of the
+    corpus — a STREAMING deployment pins it once per stream (see
+    ``make_curation_batch_fn``) so per-micro-batch cost is batch-side
+    work only, not a corpus re-shingle per trigger.
     """
     sh_in = track_persist(
         shingle_frame(parallelize_compute(incoming), id_col, text_col, n)
     )
-    sh_co = track_persist(
-        shingle_frame(parallelize_compute(corpus), id_col, text_col, n)
+    sh_co = (
+        corpus_shingles
+        if corpus_shingles is not None
+        else track_persist(
+            shingle_frame(parallelize_compute(corpus), id_col, text_col, n)
+        )
     )
     cand = (
         _banded(sh_in, k, bands)
@@ -801,6 +811,7 @@ def incremental_editdist_neardup(
     bands: int = 4,
     n: int = 5,
     threshold: float = 0.97,
+    corpus_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """The EDIT-DISTANCE arm of incremental dedup —
     ``incremental_neardup``'s character-level twin: which INCOMING docs
@@ -816,12 +827,20 @@ def incremental_editdist_neardup(
     corpus), so the union of per-batch results equals the one-shot run
     over all batches at once (streaming parity tested).  Columns:
     doc_new, doc_existing, edit_distance, edit_sim.
+
+    ``corpus_shingles``: caller-persisted corpus ``shingle_frame`` —
+    pinned once per stream by the streaming gate (see
+    ``incremental_neardup``).
     """
     sh_in = track_persist(
         shingle_frame(parallelize_compute(incoming), id_col, text_col, n)
     )
-    sh_co = track_persist(
-        shingle_frame(parallelize_compute(corpus), id_col, text_col, n)
+    sh_co = (
+        corpus_shingles
+        if corpus_shingles is not None
+        else track_persist(
+            shingle_frame(parallelize_compute(corpus), id_col, text_col, n)
+        )
     )
     cand = (
         _banded(sh_in, k, bands)

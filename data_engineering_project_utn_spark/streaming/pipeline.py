@@ -879,16 +879,39 @@ def incremental_dedup_batch_fn(
     The asymmetric join is linear in the incoming batch and never compares
     incoming docs to each other, so the union of per-batch results equals
     the one-shot batch check over all batches at once — batching is purely
-    an execution schedule, not a semantic choice (tested).  At scale the
-    corpus band frame is precomputed and stored bucketed by band hash; here
-    it is recomputed per batch from the corpus frame.
+    an execution schedule, not a semantic choice (tested).  The corpus
+    shingle frame is computed ONCE per stream here and pinned (at scale a
+    deployment stores its band frame bucketed by band hash); per-batch
+    cost is batch-side work only.
     """
-    from data_engineering_project_utn_spark.llm.dedup import incremental_neardup
-    from data_engineering_project_utn_spark.persist import release_persisted
+    from data_engineering_project_utn_spark.llm.compute import parallelize_compute
+    from data_engineering_project_utn_spark.llm.dedup import (
+        incremental_neardup,
+        shingle_frame,
+    )
+    from data_engineering_project_utn_spark.persist import (
+        pin_for_correctness,
+        release_persisted,
+    )
+
+    # once per stream, exempt from the per-batch release below (lifetime
+    # boundary, not a correctness pin — see make_curation_batch_fn)
+    corpus_shingles = pin_for_correctness(
+        shingle_frame(
+            parallelize_compute(corpus),
+            neardup_kwargs.get("id_col", "doc_id"),
+            neardup_kwargs.get("text_col", "text"),
+            neardup_kwargs.get("n", 5),
+        )
+    )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         pairs = incremental_neardup(
-            batch_df, corpus, threshold=threshold, **neardup_kwargs
+            batch_df,
+            corpus,
+            threshold=threshold,
+            corpus_shingles=corpus_shingles,
+            **neardup_kwargs,
         )
         try:
             sink(pairs, batch_id)
@@ -921,15 +944,35 @@ def incremental_editdist_batch_fn(
     never compared to each other, so the union of per-batch results
     equals the one-shot check over all batches at once (tested).  The
     batch twin is the oracle-gated ``llm_incremental_editdist`` query.
+    Corpus shingles pin once per stream (see
+    ``incremental_dedup_batch_fn``).
     """
+    from data_engineering_project_utn_spark.llm.compute import parallelize_compute
     from data_engineering_project_utn_spark.llm.dedup import (
         incremental_editdist_neardup,
+        shingle_frame,
     )
-    from data_engineering_project_utn_spark.persist import release_persisted
+    from data_engineering_project_utn_spark.persist import (
+        pin_for_correctness,
+        release_persisted,
+    )
+
+    corpus_shingles = pin_for_correctness(
+        shingle_frame(
+            parallelize_compute(corpus),
+            neardup_kwargs.get("id_col", "doc_id"),
+            neardup_kwargs.get("text_col", "text"),
+            neardup_kwargs.get("n", 5),
+        )
+    )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         pairs = incremental_editdist_neardup(
-            batch_df, corpus, threshold=threshold, **neardup_kwargs
+            batch_df,
+            corpus,
+            threshold=threshold,
+            corpus_shingles=corpus_shingles,
+            **neardup_kwargs,
         )
         try:
             sink(pairs, batch_id)
@@ -1134,6 +1177,7 @@ def make_curation_batch_fn(
     embedding_col: str = "embedding",
     nprobe_super: int = 1,
     model_w: "list[int] | None" = None,
+    editdist_threshold: "float | None" = None,
     **neardup_kwargs: Any,
 ):
     """foreachBatch function for streaming corpus curation — the composed
@@ -1142,7 +1186,12 @@ def make_curation_batch_fn(
 
     1. near-dup-checked against the corpus at rest
        (``llm.dedup.incremental_neardup`` — asymmetric band join, never
-       corpus²),
+       corpus²; the corpus shingle frame pins ONCE per stream, so the
+       per-trigger cost is batch-side work only), plus — when
+       ``editdist_threshold`` is set — the EDIT-DISTANCE arm
+       (``incremental_editdist_neardup`` at its own, stricter threshold,
+       sharing the same pinned corpus shingles: near-verbatim
+       enforcement independent of the Jaccard knob),
     2. if the stream carries embeddings (``corpus_embeddings`` +
        ``centroids`` given and ``embedding_col`` present on the batch):
        SEMANTICALLY near-dup-checked against the corpus's at-rest
@@ -1171,11 +1220,28 @@ def make_curation_batch_fn(
     ``llm_curation_gate`` query.
     """
     from data_engineering_project_utn_spark.llm import text as tx
+    from data_engineering_project_utn_spark.llm.compute import parallelize_compute
     from data_engineering_project_utn_spark.llm.dedup import (
+        incremental_editdist_neardup,
         incremental_neardup,
         incremental_semantic_neardup,
+        shingle_frame,
     )
-    from data_engineering_project_utn_spark.persist import release_persisted
+    from data_engineering_project_utn_spark.persist import (
+        pin_for_correctness,
+        release_persisted,
+    )
+
+    # corpus shingles: once per stream (lifetime boundary, same contract
+    # as corpus_cells below) — shared by the MinHash and edit-distance arms
+    corpus_shingles = pin_for_correctness(
+        shingle_frame(
+            parallelize_compute(corpus),
+            neardup_kwargs.get("id_col", "doc_id"),
+            neardup_kwargs.get("text_col", "text"),
+            neardup_kwargs.get("n", 5),
+        )
+    )
 
     corpus_cells = None
     if corpus_embeddings is not None and centroids is not None:
@@ -1200,9 +1266,24 @@ def make_curation_batch_fn(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         pairs = incremental_neardup(
-            batch_df, corpus, threshold=threshold, **neardup_kwargs
+            batch_df,
+            corpus,
+            threshold=threshold,
+            corpus_shingles=corpus_shingles,
+            **neardup_kwargs,
         )
         flagged = pairs.select(F.col("doc_new").alias("doc_id")).distinct()
+        if editdist_threshold is not None:
+            edp = incremental_editdist_neardup(
+                batch_df,
+                corpus,
+                threshold=editdist_threshold,
+                corpus_shingles=corpus_shingles,
+                **neardup_kwargs,
+            )
+            flagged = flagged.unionByName(
+                edp.select(F.col("doc_new").alias("doc_id"))
+            ).distinct()
         if corpus_cells is not None and embedding_col in batch_df.columns:
             sem = incremental_semantic_neardup(
                 batch_df.select("doc_id", embedding_col),

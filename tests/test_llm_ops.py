@@ -569,6 +569,37 @@ class TestDedupProps:
             assert [tuple(r) for r in got] == [tuple(r) for r in want], thr
             assert got, thr  # non-vacuous at every threshold
 
+    def test_golden_record_survivorship_laws(self, spark, documents):
+        """Survivorship invariants: the canonical member maximizes text
+        length within its cluster (ties → min doc_id), totals add up, and
+        every labeled doc is accounted for in exactly one cluster row."""
+        d = documents.limit(40).select("doc_id", "text")
+        # exact dup (equal length → canonical = min id) and an EXTENDED
+        # dup (longer → canonical = the extension, not the original)
+        dup = d.withColumn("doc_id", F.col("doc_id") + 100000)
+        ext = d.select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat("text", F.lit(" tail tail tail")).alias("text"),
+        )
+        corpus = d.unionByName(dup).unionByName(ext)
+        labels = dd.dedup_clusters(dd.minhash_neardup(corpus, threshold=0.5))
+        gr = dd.golden_record(labels, corpus).collect()
+        lens = {r["doc_id"]: len(r["text"]) for r in corpus.collect()}
+        members: dict = {}
+        for r in labels.collect():
+            members.setdefault(r["keeper_doc"], []).append(r["doc_id"])
+        assert {r["keeper_doc"] for r in gr} == set(members)
+        for r in gr:
+            ms = members[r["keeper_doc"]]
+            assert r["n_members"] == len(ms)
+            assert r["total_chars"] == sum(lens[m] for m in ms)
+            best = min(ms, key=lambda m: (-lens[m], m))
+            assert r["canonical_doc"] == best
+            assert r["canonical_len"] == lens[best]
+        # the extended copies must win their clusters over the originals
+        ext_ids = {r["doc_id"] for r in ext.select("doc_id").collect()}
+        assert any(r["canonical_doc"] in ext_ids for r in gr)
+
     def test_dedup_clusters_chain_converges_in_log_rounds(self, spark):
         """Pointer doubling: a path component of diameter 32 must converge
         well within O(log d) iterations, with every node labeled by the

@@ -1217,6 +1217,39 @@ class TestCurationStream:
         fn(batch, 0)  # replay after a simulated failure
         assert seen[0] == seen[1] and seen[0]
 
+    def test_curation_editdist_arm_catches_near_verbatim(self, spark):
+        """The edit-distance arm enforces near-verbatim rejection
+        independently of the Jaccard knob: with the MinHash threshold set
+        strict (0.99), a one-char-edited copy slips the Jaccard arm but
+        the editdist arm (0.9) flags it; without the arm it is accepted.
+        Both arms share the ONE per-stream pinned corpus shingle frame."""
+        import pandas as pd
+
+        base = "a long enough shared document body with many words " * 3
+        corpus = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "text": [base]})
+        )
+        batch = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [10, 11], "text": [base[:-1] + "!",
+                                                       "fresh unseen one"]})
+        )
+        got: list = []
+
+        def sink(df, bid):
+            got.append({r["doc_id"] for r in df.collect()})
+
+        fn_no_arm = sp.make_curation_batch_fn(
+            corpus, sink, min_quality=0.0, threshold=0.99
+        )
+        fn_no_arm(batch, 0)
+        fn_armed = sp.make_curation_batch_fn(
+            corpus, sink, min_quality=0.0, threshold=0.99,
+            editdist_threshold=0.9,
+        )
+        fn_armed(batch, 0)
+        assert 10 in got[0]  # Jaccard 0.99 alone misses the one-char edit
+        assert got[1] == {11}  # editdist arm rejects it; fresh doc passes
+
     def test_curation_model_gate_requires_embedding_column(self, spark):
         """A configured learned filter (model_w set) must FAIL LOUDLY when
         the batch lacks the embedding column (e.g. misnamed) — silently

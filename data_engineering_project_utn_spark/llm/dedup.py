@@ -710,11 +710,14 @@ def golden_record(
     duplicate family)."""
     from pyspark.sql import Window
 
+    # hint("merge"): the lengths side is CORPUS-row-count (skinny but
+    # 10^10 rows at 100 TB) and labels are dup-rate·N — neither side may
+    # ride a static-estimate broadcast (see minhash_neardup)
     m = labels.join(
         docs.select(
             F.col(id_col).alias("doc_id"),
             F.length(text_col).cast("long").alias("_len"),
-        ),
+        ).hint("merge"),
         "doc_id",
     )
     w = Window.partitionBy("keeper_doc").orderBy(F.desc("_len"), F.asc("doc_id"))
@@ -772,8 +775,14 @@ def incremental_neardup(
             shingle_frame(parallelize_compute(corpus), id_col, text_col, n)
         )
     )
+    # F.broadcast on the INCOMING bands: the asymmetric join's intent is
+    # the (small) batch probing the corpus band frame at rest — without
+    # the explicit build-side pin the planner's static parquet-byte
+    # estimate can pick the CORPUS bands as the build side (the same
+    # 10-50x-underestimate broadcast class the verify joins pin against,
+    # fatal at 100 TB)
     cand = (
-        _banded(sh_in, k, bands)
+        F.broadcast(_banded(sh_in, k, bands))
         .alias("a")
         .join(
             _banded(sh_co, k, bands).alias("b"),
@@ -842,8 +851,9 @@ def incremental_editdist_neardup(
             shingle_frame(parallelize_compute(corpus), id_col, text_col, n)
         )
     )
+    # explicit batch-side build pin — see incremental_neardup
     cand = (
-        _banded(sh_in, k, bands)
+        F.broadcast(_banded(sh_in, k, bands))
         .alias("a")
         .join(
             _banded(sh_co, k, bands).alias("b"),

@@ -155,6 +155,66 @@ def test_dedup_verify_joins_never_broadcast_corpus(spark, sf_dir, name):
     assert "SortMergeJoin" in plan
 
 
+def _broadcast_subtrees(plan: str) -> list:
+    """Subtree text under each BroadcastExchange node in a toString plan
+    (children are the following lines with deeper tree-prefix depth)."""
+    import re
+
+    lines = plan.splitlines()
+
+    def depth(ln: str) -> int:
+        return len(re.match(r"^[\s:+|-]*", ln).group(0))
+
+    out = []
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" in ln:
+            d = depth(ln)
+            sub = []
+            for l2 in lines[i + 1:]:
+                if l2.strip() and depth(l2) <= d:
+                    break
+                sub.append(l2)
+            out.append("\n".join(sub))
+    return out
+
+
+@pytest.mark.parametrize(
+    "name", ["llm_incremental_dedup", "llm_incremental_editdist"]
+)
+def test_incremental_gates_broadcast_only_the_batch_side(spark, sf_dir, name):
+    """The asymmetric incremental join's intent: the (small) BATCH side
+    broadcasts, the corpus band/verify frames NEVER do — without the
+    explicit build-side pin the planner's static parquet-byte estimate
+    can pick the CORPUS bands as the build side (the same OOM class the
+    verify-join merge hints pin against; caught by this test in r12).
+    The corpus split carries the `NOT ((doc_id % 3) = 0)` filter, so no
+    broadcast subtree may contain that filter shape."""
+    import re
+
+    plan = _plan(spark, sf_dir, name)
+    assert "SortMergeJoin" in plan  # corpus verify side stays pinned
+    subs = _broadcast_subtrees(plan)
+    assert subs, plan  # the batch side SHOULD broadcast
+    corpus_filter = re.compile(r"NOT \(\(doc_id#\d+L? % 3\)")
+    for s in subs:
+        assert not corpus_filter.search(s), s
+
+
+@pytest.mark.parametrize(
+    "name", ["llm_dedup_golden_record", "llm_combined_dedup_clusters_at_rest"]
+)
+def test_cluster_gates_broadcast_only_stat_accurate_frames(spark, sf_dir, name):
+    """Cluster-consuming gates may broadcast ONLY frames whose size the
+    planner actually knows (persisted InMemoryRelations / checkpointed
+    RDDs from the label-propagation loop — data-driven decisions that
+    flip to SMJ at real scale), never a static-estimate parquet
+    derivation (the 10-50x underestimate class).  The corpus-scale
+    lengths join in golden_record is merge-pinned for the same reason."""
+    plan = _plan(spark, sf_dir, name)
+    for s in _broadcast_subtrees(plan):
+        assert ("InMemoryTableScan" in s) or ("ExistingRDD" in s), s
+
+
 def test_pipeline_manifest_no_single_partition(spark, sf_dir):
     """The end-to-end curation composition must inherit the distributed
     sharding machinery — a global-window row_number would plan an Exchange

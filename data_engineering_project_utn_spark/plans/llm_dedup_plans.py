@@ -137,8 +137,21 @@ def _dedup_corpus_bucketed(
     name = f"dedup_corpus_bkt3_{tag}_{fp}"
     if table_exists(spark, name):
         return spark.table(name)
+    _drop_stale_fingerprinted(spark, f"dedup_corpus_bkt3_{tag}_", name)
     at_rest = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return write_bucketed_table(spark, at_rest, name, buckets, "doc_id")
+
+
+def _drop_stale_fingerprinted(spark: SparkSession, prefix: str, keep: str) -> None:
+    """Drop warehouse tables from PREVIOUS fingerprints of the same
+    at-rest layout (same ``prefix``, different fp suffix): every sf_dir
+    regeneration CTAS-es a fresh fingerprinted name, and without this
+    sweep the predecessors' files accumulate in the warehouse dir
+    without bound across regens (ADVICE r12)."""
+    for row in spark.sql("SHOW TABLES").collect():
+        t = row["tableName"]
+        if t.startswith(prefix.lower()) and t != keep.lower():
+            spark.sql(f"DROP TABLE IF EXISTS `{t}`")
 
 
 @register(

@@ -1192,10 +1192,12 @@ def make_curation_batch_fn(
        (``incremental_editdist_neardup`` at its own, stricter threshold,
        sharing the same pinned corpus shingles: near-verbatim
        enforcement independent of the Jaccard knob),
-    2. if the stream carries embeddings (``corpus_embeddings`` +
-       ``centroids`` given and ``embedding_col`` present on the batch):
-       SEMANTICALLY near-dup-checked against the corpus's at-rest
-       two-level cell assignment
+    2. if the semantic arm is configured (``corpus_embeddings`` +
+       ``centroids`` given): SEMANTICALLY near-dup-checked against the
+       corpus's at-rest two-level cell assignment — a configured arm
+       whose batch lacks ``embedding_col`` RAISES (same fail-loud
+       contract as the ``model_w`` arm; a misnamed column must not
+       silently disable paraphrase dedup)
        (``llm.dedup.incremental_semantic_neardup`` — the batch descends
        the quantizer and broadcasts into the cell frame; the corpus
        assignment is computed ONCE per stream here and persisted, the
@@ -1284,7 +1286,18 @@ def make_curation_batch_fn(
             flagged = flagged.unionByName(
                 edp.select(F.col("doc_new").alias("doc_id"))
             ).distinct()
-        if corpus_cells is not None and embedding_col in batch_df.columns:
+        if corpus_cells is not None and embedding_col not in batch_df.columns:
+            # same fail-loud contract as the model_w arm below: a
+            # configured semantic arm (corpus_embeddings + centroids
+            # given) must never silently disable paraphrase dedup
+            # because a batch column was misnamed
+            raise ValueError(
+                f"make_curation_batch_fn: the semantic arm is configured "
+                f"(corpus_embeddings + centroids) but batch column "
+                f"{embedding_col!r} is missing (got {batch_df.columns}); "
+                f"paraphrase dedup cannot run"
+            )
+        if corpus_cells is not None:
             sem = incremental_semantic_neardup(
                 batch_df.select("doc_id", embedding_col),
                 None,

@@ -241,8 +241,11 @@ def test_dedup_verify_joins_bucketed_corpus_no_corpus_exchange(spark, sf_dir):
 
     anchor = qs["llm_minhash_neardup"].build(spark, sf_dir)
     ap = anchor._jdf.queryExecution().executedPlan().toString()
-    # one fewer exchange per verify key than the unbucketed anchor
+    # strictly fewer exchanges per verify key than the unbucketed anchor
+    # (<=, not ==: the invariant is "the corpus-side re-clustering is
+    # gone", not the anchor's exact exchange census — exact parity
+    # coupled this test to Spark-version plan shape, ADVICE r12)
     for key in ("doc_a", "doc_b"):
         got = plan.count(f"Exchange hashpartitioning({key}")
         ref = ap.count(f"Exchange hashpartitioning({key}")
-        assert got == ref - 1, (key, got, ref, plan)
+        assert got <= ref - 1, (key, got, ref, plan)

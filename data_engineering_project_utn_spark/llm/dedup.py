@@ -737,6 +737,48 @@ def golden_record(
     return agg.join(best, "keeper_doc")
 
 
+def _incremental_candidates(
+    sh_in: DataFrame,
+    corpus_bands: DataFrame,
+    k: int,
+    bands: int,
+    broadcast_batch: bool,
+) -> DataFrame:
+    """Asymmetric band-bucket probe shared by the incremental dedup arms:
+    incoming bands × corpus bands → DISTINCT (doc_new, doc_existing).
+
+    Build-side discipline (ADVICE r12): ``broadcast_batch=True`` is the
+    STREAMING contract — the caller guarantees the incoming side is a
+    bounded micro-batch, so pinning it as the broadcast build side is
+    safe and keeps the probe shuffle-free on the corpus side.  The
+    default (False) is the BATCH contract, where "incoming" may be
+    corpus-proportional (the registered gates replay 1/3 of the corpus
+    as the batch): force-broadcasting it is the 8 GB-driver OOM class,
+    so neither side may build — the corpus bands are merge-pinned and
+    the probe is a sort-merge on the band keys (exchange-free on the
+    corpus side when the bands come from a bucketed at-rest index, see
+    ``plans/llm_dedup_plans._dedup_band_index_bucketed``)."""
+    a_bands = _banded(sh_in, k, bands)
+    if broadcast_batch:
+        a = F.broadcast(a_bands).alias("a")
+        b = corpus_bands.alias("b")
+    else:
+        a = a_bands.alias("a")
+        b = corpus_bands.alias("b").hint("merge")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.band_idx") == F.col("b.band_idx")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_new"),
+            F.col("b.doc_id").alias("doc_existing"),
+        )
+        .distinct()
+    )
+
+
 def incremental_neardup(
     incoming: DataFrame,
     corpus: DataFrame,
@@ -747,6 +789,8 @@ def incremental_neardup(
     n: int = 5,
     threshold: float = 0.5,
     corpus_shingles: DataFrame | None = None,
+    corpus_bands: DataFrame | None = None,
+    broadcast_batch: bool = False,
 ) -> DataFrame:
     """Asymmetric near-dup join: which INCOMING docs near-duplicate any
     CORPUS doc — the production shape of dedup, where a new crawl batch is
@@ -764,6 +808,15 @@ def incremental_neardup(
     corpus — a STREAMING deployment pins it once per stream (see
     ``make_curation_batch_fn``) so per-micro-batch cost is batch-side
     work only, not a corpus re-shingle per trigger.
+
+    ``corpus_bands``: the corpus band frame AT REST (doc_id, band_idx,
+    band_hash — e.g. a bucketed warehouse table); when given, the probe
+    joins it directly instead of re-banding ``corpus_shingles``.
+
+    ``broadcast_batch``: opt-in for STREAMING callers whose batches are
+    bounded micro-batches; the batch-mode default sort-merges instead
+    (see ``_incremental_candidates`` — force-broadcasting a
+    corpus-proportional "batch" is the driver-OOM class).
     """
     sh_in = track_persist(
         shingle_frame(parallelize_compute(incoming), id_col, text_col, n)
@@ -772,29 +825,16 @@ def incremental_neardup(
         corpus_shingles
         if corpus_shingles is not None
         else track_persist(
-            shingle_frame(parallelize_compute(corpus), id_col, text_col, n)
+            shingle_frame(
+                corpus if corpus_bands is not None else parallelize_compute(corpus),
+                id_col,
+                text_col,
+                n,
+            )
         )
     )
-    # F.broadcast on the INCOMING bands: the asymmetric join's intent is
-    # the (small) batch probing the corpus band frame at rest — without
-    # the explicit build-side pin the planner's static parquet-byte
-    # estimate can pick the CORPUS bands as the build side (the same
-    # 10-50x-underestimate broadcast class the verify joins pin against,
-    # fatal at 100 TB)
-    cand = (
-        F.broadcast(_banded(sh_in, k, bands))
-        .alias("a")
-        .join(
-            _banded(sh_co, k, bands).alias("b"),
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_new"),
-            F.col("b.doc_id").alias("doc_existing"),
-        )
-        .distinct()
-    )
+    b_co = corpus_bands if corpus_bands is not None else _banded(sh_co, k, bands)
+    cand = _incremental_candidates(sh_in, b_co, k, bands, broadcast_batch)
     sa = sh_in.select(F.col("doc_id").alias("doc_new"), F.col("shset").alias("sa"))
     sb = sh_co.select(
         F.col("doc_id").alias("doc_existing"), F.col("shset").alias("sb")
@@ -821,6 +861,8 @@ def incremental_editdist_neardup(
     n: int = 5,
     threshold: float = 0.97,
     corpus_shingles: DataFrame | None = None,
+    corpus_bands: DataFrame | None = None,
+    broadcast_batch: bool = False,
 ) -> DataFrame:
     """The EDIT-DISTANCE arm of incremental dedup —
     ``incremental_neardup``'s character-level twin: which INCOMING docs
@@ -837,41 +879,38 @@ def incremental_editdist_neardup(
     over all batches at once (streaming parity tested).  Columns:
     doc_new, doc_existing, edit_distance, edit_sim.
 
-    ``corpus_shingles``: caller-persisted corpus ``shingle_frame`` —
-    pinned once per stream by the streaming gate (see
-    ``incremental_neardup``).
+    ``corpus_shingles`` / ``corpus_bands`` / ``broadcast_batch``: same
+    contracts as ``incremental_neardup`` — shingles pin once per stream,
+    an at-rest band frame skips corpus banding entirely, and the batch
+    side broadcasts ONLY under the streaming bounded-batch contract.
     """
     sh_in = track_persist(
         shingle_frame(parallelize_compute(incoming), id_col, text_col, n)
     )
-    sh_co = (
-        corpus_shingles
-        if corpus_shingles is not None
-        else track_persist(
-            shingle_frame(parallelize_compute(corpus), id_col, text_col, n)
+    if corpus_bands is not None:
+        # at-rest band index: the corpus never shingles at all here —
+        # edit-distance verification only needs its TEXT
+        b_co = corpus_bands
+    else:
+        sh_co = (
+            corpus_shingles
+            if corpus_shingles is not None
+            else track_persist(
+                shingle_frame(parallelize_compute(corpus), id_col, text_col, n)
+            )
         )
-    )
-    # explicit batch-side build pin — see incremental_neardup
-    cand = (
-        F.broadcast(_banded(sh_in, k, bands))
-        .alias("a")
-        .join(
-            _banded(sh_co, k, bands).alias("b"),
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_new"),
-            F.col("b.doc_id").alias("doc_existing"),
-        )
-        .distinct()
-    )
+        b_co = _banded(sh_co, k, bands)
+    cand = _incremental_candidates(sh_in, b_co, k, bands, broadcast_batch)
     ta = incoming.select(F.col(id_col).alias("doc_new"), F.col(text_col).alias("_ta"))
+    if not broadcast_batch:
+        # batch contract: the "incoming" text side may be
+        # corpus-proportional and is a static parquet estimate — the
+        # same 10-50x-underestimate broadcast class as the bands
+        ta = ta.hint("merge")
     tb = corpus.select(
         F.col(id_col).alias("doc_existing"), F.col(text_col).alias("_tb")
     )
-    # hint("merge") on the CORPUS text side only: the batch side is
-    # genuinely small and may broadcast; _tb is corpus-scale
+    # hint("merge") on the CORPUS text side always: _tb is corpus-scale
     joined = cand.join(ta, "doc_new").join(tb.hint("merge"), "doc_existing")
     return _editdist_verified(joined, ["doc_new", "doc_existing"], threshold)
 

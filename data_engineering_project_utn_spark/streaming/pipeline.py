@@ -911,6 +911,7 @@ def incremental_dedup_batch_fn(
             corpus,
             threshold=threshold,
             corpus_shingles=corpus_shingles,
+            broadcast_batch=True,
             **neardup_kwargs,
         )
         try:
@@ -972,6 +973,7 @@ def incremental_editdist_batch_fn(
             corpus,
             threshold=threshold,
             corpus_shingles=corpus_shingles,
+            broadcast_batch=True,
             **neardup_kwargs,
         )
         try:
@@ -1267,11 +1269,15 @@ def make_curation_batch_fn(
         )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        # broadcast_batch: foreachBatch micro-batches are bounded by the
+        # stream's trigger contract — the safe side of the r12 build-side
+        # discipline (see llm.dedup._incremental_candidates)
         pairs = incremental_neardup(
             batch_df,
             corpus,
             threshold=threshold,
             corpus_shingles=corpus_shingles,
+            broadcast_batch=True,
             **neardup_kwargs,
         )
         flagged = pairs.select(F.col("doc_new").alias("doc_id")).distinct()
@@ -1281,6 +1287,7 @@ def make_curation_batch_fn(
                 corpus,
                 threshold=editdist_threshold,
                 corpus_shingles=corpus_shingles,
+                broadcast_batch=True,
                 **neardup_kwargs,
             )
             flagged = flagged.unionByName(

@@ -6,6 +6,7 @@ nested-loop/cartesian joins on the big-table paths."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from data_engineering_project_utn_spark.plans import all_queries
 
@@ -181,23 +182,58 @@ def _broadcast_subtrees(plan: str) -> list:
 @pytest.mark.parametrize(
     "name", ["llm_incremental_dedup", "llm_incremental_editdist"]
 )
-def test_incremental_gates_broadcast_only_the_batch_side(spark, sf_dir, name):
-    """The asymmetric incremental join's intent: the (small) BATCH side
-    broadcasts, the corpus band/verify frames NEVER do — without the
-    explicit build-side pin the planner's static parquet-byte estimate
-    can pick the CORPUS bands as the build side (the same OOM class the
-    verify-join merge hints pin against; caught by this test in r12).
-    The corpus split carries the `NOT ((doc_id % 3) = 0)` filter, so no
-    broadcast subtree may contain that filter shape."""
+def test_incremental_gates_no_static_estimate_broadcast(spark, sf_dir, name):
+    """The registered incremental gates replay 1/3 of the CORPUS as the
+    "incoming" batch — corpus-proportional, so NEITHER side of the band
+    probe may be a static-estimate broadcast build (ADVICE r12: the old
+    batch-side F.broadcast pin was itself the 8 GB-driver OOM class for
+    these gates; the bounded-batch broadcast is now the streaming
+    callers' explicit opt-in, tested below).  Any broadcast the planner
+    keeps must be stat-accurate (a persisted InMemoryRelation /
+    checkpointed RDD — sizes the planner actually knows, which flip to
+    SMJ at real scale), never a parquet-derived static estimate: no
+    doc_id%3-filtered scan, either polarity, under any
+    BroadcastExchange."""
     import re
 
     plan = _plan(spark, sf_dir, name)
-    assert "SortMergeJoin" in plan  # corpus verify side stays pinned
+    assert "SortMergeJoin" in plan  # band probe + corpus verify sides
+    split_filter = re.compile(r"\(doc_id#\d+L? % 3\)")
+    for s in _broadcast_subtrees(plan):
+        # the subtree ABOVE the first stat-accurate scan: no parquet
+        # FileScan and no %3-split filter may feed the build directly
+        # (an InMemoryTableScan's printout includes its cached LINEAGE,
+        # which legitimately names both — that's below the
+        # materialization boundary, where the planner has real sizes)
+        lines = s.splitlines()
+        cut = next(
+            (i for i, ln in enumerate(lines)
+             if "InMemoryTableScan" in ln or "ExistingRDD" in ln),
+            None,
+        )
+        assert cut is not None, s
+        head = "\n".join(lines[:cut])
+        assert "FileScan" not in head, s
+        assert not split_filter.search(head), s
+
+
+def test_incremental_streaming_contract_broadcasts_the_batch_side(spark, sf_dir):
+    """The streaming opt-in (``broadcast_batch=True``, what the
+    foreachBatch factories pass): a bounded micro-batch IS pinned as the
+    broadcast build side, keeping the per-trigger probe shuffle-free on
+    the corpus side."""
+    from data_engineering_project_utn_spark.llm import dedup as dd
+    from data_engineering_project_utn_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") <= 5)
+    corpus = d.filter(F.col("doc_id") > 5)
+    pairs = dd.incremental_neardup(batch, corpus, broadcast_batch=True)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan, plan
     subs = _broadcast_subtrees(plan)
-    assert subs, plan  # the batch side SHOULD broadcast
-    corpus_filter = re.compile(r"NOT \(\(doc_id#\d+L? % 3\)")
-    for s in subs:
-        assert not corpus_filter.search(s), s
+    assert any("band_idx" in s or "band_hash" in s or "pythonUDF" in s
+               or "InMemoryTableScan" in s for s in subs), plan
 
 
 @pytest.mark.parametrize(

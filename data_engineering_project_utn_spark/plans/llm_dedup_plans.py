@@ -30,6 +30,34 @@ _EDIT_SIM = (
     " / CAST(greatest(length(da.text), length(db.text), 1) AS DOUBLE)"
 )
 
+# The incremental gates' oracle: the anchor's band CTE split into
+# incoming (doc_id % 3 = 0) vs existing sides.  Module constants so the
+# at-rest bucketed twins share the anchor gates' oracles VERBATIM —
+# a disk layout choice must not move a value.
+_INCR_CAND_SPLIT = (
+    """cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id),""",
+    """cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+              AND a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0),""",
+)
+_INCR_DEDUP_ORACLE = "WITH " + must_replace(_MINHASH_CTES, *_INCR_CAND_SPLIT) + """
+    SELECT doc_a AS doc_new, doc_b AS doc_existing, jaccard
+    FROM j WHERE jaccard > 0.5
+    """
+_INCR_EDITDIST_ORACLE = "WITH " + must_replace(_MINHASH_CTES, *_INCR_CAND_SPLIT) + f"""
+    SELECT c.doc_a AS doc_new, c.doc_b AS doc_existing,
+           CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance,
+           {_EDIT_SIM} AS edit_sim
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.doc_a
+    JOIN documents db ON db.doc_id = c.doc_b
+    WHERE {_EDIT_SIM} >= 0.97
+    """
+
 @register(
     "llm_dedup_summary",
     oracle=f"""
@@ -110,8 +138,6 @@ def _dedup_corpus_bucketed(
     (``plans/relational.py:_q9_bucketed_join``): tables are tagged by the
     sf_dir basename plus a filesystem fingerprint of the source parquet,
     so a regenerated sf_dir rebuilds even at unchanged cardinality."""
-    import hashlib
-    import os
     import re
 
     from data_engineering_project_utn_spark.sources.io import (
@@ -119,19 +145,8 @@ def _dedup_corpus_bucketed(
         write_bucketed_table,
     )
 
-    def _fs_fingerprint(path: str) -> str:
-        parts = []
-        if os.path.isdir(path):
-            for fn in sorted(os.listdir(path)):
-                st = os.stat(os.path.join(path, fn))
-                parts.append((fn, st.st_size, st.st_mtime_ns))
-        else:
-            st = os.stat(path)
-            parts.append((os.path.basename(path), st.st_size, st.st_mtime_ns))
-        return hashlib.md5(repr(parts).encode()).hexdigest()[:8]
-
     tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
-    fp = _fs_fingerprint(f"{sf_dir}/documents.parquet")
+    fp = _fs_fingerprint_of(f"{sf_dir}/documents.parquet")
     # v3: text-only schema (see docstring) — versioned name so a warehouse
     # table written by an older build is never reused with a stale schema
     name = f"dedup_corpus_bkt3_{tag}_{fp}"
@@ -140,6 +155,79 @@ def _dedup_corpus_bucketed(
     _drop_stale_fingerprinted(spark, f"dedup_corpus_bkt3_{tag}_", name)
     at_rest = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return write_bucketed_table(spark, at_rest, name, buckets, "doc_id")
+
+
+def _fs_fingerprint_of(path: str) -> str:
+    """Filesystem fingerprint of a source parquet (name/size/mtime_ns of
+    every file) — the build-once tag shared by the at-rest layouts, so a
+    regenerated sf_dir rebuilds even at unchanged cardinality."""
+    import hashlib
+    import os
+
+    parts = []
+    if os.path.isdir(path):
+        for fn in sorted(os.listdir(path)):
+            st = os.stat(os.path.join(path, fn))
+            parts.append((fn, st.st_size, st.st_mtime_ns))
+    else:
+        st = os.stat(path)
+        parts.append((os.path.basename(path), st.st_size, st.st_mtime_ns))
+    return hashlib.md5(repr(parts).encode()).hexdigest()[:8]
+
+
+def _dedup_band_index_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 5,
+    buckets: int = 32,
+) -> DataFrame:
+    """The corpus's LSH BAND INDEX at rest: (doc_id, band_idx, band_hash)
+    for every document, bucketed AND sorted on (band_hash, band_idx) —
+    the structure a 100 TB deployment stores so incremental dedup probes
+    never touch corpus-scale shuffle OR compute (VERDICT r12 #1: the
+    incremental arms re-derived ``_banded(corpus_shingles)`` and streamed
+    the whole corpus band frame through the probe every trigger).
+
+    Two probe modes read it:
+
+    * BATCH (``llm_incremental_dedup_at_rest``): the incoming side's
+      bands sort-merge against the index — bucketing satisfies the join
+      clustering, so the only exchange is the (batch-sized) probe side's.
+    * BOUNDED-BATCH / STREAMING (``llm.dedup.incremental_neardup_indexed``):
+      the batch's distinct band hashes push into the index scan as an IN
+      filter — the sort column's row-group stats skip everything but the
+      matched buckets, so per-trigger scan cost tracks the MATCHES, not
+      the corpus.
+
+    Unlike the rejected shingle-array layout (20× byte blowup, measured
+    slower than recompute — see ``_dedup_corpus_bucketed``), the band
+    frame is ~``bands`` skinny integer rows per doc: orders of magnitude
+    under the text it indexes, the classic LSH index trade.  Sort order
+    puts ``band_hash`` FIRST (pruning + join key prefix); ``band_idx``
+    rides along for the exact residual equality.  Same fingerprinted
+    build-once convention as ``_dedup_corpus_bucketed``."""
+    import re
+
+    from data_engineering_project_utn_spark.sources.io import (
+        table_exists,
+        write_bucketed_table,
+    )
+
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    fp = _fs_fingerprint_of(f"{sf_dir}/documents.parquet")
+    name = f"dedup_band_idx_{tag}_k{k}b{bands}n{n}_{fp}"
+    if table_exists(spark, name):
+        return spark.table(name)
+    _drop_stale_fingerprinted(spark, f"dedup_band_idx_{tag}_k{k}b{bands}n{n}_", name)
+    docs = parallelize_compute(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    bands_df = dd._banded(dd.shingle_frame(docs, "doc_id", "text", n), k, bands)
+    return write_bucketed_table(
+        spark, bands_df, name, buckets, "band_hash", "band_idx"
+    )
 
 
 def _drop_stale_fingerprinted(spark: SparkSession, prefix: str, keep: str) -> None:
@@ -446,20 +534,7 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_incremental_dedup",
     priority=1,
-    oracle="WITH " + must_replace(
-        _MINHASH_CTES,
-        """cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-             FROM bands a JOIN bands b
-               ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-              AND a.doc_id < b.doc_id),""",
-        """cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-             FROM bands a JOIN bands b
-               ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-              AND a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0),""",
-    ) + """
-    SELECT doc_a AS doc_new, doc_b AS doc_existing, jaccard
-    FROM j WHERE jaccard > 0.5
-    """,
+    oracle=_INCR_DEDUP_ORACLE,
     tags=("llm", "dedup", "incremental"),
 )
 def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -477,25 +552,7 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_incremental_editdist",
-    oracle="WITH " + must_replace(
-        _MINHASH_CTES,
-        """cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-             FROM bands a JOIN bands b
-               ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-              AND a.doc_id < b.doc_id),""",
-        """cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-             FROM bands a JOIN bands b
-               ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-              AND a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0),""",
-    ) + f"""
-    SELECT c.doc_a AS doc_new, c.doc_b AS doc_existing,
-           CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance,
-           {_EDIT_SIM} AS edit_sim
-    FROM cand c
-    JOIN documents da ON da.doc_id = c.doc_a
-    JOIN documents db ON db.doc_id = c.doc_b
-    WHERE {_EDIT_SIM} >= 0.97
-    """,
+    oracle=_INCR_EDITDIST_ORACLE,
     tags=("llm", "dedup", "incremental", "editdist"),
 )
 def llm_incremental_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -510,6 +567,66 @@ def llm_incremental_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming = d.filter(F.col("doc_id") % 3 == 0)
     corpus = d.filter(F.col("doc_id") % 3 != 0)
     return dd.incremental_editdist_neardup(incoming, corpus, threshold=0.97)
+
+
+def _incremental_at_rest_inputs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(incoming, corpus, corpus_bands) for the at-rest incremental
+    twins: text sides from the doc_id-bucketed corpus (exchange-free
+    verify joins), the corpus band side from the at-rest band index
+    (exchange-free probe — bucketing IS the band-join clustering; the
+    doc_id split pushes into both bucketed scans as a data filter,
+    which preserves their clustering)."""
+    bkt = _dedup_corpus_bucketed(spark, sf_dir)
+    bidx = _dedup_band_index_bucketed(spark, sf_dir)
+    incoming = bkt.filter(F.col("doc_id") % 3 == 0)
+    corpus = bkt.filter(F.col("doc_id") % 3 != 0)
+    corpus_bands = bidx.filter(F.col("doc_id") % 3 != 0)
+    return incoming, corpus, corpus_bands
+
+
+@register(
+    "llm_incremental_dedup_at_rest",
+    oracle=_INCR_DEDUP_ORACLE,
+    tags=("llm", "dedup", "incremental", "bucketed", "scale-twin"),
+)
+def llm_incremental_dedup_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``llm_incremental_dedup`` probing the corpus's AT-REST band index
+    (VERDICT r12 #1) — sharing the anchor's oracle verbatim (a disk
+    layout must not move a value).
+
+    The anchor's remaining 100 TB scale term was the corpus side of the
+    band probe: every run (and, in the streaming shape, every TRIGGER)
+    re-derived the corpus band frame and re-shuffled it into the join.
+    Here the band frame lives bucketed+sorted on (band_hash, band_idx)
+    (``_dedup_band_index_bucketed``), so the probe sort-merges with NO
+    exchange and NO sort on the corpus side — only the batch's own bands
+    shuffle — and the Jaccard verify reads shingles projected in-scan
+    from the doc_id-bucketed corpus, exchange-free like
+    ``llm_minhash_neardup_bucketed`` (plan-asserted for all of the
+    above in ``test_bucketed_join``)."""
+    incoming, corpus, corpus_bands = _incremental_at_rest_inputs(spark, sf_dir)
+    return dd.incremental_neardup(
+        incoming, corpus, threshold=0.5, corpus_bands=corpus_bands
+    )
+
+
+@register(
+    "llm_incremental_editdist_at_rest",
+    oracle=_INCR_EDITDIST_ORACLE,
+    tags=("llm", "dedup", "incremental", "editdist", "bucketed", "scale-twin"),
+)
+def llm_incremental_editdist_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``llm_incremental_editdist`` probing the at-rest band index —
+    same layout win as ``llm_incremental_dedup_at_rest`` plus one more:
+    the edit-distance arm needs no corpus shingles at all (bands from
+    the index, verification on TEXT), so the corpus-side per-run compute
+    drops to the bucketed text scan the banded DP reads anyway."""
+    incoming, corpus, corpus_bands = _incremental_at_rest_inputs(spark, sf_dir)
+    return dd.incremental_editdist_neardup(
+        incoming, corpus, threshold=0.97, corpus_bands=corpus_bands
+    )
 
 
 @register(

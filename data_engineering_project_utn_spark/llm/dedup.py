@@ -760,22 +760,11 @@ def _incremental_candidates(
     ``plans/llm_dedup_plans._dedup_band_index_bucketed``)."""
     a_bands = _banded(sh_in, k, bands)
     if broadcast_batch:
-        a = F.broadcast(a_bands).alias("a")
-        b = corpus_bands.alias("b")
-    else:
-        a = a_bands.alias("a")
-        b = corpus_bands.alias("b").hint("merge")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.band_idx") == F.col("b.band_idx")),
+        return _incremental_candidates_from_banded(
+            F.broadcast(a_bands), corpus_bands
         )
-        .select(
-            F.col("a.doc_id").alias("doc_new"),
-            F.col("b.doc_id").alias("doc_existing"),
-        )
-        .distinct()
+    return _incremental_candidates_from_banded(
+        a_bands, corpus_bands.hint("merge")
     )
 
 
@@ -913,6 +902,159 @@ def incremental_editdist_neardup(
     # hint("merge") on the CORPUS text side always: _tb is corpus-scale
     joined = cand.join(ta, "doc_new").join(tb.hint("merge"), "doc_existing")
     return _editdist_verified(joined, ["doc_new", "doc_existing"], threshold)
+
+
+def _indexed_candidates(
+    b_in: DataFrame,
+    band_index: DataFrame,
+    max_pushdown_keys: int,
+) -> DataFrame:
+    """Bounded-batch candidate generation against the AT-REST band index:
+    collect the batch's distinct band hashes (≤ |batch|·bands values —
+    driver traffic bounded by the caller's micro-batch contract, never
+    corpus) and push them into the index scan as an IN filter.  The index
+    is sorted on band_hash, so parquet row-group stats skip everything
+    but the matched buckets: per-trigger scan cost tracks the MATCHES,
+    not the corpus (the last per-trigger O(corpus) term, VERDICT r12 #1).
+
+    Falls back to the sort-merge probe (no pushdown, still zero
+    corpus-side exchange — the index is bucketed on the join keys) when
+    the batch carries more than ``max_pushdown_keys`` distinct hashes:
+    an IN list is a plan literal, and a corpus-proportional "batch"
+    must degrade to the batch contract, not OOM the driver."""
+    keys = [r[0] for r in b_in.select("band_hash").distinct().collect()]
+    if len(keys) > max_pushdown_keys:
+        return _incremental_candidates_from_banded(b_in, band_index.hint("merge"))
+    if not keys:
+        spark = b_in.sparkSession
+        return spark.createDataFrame([], "doc_new bigint, doc_existing bigint")
+    pruned = band_index.filter(F.col("band_hash").isin(keys))
+    return _incremental_candidates_from_banded(F.broadcast(b_in), pruned)
+
+
+def _incremental_candidates_from_banded(a_bands, b_bands) -> DataFrame:
+    """The asymmetric band equi-join core shared by the probe modes."""
+    return (
+        a_bands.alias("a")
+        .join(
+            b_bands.alias("b"),
+            (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.band_idx") == F.col("b.band_idx")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_new"),
+            F.col("b.doc_id").alias("doc_existing"),
+        )
+        .distinct()
+    )
+
+
+def incremental_neardup_indexed(
+    incoming: DataFrame,
+    band_index: DataFrame,
+    corpus_at_rest: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    n: int = 5,
+    threshold: float = 0.5,
+    max_pushdown_keys: int = 65536,
+) -> DataFrame:
+    """``incremental_neardup`` for BOUNDED batches against the corpus's
+    at-rest structures — the per-trigger streaming shape where NOTHING
+    corpus-scale is scanned, shuffled, or computed:
+
+    1. batch shingles/bands (batch-sized, persisted),
+    2. candidate pairs via the IN-pushdown index probe
+       (``_indexed_candidates`` — reads only matched row groups),
+    3. the candidates' ``doc_existing`` ids (bounded by the candidate
+       set) push into the doc_id-sorted bucketed corpus the same way,
+    4. exact Jaccard verifies batch × matched-rows only.
+
+    Two driver round-trips per trigger (band keys, candidate ids), each
+    bounded by the batch/candidate size — the price of turning a
+    corpus-wide join into an index lookup, identical to what any LSH
+    service does per query.  Value-identical to ``incremental_neardup``
+    on the same split (parity-tested); NOT registered as an oracle gate
+    with a corpus-proportional batch, because collecting a
+    corpus-proportional key list would break the bounded contract this
+    function exists to exploit.
+    """
+    sh_in = track_persist(
+        shingle_frame(parallelize_compute(incoming), id_col, text_col, n)
+    )
+    b_in = track_persist(_banded(sh_in, k, bands))
+    cand = track_persist(_indexed_candidates(b_in, band_index, max_pushdown_keys))
+    hits = _existing_rows_for(cand, corpus_at_rest, id_col, max_pushdown_keys)
+    sh_hit = shingle_frame(hits, id_col, text_col, n)
+    sa = sh_in.select(F.col("doc_id").alias("doc_new"), F.col("shset").alias("sa"))
+    sb = sh_hit.select(
+        F.col("doc_id").alias("doc_existing"), F.col("shset").alias("sb")
+    )
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
+    union = (F.size("sa") + F.size("sb")).cast("double") - inter
+    return (
+        cand.join(sa, "doc_new")
+        .join(sb, "doc_existing")
+        .select("doc_new", "doc_existing", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") > threshold)
+    )
+
+
+def incremental_editdist_neardup_indexed(
+    incoming: DataFrame,
+    band_index: DataFrame,
+    corpus_at_rest: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    n: int = 5,
+    threshold: float = 0.97,
+    max_pushdown_keys: int = 65536,
+) -> DataFrame:
+    """``incremental_editdist_neardup`` over the at-rest index — the
+    edit-distance twin of ``incremental_neardup_indexed``: same
+    IN-pushdown candidate probe, then the threshold-banded DP verifies
+    batch × matched-rows (whose texts come from the id-pruned bucketed
+    corpus scan, never a full pass)."""
+    sh_in = track_persist(
+        shingle_frame(parallelize_compute(incoming), id_col, text_col, n)
+    )
+    b_in = track_persist(_banded(sh_in, k, bands))
+    cand = track_persist(_indexed_candidates(b_in, band_index, max_pushdown_keys))
+    hits = _existing_rows_for(cand, corpus_at_rest, id_col, max_pushdown_keys)
+    ta = incoming.select(F.col(id_col).alias("doc_new"), F.col(text_col).alias("_ta"))
+    tb = hits.select(F.col(id_col).alias("doc_existing"), F.col(text_col).alias("_tb"))
+    joined = cand.join(ta, "doc_new").join(tb, "doc_existing")
+    return _editdist_verified(joined, ["doc_new", "doc_existing"], threshold)
+
+
+def _existing_rows_for(
+    cand: DataFrame,
+    corpus_at_rest: DataFrame,
+    id_col: str,
+    max_pushdown_keys: int,
+) -> DataFrame:
+    """The corpus rows named by the candidate set, via id-IN pushdown
+    into the doc_id-sorted bucketed corpus scan (row-group pruned).
+    Falls back to a left-semi join against the (persisted, bounded)
+    candidate frame past ``max_pushdown_keys`` — same rows, no plan
+    literal blowup."""
+    ids = [
+        r[0] for r in cand.select("doc_existing").distinct()
+        .limit(max_pushdown_keys + 1).collect()
+    ]
+    if len(ids) > max_pushdown_keys:
+        return corpus_at_rest.join(
+            cand.select(F.col("doc_existing").alias(id_col)).distinct(),
+            id_col,
+            "left_semi",
+        )
+    if not ids:
+        return corpus_at_rest.filter(F.lit(False))
+    return corpus_at_rest.filter(F.col(id_col).isin(ids))
 
 
 def incremental_semantic_neardup(

@@ -869,6 +869,8 @@ def incremental_dedup_batch_fn(
     corpus: DataFrame,
     sink,
     threshold: float = 0.5,
+    band_index: DataFrame | None = None,
+    corpus_at_rest: DataFrame | None = None,
     **neardup_kwargs,
 ):
     """foreachBatch function for streaming incremental dedup: each incoming
@@ -879,14 +881,29 @@ def incremental_dedup_batch_fn(
     The asymmetric join is linear in the incoming batch and never compares
     incoming docs to each other, so the union of per-batch results equals
     the one-shot batch check over all batches at once — batching is purely
-    an execution schedule, not a semantic choice (tested).  The corpus
-    shingle frame is computed ONCE per stream here and pinned (at scale a
-    deployment stores its band frame bucketed by band hash); per-batch
-    cost is batch-side work only.
+    an execution schedule, not a semantic choice (tested).
+
+    Two corpus-side modes:
+
+    * ``band_index`` + ``corpus_at_rest`` given (the 100 TB deployment —
+      the bucketed structures from
+      ``plans.llm_dedup_plans._dedup_band_index_bucketed`` /
+      ``_dedup_corpus_bucketed``): each trigger probes the index with
+      IN-pushdown (``llm.dedup.incremental_neardup_indexed``) — nothing
+      corpus-scale is scanned, shuffled, computed, or pinned; per-trigger
+      cost tracks the batch and its matches only.
+    * otherwise: the corpus shingle frame is computed ONCE per stream and
+      pinned; per-batch cost is batch-side work plus a cached-corpus
+      band scan.  The pin is a LIFETIME boundary — call the returned
+      function's ``release_corpus_pins()`` when the stream stops to free
+      the executor storage (ADVICE r12: a long-lived driver constructing
+      many streams otherwise accumulates pinned corpus frames until
+      ``release_all()``).
     """
     from data_engineering_project_utn_spark.llm.compute import parallelize_compute
     from data_engineering_project_utn_spark.llm.dedup import (
         incremental_neardup,
+        incremental_neardup_indexed,
         shingle_frame,
     )
     from data_engineering_project_utn_spark.persist import (
@@ -894,26 +911,38 @@ def incremental_dedup_batch_fn(
         release_persisted,
     )
 
-    # once per stream, exempt from the per-batch release below (lifetime
-    # boundary, not a correctness pin — see make_curation_batch_fn)
-    corpus_shingles = pin_for_correctness(
-        shingle_frame(
-            parallelize_compute(corpus),
-            neardup_kwargs.get("id_col", "doc_id"),
-            neardup_kwargs.get("text_col", "text"),
-            neardup_kwargs.get("n", 5),
+    indexed = band_index is not None and corpus_at_rest is not None
+    corpus_shingles = None
+    if not indexed:
+        # once per stream, exempt from the per-batch release below
+        # (lifetime boundary, not a correctness pin)
+        corpus_shingles = pin_for_correctness(
+            shingle_frame(
+                parallelize_compute(corpus),
+                neardup_kwargs.get("id_col", "doc_id"),
+                neardup_kwargs.get("text_col", "text"),
+                neardup_kwargs.get("n", 5),
+            )
         )
-    )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        pairs = incremental_neardup(
-            batch_df,
-            corpus,
-            threshold=threshold,
-            corpus_shingles=corpus_shingles,
-            broadcast_batch=True,
-            **neardup_kwargs,
-        )
+        if indexed:
+            pairs = incremental_neardup_indexed(
+                batch_df,
+                band_index,
+                corpus_at_rest,
+                threshold=threshold,
+                **neardup_kwargs,
+            )
+        else:
+            pairs = incremental_neardup(
+                batch_df,
+                corpus,
+                threshold=threshold,
+                corpus_shingles=corpus_shingles,
+                broadcast_batch=True,
+                **neardup_kwargs,
+            )
         try:
             sink(pairs, batch_id)
         finally:
@@ -924,13 +953,34 @@ def incremental_dedup_batch_fn(
             # documented: the streaming job owns the session.
             release_persisted()
 
+    process.release_corpus_pins = _corpus_pin_releaser(corpus_shingles)
     return process
+
+
+def _corpus_pin_releaser(*frames):
+    """A release handle for a batch fn's lifetime-pinned corpus frames
+    (ADVICE r12): unpins exactly the frames this stream registered, so a
+    long-lived driver can free them when the stream stops without the
+    release_all() sledgehammer.  Idempotent; skips None (indexed mode
+    pins nothing)."""
+    from data_engineering_project_utn_spark.persist import release_pin
+
+    def release() -> int:
+        freed = 0
+        for f in frames:
+            if f is not None and release_pin(f):
+                freed += 1
+        return freed
+
+    return release
 
 
 def incremental_editdist_batch_fn(
     corpus: DataFrame,
     sink,
     threshold: float = 0.97,
+    band_index: DataFrame | None = None,
+    corpus_at_rest: DataFrame | None = None,
     **neardup_kwargs,
 ):
     """foreachBatch function for streaming EDIT-DISTANCE incremental dedup
@@ -945,12 +995,15 @@ def incremental_editdist_batch_fn(
     never compared to each other, so the union of per-batch results
     equals the one-shot check over all batches at once (tested).  The
     batch twin is the oracle-gated ``llm_incremental_editdist`` query.
-    Corpus shingles pin once per stream (see
-    ``incremental_dedup_batch_fn``).
+    Same two corpus-side modes as ``incremental_dedup_batch_fn``:
+    at-rest index probe when ``band_index`` + ``corpus_at_rest`` are
+    given, else a once-per-stream shingle pin (freed via the returned
+    function's ``release_corpus_pins()``).
     """
     from data_engineering_project_utn_spark.llm.compute import parallelize_compute
     from data_engineering_project_utn_spark.llm.dedup import (
         incremental_editdist_neardup,
+        incremental_editdist_neardup_indexed,
         shingle_frame,
     )
     from data_engineering_project_utn_spark.persist import (
@@ -958,29 +1011,42 @@ def incremental_editdist_batch_fn(
         release_persisted,
     )
 
-    corpus_shingles = pin_for_correctness(
-        shingle_frame(
-            parallelize_compute(corpus),
-            neardup_kwargs.get("id_col", "doc_id"),
-            neardup_kwargs.get("text_col", "text"),
-            neardup_kwargs.get("n", 5),
+    indexed = band_index is not None and corpus_at_rest is not None
+    corpus_shingles = None
+    if not indexed:
+        corpus_shingles = pin_for_correctness(
+            shingle_frame(
+                parallelize_compute(corpus),
+                neardup_kwargs.get("id_col", "doc_id"),
+                neardup_kwargs.get("text_col", "text"),
+                neardup_kwargs.get("n", 5),
+            )
         )
-    )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        pairs = incremental_editdist_neardup(
-            batch_df,
-            corpus,
-            threshold=threshold,
-            corpus_shingles=corpus_shingles,
-            broadcast_batch=True,
-            **neardup_kwargs,
-        )
+        if indexed:
+            pairs = incremental_editdist_neardup_indexed(
+                batch_df,
+                band_index,
+                corpus_at_rest,
+                threshold=threshold,
+                **neardup_kwargs,
+            )
+        else:
+            pairs = incremental_editdist_neardup(
+                batch_df,
+                corpus,
+                threshold=threshold,
+                corpus_shingles=corpus_shingles,
+                broadcast_batch=True,
+                **neardup_kwargs,
+            )
         try:
             sink(pairs, batch_id)
         finally:
             release_persisted()
 
+    process.release_corpus_pins = _corpus_pin_releaser(corpus_shingles)
     return process
 
 
@@ -1345,6 +1411,12 @@ def make_curation_batch_fn(
         finally:
             release_persisted()
 
+    # lifetime-pin release handle (ADVICE r12): frees this stream's
+    # corpus shingle + cell pins when the stream stops, without the
+    # release_all() sledgehammer
+    process.release_corpus_pins = _corpus_pin_releaser(
+        corpus_shingles, corpus_cells
+    )
     return process
 
 

@@ -3830,3 +3830,132 @@ def np32(v: float) -> float:
     import struct
 
     return struct.unpack("f", struct.pack("f", v))[0]
+
+
+class TestIndexedIncrementalProbe:
+    """VERDICT r12 #1, streaming half: the bounded-batch IN-pushdown probe
+    of the at-rest band index must (a) equal the scan-based incremental
+    arms value-for-value, (b) push the collected band keys and candidate
+    ids into the bucketed scans, (c) handle empty batches/candidates,
+    and (d) expose a lifetime-pin release handle on the batch factories."""
+
+    @pytest.fixture(scope="class")
+    def at_rest(self, spark, sf_dir):
+        from data_engineering_project_utn_spark.plans.llm_dedup_plans import (
+            _dedup_band_index_bucketed,
+            _dedup_corpus_bucketed,
+        )
+
+        return (
+            _dedup_band_index_bucketed(spark, sf_dir),
+            _dedup_corpus_bucketed(spark, sf_dir),
+        )
+
+    def test_indexed_probe_matches_scan_probe(self, spark, sf_dir, at_rest):
+        band_index, corpus_bkt = at_rest
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        incoming = docs.filter(F.col("doc_id") < 50)
+        corpus = docs.filter(F.col("doc_id") >= 50)
+        want = {
+            (r["doc_new"], r["doc_existing"], round(r["jaccard"], 12))
+            for r in dd.incremental_neardup(incoming, corpus, threshold=0.3).collect()
+        }
+        got = {
+            (r["doc_new"], r["doc_existing"], round(r["jaccard"], 12))
+            for r in dd.incremental_neardup_indexed(
+                incoming,
+                band_index.filter(F.col("doc_id") >= 50),
+                corpus_bkt.filter(F.col("doc_id") >= 50),
+                threshold=0.3,
+            ).collect()
+        }
+        assert got == want and got  # non-vacuous at every SF fixture
+
+    def test_indexed_editdist_matches_scan_probe(self, spark, sf_dir, at_rest):
+        band_index, corpus_bkt = at_rest
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        incoming = docs.filter(F.col("doc_id") < 50)
+        corpus = docs.filter(F.col("doc_id") >= 50)
+        cols = ("doc_new", "doc_existing", "edit_distance")
+        want = {
+            tuple(r[c] for c in cols)
+            for r in dd.incremental_editdist_neardup(
+                incoming, corpus, threshold=0.9
+            ).collect()
+        }
+        got = {
+            tuple(r[c] for c in cols)
+            for r in dd.incremental_editdist_neardup_indexed(
+                incoming,
+                band_index.filter(F.col("doc_id") >= 50),
+                corpus_bkt.filter(F.col("doc_id") >= 50),
+                threshold=0.9,
+            ).collect()
+        }
+        assert got == want
+
+    def test_pushdown_reaches_both_bucketed_scans(self, spark, sf_dir, at_rest):
+        """The probe's two IN lists must land in the parquet scans'
+        PushedFilters — In(band_hash, ...) on the index, In(doc_id, ...)
+        on the corpus — so row-group stats on the sort columns skip
+        everything but the matches (the 'per-trigger cost tracks matches,
+        not corpus' claim, made structural)."""
+        band_index, corpus_bkt = at_rest
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        incoming = docs.filter(F.col("doc_id") < 50)
+        out = dd.incremental_neardup_indexed(incoming, band_index, corpus_bkt)
+        out.collect()  # the id pushdown exists only after candidate collect
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+        assert any(
+            "dedup_band_idx" in ln and "In(band_hash" in ln for ln in scans
+        ), plan
+        assert any(
+            "dedup_corpus_bkt" in ln and "In(doc_id" in ln for ln in scans
+        ), plan
+
+    def test_empty_batch_and_no_candidates(self, spark, sf_dir, at_rest):
+        band_index, corpus_bkt = at_rest
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        empty = docs.filter(F.lit(False))
+        assert dd.incremental_neardup_indexed(empty, band_index, corpus_bkt).count() == 0
+        # a batch whose shingles match nothing: unique synthetic text
+        import pandas as pd
+
+        loner = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [999999], "text": ["zq xv qj wk vx kz jq " * 4]})
+        )
+        assert (
+            dd.incremental_neardup_indexed(loner, band_index, corpus_bkt).count() == 0
+        )
+
+    def test_batch_factories_expose_release_handle(self, spark, sf_dir, at_rest):
+        """ADVICE r12: the streaming factories' lifetime corpus pins get a
+        per-stream release handle; indexed mode pins nothing."""
+        from data_engineering_project_utn_spark import persist
+        from data_engineering_project_utn_spark.streaming.pipeline import (
+            incremental_dedup_batch_fn,
+        )
+
+        band_index, corpus_bkt = at_rest
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        sunk = []
+
+        before = len(persist._PINNED)
+        fn = incremental_dedup_batch_fn(docs, lambda df, bid: sunk.append(df.count()))
+        assert len(persist._PINNED) == before + 1
+        fn(docs.filter(F.col("doc_id") < 10), 0)
+        assert fn.release_corpus_pins() == 1
+        assert len(persist._PINNED) == before
+        assert fn.release_corpus_pins() == 0  # idempotent
+
+        fn_idx = incremental_dedup_batch_fn(
+            docs,
+            lambda df, bid: sunk.append(df.count()),
+            band_index=band_index,
+            corpus_at_rest=corpus_bkt,
+        )
+        assert len(persist._PINNED) == before  # indexed mode pins nothing
+        fn_idx(docs.filter(F.col("doc_id") < 10), 1)
+        assert fn_idx.release_corpus_pins() == 0
+        assert sunk[0] == sunk[1]  # same flags either mode

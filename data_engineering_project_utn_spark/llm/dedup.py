@@ -737,6 +737,30 @@ def golden_record(
     return agg.join(best, "keeper_doc")
 
 
+def surviving_corpus(
+    labels: DataFrame,
+    golden: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The DEDUPED corpus — merge/purge's actual product: every doc that
+    is in no near-dup cluster, plus each cluster's canonical survivor
+    (``golden_record``'s choice).  This is the frame a nightly 100 TB
+    pipeline writes back bucketed (``sources.io.write_bucketed_table``)
+    as the next day's at-rest corpus.
+
+    One anti-join keyed on the id: the drop set is (cluster members −
+    canonicals) — dup-rate-proportional, corpus-scale in the worst case,
+    so it is merge-pinned rather than broadcast (same static-estimate
+    discipline as the verify joins)."""
+    drop = labels.join(
+        golden.select(F.col("canonical_doc").alias("doc_id")),
+        "doc_id",
+        "left_anti",
+    ).select(F.col("doc_id").alias(id_col))
+    return docs.join(drop.hint("merge"), id_col, "left_anti")
+
+
 def _incremental_candidates(
     sh_in: DataFrame,
     corpus_bands: DataFrame,

@@ -2159,6 +2159,35 @@ _PAIR_SOURCES_CTES = f"""mhp AS (SELECT doc_a, doc_b FROM j WHERE jaccard > 0.5)
              UNION ALL
              SELECT doc_a, doc_b, FALSE, FALSE, TRUE FROM snp)"""
 
+#: The survivorship oracle over the ensemble clusters — shared verbatim
+#: by the anchor and the at-rest bucketed twin (layout must not move a
+#: value).
+_GOLDEN_RECORD_ORACLE = "WITH RECURSIVE " + _MINHASH_CTES + ",\n    " + _PAIR_SOURCES_CTES + """,
+    up AS (SELECT DISTINCT doc_a, doc_b FROM allp),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM up
+              UNION SELECT doc_b, doc_a FROM up),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    lab AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS keeper_doc
+            FROM reach GROUP BY src),
+    m AS (SELECT l.keeper_doc, l.doc_id, CAST(length(d.text) AS BIGINT) AS len
+          FROM lab l JOIN documents d ON d.doc_id = l.doc_id),
+    best AS (SELECT keeper_doc, doc_id, len,
+                    row_number() OVER (PARTITION BY keeper_doc
+                                       ORDER BY len DESC, doc_id) AS rn
+             FROM m),
+    agg AS (SELECT keeper_doc, CAST(COUNT(*) AS BIGINT) AS n_members,
+                   CAST(SUM(len) AS BIGINT) AS total_chars
+            FROM m GROUP BY keeper_doc)
+    SELECT a.keeper_doc, a.n_members, a.total_chars,
+           b.doc_id AS canonical_doc, b.len AS canonical_len
+    FROM agg a JOIN best b ON b.keeper_doc = a.keeper_doc AND b.rn = 1
+    ORDER BY a.keeper_doc
+    """
+
 
 @register(
     "llm_dedup_source_overlap",
@@ -2260,31 +2289,7 @@ def _combined_clusters_from(
 
 @register(
     "llm_dedup_golden_record",
-    oracle="WITH RECURSIVE " + _MINHASH_CTES + ",\n    " + _PAIR_SOURCES_CTES + """,
-    up AS (SELECT DISTINCT doc_a, doc_b FROM allp),
-    edges AS (SELECT doc_a AS src, doc_b AS dst FROM up
-              UNION SELECT doc_b, doc_a FROM up),
-    reach(src, dst) AS (
-        SELECT src, dst FROM edges
-        UNION
-        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-    ),
-    lab AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS keeper_doc
-            FROM reach GROUP BY src),
-    m AS (SELECT l.keeper_doc, l.doc_id, CAST(length(d.text) AS BIGINT) AS len
-          FROM lab l JOIN documents d ON d.doc_id = l.doc_id),
-    best AS (SELECT keeper_doc, doc_id, len,
-                    row_number() OVER (PARTITION BY keeper_doc
-                                       ORDER BY len DESC, doc_id) AS rn
-             FROM m),
-    agg AS (SELECT keeper_doc, CAST(COUNT(*) AS BIGINT) AS n_members,
-                   CAST(SUM(len) AS BIGINT) AS total_chars
-            FROM m GROUP BY keeper_doc)
-    SELECT a.keeper_doc, a.n_members, a.total_chars,
-           b.doc_id AS canonical_doc, b.len AS canonical_len
-    FROM agg a JOIN best b ON b.keeper_doc = a.keeper_doc AND b.rn = 1
-    ORDER BY a.keeper_doc
-    """,
+    oracle=_GOLDEN_RECORD_ORACLE,
     tags=("llm", "dedup", "clusters", "report"),
 )
 def llm_dedup_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2298,17 +2303,7 @@ def llm_dedup_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     (member count, char totals) — no float aggregation.
     """
     mh, ed, sn = _shared_dedup_sources(spark, sf_dir)
-    labels = dd.dedup_clusters(
-        mh.select("doc_a", "doc_b")
-        .unionByName(ed.select("doc_a", "doc_b"))
-        .unionByName(
-            sn.select(
-                F.least("doc_a", "doc_b").alias("doc_a"),
-                F.greatest("doc_a", "doc_b").alias("doc_b"),
-            )
-        )
-        .distinct()
-    )
+    labels = _ensemble_labels_from(mh, ed, sn)
     d = load_table(spark, sf_dir, "documents")
     return dd.golden_record(labels, d).orderBy("keeper_doc")
 
@@ -2342,6 +2337,15 @@ def llm_combined_dedup_clusters_at_rest(
     shuffles are the band groupBy, the bounded candidate set, and the
     snm range exchange.  Same oracle as ``llm_combined_dedup_clusters``
     verbatim — layout must not move a value."""
+    _bkt, mh, ed, sn = _shared_dedup_sources_at_rest(spark, sf_dir)
+    return _combined_clusters_from(mh, ed, sn)
+
+
+def _shared_dedup_sources_at_rest(spark: SparkSession, sf_dir: str):
+    """``_shared_dedup_sources`` over the AT-REST bucketed corpus: the
+    three blocking families ride ONE doc_id-bucketed (doc_id, text)
+    scan and ONE persisted clustering-preserving shingle projection —
+    zero corpus-side verify exchanges.  Returns (bkt, mh, ed, sn)."""
     from data_engineering_project_utn_spark.persist import track_persist
 
     bkt = _dedup_corpus_bucketed(spark, sf_dir)
@@ -2359,4 +2363,40 @@ def llm_combined_dedup_clusters_at_rest(
     sn = dd.sorted_neighborhood_pairs(
         None, window=3, n=5, threshold=0.5, shingles=sh
     )
-    return _combined_clusters_from(mh, ed, sn)
+    return bkt, mh, ed, sn
+
+
+def _ensemble_labels_from(mh: DataFrame, ed: DataFrame, sn: DataFrame) -> DataFrame:
+    """Cluster labels over the three families' unioned pairs (the shape
+    both golden-record gates and the write-back consume)."""
+    return dd.dedup_clusters(
+        mh.select("doc_a", "doc_b")
+        .unionByName(ed.select("doc_a", "doc_b"))
+        .unionByName(
+            sn.select(
+                F.least("doc_a", "doc_b").alias("doc_a"),
+                F.greatest("doc_a", "doc_b").alias("doc_b"),
+            )
+        )
+        .distinct()
+    )
+
+
+@register(
+    "llm_dedup_golden_record_at_rest",
+    oracle=_GOLDEN_RECORD_ORACLE,
+    tags=("llm", "dedup", "clusters", "bucketed", "scale-twin"),
+)
+def llm_dedup_golden_record_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``llm_dedup_golden_record`` composed onto the at-rest layout
+    (VERDICT r12 #3): blocking, verification, clustering AND survivorship
+    all read the one doc_id-bucketed corpus — the lengths join inside
+    ``golden_record`` is satisfied from the bucketed scan too, so the
+    merge/purge endgame adds only keeper-keyed exchanges on top of the
+    ensemble's.  Shares the anchor's oracle verbatim.  The production
+    ending — writing the surviving corpus back as a bucketed table — is
+    ``llm.dedup.surviving_corpus`` + ``write_bucketed_table``
+    (sink-tested; a sweep gate must not CTAS per run)."""
+    bkt, mh, ed, sn = _shared_dedup_sources_at_rest(spark, sf_dir)
+    labels = _ensemble_labels_from(mh, ed, sn)
+    return dd.golden_record(labels, bkt).orderBy("keeper_doc")

@@ -279,3 +279,53 @@ def test_incremental_band_index_probe_no_corpus_exchange(spark, sf_dir, name):
         if "BroadcastExchange" in ln:
             tail = "\n".join(plan.splitlines()[i + 1 : i + 4])
             assert "InMemoryTableScan" in tail or "ExistingRDD" in tail, tail
+
+
+def test_deduped_corpus_write_back_bucketed(spark, sf_dir):
+    """VERDICT r12 #3, the production ending: the surviving corpus
+    (unclustered docs + each ensemble cluster's canonical) written back
+    as a bucketed table — the next nightly run's at-rest input.  Asserts
+    the written table is bucketed on doc_id AND holds exactly the
+    survivorship law's row set: corpus − (cluster members − canonicals),
+    count = N − Σ n_members + #clusters."""
+    from data_engineering_project_utn_spark.llm import dedup as dd
+    from data_engineering_project_utn_spark.plans.llm_dedup_plans import (
+        _ensemble_labels_from,
+        _shared_dedup_sources_at_rest,
+    )
+    from data_engineering_project_utn_spark.sources.io import write_bucketed_table
+
+    bkt, mh, ed, sn = _shared_dedup_sources_at_rest(spark, sf_dir)
+    labels = _ensemble_labels_from(mh, ed, sn).localCheckpoint()
+    golden = dd.golden_record(labels, bkt).localCheckpoint()
+    surviving = dd.surviving_corpus(labels, golden, bkt)
+
+    name = "deduped_corpus_bkt_test"
+    spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+    out = write_bucketed_table(spark, surviving, name, 8, "doc_id")
+
+    # (a) bucketed at rest: a self-keyed read plans a bucketed scan
+    plan = (
+        spark.table(name)
+        .groupBy("doc_id")
+        .count()
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Bucketed: true" in plan, plan
+
+    # (b) exactly the survivorship row set
+    n = bkt.count()
+    g = golden.agg(
+        F.sum("n_members").alias("m"), F.count(F.lit(1)).alias("c")
+    ).first()
+    assert out.count() == n - g["m"] + g["c"]
+    written = {r["doc_id"] for r in out.select("doc_id").collect()}
+    members = {r["doc_id"] for r in labels.select("doc_id").collect()}
+    canonicals = {r["canonical_doc"] for r in golden.collect()}
+    assert canonicals <= written
+    assert not (members - canonicals) & written  # every non-canonical gone
+    all_ids = {r["doc_id"] for r in bkt.select("doc_id").collect()}
+    assert written == (all_ids - members) | canonicals
+    spark.sql(f"DROP TABLE IF EXISTS `{name}`")

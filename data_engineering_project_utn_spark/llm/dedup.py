@@ -595,7 +595,11 @@ def _free_local_checkpoint(df: DataFrame) -> None:
         )
 
 
-def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+def dedup_clusters(
+    pairs: DataFrame,
+    max_iterations: int = 45,
+    stats: dict | None = None,
+) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, keeper_doc).
 
     The decision step of deduplication: pairs (doc_a, doc_b) from any
@@ -607,11 +611,23 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     instead of O(diameter), so even a pathological 10⁶-node chain finishes
     in ~20 rounds.  Near-dup components are overwhelmingly tiny
     (pairs/triples), so this typically converges in 2-3 rounds regardless
-    of corpus size.  Raises RuntimeError if ``max_iterations`` passes
+    of corpus size — BUT ``_candidates_from_banded``'s hot-bucket chain
+    pairing deliberately manufactures PATH topology: a capped bucket of
+    N near-identical docs arrives as an (N-1)-edge chain, so rounds =
+    ⌈log2 N⌉+1 there (measured: 18 rounds for a 2^17 chain, per-round
+    cost FLAT at ~1.1 s — see SCALE.md).  The default bound covers
+    diameter 2^44, far past any bucket a 100 TB corpus can hold; the
+    loop exits at convergence, so an oversized bound costs nothing.
+    Raises RuntimeError if ``max_iterations`` passes
     without reaching the fixpoint — a silently-non-minimal keeper label
     would otherwise split components downstream.  Equivalent to the
     oracle's recursive-CTE min-reachable-id.
+
+    ``stats``: optional out-param — filled with {"rounds": r, "round_secs":
+    [...]} so deep-component probes can assert the O(log diameter) bound
+    with numbers instead of faith (VERDICT r12 #2).
     """
+    import time
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -631,7 +647,10 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     converged = False
+    rounds = 0
+    round_secs: list[float] = []
     for _ in range(max_iterations):
+        _t0 = time.monotonic()
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["doc_id"])
             .groupBy(edges["src"].alias("doc_id"))
@@ -671,10 +690,15 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         # localCheckpoint storage is RDD-level, not CacheManager-level)
         _free_local_checkpoint(labels)
         labels = new_labels
+        rounds += 1
+        round_secs.append(time.monotonic() - _t0)
         if changed == 0:
             converged = True
             break
     edges.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["round_secs"] = round_secs
     if not converged:
         raise RuntimeError(
             f"dedup_clusters did not converge within {max_iterations} iterations;"

@@ -3959,3 +3959,75 @@ class TestIndexedIncrementalProbe:
         fn_idx(docs.filter(F.col("doc_id") < 10), 1)
         assert fn_idx.release_corpus_pins() == 0
         assert sunk[0] == sunk[1]  # same flags either mode
+
+
+class TestDeepComponentClusters:
+    """VERDICT r12 #2: dedup_clusters' doubling loop on components of
+    diameter >> 2 — the regime the corpus fixtures never exercise (their
+    dup components are pairs/triples).  Planted chains make diameter a
+    controlled variable: a D-node path needs THE LOG BOUND's rounds, the
+    keeper law (min id per component) must hold at any depth, and the
+    max_iterations guard must raise rather than return non-minimal
+    labels."""
+
+    def _chain_pairs(self, spark, n, offset=0, step=1):
+        import pandas as pd
+
+        a = [offset + i * step for i in range(n - 1)]
+        return spark.createDataFrame(
+            pd.DataFrame({"doc_a": a, "doc_b": [x + step for x in a]})
+        )
+
+    def test_chain_converges_in_log_rounds_with_min_keeper(self, spark):
+        n = 1024  # diameter 1023
+        stats: dict = {}
+        labels = dd.dedup_clusters(self._chain_pairs(spark, n), stats=stats)
+        got = {r["doc_id"]: r["keeper_doc"] for r in labels.collect()}
+        assert got == {i: 0 for i in range(n)}
+        # path-halving + neighbor-min: rounds ~ log2(D), NOT D.  5 rounds
+        # can cover only diameter ~2^5; 1023 genuinely needs the doubling.
+        assert 5 <= stats["rounds"] <= 14, stats
+
+    def test_star_of_chains_and_disjoint_components(self, spark):
+        """8 chains of 65 glued at hub 0 (a deep star), plus a DISJOINT
+        far-away chain — each component keeps its own min."""
+        import pandas as pd
+
+        rows_a, rows_b = [], []
+        for arm in range(8):
+            base = 1 + arm * 1000
+            rows_a.append(0), rows_b.append(base)
+            for i in range(64):
+                rows_a.append(base + i), rows_b.append(base + i + 1)
+        far = 10_000_000
+        for i in range(100):
+            rows_a.append(far + i), rows_b.append(far + i + 1)
+        pairs = spark.createDataFrame(pd.DataFrame({"doc_a": rows_a, "doc_b": rows_b}))
+        stats: dict = {}
+        labels = dd.dedup_clusters(pairs, stats=stats)
+        got = {r["doc_id"]: r["keeper_doc"] for r in labels.collect()}
+        star_nodes = [k for k in got if k < far]
+        assert all(got[k] == 0 for k in star_nodes)
+        assert all(got[far + i] == far for i in range(101))
+        assert stats["rounds"] <= 12, stats
+
+    def test_max_iterations_guard_raises_not_wrong(self, spark):
+        """A 257-node chain cannot converge in 2 rounds — the guard must
+        raise (RuntimeError), never return a silently-non-minimal
+        labeling that would split the component downstream."""
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dd.dedup_clusters(self._chain_pairs(spark, 257), max_iterations=2)
+
+    def test_round_cost_does_not_grow_with_round_index(self, spark):
+        """The per-round localCheckpoint is what keeps late rounds priced
+        like early ones (lineage would otherwise double per round).  On a
+        deep chain, the LAST round must not cost more than a small
+        multiple of the median round — the plan-size blowup this guards
+        against is super-exponential, so a loose 5x bound is a real
+        tripwire, not a flaky timing assert."""
+        stats: dict = {}
+        dd.dedup_clusters(self._chain_pairs(spark, 2048), stats=stats)
+        secs = stats["round_secs"]
+        assert len(secs) >= 6
+        med = sorted(secs)[len(secs) // 2]
+        assert secs[-1] <= 5 * med + 0.5, secs

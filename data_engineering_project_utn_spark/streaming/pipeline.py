@@ -1300,6 +1300,7 @@ def make_curation_batch_fn(
     from data_engineering_project_utn_spark.persist import (
         pin_for_correctness,
         release_persisted,
+        track_persist,
     )
 
     # corpus shingles: once per stream (lifetime boundary, same contract
@@ -1348,8 +1349,19 @@ def make_curation_batch_fn(
         )
         flagged = pairs.select(F.col("doc_new").alias("doc_id")).distinct()
         if editdist_threshold is not None:
+            # arm short-circuit (VERDICT r12 #6): a doc the cheap Jaccard
+            # arm already flagged cannot be UN-flagged, so the banded DP
+            # verifies only the residue.  This routes the DP away from
+            # its measured worst case — accept-heavy true near-dups
+            # (~1.2× slower than the full DP, SCALE.md r12) are exactly
+            # the docs the Jaccard arm catches first, leaving the DP the
+            # reject-heavy regime where the threshold early-exit wins
+            # 4.4×.  Union semantics are unchanged (parity-tested):
+            # edp(batch) − edp(residue) ⊆ jaccard-flagged by definition.
+            flagged = track_persist(flagged)
+            residue = batch_df.join(flagged, "doc_id", "left_anti")
             edp = incremental_editdist_neardup(
-                batch_df,
+                residue,
                 corpus,
                 threshold=editdist_threshold,
                 corpus_shingles=corpus_shingles,

@@ -1250,6 +1250,57 @@ class TestCurationStream:
         assert 10 in got[0]  # Jaccard 0.99 alone misses the one-char edit
         assert got[1] == {11}  # editdist arm rejects it; fresh doc passes
 
+    def test_editdist_arm_short_circuit_skips_jaccard_flagged(self, spark):
+        """VERDICT r12 #6, arm ordering: docs the cheap Jaccard arm
+        already flagged never reach the banded DP — the residue fed to
+        the edit-distance arm is exactly (batch − jaccard-flagged), which
+        strips the DP's measured worst case (accept-heavy true
+        near-dups) while the composed flag set stays IDENTICAL.  Pinned
+        structurally (DP candidate counts on a dup-heavy batch), not by
+        wall-clock."""
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.llm.dedup import (
+            incremental_editdist_neardup,
+            incremental_neardup,
+        )
+
+        base = "a long enough shared document body with many words " * 3
+        corpus = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "text": [base]})
+        )
+        # dup-heavy batch: 6 verbatim-ish copies (Jaccard flags them),
+        # 1 one-char edit (only editdist catches at tau 0.99), 1 fresh
+        rows = {10 + i: base for i in range(6)}
+        rows[20] = base[:-1] + "!"
+        rows[21] = "fresh unseen content nothing like the corpus"
+        batch = spark.createDataFrame(
+            pd.DataFrame({"doc_id": list(rows), "text": list(rows.values())})
+        )
+        jac = incremental_neardup(batch, corpus, threshold=0.99)
+        jac_flagged = {r["doc_new"] for r in jac.collect()}
+        residue = batch.join(
+            jac.select(F.col("doc_new").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        )
+        full_dp = incremental_editdist_neardup(batch, corpus, threshold=0.9)
+        res_dp = incremental_editdist_neardup(residue, corpus, threshold=0.9)
+        # the DP's input shrinks by exactly the Jaccard-flagged docs...
+        assert res_dp.count() < full_dp.count()
+        # ...and the composed flag set is identical either way
+        full_flags = jac_flagged | {r["doc_new"] for r in full_dp.collect()}
+        sc_flags = jac_flagged | {r["doc_new"] for r in res_dp.collect()}
+        assert sc_flags == full_flags == set(rows) - {21}
+        # the factory path agrees end-to-end
+        got: list = []
+        fn = sp.make_curation_batch_fn(
+            corpus, lambda df, bid: got.append({r["doc_id"] for r in df.collect()}),
+            min_quality=0.0, threshold=0.99, editdist_threshold=0.9,
+        )
+        fn(batch, 0)
+        assert got[0] == {21}
+
     def test_curation_model_gate_requires_embedding_column(self, spark):
         """A configured learned filter (model_w set) must FAIL LOUDLY when
         the batch lacks the embedding column (e.g. misnamed) — silently

@@ -566,6 +566,170 @@ def sorted_neighborhood_pairs(
     )
 
 
+def snm_ranked_corpus(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    window: int = 3,
+    shingles: DataFrame | None = None,
+    pin: bool = False,
+) -> DataFrame:
+    """The corpus's sorted-neighborhood structure AT REST: (doc_id, _k,
+    shset, _rank0, _blk) — global rank over the merge/purge fingerprint
+    order plus the width-``window`` rank block, hash-clustered on _blk so
+    every incremental probe join is satisfied from the pinned clustering
+    (a streaming deployment computes this ONCE per stream; batch gates
+    once per run, same cost class as the anchor's own ranking).
+
+    ``pin=True`` registers the persist as a stream-LIFETIME boundary
+    (``pin_for_correctness``) instead of a per-query perf persist, so a
+    foreachBatch loop's per-trigger ``release_persisted()`` keeps it;
+    free it via the batch fn's ``release_corpus_pins()``."""
+    w = int(window)
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_frame(parallelize_compute(corpus), id_col, text_col, n,
+                           with_key=True)
+    )
+    from data_engineering_project_utn_spark.operators.histogram import (
+        with_global_rank,
+    )
+    from data_engineering_project_utn_spark.persist import pin_for_correctness
+
+    ranked = with_global_rank(
+        sh.select("doc_id", "_k", "shset"), ["_k", "doc_id"]
+    )
+    out = (
+        ranked.select("doc_id", "_k", "shset", "_rank0")
+        .withColumn("_blk", F.expr(f"_rank0 DIV {w}"))
+        .repartition(F.col("_blk"))
+    )
+    return pin_for_correctness(out) if pin else track_persist(out)
+
+
+def incremental_snm_pairs(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 3,
+    n: int = 5,
+    threshold: float = 0.5,
+    corpus_ranked: DataFrame | None = None,
+) -> DataFrame:
+    """The INCREMENTAL arm of sorted-neighborhood blocking (VERDICT r12
+    #7) — merge/purge for the production ingest shape: each incoming doc
+    is compared against the ``window`` corpus docs on EACH side of its
+    would-be position in the corpus's fingerprint sort order (exact
+    shingle-Jaccard verified, ≥ ``threshold``).  Per-doc semantics depend
+    only on (doc, corpus), so the union of per-batch results equals the
+    one-shot run — batch-independent like the MinHash/editdist arms
+    (streaming parity tested).
+
+    Scale shape — the batch ranks against the corpus's at-rest rank
+    BLOCKS, the full union is never re-sorted:
+
+    1. the corpus rank structure (``snm_ranked_corpus``) exists at rest /
+       pinned once per stream;
+    2. the batch's insertion BLOCK comes from ranking (batch keys ∪ the
+       N/w block-START keys) — batch + corpus/w rows, never N — with the
+       same ``with_global_rank`` machinery (no SinglePartition): starts
+       sit at ranks 0, w, 2w, …, so β₀ = (#starts before the batch key)
+       − 1 = rank_in_union − rank_in_batch − 1, two model-size-offset
+       rankings and zero carry-forward;
+    3. the exact insertion rank p = β₀·w + (corpus pairs < batch pair
+       within block β₀) — one equi-join on _blk that pulls ≤ w corpus
+       rows per batch doc;
+    4. neighbors (ranks [p−w, p+w−1]) live in blocks {β₀−1, β₀, β₀+1}
+       by construction — one more _blk equi-join, ≤ 3w rows per batch
+       doc, shsets riding along for in-join Jaccard verification.
+
+    Both probe joins key on the pinned clustering, so per-trigger
+    exchanges are batch-sized only.  Candidate bound: 2·window per
+    incoming doc — merge/purge's hard no-skew guarantee, which is the
+    reason this arm exists alongside LSH (a band-bucket flood cannot
+    happen here by construction)."""
+    from data_engineering_project_utn_spark.operators.histogram import (
+        with_global_rank,
+    )
+
+    w = int(window)
+    cr = (
+        corpus_ranked
+        if corpus_ranked is not None
+        else snm_ranked_corpus(corpus, id_col, text_col, n, w)
+    )
+    bk = track_persist(
+        shingle_frame(parallelize_compute(incoming), id_col, text_col, n,
+                      with_key=True).select("doc_id", "_k", "shset")
+    )
+    starts = cr.filter(F.col("_rank0") % w == 0).select("_k", "doc_id")
+    union_keys = starts.withColumn("_is_b", F.lit(0)).unionByName(
+        bk.select("_k", "doc_id").withColumn("_is_b", F.lit(1))
+    )
+    ru = (
+        with_global_rank(union_keys, ["_k", "doc_id"])
+        .filter(F.col("_is_b") == 1)
+        .select("doc_id", F.col("_rank0").alias("_ru"))
+    )
+    rb = with_global_rank(bk.select("_k", "doc_id"), ["_k", "doc_id"]).select(
+        "doc_id", F.col("_rank0").alias("_rb")
+    )
+    beta = track_persist(
+        bk.join(ru, "doc_id")
+        .join(rb, "doc_id")
+        .select(
+            F.col("doc_id").alias("doc_new"),
+            F.col("_k").alias("_bk"),
+            "shset",
+            (F.col("_ru") - F.col("_rb") - F.lit(1)).alias("_b0"),
+        )
+    )
+    lt = (F.col("c._k") < F.col("b._bk")) | (
+        (F.col("c._k") == F.col("b._bk")) & (F.col("c.doc_id") < F.col("b.doc_new"))
+    )
+    cnt = (
+        beta.alias("b")
+        .join(cr.alias("c"), (F.col("c._blk") == F.col("b._b0")) & lt)
+        .groupBy("b.doc_new")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    with_p = beta.join(cnt, "doc_new", "left").select(
+        "doc_new",
+        "_bk",
+        F.col("shset").alias("_sa"),
+        F.greatest(
+            F.col("_b0") * w + F.coalesce("_cnt", F.lit(0)), F.lit(0)
+        ).alias("_p"),
+    )
+    pblk = F.expr(f"_p DIV {w}")
+    probe = with_p.withColumn(
+        "_blk", F.explode(F.array(pblk - 1, pblk, pblk + 1))
+    )
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("c.shset"))).cast(
+        "double"
+    )
+    union = (
+        F.size("_sa") + F.size(F.col("c.shset"))
+    ).cast("double") - inter
+    return (
+        probe.alias("b")
+        .join(cr.alias("c"), "_blk")
+        .filter(
+            (F.col("c._rank0") >= F.col("_p") - w)
+            & (F.col("c._rank0") <= F.col("_p") + w - 1)
+        )
+        .select(
+            "doc_new",
+            F.col("c.doc_id").alias("doc_existing"),
+            (inter / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(float(threshold)))
+    )
+
+
 def _free_local_checkpoint(df: DataFrame) -> None:
     """Release the executor blocks behind a ``localCheckpoint``'ed frame.
 

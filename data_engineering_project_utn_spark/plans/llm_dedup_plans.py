@@ -569,6 +569,47 @@ def llm_incremental_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.incremental_editdist_neardup(incoming, corpus, threshold=0.97)
 
 
+@register(
+    "llm_incremental_snm",
+    oracle="WITH " + _MINHASH_CTES + """,
+    ky AS (SELECT doc_id, array_to_string(list_sort(list_distinct(t)), ' ') AS k FROM tk),
+    ck AS (SELECT doc_id, k, row_number() OVER (ORDER BY k, doc_id) - 1 AS rn
+           FROM ky WHERE doc_id % 3 <> 0),
+    bk2 AS (SELECT doc_id, k FROM ky WHERE doc_id % 3 = 0),
+    ins AS (SELECT b.doc_id AS doc_new, COUNT(c.doc_id) AS p
+            FROM bk2 b LEFT JOIN ck c
+              ON (c.k < b.k) OR (c.k = b.k AND c.doc_id < b.doc_id)
+            GROUP BY b.doc_id),
+    nb AS (SELECT i.doc_new, c.doc_id AS doc_existing
+           FROM ins i JOIN ck c ON c.rn BETWEEN i.p - 3 AND i.p + 2),
+    snj AS (SELECT n.doc_new, n.doc_existing,
+               CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
+               / (CAST(len(sa.shset) + len(sb.shset) AS DOUBLE)
+                  - CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)) AS jaccard
+            FROM nb n JOIN sh sa ON sa.doc_id = n.doc_new
+                      JOIN sh sb ON sb.doc_id = n.doc_existing)
+    SELECT doc_new, doc_existing, jaccard FROM snj WHERE jaccard >= 0.5
+    """,
+    tags=("llm", "dedup", "incremental", "snm"),
+)
+def llm_incremental_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL arm of sorted-neighborhood blocking (VERDICT r12
+    #7) — the last blocking family to gain one: each incoming doc (every
+    3rd doc plays the crawl batch) is Jaccard-verified against the
+    ``window`` corpus docs on each side of its would-be position in the
+    corpus's merge/purge fingerprint order.  The batch ranks against the
+    corpus's rank BLOCK STARTS (batch + N/w rows through
+    ``with_global_rank``), never a re-sort of the full union; both probe
+    joins key on the rank structure's _blk clustering (see
+    ``llm.dedup.incremental_snm_pairs``).  Candidate bound 2·window per
+    incoming doc — the no-skew guarantee that makes this the ensemble's
+    flood-proof arm."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    incoming = d.filter(F.col("doc_id") % 3 == 0)
+    corpus = d.filter(F.col("doc_id") % 3 != 0)
+    return dd.incremental_snm_pairs(incoming, corpus, window=3, threshold=0.5)
+
+
 def _incremental_at_rest_inputs(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:

@@ -1050,6 +1050,66 @@ def incremental_editdist_batch_fn(
     return process
 
 
+def incremental_snm_batch_fn(
+    corpus: DataFrame,
+    sink,
+    window: int = 3,
+    threshold: float = 0.5,
+    **snm_kwargs,
+):
+    """foreachBatch function for streaming incremental SORTED-NEIGHBORHOOD
+    dedup (VERDICT r12 #7) — the merge/purge twin of
+    ``incremental_dedup_batch_fn``: each micro-batch's docs are
+    Jaccard-verified against the ``window`` corpus docs on each side of
+    their would-be position in the corpus's fingerprint sort order
+    (``llm.dedup.incremental_snm_pairs``).
+
+    The corpus rank structure (``snm_ranked_corpus`` — global rank +
+    width-``window`` blocks, _blk-clustered) pins ONCE per stream; each
+    trigger ranks only (batch ∪ block-start keys), never the union, and
+    the probe joins ride the pinned clustering.  Per-doc semantics
+    depend only on (doc, corpus), so per-batch results union to the
+    one-shot run (parity tested).  Batch twin: the oracle-gated
+    ``llm_incremental_snm``.  Free the lifetime pin via the returned
+    function's ``release_corpus_pins()``; the rank machinery's own
+    internal boundary pin is scope-owned — wrap stream construction +
+    drain in ``persist.pin_scope()`` for full reclamation.
+    """
+    from data_engineering_project_utn_spark.llm.dedup import (
+        incremental_snm_pairs,
+        snm_ranked_corpus,
+    )
+    from data_engineering_project_utn_spark.persist import release_persisted
+
+    # once per stream, as a LIFETIME pin so the per-batch release below
+    # keeps it (pin=True routes around the perf registry)
+    ranked = snm_ranked_corpus(
+        corpus,
+        snm_kwargs.get("id_col", "doc_id"),
+        snm_kwargs.get("text_col", "text"),
+        snm_kwargs.get("n", 5),
+        window,
+        pin=True,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        pairs = incremental_snm_pairs(
+            batch_df,
+            corpus,
+            window=window,
+            threshold=threshold,
+            corpus_ranked=ranked,
+            **snm_kwargs,
+        )
+        try:
+            sink(pairs, batch_id)
+        finally:
+            release_persisted()
+
+    process.release_corpus_pins = _corpus_pin_releaser(ranked)
+    return process
+
+
 # ---------------------------------------------------------------------------
 # Incremental historical pipeline (T4/T5) — foreachBatch over batch operators
 # ---------------------------------------------------------------------------

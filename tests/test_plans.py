@@ -273,6 +273,7 @@ def test_pipeline_manifest_no_single_partition(spark, sf_dir):
         "llm_tfidf_topk",            # fixed-point idf + windowed top-k
         "llm_hll_by_source",         # grouped sketch + decimal numerator
         "llm_jaccard_prefix_join",   # r07: per-doc rank window + integer threshold
+        "llm_incremental_snm",       # r13: block-start ranking + insertion-rank probe
         "llm_bm25_topk",             # r07: integer-division scoring, scalar broadcasts
         "llm_winnowing",             # r07: windowed minima + df-capped pair join
         "llm_gram_matrix",           # r07: 2080-key decimal groupBy
@@ -746,3 +747,24 @@ def test_tpch_shape_plan_hygiene(spark, sf_dir, name):
         scan = next(ln for ln in scans if marker in ln)
         meta = _pushed_filters(scan)
         assert pushed_col in meta, f"{name}: {pushed_col} not pushed"
+
+
+def test_incremental_snm_no_single_partition_no_bnl(spark, sf_dir):
+    """The incremental merge/purge arm's scale contract: every ranking
+    goes through the distributed with_global_rank machinery (no
+    SinglePartition window), the insertion probe is equi-join only (no
+    BroadcastNestedLoop/cartesian), and nothing corpus-scale rides a
+    static-estimate broadcast."""
+    plan = _plan(spark, sf_dir, "llm_incremental_snm")
+    assert "SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    for s in _broadcast_subtrees(plan):
+        lines = s.splitlines()
+        cut = next(
+            (i for i, ln in enumerate(lines)
+             if "InMemoryTableScan" in ln or "ExistingRDD" in ln),
+            None,
+        )
+        assert cut is not None, s
+        assert "FileScan" not in "\n".join(lines[:cut]), s

@@ -653,6 +653,82 @@ class TestIncrementalDedupStream:
         assert (12, 1, 1) in one_shot  # one-char rewrite: exact distance 1
         assert not any(p[0] in (11, 13) for p in one_shot)  # fresh docs pass
 
+    def test_streamed_snm_union_equals_one_shot(self, spark, tmp_path):
+        """VERDICT r12 #7: the sorted-neighborhood incremental arm —
+        streamed per-batch pair sets must union to the one-shot run
+        (insertion-rank semantics depend only on (doc, corpus)), with
+        the corpus rank structure pinned ONCE per stream and freed by
+        the release handle."""
+        import pandas as pd
+
+        from data_engineering_project_utn_spark import persist
+        from data_engineering_project_utn_spark.llm.dedup import (
+            incremental_snm_pairs,
+        )
+
+        base = "a long enough shared document body with many words " * 3
+        corpus = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3],
+                    "text": [base, "other corpus content entirely unrelated",
+                             base + " trailing extra tokens here"],
+                }
+            )
+        )
+        inc = pd.DataFrame(
+            {
+                "doc_id": [10, 11, 12, 13],
+                "text": [base, "fresh unseen one", base[:-1] + "!",
+                         "fresh unseen two"],
+            }
+        )
+        in_dir = str(tmp_path / "snm_docs_in")
+        doc_schema = "doc_id long, text string"
+        spark.createDataFrame(inc.iloc[:2], doc_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        spark.createDataFrame(inc.iloc[2:], doc_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+        collected: list = []
+
+        def sink(pairs_df, batch_id):
+            collected.extend(
+                (r["doc_new"], r["doc_existing"]) for r in pairs_df.collect()
+            )
+
+        pins_before = len(persist._PINNED)
+        fn = sp.incremental_snm_batch_fn(corpus, sink, window=2, threshold=0.5)
+        stream = (
+            spark.readStream.schema(doc_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(fn)
+            .option("checkpointLocation", str(tmp_path / "snm_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        one_shot = {
+            (r["doc_new"], r["doc_existing"])
+            for r in incremental_snm_pairs(
+                spark.createDataFrame(inc, doc_schema), corpus,
+                window=2, threshold=0.5,
+            ).collect()
+        }
+        assert set(collected) == one_shot
+        assert len(collected) == len(set(collected))
+        # the near-verbatim copies flag against their sort-adjacent
+        # corpus docs; fresh docs pass
+        assert {p[0] for p in one_shot} == {10, 12}
+        assert fn.release_corpus_pins() == 1  # the per-stream rank pin
+        assert len(persist._PINNED) >= pins_before  # rank-machinery pin stays scope-owned
+
 
 class TestStatefulEMATws:
     def test_transform_with_state_matches_batch_ema(self, spark, event_dir, tmp_path):

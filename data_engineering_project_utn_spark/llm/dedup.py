@@ -618,6 +618,8 @@ def incremental_snm_pairs(
     n: int = 5,
     threshold: float = 0.5,
     corpus_ranked: DataFrame | None = None,
+    block_starts: DataFrame | None = None,
+    blk_pushdown: bool = False,
 ) -> DataFrame:
     """The INCREMENTAL arm of sorted-neighborhood blocking (VERDICT r12
     #7) — merge/purge for the production ingest shape: each incoming doc
@@ -665,7 +667,11 @@ def incremental_snm_pairs(
         shingle_frame(parallelize_compute(incoming), id_col, text_col, n,
                       with_key=True).select("doc_id", "_k", "shset")
     )
-    starts = cr.filter(F.col("_rank0") % w == 0).select("_k", "doc_id")
+    starts = (
+        block_starts.select("_k", "doc_id")
+        if block_starts is not None
+        else cr.filter(F.col("_rank0") % w == 0).select("_k", "doc_id")
+    )
     union_keys = starts.withColumn("_is_b", F.lit(0)).unionByName(
         bk.select("_k", "doc_id").withColumn("_is_b", F.lit(1))
     )
@@ -687,12 +693,30 @@ def incremental_snm_pairs(
             (F.col("_ru") - F.col("_rb") - F.lit(1)).alias("_b0"),
         )
     )
+    if blk_pushdown:
+        # bounded-batch contract: collect the batch's target blocks
+        # (≤ |batch| distinct β₀, each pulling {β₀−1..β₀+2}) and push
+        # them into the rank-index scan as an IN filter — _blk is the
+        # bucketed sort column, so row-group stats skip everything but
+        # the matched blocks (per-trigger scan cost tracks the batch,
+        # not the corpus; same pattern as _indexed_candidates)
+        b0s = [r[0] for r in beta.select("_b0").distinct().collect()]
+        blks = sorted({b + d for b in b0s for d in (-1, 0, 1, 2) if b + d >= 0})
+        cr_probe = (
+            cr.filter(F.col("_blk").isin(blks)) if blks else cr.filter(F.lit(False))
+        )
+    else:
+        # batch contract: an at-rest index is a static parquet estimate —
+        # merge-pin it away from the broadcast build side (the bucketed
+        # sort on _blk makes the SMJ exchange- and sort-free); a pinned
+        # in-memory structure is stat-accurate and may choose freely
+        cr_probe = cr.hint("merge") if "shset" not in cr.columns else cr
     lt = (F.col("c._k") < F.col("b._bk")) | (
         (F.col("c._k") == F.col("b._bk")) & (F.col("c.doc_id") < F.col("b.doc_new"))
     )
     cnt = (
         beta.alias("b")
-        .join(cr.alias("c"), (F.col("c._blk") == F.col("b._b0")) & lt)
+        .join(cr_probe.alias("c"), (F.col("c._blk") == F.col("b._b0")) & lt)
         .groupBy("b.doc_new")
         .agg(F.count(F.lit(1)).alias("_cnt"))
     )
@@ -708,24 +732,58 @@ def incremental_snm_pairs(
     probe = with_p.withColumn(
         "_blk", F.explode(F.array(pblk - 1, pblk, pblk + 1))
     )
-    inter = F.size(F.array_intersect(F.col("_sa"), F.col("c.shset"))).cast(
-        "double"
-    )
-    union = (
-        F.size("_sa") + F.size(F.col("c.shset"))
-    ).cast("double") - inter
-    return (
+    neighbors = (
         probe.alias("b")
-        .join(cr.alias("c"), "_blk")
+        .join(cr_probe.alias("c"), "_blk")
         .filter(
             (F.col("c._rank0") >= F.col("_p") - w)
             & (F.col("c._rank0") <= F.col("_p") + w - 1)
         )
-        .select(
-            "doc_new",
-            F.col("c.doc_id").alias("doc_existing"),
-            (inter / union).alias("jaccard"),
+    )
+    if "shset" in cr.columns:
+        # pinned/in-memory rank structure: shsets ride the neighbor join
+        inter = F.size(F.array_intersect(F.col("_sa"), F.col("c.shset"))).cast(
+            "double"
         )
+        union = (
+            F.size("_sa") + F.size(F.col("c.shset"))
+        ).cast("double") - inter
+        return (
+            neighbors.select(
+                "doc_new",
+                F.col("c.doc_id").alias("doc_existing"),
+                (inter / union).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= F.lit(float(threshold)))
+        )
+    # AT-REST rank index (no shset stored — the measured byte lesson:
+    # derived arrays at rest lose to in-scan recompute): verify shingles
+    # come from the corpus TEXT, restricted to the matched neighbor rows
+    pairs = track_persist(
+        neighbors.select(
+            "doc_new", "_sa", F.col("c.doc_id").alias("doc_existing")
+        )
+    )
+    if blk_pushdown:
+        # bounded mode: candidate ids push into the doc_id-sorted corpus
+        hits = _existing_rows_for(pairs, corpus, id_col, 65536)
+        sb = shingle_frame(hits, id_col, text_col, n).select(
+            F.col("doc_id").alias("doc_existing"), F.col("shset").alias("_sb")
+        )
+    else:
+        # batch mode: shingle the (doc_id-bucketed) corpus and join —
+        # exchange-free on the corpus side via the bucketing; a semi-join
+        # restriction here buys nothing for corpus-proportional pair sets
+        # and invites Spark's runtime bloom filter (a SinglePartition
+        # buffer merge) into the plan
+        sb = shingle_frame(corpus, id_col, text_col, n).select(
+            F.col("doc_id").alias("doc_existing"), F.col("shset").alias("_sb")
+        ).hint("merge")
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb"))).cast("double")
+    union = (F.size("_sa") + F.size("_sb")).cast("double") - inter
+    return (
+        pairs.join(sb, "doc_existing")
+        .select("doc_new", "doc_existing", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= F.lit(float(threshold)))
     )
 

@@ -569,9 +569,9 @@ def llm_incremental_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.incremental_editdist_neardup(incoming, corpus, threshold=0.97)
 
 
-@register(
-    "llm_incremental_snm",
-    oracle="WITH " + _MINHASH_CTES + """,
+#: The incremental sorted-neighborhood oracle (insertion-rank semantics,
+#: window 3) — shared verbatim by the anchor and the at-rest twin.
+_INCR_SNM_ORACLE = "WITH " + _MINHASH_CTES + """,
     ky AS (SELECT doc_id, array_to_string(list_sort(list_distinct(t)), ' ') AS k FROM tk),
     ck AS (SELECT doc_id, k, row_number() OVER (ORDER BY k, doc_id) - 1 AS rn
            FROM ky WHERE doc_id % 3 <> 0),
@@ -589,7 +589,12 @@ def llm_incremental_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM nb n JOIN sh sa ON sa.doc_id = n.doc_new
                       JOIN sh sb ON sb.doc_id = n.doc_existing)
     SELECT doc_new, doc_existing, jaccard FROM snj WHERE jaccard >= 0.5
-    """,
+    """
+
+
+@register(
+    "llm_incremental_snm",
+    oracle=_INCR_SNM_ORACLE,
     tags=("llm", "dedup", "incremental", "snm"),
 )
 def llm_incremental_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -608,6 +613,93 @@ def llm_incremental_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming = d.filter(F.col("doc_id") % 3 == 0)
     corpus = d.filter(F.col("doc_id") % 3 != 0)
     return dd.incremental_snm_pairs(incoming, corpus, window=3, threshold=0.5)
+
+
+def _snm_rank_index_bucketed(
+    spark: SparkSession, sf_dir: str, window: int = 3, n: int = 5,
+    buckets: int = 32,
+) -> tuple:
+    """The corpus's sorted-neighborhood RANK structure at rest, two
+    tables (VERDICT r12 #7's endgame): the rank INDEX (doc_id, _k,
+    _rank0, _blk) bucketed+sorted on _blk — both probe joins (insertion
+    count, neighbor pull) read it exchange-free, and bounded batches
+    push their block list into the scan — plus the block DIRECTORY (the
+    N/w block-start keys) as its own tiny table, so the per-run
+    insertion ranking reads N/w rows of I/O, not an N-row filter scan.
+
+    Deliberately does NOT store shsets (the measured r12 byte lesson);
+    verification shingles derive from the doc_id-bucketed corpus text,
+    restricted to matched neighbors.  The stored _k IS the index's key
+    material — ~1× corpus text bytes, the normal secondary-index trade,
+    nothing like the rejected 20× array blowup.
+
+    Ranks are order statistics of THIS corpus (the %3≠0 split), so the
+    split is part of the layout identity (name suffix ``i3``); a
+    deployment rebuilds the index with its nightly corpus, exactly like
+    the band index."""
+    import re
+
+    from data_engineering_project_utn_spark.operators.histogram import (
+        with_global_rank,
+    )
+    from data_engineering_project_utn_spark.sources.io import (
+        table_exists,
+        write_bucketed_table,
+    )
+
+    w = int(window)
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    fp = _fs_fingerprint_of(f"{sf_dir}/documents.parquet")
+    idx_name = f"dedup_snm_idx_i3_{tag}_w{w}n{n}_{fp}"
+    dir_name = f"dedup_snm_dir_i3_{tag}_w{w}n{n}_{fp}"
+    if table_exists(spark, idx_name) and table_exists(spark, dir_name):
+        return spark.table(idx_name), spark.table(dir_name)
+    _drop_stale_fingerprinted(spark, f"dedup_snm_idx_i3_{tag}_w{w}n{n}_", idx_name)
+    _drop_stale_fingerprinted(spark, f"dedup_snm_dir_i3_{tag}_w{w}n{n}_", dir_name)
+    corpus = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 3 != 0)
+    )
+    keyed = dd.shingle_frame(
+        parallelize_compute(corpus), "doc_id", "text", n, with_key=True
+    )
+    ranked = with_global_rank(keyed.select("doc_id", "_k"), ["_k", "doc_id"])
+    idx_df = ranked.select(
+        "doc_id", "_k", "_rank0"
+    ).withColumn("_blk", F.expr(f"_rank0 DIV {w}"))
+    idx = write_bucketed_table(spark, idx_df, idx_name, buckets, "_blk")
+    starts = idx_df.filter(F.col("_rank0") % w == 0).select("_k", "doc_id")
+    # the directory is read whole every run (no keyed join), but the
+    # bucketed writer's stale-orphan clearing is the behavior we want
+    # for fingerprinted rebuild-on-regen tables
+    dir_tbl = write_bucketed_table(spark, starts, dir_name, 4, "_k", "doc_id")
+    return idx, dir_tbl
+
+
+@register(
+    "llm_incremental_snm_at_rest",
+    oracle=_INCR_SNM_ORACLE,
+    tags=("llm", "dedup", "incremental", "snm", "bucketed", "scale-twin"),
+)
+def llm_incremental_snm_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``llm_incremental_snm`` probing the corpus's AT-REST rank
+    structure — sharing the anchor's oracle verbatim.  The rank index is
+    _blk-bucketed (both probe joins exchange-free on the corpus side),
+    the block directory is its own N/w-row table (the insertion ranking
+    reads it directly instead of filter-scanning N index rows), and
+    verification shingles derive from the doc_id-bucketed corpus text
+    restricted to the matched neighbors.  With the r13 band index this
+    completes the set: all three incremental blocking arms now run off
+    at-rest structures with zero corpus-side exchanges."""
+    bkt = _dedup_corpus_bucketed(spark, sf_dir)
+    idx, starts = _snm_rank_index_bucketed(spark, sf_dir, window=3, n=5)
+    incoming = bkt.filter(F.col("doc_id") % 3 == 0)
+    corpus = bkt.filter(F.col("doc_id") % 3 != 0)
+    return dd.incremental_snm_pairs(
+        incoming, corpus, window=3, threshold=0.5,
+        corpus_ranked=idx, block_starts=starts,
+    )
 
 
 def _incremental_at_rest_inputs(

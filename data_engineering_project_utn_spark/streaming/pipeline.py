@@ -1055,6 +1055,8 @@ def incremental_snm_batch_fn(
     sink,
     window: int = 3,
     threshold: float = 0.5,
+    rank_index: DataFrame | None = None,
+    block_starts: DataFrame | None = None,
     **snm_kwargs,
 ):
     """foreachBatch function for streaming incremental SORTED-NEIGHBORHOOD
@@ -1081,26 +1083,44 @@ def incremental_snm_batch_fn(
     )
     from data_engineering_project_utn_spark.persist import release_persisted
 
-    # once per stream, as a LIFETIME pin so the per-batch release below
-    # keeps it (pin=True routes around the perf registry)
-    ranked = snm_ranked_corpus(
-        corpus,
-        snm_kwargs.get("id_col", "doc_id"),
-        snm_kwargs.get("text_col", "text"),
-        snm_kwargs.get("n", 5),
-        window,
-        pin=True,
-    )
+    indexed = rank_index is not None and block_starts is not None
+    ranked = None
+    if not indexed:
+        # once per stream, as a LIFETIME pin so the per-batch release
+        # below keeps it (pin=True routes around the perf registry)
+        ranked = snm_ranked_corpus(
+            corpus,
+            snm_kwargs.get("id_col", "doc_id"),
+            snm_kwargs.get("text_col", "text"),
+            snm_kwargs.get("n", 5),
+            window,
+            pin=True,
+        )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        pairs = incremental_snm_pairs(
-            batch_df,
-            corpus,
-            window=window,
-            threshold=threshold,
-            corpus_ranked=ranked,
-            **snm_kwargs,
-        )
+        if indexed:
+            # at-rest mode (`_snm_rank_index_bucketed` structures): the
+            # batch's target blocks push into the bucketed index scan —
+            # per-trigger cost tracks the batch, nothing is pinned
+            pairs = incremental_snm_pairs(
+                batch_df,
+                corpus,
+                window=window,
+                threshold=threshold,
+                corpus_ranked=rank_index,
+                block_starts=block_starts,
+                blk_pushdown=True,
+                **snm_kwargs,
+            )
+        else:
+            pairs = incremental_snm_pairs(
+                batch_df,
+                corpus,
+                window=window,
+                threshold=threshold,
+                corpus_ranked=ranked,
+                **snm_kwargs,
+            )
         try:
             sink(pairs, batch_id)
         finally:

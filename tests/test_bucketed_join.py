@@ -329,3 +329,50 @@ def test_deduped_corpus_write_back_bucketed(spark, sf_dir):
     all_ids = {r["doc_id"] for r in bkt.select("doc_id").collect()}
     assert written == (all_ids - members) | canonicals
     spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+
+
+def test_snm_rank_index_probe_no_corpus_exchange(spark, sf_dir):
+    """r13 follow-on: the at-rest SNM rank index — both probe joins
+    (insertion count, neighbor pull) read the _blk-bucketed index with
+    NO exchange above its scans; the verify corpus side reads the
+    doc_id-bucketed text with NO exchange; the only exchanges key on
+    batch-derived frames; no SinglePartition (the semi-join shape that
+    invited Spark's runtime bloom filter was measured out)."""
+    import re
+
+    from data_engineering_project_utn_spark.plans import all_queries
+
+    df = all_queries()["llm_incremental_snm_at_rest"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("Bucketed: true") >= 3, plan  # idx ×2 reads + corpus text
+    lines = plan.splitlines()
+
+    def depth(ln):
+        return len(re.match(r"^[\s:+|-]*", ln).group(0))
+
+    # no exchange may sit between a join and an at-rest scan: walk up
+    # from each index/corpus FileScan; the first shallower Exchange
+    # ancestor must not exist before a join boundary
+    for i, ln in enumerate(lines):
+        if "FileScan" not in ln:
+            continue
+        # corpus-side scans only: the rank index, or the text table's
+        # CORPUS split (NOT %3=0).  The batch side also reads the text
+        # table (its %3=0 split) and legitimately range-exchanges
+        # through its own ranking — that side is batch-sized.
+        is_corpus = "dedup_snm_idx" in ln or (
+            "dedup_corpus_bkt" in ln and "NOT ((doc_id" in ln
+        )
+        if not is_corpus:
+            continue
+        d = depth(ln)
+        for j in range(i - 1, -1, -1):
+            lj = lines[j]
+            if not lj.strip() or depth(lj) >= d:
+                continue
+            if "Exchange" in lj and "Broadcast" not in lj:
+                raise AssertionError(f"at-rest scan re-exchanged: {lj}\n{ln}")
+            if "Join" in lj or "Exchange" in lj:
+                break
+            d = depth(lj)

@@ -4031,3 +4031,99 @@ class TestDeepComponentClusters:
         assert len(secs) >= 6
         med = sorted(secs)[len(secs) // 2]
         assert secs[-1] <= 5 * med + 0.5, secs
+
+
+class TestSnmRankIndexProbe:
+    """The at-rest SNM rank structure's bounded-batch mode: blk_pushdown
+    collects the batch's target blocks and pushes them into the bucketed
+    index scan; results must equal the in-memory probe exactly."""
+
+    @pytest.fixture(scope="class")
+    def snm_at_rest(self, spark, sf_dir):
+        from data_engineering_project_utn_spark.plans.llm_dedup_plans import (
+            _dedup_corpus_bucketed,
+            _snm_rank_index_bucketed,
+        )
+
+        idx, starts = _snm_rank_index_bucketed(spark, sf_dir, window=3, n=5)
+        return idx, starts, _dedup_corpus_bucketed(spark, sf_dir)
+
+    def test_pushdown_probe_matches_in_memory(self, spark, sf_dir, snm_at_rest):
+        idx, starts, bkt = snm_at_rest
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        # the index is built over the %3!=0 corpus — batch from the %3==0
+        # side, BOUNDED (first 20 ids) per the pushdown contract
+        incoming = docs.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 60))
+        corpus = docs.filter(F.col("doc_id") % 3 != 0)
+        want = {
+            (r["doc_new"], r["doc_existing"], round(r["jaccard"], 12))
+            for r in dd.incremental_snm_pairs(
+                incoming, corpus, window=3, threshold=0.3
+            ).collect()
+        }
+        got = {
+            (r["doc_new"], r["doc_existing"], round(r["jaccard"], 12))
+            for r in dd.incremental_snm_pairs(
+                incoming,
+                bkt.filter(F.col("doc_id") % 3 != 0),
+                window=3,
+                threshold=0.3,
+                corpus_ranked=idx,
+                block_starts=starts,
+                blk_pushdown=True,
+            ).collect()
+        }
+        assert got == want and got
+
+    def test_blk_pushdown_reaches_index_scan(self, spark, sf_dir, snm_at_rest):
+        idx, starts, bkt = snm_at_rest
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        incoming = docs.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 60))
+        out = dd.incremental_snm_pairs(
+            incoming,
+            bkt.filter(F.col("doc_id") % 3 != 0),
+            window=3,
+            threshold=0.3,
+            corpus_ranked=idx,
+            block_starts=starts,
+            blk_pushdown=True,
+        )
+        out.collect()  # block list exists only after the beta collect
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+        assert any(
+            "dedup_snm_idx" in ln and "In(_blk" in ln for ln in scans
+        ), plan
+
+    def test_streaming_factory_indexed_mode_parity(self, spark, sf_dir, snm_at_rest):
+        from data_engineering_project_utn_spark import persist
+        from data_engineering_project_utn_spark.streaming.pipeline import (
+            incremental_snm_batch_fn,
+        )
+
+        idx, starts, bkt = snm_at_rest
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        incoming = docs.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 60))
+        corpus = docs.filter(F.col("doc_id") % 3 != 0)
+        got: list = []
+        before = len(persist._PINNED)
+        fn = incremental_snm_batch_fn(
+            bkt.filter(F.col("doc_id") % 3 != 0),
+            lambda df, bid: got.extend(
+                (r["doc_new"], r["doc_existing"]) for r in df.collect()
+            ),
+            window=3,
+            threshold=0.3,
+            rank_index=idx,
+            block_starts=starts,
+        )
+        assert len(persist._PINNED) == before  # indexed mode pins nothing
+        fn(incoming, 0)
+        want = {
+            (r["doc_new"], r["doc_existing"])
+            for r in dd.incremental_snm_pairs(
+                incoming, corpus, window=3, threshold=0.3
+            ).collect()
+        }
+        assert set(got) == want
+        assert fn.release_corpus_pins() == 0

@@ -1326,6 +1326,8 @@ def make_curation_batch_fn(
     nprobe_super: int = 1,
     model_w: "list[int] | None" = None,
     editdist_threshold: "float | None" = None,
+    band_index: "DataFrame | None" = None,
+    corpus_at_rest: "DataFrame | None" = None,
     **neardup_kwargs: Any,
 ):
     """foreachBatch function for streaming corpus curation — the composed
@@ -1373,7 +1375,9 @@ def make_curation_batch_fn(
     from data_engineering_project_utn_spark.llm.compute import parallelize_compute
     from data_engineering_project_utn_spark.llm.dedup import (
         incremental_editdist_neardup,
+        incremental_editdist_neardup_indexed,
         incremental_neardup,
+        incremental_neardup_indexed,
         incremental_semantic_neardup,
         shingle_frame,
     )
@@ -1383,16 +1387,22 @@ def make_curation_batch_fn(
         track_persist,
     )
 
-    # corpus shingles: once per stream (lifetime boundary, same contract
-    # as corpus_cells below) — shared by the MinHash and edit-distance arms
-    corpus_shingles = pin_for_correctness(
-        shingle_frame(
-            parallelize_compute(corpus),
-            neardup_kwargs.get("id_col", "doc_id"),
-            neardup_kwargs.get("text_col", "text"),
-            neardup_kwargs.get("n", 5),
+    indexed = band_index is not None and corpus_at_rest is not None
+    corpus_shingles = None
+    if not indexed:
+        # corpus shingles: once per stream (lifetime boundary, same
+        # contract as corpus_cells below) — shared by the MinHash and
+        # edit-distance arms.  The at-rest mode (band_index +
+        # corpus_at_rest given) probes the bucketed structures with
+        # IN-pushdown instead and pins NOTHING for the lexical arms.
+        corpus_shingles = pin_for_correctness(
+            shingle_frame(
+                parallelize_compute(corpus),
+                neardup_kwargs.get("id_col", "doc_id"),
+                neardup_kwargs.get("text_col", "text"),
+                neardup_kwargs.get("n", 5),
+            )
         )
-    )
 
     corpus_cells = None
     if corpus_embeddings is not None and centroids is not None:
@@ -1419,14 +1429,23 @@ def make_curation_batch_fn(
         # broadcast_batch: foreachBatch micro-batches are bounded by the
         # stream's trigger contract — the safe side of the r12 build-side
         # discipline (see llm.dedup._incremental_candidates)
-        pairs = incremental_neardup(
-            batch_df,
-            corpus,
-            threshold=threshold,
-            corpus_shingles=corpus_shingles,
-            broadcast_batch=True,
-            **neardup_kwargs,
-        )
+        if indexed:
+            pairs = incremental_neardup_indexed(
+                batch_df,
+                band_index,
+                corpus_at_rest,
+                threshold=threshold,
+                **neardup_kwargs,
+            )
+        else:
+            pairs = incremental_neardup(
+                batch_df,
+                corpus,
+                threshold=threshold,
+                corpus_shingles=corpus_shingles,
+                broadcast_batch=True,
+                **neardup_kwargs,
+            )
         flagged = pairs.select(F.col("doc_new").alias("doc_id")).distinct()
         if editdist_threshold is not None:
             # arm short-circuit (VERDICT r12 #6): a doc the cheap Jaccard
@@ -1440,14 +1459,23 @@ def make_curation_batch_fn(
             # edp(batch) − edp(residue) ⊆ jaccard-flagged by definition.
             flagged = track_persist(flagged)
             residue = batch_df.join(flagged, "doc_id", "left_anti")
-            edp = incremental_editdist_neardup(
-                residue,
-                corpus,
-                threshold=editdist_threshold,
-                corpus_shingles=corpus_shingles,
-                broadcast_batch=True,
-                **neardup_kwargs,
-            )
+            if indexed:
+                edp = incremental_editdist_neardup_indexed(
+                    residue,
+                    band_index,
+                    corpus_at_rest,
+                    threshold=editdist_threshold,
+                    **neardup_kwargs,
+                )
+            else:
+                edp = incremental_editdist_neardup(
+                    residue,
+                    corpus,
+                    threshold=editdist_threshold,
+                    corpus_shingles=corpus_shingles,
+                    broadcast_batch=True,
+                    **neardup_kwargs,
+                )
             flagged = flagged.unionByName(
                 edp.select(F.col("doc_new").alias("doc_id"))
             ).distinct()

@@ -1377,6 +1377,49 @@ class TestCurationStream:
         fn(batch, 0)
         assert got[0] == {21}
 
+    def test_curation_gate_at_rest_mode_parity(self, spark, sf_dir):
+        """The composed curation gate over the AT-REST structures (band
+        index + bucketed corpus): identical accept set to the pinned
+        mode, and NOTHING pinned for the lexical arms."""
+        from data_engineering_project_utn_spark import persist
+        from data_engineering_project_utn_spark.plans.llm_dedup_plans import (
+            _dedup_band_index_bucketed,
+            _dedup_corpus_bucketed,
+        )
+        from data_engineering_project_utn_spark.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        corpus = docs.filter(F.col("doc_id") % 3 != 0)
+        batch = docs.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 90))
+        bidx = _dedup_band_index_bucketed(spark, sf_dir).filter(
+            F.col("doc_id") % 3 != 0
+        )
+        bkt = _dedup_corpus_bucketed(spark, sf_dir).filter(
+            F.col("doc_id") % 3 != 0
+        )
+        got: list = []
+
+        def sink(df, bid):
+            got.append({r["doc_id"] for r in df.collect()})
+
+        fn_pinned = sp.make_curation_batch_fn(
+            corpus, sink, min_quality=0.0, threshold=0.5,
+            editdist_threshold=0.9,
+        )
+        fn_pinned(batch, 0)
+        fn_pinned.release_corpus_pins()
+
+        before = len(persist._PINNED)
+        fn_idx = sp.make_curation_batch_fn(
+            corpus, sink, min_quality=0.0, threshold=0.5,
+            editdist_threshold=0.9,
+            band_index=bidx, corpus_at_rest=bkt,
+        )
+        assert len(persist._PINNED) == before  # lexical arms pin nothing
+        fn_idx(batch, 1)
+        assert got[1] == got[0] and len(got[0]) > 0
+        assert fn_idx.release_corpus_pins() == 0
+
     def test_curation_model_gate_requires_embedding_column(self, spark):
         """A configured learned filter (model_w set) must FAIL LOUDLY when
         the batch lacks the embedding column (e.g. misnamed) — silently

@@ -162,6 +162,31 @@ def write_bucketed_table(
     return spark.table(name)
 
 
+def append_bucketed_table(
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    buckets: int,
+    *cols: str,
+) -> DataFrame:
+    """Append rows to an EXISTING bucketed table, preserving its bucket
+    spec — the incremental-maintenance half of ``write_bucketed_table``:
+    a continuously-ingesting deployment appends each accepted batch
+    (one file per touched bucket) and lets the nightly compaction (the
+    full writer) fold the day's deltas back into one file per bucket.
+    Spark refuses the append if the declared spec mismatches the
+    table's, so a drifted caller fails loudly instead of silently
+    destroying the clustering the probe joins rely on."""
+    (
+        df.repartition(buckets, *[F.col(c) for c in cols])
+        .write.bucketBy(buckets, *cols)
+        .sortBy(*cols)
+        .mode("append")
+        .saveAsTable(name)
+    )
+    return spark.table(name)
+
+
 def append_csv(df: DataFrame, path: str) -> None:
     """S9 CSV append sink (`Historical_data_cleaning.py:123`)."""
     df.write.mode("append").option("header", True).csv(path)

@@ -1130,6 +1130,98 @@ def incremental_snm_batch_fn(
     return process
 
 
+def make_ingest_batch_fn(
+    spark: SparkSession,
+    accept_sink: Callable[[DataFrame, int], None],
+    corpus_table: str,
+    band_index_table: str,
+    min_quality: float = 0.4,
+    threshold: float = 0.5,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 5,
+    buckets: int = 32,
+):
+    """The FULL continuous-ingestion loop over the at-rest structures —
+    probe → curate → accept → APPEND: each accepted batch joins the
+    corpus and band index that the NEXT batch probes, closing the loop
+    the one-shot curation factories leave open (their corpus is static
+    for the stream's lifetime).
+
+    Per trigger, against the CATALOG tables (re-read each trigger, so
+    appends are visible):
+
+    1. near-dup probe via the IN-pushdown index probe
+       (``llm.dedup.incremental_neardup_indexed`` — bounded batch,
+       nothing corpus-scale scanned or pinned);
+    2. quality gate (``llm.text.quality_score`` ≥ ``min_quality``);
+    3. survivors → ``accept_sink``, then APPENDED: (doc_id, text) to
+       the doc_id-bucketed corpus, their bands to the band index — one
+       file per touched bucket per trigger
+       (``sources.io.append_bucketed_table``; the nightly full writer
+       is the compaction that folds the day's deltas back to one file
+       per bucket).
+
+    The accepted frame is MATERIALIZED (localCheckpoint) before the
+    sink or either append runs: it is derived from a probe against the
+    very tables the appends grow, so a lazy re-evaluation after the
+    first append would probe the already-grown corpus — batch-dependent
+    results and a self-referential read-during-write.  Materializing
+    first makes each trigger's decisions a function of the PRE-append
+    corpus, which is also what makes ingestion order-deterministic
+    per batch.
+
+    Unlike the band index, the SNM rank index is NOT appendable (ranks
+    are order statistics of the whole corpus); a deployment rebuilds it
+    nightly with the compaction, the standard sorted-index trade.
+    """
+    from data_engineering_project_utn_spark.llm import text as tx
+    from data_engineering_project_utn_spark.llm.dedup import (
+        _banded,
+        incremental_neardup_indexed,
+        shingle_frame,
+    )
+    from data_engineering_project_utn_spark.persist import release_persisted
+    from data_engineering_project_utn_spark.sources.io import (
+        append_bucketed_table,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        bidx = spark.table(band_index_table)
+        bkt = spark.table(corpus_table)
+        pairs = incremental_neardup_indexed(
+            batch_df, bidx, bkt, threshold=threshold, k=k, bands=bands, n=n
+        )
+        flagged = pairs.select(F.col("doc_new").alias("doc_id")).distinct()
+        accepted = (
+            batch_df.withColumn("quality", tx.quality_score(F.col("text")))
+            .filter(F.col("quality") >= min_quality)
+            .join(flagged, "doc_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        try:
+            accept_sink(accepted, batch_id)
+            append_bucketed_table(
+                spark,
+                accepted.select("doc_id", "text"),
+                corpus_table,
+                buckets,
+                "doc_id",
+            )
+            append_bucketed_table(
+                spark,
+                _banded(shingle_frame(accepted, "doc_id", "text", n), k, bands),
+                band_index_table,
+                buckets,
+                "band_hash",
+                "band_idx",
+            )
+        finally:
+            release_persisted()
+
+    return process
+
+
 # ---------------------------------------------------------------------------
 # Incremental historical pipeline (T4/T5) — foreachBatch over batch operators
 # ---------------------------------------------------------------------------

@@ -2577,3 +2577,77 @@ class TestCurationModelArm:
         assert got == one_shot
         assert 10 in got and 12 in got
         assert 11 not in got and 13 not in got
+
+
+class TestIngestLoop:
+    """make_ingest_batch_fn: the probe→curate→accept→append loop over the
+    at-rest structures — accepted docs must be visible to the NEXT
+    batch's probe, appends must preserve the bucket spec, and per-batch
+    decisions must be functions of the PRE-append corpus."""
+
+    def test_accepted_docs_join_the_probed_corpus(self, spark, tmp_path):
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.llm.dedup import (
+            _banded,
+            shingle_frame,
+        )
+        from data_engineering_project_utn_spark.sources.io import (
+            write_bucketed_table,
+        )
+
+        base = "a long enough shared document body with many words " * 3
+        other = "completely different corpus material on another topic " * 3
+        corpus = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2], "text": [base, other]})
+        )
+        ct, it = "ingest_corpus_t", "ingest_bandidx_t"
+        for t in (ct, it):
+            spark.sql(f"DROP TABLE IF EXISTS `{t}`")
+        write_bucketed_table(spark, corpus, ct, 4, "doc_id")
+        write_bucketed_table(
+            spark,
+            _banded(shingle_frame(corpus, "doc_id", "text", 5), 8, 4),
+            it, 4, "band_hash", "band_idx",
+        )
+
+        accepted_sets: list = []
+        fn = sp.make_ingest_batch_fn(
+            spark,
+            lambda df, bid: accepted_sets.append(
+                {r["doc_id"] for r in df.collect()}
+            ),
+            ct, it, min_quality=0.0, threshold=0.5, buckets=4,
+        )
+
+        fresh = "fresh unseen content nothing like anything stored here " * 3
+        batch1 = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [10, 11],
+                          "text": [base + " tail", fresh]})
+        )
+        fn(batch1, 0)
+        # 10 is a near-dup of corpus doc 1 → rejected; 11 accepted+appended
+        assert accepted_sets[0] == {11}
+        assert {r["doc_id"] for r in spark.table(ct).collect()} == {1, 2, 11}
+
+        batch2 = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [20, 21],
+                          "text": [fresh + " x",  # near-dup of APPENDED 11
+                                   "yet another novel body of text entirely " * 3]})
+        )
+        fn(batch2, 1)
+        assert accepted_sets[1] == {21}  # 20 caught by the GROWN index
+        assert {r["doc_id"] for r in spark.table(ct).collect()} == {1, 2, 11, 21}
+
+        # appends preserved the bucket layout: a keyed read still plans
+        # a bucketed scan on both tables
+        # (the grouping keys must cover the full bucket-col set for the
+        # scan to satisfy the aggregation's clustering)
+        for t, keys in ((ct, ["doc_id"]), (it, ["band_hash", "band_idx"])):
+            plan = (
+                spark.table(t).groupBy(*keys).count()
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "Bucketed: true" in plan, (t, plan)
+        for t in (ct, it):
+            spark.sql(f"DROP TABLE IF EXISTS `{t}`")

@@ -187,6 +187,41 @@ def append_bucketed_table(
     return spark.table(name)
 
 
+def compact_bucketed_table(
+    spark: SparkSession,
+    name: str,
+    buckets: int,
+    *cols: str,
+) -> DataFrame:
+    """Rewrite a bucketed table to ONE file per bucket — the nightly
+    compaction that folds a day of ``append_bucketed_table`` deltas
+    (one file per touched bucket per trigger) back into the read-optimal
+    layout.  Rewrites through a temporary table then swaps, so a crash
+    mid-compaction leaves the original intact (the swap is two catalog
+    ops; the window where only the temp exists is the same one any
+    rename-based compactor has)."""
+    tmp = f"{name}__compacting"
+    # read by PATH, not by catalog name: a catalog read advertises the
+    # bucket spec, Catalyst collapses the writer's repartition against
+    # it as redundant, and the planner then separately disables the
+    # bucketed scan (no remaining requirement) — leaving one output
+    # file per (file-split × bucket), i.e. a compaction that doesn't
+    # compact (observed on the test table: 8 files for 4 buckets).
+    # The raw-path read has no partitioning claim, so the repartition
+    # survives and each bucket lands in exactly one file.
+    loc = (
+        spark.sql(f"DESCRIBE EXTENDED `{name}`")
+        .filter("col_name = 'Location'")
+        .first()["data_type"]
+    )
+    write_bucketed_table(spark, spark.read.parquet(loc), tmp, buckets, *cols)
+    # metadata swap — never materializes the corpus off disk: the temp
+    # is already the compacted layout; RENAME moves its directory
+    spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+    spark.sql(f"ALTER TABLE `{tmp}` RENAME TO `{name}`")
+    return spark.table(name)
+
+
 def append_csv(df: DataFrame, path: str) -> None:
     """S9 CSV append sink (`Historical_data_cleaning.py:123`)."""
     df.write.mode("append").option("header", True).csv(path)

@@ -78,3 +78,46 @@ def test_view_catalog_ops(spark):
     sio.insert_into_view(spark, df, "src_test_view")
     assert spark.table("src_test_view").count() == 20
     assert sio.table_summary(spark, "no_such_view")["exists"] is False
+
+
+def test_bucketed_append_then_compact_roundtrip(spark):
+    """append_bucketed_table grows one file per touched bucket per call;
+    compact_bucketed_table folds them back to one file per bucket with
+    identical rows and a still-bucketed (keyed-read) layout."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    from data_engineering_project_utn_spark.sources.io import (
+        append_bucketed_table,
+        compact_bucketed_table,
+        write_bucketed_table,
+    )
+
+    name = "compaction_t"
+    spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+    mk = lambda lo, hi: spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(lo, hi), "text": [f"d{i}" for i in range(lo, hi)]})
+    )
+    write_bucketed_table(spark, mk(0, 20), name, 4, "doc_id")
+    append_bucketed_table(spark, mk(20, 30), name, 4, "doc_id")
+    append_bucketed_table(spark, mk(30, 40), name, 4, "doc_id")
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    files = lambda: [
+        f for f in glob.glob(os.path.join(wh, name, "*"))
+        if not os.path.basename(f).startswith("_")
+    ]
+    assert len(files()) > 4  # delta files accumulated
+    before = {r["doc_id"] for r in spark.table(name).collect()}
+
+    compact_bucketed_table(spark, name, 4, "doc_id")
+    assert len(files()) == 4  # one file per bucket again
+    assert {r["doc_id"] for r in spark.table(name).collect()} == before == set(range(40))
+    plan = (
+        spark.table(name).groupBy("doc_id").count()
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Bucketed: true" in plan
+    spark.sql(f"DROP TABLE IF EXISTS `{name}`")

@@ -1222,6 +1222,91 @@ def make_ingest_batch_fn(
     return process
 
 
+def make_semantic_ingest_batch_fn(
+    spark: SparkSession,
+    accept_sink: Callable[[DataFrame, int], None],
+    corpus_path: str,
+    centroids_df: DataFrame,
+    threshold: float = 0.99,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nprobe_super: int = 1,
+):
+    """The SEMANTIC twin of ``make_ingest_batch_fn`` — the embedding
+    corpus's continuous-ingestion loop over its at-rest layout (the
+    cell-partitioned parquet directory of
+    ``test_bucketed_join.test_ivf_at_rest_partition_pruning``):
+
+    1. the micro-batch descends the quantizer (bounded: ≈2√k cosines
+       per row) and its distinct cell list — bounded by the batch —
+       prunes the at-rest read to the matched PARTITIONS (the cell
+       predicate lands in PartitionFilters: per-trigger I/O tracks the
+       batch's cells, never the corpus);
+    2. cosine-duplicates (≥ ``threshold``) against those cells flag
+       via ``llm.dedup.incremental_semantic_neardup``;
+    3. survivors → ``accept_sink``, then APPEND to the layout with
+       their cell assignment (``partitionBy("cell").mode("append")``)
+       — each accepted batch is probe-visible to the next trigger,
+       and appends only touch the cells the batch lands in.
+
+    Same materialize-before-append discipline as the lexical loop (the
+    accepted set derives from a probe against the directory the append
+    grows).  Cell assignment uses the SAME quantizer/nprobe as the
+    layout was built with — an asymmetric descent can split boundary
+    pairs (see ``incremental_semantic_neardup``).
+    """
+    from data_engineering_project_utn_spark.llm import similarity as sim
+    from data_engineering_project_utn_spark.llm.dedup import (
+        incremental_semantic_neardup,
+    )
+    from data_engineering_project_utn_spark.persist import release_persisted
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        assigned = sim.ivf_cells_2level(
+            batch_df, centroids_df, vec_col=vec_col, nprobe_super=nprobe_super
+        ).localCheckpoint(eager=True)
+        cells = [r[0] for r in assigned.select("cell").distinct().collect()]
+        at_rest = spark.read.parquet(corpus_path)
+        # fail-loud schema guard: appending a mismatched element type
+        # (e.g. double vectors into a float layout) poisons the
+        # directory for EVERY subsequent reader, not just this batch
+        if at_rest.schema[vec_col].dataType != batch_df.schema[vec_col].dataType:
+            raise ValueError(
+                f"make_semantic_ingest_batch_fn: batch {vec_col!r} type "
+                f"{batch_df.schema[vec_col].dataType} != at-rest layout's "
+                f"{at_rest.schema[vec_col].dataType}; appending would "
+                f"corrupt the corpus directory"
+            )
+        pruned = (
+            at_rest.filter(F.col("cell").isin(cells))
+            if cells
+            else at_rest.filter(F.lit(False))
+        )
+        pairs = incremental_semantic_neardup(
+            batch_df,
+            None,
+            centroids_df,
+            threshold=threshold,
+            vec_col=vec_col,
+            id_col=id_col,
+            corpus_cells=pruned,
+            nprobe_super=nprobe_super,
+        )
+        flagged = pairs.select(F.col("doc_new").alias(id_col)).distinct()
+        accepted = assigned.join(flagged, id_col, "left_anti").localCheckpoint(
+            eager=True
+        )
+        try:
+            accept_sink(accepted.drop("cell"), batch_id)
+            accepted.write.partitionBy("cell").mode("append").parquet(
+                corpus_path
+            )
+        finally:
+            release_persisted()
+
+    return process
+
+
 # ---------------------------------------------------------------------------
 # Incremental historical pipeline (T4/T5) — foreachBatch over batch operators
 # ---------------------------------------------------------------------------

@@ -2651,3 +2651,67 @@ class TestIngestLoop:
             assert "Bucketed: true" in plan, (t, plan)
         for t in (ct, it):
             spark.sql(f"DROP TABLE IF EXISTS `{t}`")
+
+
+class TestSemanticIngestLoop:
+    """make_semantic_ingest_batch_fn: the embedding corpus's
+    probe→flag→accept→append loop over the cell-partitioned layout —
+    appended vectors must be probe-visible to the next batch, the probe
+    read must partition-prune to the batch's cells, and appends must
+    land under their cell partitions."""
+
+    def test_appended_vectors_join_the_probed_corpus(self, spark, sf_dir, tmp_path):
+        import glob
+        import os
+
+        from data_engineering_project_utn_spark.llm import similarity as sim
+        from data_engineering_project_utn_spark.tables import load_table
+
+        e = load_table(spark, sf_dir, "embeddings")
+        # centroids_df convention: the ids-<k prefix (cid, cv) frame
+        cents = e.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+        )
+        path = str(tmp_path / "sem_corpus")
+        sim.ivf_cells_2level(e, cents).write.partitionBy("cell").parquet(path)
+
+        base = e.orderBy("vec_id").first()
+        d = len(base["embedding"])
+        mkvec = lambda v, eps: [x + eps for x in v]
+        rows = [
+            (1000, list(base["embedding"])),          # dup of corpus vec
+            (1001, [float(i % 7) - 3.0 for i in range(d)]),  # novel
+        ]
+        # match the layout's element type exactly — a float layout with
+        # double appends would poison the directory for every reader
+        batch1 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+        got: list = []
+        fn = sp.make_semantic_ingest_batch_fn(
+            spark,
+            lambda df, bid: got.append({r["vec_id"] for r in df.collect()}),
+            path, cents, threshold=0.999,
+        )
+        fn(batch1, 0)
+        assert got[0] == {1001}  # the verbatim re-embed flagged, novel kept
+
+        # batch2: a near-copy of the APPENDED 1001 → caught by the grown
+        # layout; plus another novel vector
+        rows2 = [
+            (2000, mkvec(rows[1][1], 1e-9)),
+            (2001, [float((i * 3) % 11) - 5.0 for i in range(d)]),
+        ]
+        fn(spark.createDataFrame(rows2, "vec_id long, embedding array<float>"), 1)
+        assert got[1] == {2001}
+
+        # appended files landed under cell=... partitions
+        assert glob.glob(os.path.join(path, "cell=*", "*.parquet"))
+        all_ids = {r["vec_id"] for r in spark.read.parquet(path).collect()}
+        assert {1001, 2001} <= all_ids and 1000 not in all_ids
+
+        # the probe's at-rest read partition-prunes to the batch's cells
+        probe = spark.read.parquet(path).filter(F.col("cell").isin([0]))
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        scan = next(ln for ln in plan.splitlines() if "FileScan" in ln)
+        assert "PartitionFilters" in scan
+        assert "cell" in scan.split("PartitionFilters", 1)[1].split("]", 1)[0]

@@ -4127,3 +4127,53 @@ class TestSnmRankIndexProbe:
         }
         assert set(got) == want
         assert fn.release_corpus_pins() == 0
+
+
+class TestIncrementalSnmEdges:
+    """Degenerate shapes for the insertion-rank probe: empty corpus,
+    corpus smaller than the window, all-identical fingerprints (tie
+    ordering falls to doc_id), and batch keys below/above every corpus
+    key."""
+
+    def _pairs(self, spark, inc_rows, co_rows, w=3, thr=0.0):
+        import pandas as pd
+
+        mk = lambda rows: spark.createDataFrame(
+            [(int(a), b) for a, b in rows], "doc_id long, text string"
+        )
+        return {
+            (r["doc_new"], r["doc_existing"])
+            for r in dd.incremental_snm_pairs(
+                mk(inc_rows), mk(co_rows), window=w, threshold=thr
+            ).collect()
+        }
+
+    def test_empty_corpus_yields_nothing(self, spark):
+        assert self._pairs(spark, [(1, "some words here")], []) == set()
+
+    def test_corpus_smaller_than_window(self, spark):
+        body = "shared words in every doc of this tiny corpus "
+        got = self._pairs(
+            spark, [(10, body + "x")], [(1, body), (2, body + "y")], w=5
+        )
+        # both corpus docs are within 5 ranks of any insertion point
+        assert got == {(10, 1), (10, 2)}
+
+    def test_identical_fingerprints_tie_on_doc_id(self, spark):
+        body = "identical token multiset every time "
+        corpus = [(i, body) for i in range(1, 8)]
+        got = self._pairs(spark, [(100, body)], corpus, w=2)
+        # insertion point is AFTER all corpus pairs (same _k, doc_id 100
+        # sorts after 1..7) -> the 2 predecessors only
+        assert got == {(100, 6), (100, 7)}
+
+    def test_batch_key_below_and_above_all_corpus_keys(self, spark):
+        # corpus fingerprints are 'body mmm shared xN' — doc i ranks at
+        # position i-1 ('x1' < 'x2' < …); 'aaa' sorts before all of
+        # them, 'zzz' after all
+        corpus = [(i, f"mmm shared body x{i} ") for i in range(1, 9)]
+        lo = (50, "aaa aaa aaa")   # insertion rank 0 -> successors only
+        hi = (51, "zzz zzz zzz")   # insertion rank 8 -> predecessors only
+        got = self._pairs(spark, [lo, hi], corpus, w=2)
+        assert {b for a, b in got if a == 50} == {1, 2}
+        assert {b for a, b in got if a == 51} == {7, 8}

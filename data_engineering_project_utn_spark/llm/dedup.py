@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from data_engineering_project_utn_spark.llm.text import shingles, tokens
 from data_engineering_project_utn_spark.persist import track_persist
@@ -1196,8 +1197,18 @@ def _indexed_candidates(
     if len(keys) > max_pushdown_keys:
         return _incremental_candidates_from_banded(b_in, band_index.hint("merge"))
     if not keys:
+        # empty batch: derive the empty frame's schema from the INPUTS —
+        # the public indexed APIs accept arbitrary id types, and a
+        # hardcoded bigint literal would hand string-id corpora a
+        # wrong-typed frame whose downstream joins miscast (ADVICE r13)
         spark = b_in.sparkSession
-        return spark.createDataFrame([], "doc_new bigint, doc_existing bigint")
+        schema = T.StructType(
+            [
+                T.StructField("doc_new", b_in.schema["doc_id"].dataType),
+                T.StructField("doc_existing", band_index.schema["doc_id"].dataType),
+            ]
+        )
+        return spark.createDataFrame([], schema)
     pruned = band_index.filter(F.col("band_hash").isin(keys))
     return _incremental_candidates_from_banded(F.broadcast(b_in), pruned)
 

@@ -140,18 +140,8 @@ def write_bucketed_table(
     path from an earlier session is cleared before the CTAS — a fresh
     session's in-memory catalog has forgotten the table, but its files
     survive in the warehouse dir."""
-    import os
-    import shutil
-
     spark.sql(f"DROP TABLE IF EXISTS `{name}`")
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    for prefix in ("file://", "file:"):
-        if wh.startswith(prefix):
-            wh = wh[len(prefix):]
-            break
-    orphan = os.path.join(wh, name.lower())
-    if os.path.exists(orphan):
-        shutil.rmtree(orphan)
+    _clear_orphan_dir(spark, name)
     (
         df.repartition(buckets, *[F.col(c) for c in cols])
         .write.bucketBy(buckets, *cols)
@@ -187,6 +177,40 @@ def append_bucketed_table(
     return spark.table(name)
 
 
+def _clear_orphan_dir(spark: SparkSession, name: str) -> None:
+    """Remove a warehouse directory left behind without a catalog entry
+    (a fresh session's in-memory catalog forgets tables; their files
+    survive and would collide with the next CTAS or RENAME)."""
+    import os
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for prefix in ("file://", "file:"):
+        if wh.startswith(prefix):
+            wh = wh[len(prefix):]
+            break
+    orphan = os.path.join(wh, name.lower())
+    if os.path.exists(orphan):
+        shutil.rmtree(orphan)
+
+
+def table_location(spark: SparkSession, name: str) -> str:
+    """A table's storage location, via the session catalog's metadata
+    surface (``getTableMetadata``) — DESCRIBE-output row filtering is
+    brittle across catalog implementations (ADVICE r13).  Falls back to
+    the DESCRIBE parse only if the py4j surface moves."""
+    try:
+        ident = spark._jvm.org.apache.spark.sql.catalyst.TableIdentifier(name)
+        meta = spark._jsparkSession.sessionState().catalog().getTableMetadata(ident)
+        return meta.location().toString()
+    except Exception:  # noqa: BLE001 - deliberate: private-surface fallback
+        return (
+            spark.sql(f"DESCRIBE EXTENDED `{name}`")
+            .filter("col_name = 'Location'")
+            .first()["data_type"]
+        )
+
+
 def compact_bucketed_table(
     spark: SparkSession,
     name: str,
@@ -196,11 +220,25 @@ def compact_bucketed_table(
     """Rewrite a bucketed table to ONE file per bucket — the nightly
     compaction that folds a day of ``append_bucketed_table`` deltas
     (one file per touched bucket per trigger) back into the read-optimal
-    layout.  Rewrites through a temporary table then swaps, so a crash
-    mid-compaction leaves the original intact (the swap is two catalog
-    ops; the window where only the temp exists is the same one any
-    rename-based compactor has)."""
-    tmp = f"{name}__compacting"
+    layout.
+
+    Crash safety (ADVICE r13): the swap renames the CURRENT table aside
+    first (``name`` → ``name__precompact``), renames the compacted temp
+    into place, then drops the aside — so a queryable table exists at
+    every step except the instant between the two renames, and a crash
+    there leaves the data intact under ``name__precompact``, which the
+    NEXT compaction (or any caller) auto-recovers by renaming back.
+    The old DROP-then-RENAME shape had a window where the data lived
+    only under the temp name, with manual recovery."""
+    tmp, aside = f"{name}__compacting", f"{name}__precompact"
+    # auto-recovery from a prior crash between the renames: the data is
+    # under the aside name and nothing is at `name` — restore it first
+    # (a leftover aside WITH `name` present means the prior run died
+    # after the second rename; the aside is stale and dropped below)
+    if not table_exists(spark, name) and table_exists(spark, aside):
+        spark.sql(f"ALTER TABLE `{aside}` RENAME TO `{name}`")
+    spark.sql(f"DROP TABLE IF EXISTS `{aside}`")
+    _clear_orphan_dir(spark, aside)
     # read by PATH, not by catalog name: a catalog read advertises the
     # bucket spec, Catalyst collapses the writer's repartition against
     # it as redundant, and the planner then separately disables the
@@ -209,16 +247,13 @@ def compact_bucketed_table(
     # compact (observed on the test table: 8 files for 4 buckets).
     # The raw-path read has no partitioning claim, so the repartition
     # survives and each bucket lands in exactly one file.
-    loc = (
-        spark.sql(f"DESCRIBE EXTENDED `{name}`")
-        .filter("col_name = 'Location'")
-        .first()["data_type"]
-    )
+    loc = table_location(spark, name)
     write_bucketed_table(spark, spark.read.parquet(loc), tmp, buckets, *cols)
     # metadata swap — never materializes the corpus off disk: the temp
     # is already the compacted layout; RENAME moves its directory
-    spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+    spark.sql(f"ALTER TABLE `{name}` RENAME TO `{aside}`")
     spark.sql(f"ALTER TABLE `{tmp}` RENAME TO `{name}`")
+    spark.sql(f"DROP TABLE IF EXISTS `{aside}`")
     return spark.table(name)
 
 

@@ -3929,6 +3929,30 @@ class TestIndexedIncrementalProbe:
             dd.incremental_neardup_indexed(loner, band_index, corpus_bkt).count() == 0
         )
 
+    def test_empty_batch_schema_follows_id_types(self, spark):
+        """ADVICE r13: the empty-batch frame's schema derives from the
+        INPUTS — a string-id corpus must get string doc_new/doc_existing,
+        not the old hardcoded bigint (whose downstream joins silently
+        cast or fail)."""
+        import pandas as pd
+
+        corpus = spark.createDataFrame(
+            pd.DataFrame({"doc_id": ["a1", "b2"],
+                          "text": ["some text body here " * 4,
+                                   "another text body here " * 4]})
+        )
+        band_index = dd._banded(
+            dd.shingle_frame(corpus, "doc_id", "text", 5), 8, 4
+        )
+        empty = corpus.filter(F.lit(False))
+        out = dd.incremental_neardup_indexed(empty, band_index, corpus)
+        assert out.schema["doc_new"].dataType.simpleString() == "string"
+        assert out.schema["doc_existing"].dataType.simpleString() == "string"
+        assert out.count() == 0
+        # and the edit-distance twin rides the same helper
+        out2 = dd.incremental_editdist_neardup_indexed(empty, band_index, corpus)
+        assert out2.count() == 0
+
     def test_batch_factories_expose_release_handle(self, spark, sf_dir, at_rest):
         """ADVICE r12: the streaming factories' lifetime corpus pins get a
         per-stream release handle; indexed mode pins nothing."""

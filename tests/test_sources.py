@@ -121,3 +121,62 @@ def test_bucketed_append_then_compact_roundtrip(spark):
     )
     assert "Bucketed: true" in plan
     spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+
+
+def test_compaction_recovers_from_crash_between_renames(spark):
+    """ADVICE r13 swap safety: the only instant with no table at `name`
+    is between the two renames; a crash there leaves the data under
+    `name__precompact`, and the next compaction auto-recovers it before
+    proceeding (rename back → compact normally)."""
+    import pandas as pd
+
+    from data_engineering_project_utn_spark.sources.io import (
+        append_bucketed_table,
+        compact_bucketed_table,
+        write_bucketed_table,
+    )
+
+    name = "compaction_crash_t"
+    for t in (name, f"{name}__precompact", f"{name}__compacting"):
+        spark.sql(f"DROP TABLE IF EXISTS `{t}`")
+    mk = lambda lo, hi: spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(lo, hi), "text": [f"d{i}" for i in range(lo, hi)]})
+    )
+    write_bucketed_table(spark, mk(0, 20), name, 4, "doc_id")
+    append_bucketed_table(spark, mk(20, 30), name, 4, "doc_id")
+    # simulate the crash window: the table was renamed aside and the
+    # process died before the compacted temp moved into place
+    spark.sql(f"ALTER TABLE `{name}` RENAME TO `{name}__precompact`")
+    assert not spark.catalog.tableExists(name)
+
+    compact_bucketed_table(spark, name, 4, "doc_id")
+    assert {r["doc_id"] for r in spark.table(name).collect()} == set(range(30))
+    assert not spark.catalog.tableExists(f"{name}__precompact")
+    for t in (name, f"{name}__compacting"):
+        spark.sql(f"DROP TABLE IF EXISTS `{t}`")
+
+
+def test_table_location_matches_describe(spark):
+    """table_location's catalog-metadata path must agree with the
+    DESCRIBE-parse fallback it replaced."""
+    import pandas as pd
+
+    from data_engineering_project_utn_spark.sources.io import (
+        table_location,
+        write_bucketed_table,
+    )
+
+    name = "loc_probe_t"
+    spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+    write_bucketed_table(
+        spark,
+        spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["x"]})),
+        name, 2, "doc_id",
+    )
+    via_describe = (
+        spark.sql(f"DESCRIBE EXTENDED `{name}`")
+        .filter("col_name = 'Location'")
+        .first()["data_type"]
+    )
+    assert table_location(spark, name) == via_describe
+    spark.sql(f"DROP TABLE IF EXISTS `{name}`")

@@ -1014,6 +1014,8 @@ def _incremental_candidates(
     k: int,
     bands: int,
     broadcast_batch: bool,
+    band_stats: DataFrame | None = None,
+    hot_band_cap: int | None = None,
 ) -> DataFrame:
     """Asymmetric band-bucket probe shared by the incremental dedup arms:
     incoming bands × corpus bands → DISTINCT (doc_new, doc_existing).
@@ -1028,8 +1030,21 @@ def _incremental_candidates(
     so neither side may build — the corpus bands are merge-pinned and
     the probe is a sort-merge on the band keys (exchange-free on the
     corpus side when the bands come from a bucketed at-rest index, see
-    ``plans/llm_dedup_plans._dedup_band_index_bucketed``)."""
+    ``plans/llm_dedup_plans._dedup_band_index_bucketed``).
+
+    ``hot_band_cap`` (VERDICT r13 #2): skip batch bands whose CORPUS
+    bucket (``band_stats``, see ``band_bucket_sizes``) exceeds the cap
+    — without it a boilerplate band shared by 10⁶ corpus docs × a 10 k
+    batch is 10¹⁰ verify pairs in one trigger.  Recall for the skipped
+    docs is the SNM arm's job (``hot_band_suspects`` names them)."""
     a_bands = _banded(sh_in, k, bands)
+    if hot_band_cap is not None:
+        stats = (
+            band_stats
+            if band_stats is not None
+            else band_bucket_sizes(corpus_bands)
+        )
+        a_bands, _ = _split_hot_bands(a_bands, stats, hot_band_cap)
     if broadcast_batch:
         return _incremental_candidates_from_banded(
             F.broadcast(a_bands), corpus_bands
@@ -1051,6 +1066,8 @@ def incremental_neardup(
     corpus_shingles: DataFrame | None = None,
     corpus_bands: DataFrame | None = None,
     broadcast_batch: bool = False,
+    band_stats: DataFrame | None = None,
+    hot_band_cap: int | None = None,
 ) -> DataFrame:
     """Asymmetric near-dup join: which INCOMING docs near-duplicate any
     CORPUS doc — the production shape of dedup, where a new crawl batch is
@@ -1077,6 +1094,12 @@ def incremental_neardup(
     bounded micro-batches; the batch-mode default sort-merges instead
     (see ``_incremental_candidates`` — force-broadcasting a
     corpus-proportional "batch" is the driver-OOM class).
+
+    ``hot_band_cap`` / ``band_stats``: opt into the hot-band guard —
+    bands whose corpus bucket exceeds the cap are skipped (the capped
+    docs route to the SNM arm via ``hot_band_suspects``; oracle twin
+    ``llm_incremental_dedup_capped``).  Default None = the exact pair
+    set the uncapped gates pin.
     """
     sh_in = track_persist(
         shingle_frame(parallelize_compute(incoming), id_col, text_col, n)
@@ -1094,7 +1117,9 @@ def incremental_neardup(
         )
     )
     b_co = corpus_bands if corpus_bands is not None else _banded(sh_co, k, bands)
-    cand = _incremental_candidates(sh_in, b_co, k, bands, broadcast_batch)
+    cand = _incremental_candidates(
+        sh_in, b_co, k, bands, broadcast_batch, band_stats, hot_band_cap
+    )
     sa = sh_in.select(F.col("doc_id").alias("doc_new"), F.col("shset").alias("sa"))
     sb = sh_co.select(
         F.col("doc_id").alias("doc_existing"), F.col("shset").alias("sb")
@@ -1230,6 +1255,93 @@ def _incremental_candidates_from_banded(a_bands, b_bands) -> DataFrame:
     )
 
 
+def band_bucket_sizes(corpus_bands: DataFrame) -> DataFrame:
+    """Per-bucket corpus population of a band index: (band_idx,
+    band_hash, n_docs) — ONE partial-aggregated pass over the (at-rest)
+    band frame, the statistic the hot-band guard reads (VERDICT r13 #2).
+    A deployment materializes it at compaction time (see
+    ``plans.llm_dedup_plans._band_stats_table``) so per-trigger probes
+    never re-aggregate the corpus; batch gates may compute it inline
+    (same cost class as the corpus banding they already do)."""
+    return corpus_bands.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def refresh_band_stats(
+    spark,
+    band_index_table: str,
+    stats_table: str | None = None,
+    min_count: int = 2,
+) -> DataFrame:
+    """Materialize ``band_bucket_sizes`` over an at-rest band index as a
+    catalog table — the compaction-time maintenance job the hot-band
+    guard reads (run it whenever ``compact_bucketed_table`` folds the
+    day's index deltas; the aggregate rides the same full pass).  Only
+    buckets with ``n_docs ≥ min_count`` are stored: a size-1 bucket can
+    never exceed any cap ≥ 1, so dropping the singleton tail keeps the
+    stats table a small skew ledger instead of an index copy (the
+    guard's left join treats a missing key as cold, which is exact for
+    every cap ≥ min_count − 1)."""
+    stats_table = stats_table or f"{band_index_table}__stats"
+    stats = band_bucket_sizes(spark.table(band_index_table)).filter(
+        F.col("n_docs") >= int(min_count)
+    )
+    stats.write.mode("overwrite").saveAsTable(stats_table)
+    return spark.table(stats_table)
+
+
+def _split_hot_bands(
+    b_in: DataFrame,
+    band_stats: DataFrame,
+    hot_band_cap: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Split a BATCH band frame on the corpus-side bucket population:
+    (cold rows — bucket ≤ cap, probed normally; hot rows — bucket > cap,
+    skipped).  The hot key set is ``band_stats`` filtered to over-cap
+    buckets — few by definition (the same argument as
+    ``_candidates_from_banded``'s hot set), so it broadcasts and the
+    split costs one broadcast-hash left join on the batch frame, no
+    shuffle."""
+    hot = (
+        band_stats.filter(F.col("n_docs") > int(hot_band_cap))
+        .select("band_idx", "band_hash")
+        .withColumn("_hot", F.lit(True))
+    )
+    marked = b_in.join(F.broadcast(hot), ["band_idx", "band_hash"], "left")
+    cold = marked.filter(F.col("_hot").isNull()).drop("_hot")
+    hot_rows = marked.filter(F.col("_hot")).drop("_hot")
+    return cold, hot_rows
+
+
+def hot_band_suspects(
+    incoming: DataFrame,
+    band_stats: DataFrame,
+    hot_band_cap: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    n: int = 5,
+) -> DataFrame:
+    """Batch docs with ≥1 band whose CORPUS bucket exceeds the cap — the
+    docs the capped LSH probe may under-recall (their hot bands were
+    skipped), returned as a frame of ``doc_id`` for routing to the
+    sorted-neighborhood arm, whose 2·window candidate bound is skew-proof
+    by construction (``incremental_snm_pairs`` — a band-bucket flood
+    cannot happen there).  The ensemble identity: capped-LSH pairs ∪
+    SNM pairs over suspects covers the boilerplate-flood failure mode
+    the cap exists for, at Σ|cold bucket| + 2·window·|suspects| verify
+    cost instead of |batch ∩ hot|·|corpus ∩ hot| (flood-tested)."""
+    b_in = _banded(
+        shingle_frame(parallelize_compute(incoming), id_col, text_col, n),
+        k,
+        bands,
+    )
+    _, hot_rows = _split_hot_bands(b_in, band_stats, hot_band_cap)
+    return hot_rows.select("doc_id").distinct()
+
+
 def incremental_neardup_indexed(
     incoming: DataFrame,
     band_index: DataFrame,
@@ -1241,6 +1353,8 @@ def incremental_neardup_indexed(
     n: int = 5,
     threshold: float = 0.5,
     max_pushdown_keys: int = 65536,
+    band_stats: DataFrame | None = None,
+    hot_band_cap: int | None = None,
 ) -> DataFrame:
     """``incremental_neardup`` for BOUNDED batches against the corpus's
     at-rest structures — the per-trigger streaming shape where NOTHING
@@ -1261,11 +1375,29 @@ def incremental_neardup_indexed(
     with a corpus-proportional batch, because collecting a
     corpus-proportional key list would break the bounded contract this
     function exists to exploit.
+
+    ``hot_band_cap`` / ``band_stats`` (VERDICT r13 #2): the per-trigger
+    hot-band guard.  The at-rest index has no cap of its own — a
+    boilerplate band bucket shared by a big corpus slice × every batch
+    doc carrying it is |batch ∩ band|·|corpus ∩ band| verify pairs per
+    TRIGGER.  With a cap, the batch's hot bands (corpus bucket >
+    cap per ``band_stats`` — the stats table compaction maintains,
+    ``plans.llm_dedup_plans._band_stats_table``) are skipped before the
+    key-collect, so both driver round-trips AND the candidate set stay
+    batch-bounded no matter how skewed the corpus is; the skipped docs
+    are named by ``hot_band_suspects`` for the SNM arm (2·window bound,
+    flood-tested in ``TestHotBandGuard``).
     """
     sh_in = track_persist(
         shingle_frame(parallelize_compute(incoming), id_col, text_col, n)
     )
     b_in = track_persist(_banded(sh_in, k, bands))
+    if hot_band_cap is not None:
+        stats = (
+            band_stats if band_stats is not None else band_bucket_sizes(band_index)
+        )
+        b_in, _ = _split_hot_bands(b_in, stats, hot_band_cap)
+        b_in = track_persist(b_in)
     cand = track_persist(_indexed_candidates(b_in, band_index, max_pushdown_keys))
     hits = _existing_rows_for(cand, corpus_at_rest, id_col, max_pushdown_keys)
     sh_hit = shingle_frame(hits, id_col, text_col, n)

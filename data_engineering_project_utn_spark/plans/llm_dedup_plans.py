@@ -762,6 +762,132 @@ def llm_incremental_editdist_at_rest(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+# Hot-band guard gates (VERDICT r13 #2).  The synthetic corpus has no
+# natural band flood (its largest %3-split bucket holds 2 corpus docs and
+# no incoming doc collides with one — a cap-only gate is VACUOUS, checked
+# r14), so the gates PLANT the exact failure mode the guard exists for:
+# every doc_id % 7 = 0 becomes verbatim boilerplate (the crawl-mirror /
+# terms-of-service page), flooding one band bucket with ~N/7·2/3 corpus
+# docs.  The transform is a CASE expression both engines apply to the
+# same source, so the oracle stays bit-exact and the flood scales WITH
+# the corpus — non-vacuous at every SF.
+_HOT_BAND_CAP = 8
+_BOILER = (
+    "terms of service page boilerplate text repeated verbatim across "
+    "crawl mirrors of this site"
+)
+_BOILER_DOCS = (
+    "FROM (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN '"
+    + _BOILER
+    + "' ELSE text END AS text FROM documents)"
+)
+_INCR_CAND_CAPPED = f"""cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+              AND a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
+             JOIN (SELECT band_idx, band_hash, COUNT(*) AS c FROM bands
+                   WHERE doc_id % 3 <> 0 GROUP BY band_idx, band_hash) bs
+               ON a.band_idx = bs.band_idx AND a.band_hash = bs.band_hash
+            WHERE bs.c <= {_HOT_BAND_CAP}),"""
+_INCR_DEDUP_CAPPED_ORACLE = (
+    "WITH "
+    + must_replace(
+        must_replace(_MINHASH_CTES, _INCR_CAND_SPLIT[0], _INCR_CAND_CAPPED),
+        "FROM documents",
+        _BOILER_DOCS,
+    )
+    + """
+    SELECT doc_a AS doc_new, doc_b AS doc_existing, jaccard
+    FROM j WHERE jaccard > 0.5
+    """
+)
+
+
+def _boilerplate_flood_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table with the planted mirror-page flood (every 7th
+    doc's text replaced by identical boilerplate) — the gate fixture for
+    the hot-band guard, mirrored verbatim in the oracles' CASE."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 7 == 0, F.lit(_BOILER))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+
+
+@register(
+    "llm_incremental_dedup_capped",
+    oracle=_INCR_DEDUP_CAPPED_ORACLE,
+    tags=("llm", "dedup", "incremental", "skew"),
+)
+def llm_incremental_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental LSH probe under a planted boilerplate FLOOD, with
+    the HOT-BAND GUARD on (VERDICT r13 #2): batch bands whose corpus
+    bucket exceeds the cap are skipped before the probe join, so
+    per-trigger candidate cost is bounded by the COLD bucket populations
+    no matter how duplicate-skewed the corpus is — the asymmetric-probe
+    analogue of the self-join's chain pairing (``llm_minhash_capped``).
+    Here ~N/7 planted mirror pages share every band; uncapped they
+    contribute |batch ∩ flood|·|corpus ∩ flood| verify pairs per trigger
+    (≈10⁴ at sf0.01, ≈10⁶ at sf0.1 — growing quadratically with the
+    corpus), capped they contribute ZERO while every genuine near-dup
+    pair survives (the cap only removes pairs whose bucket is over-cap,
+    and genuine pairs ride sparse buckets by construction of banding).
+    The skipped docs are named by ``llm_hot_band_suspects`` and route to
+    the SNM arm, whose 2·window candidate bound cannot flood.  Bucket
+    populations come from ``band_bucket_sizes`` — at rest, one aggregate
+    maintained at compaction time (``refresh_band_stats``)."""
+    docs = parallelize_compute(_boilerplate_flood_docs(spark, sf_dir))
+    incoming = docs.filter(F.col("doc_id") % 3 == 0)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    return dd.incremental_neardup(
+        incoming,
+        corpus,
+        threshold=0.5,
+        hot_band_cap=_HOT_BAND_CAP,
+    )
+
+
+@register(
+    "llm_hot_band_suspects",
+    oracle="WITH "
+    + must_replace(_MINHASH_CTES, "FROM documents", _BOILER_DOCS)
+    + f"""
+    SELECT DISTINCT a.doc_id FROM bands a
+    JOIN (SELECT band_idx, band_hash, COUNT(*) AS c FROM bands
+          WHERE doc_id % 3 <> 0 GROUP BY band_idx, band_hash) bs
+      ON a.band_idx = bs.band_idx AND a.band_hash = bs.band_hash
+    WHERE a.doc_id % 3 = 0 AND bs.c > {_HOT_BAND_CAP}
+    ORDER BY doc_id
+    """,
+    tags=("llm", "dedup", "incremental", "skew"),
+)
+def llm_hot_band_suspects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capped probe's recall ledger under the same planted flood:
+    batch docs with ≥1 over-cap band — exactly the docs
+    ``llm_incremental_dedup_capped`` may under-recall (here: the
+    incoming mirror pages, doc_id ≡ 0 mod 21), handed to the SNM arm
+    (merge/purge's 2·window bound is the skew-proof fallback the
+    ensemble routes floods to; the routing identity is flood-tested in
+    ``TestHotBandGuard``).  One broadcast-hash join of the batch bands
+    against the (few, by definition) hot bucket keys — no shuffle, no
+    corpus scan beyond the stats aggregate the deployment stores at
+    rest."""
+    docs = parallelize_compute(_boilerplate_flood_docs(spark, sf_dir))
+    incoming = docs.filter(F.col("doc_id") % 3 == 0)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    corpus_bands = dd._banded(
+        dd.shingle_frame(corpus, "doc_id", "text", 5), 8, 4
+    )
+    stats = dd.band_bucket_sizes(corpus_bands)
+    return dd.hot_band_suspects(
+        incoming, stats, _HOT_BAND_CAP
+    ).orderBy("doc_id")
+
+
 @register(
     "llm_decontamination",
     priority=1,

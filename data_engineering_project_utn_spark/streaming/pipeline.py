@@ -1157,6 +1157,9 @@ def make_ingest_batch_fn(
     buckets: int = 32,
     ledger_table: str | None = None,
     intra_batch: bool = True,
+    hot_band_cap: int | None = None,
+    band_stats_table: str | None = None,
+    suspect_sink: Callable[[DataFrame, int], None] | None = None,
 ):
     """The FULL continuous-ingestion loop over the at-rest structures —
     probe → curate → accept → APPEND: each accepted batch joins the
@@ -1228,6 +1231,17 @@ def make_ingest_batch_fn(
     path, the same greedy the one-shot cluster step resolves exactly —
     documented approximation, not silent.
 
+    **Hot-band guard** (``hot_band_cap`` + ``band_stats_table``,
+    VERDICT r13 #2): with a cap set, batch bands whose corpus bucket
+    exceeds it (per the stats table ``refresh_band_stats`` maintains at
+    compaction time) are skipped in the probe, bounding per-trigger
+    verify cost against boilerplate floods; the affected batch docs go
+    to ``suspect_sink`` (for SNM-arm routing) AND stay in the normal
+    accept path via their cold bands.  Guard against silent misuse:
+    a cap without a stats table raises (an inline per-trigger aggregate
+    over the whole index would reintroduce the O(corpus) term the
+    indexed probe removed).
+
     Unlike the band index, the SNM rank index is NOT appendable (ranks
     are order statistics of the whole corpus); a deployment rebuilds it
     nightly with the compaction, the standard sorted-index trade.
@@ -1236,6 +1250,7 @@ def make_ingest_batch_fn(
     from data_engineering_project_utn_spark.llm.dedup import (
         _banded,
         _free_local_checkpoint,
+        hot_band_suspects,
         incremental_neardup_indexed,
         minhash_neardup,
         shingle_frame,
@@ -1245,6 +1260,15 @@ def make_ingest_batch_fn(
         append_bucketed_table,
     )
 
+    if hot_band_cap is not None and band_stats_table is None:
+        raise ValueError(
+            "make_ingest_batch_fn: hot_band_cap requires band_stats_table "
+            "(refresh_band_stats maintains it at compaction time) — an "
+            "inline per-trigger stats aggregate would rescan the whole "
+            "band index, the O(corpus) term the indexed probe exists to "
+            "avoid"
+        )
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if ledger_table is not None and _ledger_committed(
             spark, ledger_table, batch_id
@@ -1252,9 +1276,20 @@ def make_ingest_batch_fn(
             return
         bidx = spark.table(band_index_table)
         bkt = spark.table(corpus_table)
-        pairs = incremental_neardup_indexed(
-            batch_df, bidx, bkt, threshold=threshold, k=k, bands=bands, n=n
+        stats = (
+            spark.table(band_stats_table) if hot_band_cap is not None else None
         )
+        pairs = incremental_neardup_indexed(
+            batch_df, bidx, bkt, threshold=threshold, k=k, bands=bands, n=n,
+            band_stats=stats, hot_band_cap=hot_band_cap,
+        )
+        if hot_band_cap is not None and suspect_sink is not None:
+            suspect_sink(
+                hot_band_suspects(
+                    batch_df, stats, hot_band_cap, k=k, bands=bands, n=n
+                ),
+                batch_id,
+            )
         flagged = pairs.select(F.col("doc_new").alias("doc_id")).distinct()
         if intra_batch:
             self_pairs = minhash_neardup(

@@ -3985,6 +3985,155 @@ class TestIndexedIncrementalProbe:
         assert sunk[0] == sunk[1]  # same flags either mode
 
 
+class TestHotBandGuard:
+    """VERDICT r13 #2: the incremental LSH probe's hot-band guard — a
+    planted boilerplate flood must not blow up the candidate set, the
+    skipped docs must be named as suspects, and the SNM arm must catch
+    what the capped probe skipped (the ensemble routing identity)."""
+
+    BOILER = (
+        "terms of service boilerplate page repeated verbatim across "
+        "crawl mirrors of this site " * 2
+    )
+
+    def _fixture(self, spark):
+        import pandas as pd
+
+        distinct = [
+            f"unique document number {i} with its own particular wording "
+            * 3
+            for i in range(5)
+        ]
+        corpus = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": list(range(100, 160)) + list(range(1, 6)),
+                    "text": [self.BOILER] * 60 + distinct,
+                }
+            )
+        )
+        batch = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [200, 201, 202],
+                    "text": [
+                        self.BOILER,  # flood member: every band hot
+                        "a completely novel body of text unlike others " * 3,
+                        distinct[0] + " tail",  # genuine near-dup of doc 1
+                    ],
+                }
+            )
+        )
+        return corpus, batch
+
+    def test_cap_bounds_candidates_names_suspects_snm_recovers(self, spark):
+        corpus, batch = self._fixture(spark)
+        corpus_bands = dd._banded(
+            dd.shingle_frame(corpus, "doc_id", "text", 5), 8, 4
+        )
+        stats = dd.band_bucket_sizes(corpus_bands)
+
+        uncapped = dd.incremental_neardup(batch, corpus, threshold=0.5)
+        # the flood: one batch doc × 60 corpus mirrors
+        assert uncapped.filter(F.col("doc_new") == 200).count() == 60
+
+        capped = dd.incremental_neardup(
+            batch, corpus, threshold=0.5, hot_band_cap=8
+        )
+        rows = capped.collect()
+        # flood pairs gone, the genuine near-dup survives (its bucket is
+        # sparse by construction of banding)
+        assert not any(r["doc_new"] == 200 for r in rows)
+        assert {(r["doc_new"], r["doc_existing"]) for r in rows} == {(202, 1)}
+
+        suspects = dd.hot_band_suspects(batch, stats, 8)
+        assert {r["doc_id"] for r in suspects.collect()} == {200}
+
+        # ensemble identity: the SNM arm (2·window candidate bound,
+        # skew-proof) catches the suspect against its sort-adjacent
+        # mirrors — flood recall is preserved, at bounded cost
+        snm = dd.incremental_snm_pairs(
+            batch.join(suspects, "doc_id"), corpus, window=3, threshold=0.5
+        )
+        snm_rows = snm.collect()
+        assert {r["doc_new"] for r in snm_rows} == {200}
+        assert 0 < len(snm_rows) <= 6  # ≤ 2·window neighbors, never 60
+
+    def test_huge_cap_is_exact(self, spark):
+        corpus, batch = self._fixture(spark)
+        uncapped = {
+            (r["doc_new"], r["doc_existing"])
+            for r in dd.incremental_neardup(batch, corpus, threshold=0.5).collect()
+        }
+        capped = {
+            (r["doc_new"], r["doc_existing"])
+            for r in dd.incremental_neardup(
+                batch, corpus, threshold=0.5, hot_band_cap=10**9
+            ).collect()
+        }
+        assert capped == uncapped
+
+    def test_indexed_probe_honors_cap(self, spark):
+        """The streaming-shape probe (IN-pushdown) applies the same guard
+        BEFORE the key collect, so the driver round-trips stay bounded
+        too, and agrees with the batch-shape capped probe."""
+        corpus, batch = self._fixture(spark)
+        band_index = dd._banded(
+            dd.shingle_frame(corpus, "doc_id", "text", 5), 8, 4
+        )
+        stats = dd.band_bucket_sizes(band_index)
+        got = {
+            (r["doc_new"], r["doc_existing"])
+            for r in dd.incremental_neardup_indexed(
+                batch, band_index, corpus,
+                threshold=0.5, band_stats=stats, hot_band_cap=8,
+            ).collect()
+        }
+        assert got == {(202, 1)}
+
+    def test_ingest_loop_guard_wiring(self, spark):
+        """make_ingest_batch_fn: cap without a stats table fails loudly;
+        with one, suspects reach the suspect_sink."""
+        import pandas as pd
+
+        from data_engineering_project_utn_spark.sources.io import (
+            write_bucketed_table,
+        )
+        from data_engineering_project_utn_spark.streaming import pipeline as sp
+
+        corpus, batch = self._fixture(spark)
+        ct, it, st = "hb_corpus_t", "hb_bandidx_t", "hb_stats_t"
+        for t in (ct, it, st):
+            spark.sql(f"DROP TABLE IF EXISTS `{t}`")
+        write_bucketed_table(spark, corpus, ct, 4, "doc_id")
+        write_bucketed_table(
+            spark,
+            dd._banded(dd.shingle_frame(corpus, "doc_id", "text", 5), 8, 4),
+            it, 4, "band_hash", "band_idx",
+        )
+        dd.refresh_band_stats(spark, it, st)
+
+        with pytest.raises(ValueError, match="band_stats_table"):
+            sp.make_ingest_batch_fn(
+                spark, lambda df, bid: None, ct, it, hot_band_cap=8
+            )
+
+        suspects_seen: list = []
+        fn = sp.make_ingest_batch_fn(
+            spark,
+            lambda df, bid: None,
+            ct, it, min_quality=0.0, threshold=0.5, buckets=4,
+            hot_band_cap=8, band_stats_table=st,
+            suspect_sink=lambda df, bid: suspects_seen.append(
+                {r["doc_id"] for r in df.collect()}
+            ),
+        )
+        fn(batch, 0)
+        assert suspects_seen == [{200}]
+        for t in (ct, it, st):
+            spark.sql(f"DROP TABLE IF EXISTS `{t}`")
+
+
 class TestDeepComponentClusters:
     """VERDICT r12 #2: dedup_clusters' doubling loop on components of
     diameter >> 2 — the regime the corpus fixtures never exercise (their

@@ -789,6 +789,63 @@ def incremental_snm_pairs(
     )
 
 
+def incremental_snm_pairs_with_delta(
+    incoming: DataFrame,
+    corpus_static: DataFrame,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 3,
+    n: int = 5,
+    threshold: float = 0.5,
+    corpus_ranked: DataFrame | None = None,
+    block_starts: DataFrame | None = None,
+    blk_pushdown: bool = False,
+) -> DataFrame:
+    """The SNM arm's STALENESS-window closer (VERDICT r13 #4): the rank
+    index is rebuild-only (ranks are order statistics of the whole
+    corpus), so docs accepted since the nightly rebuild — the DELTA —
+    are invisible to ``incremental_snm_pairs`` and the ensemble's
+    no-skew guarantee silently lapses for exactly the newest data, the
+    slice most likely to contain a crawl's re-fetches.  This twin runs
+    the indexed probe against the STATIC corpus as usual, plus a second
+    SNM pass of the batch against the (bounded: one rebuild interval of
+    accepts) delta — ranking batch ∪ delta keys with the same
+    ``with_global_rank`` machinery, a batch-plus-delta-sized job with
+    no corpus term at all.  The union restores recall for batch×delta
+    near-dups at 2·window extra candidates per doc; batch×static pairs
+    are byte-identical to the stale arm (the static corpus and its
+    index are untouched).
+
+    Not a re-rank of the full corpus: the two passes window within
+    their own sort orders, so a pair that is within ``window`` of the
+    batch doc only in the INTERLEAVED (static ∪ delta) order can still
+    be missed — the residual is the docs BETWEEN the pair in one
+    subset but not the union, bounded by the interleaving depth, and
+    zero for verbatim/mirror duplicates (identical keys are always
+    rank-adjacent in any subset containing them).  Measured on the
+    planted fixtures: stale arm 0% delta-pair recall, this twin 100%
+    (``TestSnmFreshDelta``; SCALE.md r14).  Static/delta doc sets must
+    be disjoint (a deployment's accepts are new doc_ids), so the union
+    carries no duplicate pairs."""
+    static_pairs = incremental_snm_pairs(
+        incoming,
+        corpus_static,
+        id_col,
+        text_col,
+        window,
+        n,
+        threshold,
+        corpus_ranked,
+        block_starts,
+        blk_pushdown,
+    )
+    delta_pairs = incremental_snm_pairs(
+        incoming, delta, id_col, text_col, window, n, threshold
+    )
+    return static_pairs.unionByName(delta_pairs)
+
+
 def _free_local_checkpoint(df: DataFrame) -> None:
     """Release the executor blocks behind a ``localCheckpoint``'ed frame.
 

@@ -617,7 +617,7 @@ def llm_incremental_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _snm_rank_index_bucketed(
     spark: SparkSession, sf_dir: str, window: int = 3, n: int = 5,
-    buckets: int = 32,
+    buckets: int = 32, split: str = "i3",
 ) -> tuple:
     """The corpus's sorted-neighborhood RANK structure at rest, two
     tables (VERDICT r12 #7's endgame): the rank INDEX (doc_id, _k,
@@ -633,10 +633,12 @@ def _snm_rank_index_bucketed(
     material — ~1× corpus text bytes, the normal secondary-index trade,
     nothing like the rejected 20× array blowup.
 
-    Ranks are order statistics of THIS corpus (the %3≠0 split), so the
-    split is part of the layout identity (name suffix ``i3``); a
-    deployment rebuilds the index with its nightly corpus, exactly like
-    the band index."""
+    Ranks are order statistics of THIS corpus, so the split is part of
+    the layout identity (``split``: ``i3`` = the %3≠0 corpus of the
+    anchor gates; ``s1`` = the %3=1 STATIC corpus of the fresh-delta
+    twin, where %3=2 plays the same-day accepted delta the index has
+    not seen); a deployment rebuilds the index with its nightly corpus,
+    exactly like the band index."""
     import re
 
     from data_engineering_project_utn_spark.operators.histogram import (
@@ -650,16 +652,19 @@ def _snm_rank_index_bucketed(
     w = int(window)
     tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
     fp = _fs_fingerprint_of(f"{sf_dir}/documents.parquet")
-    idx_name = f"dedup_snm_idx_i3_{tag}_w{w}n{n}_{fp}"
-    dir_name = f"dedup_snm_dir_i3_{tag}_w{w}n{n}_{fp}"
+    idx_name = f"dedup_snm_idx_{split}_{tag}_w{w}n{n}_{fp}"
+    dir_name = f"dedup_snm_dir_{split}_{tag}_w{w}n{n}_{fp}"
     if table_exists(spark, idx_name) and table_exists(spark, dir_name):
         return spark.table(idx_name), spark.table(dir_name)
-    _drop_stale_fingerprinted(spark, f"dedup_snm_idx_i3_{tag}_w{w}n{n}_", idx_name)
-    _drop_stale_fingerprinted(spark, f"dedup_snm_dir_i3_{tag}_w{w}n{n}_", dir_name)
+    _drop_stale_fingerprinted(spark, f"dedup_snm_idx_{split}_{tag}_w{w}n{n}_", idx_name)
+    _drop_stale_fingerprinted(spark, f"dedup_snm_dir_{split}_{tag}_w{w}n{n}_", dir_name)
+    keep = (
+        (F.col("doc_id") % 3 == 1) if split == "s1" else (F.col("doc_id") % 3 != 0)
+    )
     corpus = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .filter(F.col("doc_id") % 3 != 0)
+        .filter(keep)
     )
     keyed = dd.shingle_frame(
         parallelize_compute(corpus), "doc_id", "text", n, with_key=True
@@ -698,6 +703,68 @@ def llm_incremental_snm_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = bkt.filter(F.col("doc_id") % 3 != 0)
     return dd.incremental_snm_pairs(
         incoming, corpus, window=3, threshold=0.5,
+        corpus_ranked=idx, block_starts=starts,
+    )
+
+
+# Fresh-plus-delta oracle (VERDICT r13 #4): the SNM window runs twice —
+# against the STATIC corpus (%3=1, the slice the nightly rank index saw)
+# and against the DELTA (%3=2, accepted since the rebuild, invisible to
+# the index) — and the pair sets union (disjoint doc sets, no dups).
+_INCR_SNM_FRESH_DELTA_ORACLE = "WITH " + _MINHASH_CTES + """,
+    ky AS (SELECT doc_id, array_to_string(list_sort(list_distinct(t)), ' ') AS k FROM tk),
+    cks AS (SELECT doc_id, k, row_number() OVER (ORDER BY k, doc_id) - 1 AS rn
+            FROM ky WHERE doc_id % 3 = 1),
+    ckd AS (SELECT doc_id, k, row_number() OVER (ORDER BY k, doc_id) - 1 AS rn
+            FROM ky WHERE doc_id % 3 = 2),
+    bk2 AS (SELECT doc_id, k FROM ky WHERE doc_id % 3 = 0),
+    inss AS (SELECT b.doc_id AS doc_new, COUNT(c.doc_id) AS p
+             FROM bk2 b LEFT JOIN cks c
+               ON (c.k < b.k) OR (c.k = b.k AND c.doc_id < b.doc_id)
+             GROUP BY b.doc_id),
+    insd AS (SELECT b.doc_id AS doc_new, COUNT(c.doc_id) AS p
+             FROM bk2 b LEFT JOIN ckd c
+               ON (c.k < b.k) OR (c.k = b.k AND c.doc_id < b.doc_id)
+             GROUP BY b.doc_id),
+    nb AS (SELECT i.doc_new, c.doc_id AS doc_existing
+           FROM inss i JOIN cks c ON c.rn BETWEEN i.p - 3 AND i.p + 2
+           UNION ALL
+           SELECT i.doc_new, c.doc_id AS doc_existing
+           FROM insd i JOIN ckd c ON c.rn BETWEEN i.p - 3 AND i.p + 2),
+    snj AS (SELECT n.doc_new, n.doc_existing,
+               CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
+               / (CAST(len(sa.shset) + len(sb.shset) AS DOUBLE)
+                  - CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)) AS jaccard
+            FROM nb n JOIN sh sa ON sa.doc_id = n.doc_new
+                      JOIN sh sb ON sb.doc_id = n.doc_existing)
+    SELECT doc_new, doc_existing, jaccard FROM snj WHERE jaccard >= 0.5
+    """
+
+
+@register(
+    "llm_incremental_snm_fresh_delta",
+    oracle=_INCR_SNM_FRESH_DELTA_ORACLE,
+    tags=("llm", "dedup", "incremental", "snm", "bucketed", "scale-twin"),
+)
+def llm_incremental_snm_fresh_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SNM staleness-window closer (VERDICT r13 #4): %3=1 plays the
+    STATIC corpus the nightly rank index was built from (at rest,
+    ``split='s1'``), %3=2 plays the SAME-DAY DELTA the index has never
+    seen, %3=0 the incoming batch.  The stale arm alone
+    (``incremental_snm_pairs`` on the static index) silently misses
+    every batch×delta near-dup — the newest data, where crawl
+    re-fetches concentrate; this twin adds a batch∪delta-ranked second
+    window pass (no corpus term: the delta is one rebuild interval of
+    accepts) and unions.  Pairs against the static side are
+    byte-identical to the stale arm; delta-pair recall goes 0% → 100%
+    on planted copies (``TestSnmFreshDelta``)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    incoming = d.filter(F.col("doc_id") % 3 == 0)
+    static = d.filter(F.col("doc_id") % 3 == 1)
+    delta = d.filter(F.col("doc_id") % 3 == 2)
+    idx, starts = _snm_rank_index_bucketed(spark, sf_dir, window=3, n=5, split="s1")
+    return dd.incremental_snm_pairs_with_delta(
+        incoming, static, delta, window=3, threshold=0.5,
         corpus_ranked=idx, block_starts=starts,
     )
 

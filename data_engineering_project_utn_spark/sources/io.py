@@ -257,6 +257,60 @@ def compact_bucketed_table(
     return spark.table(name)
 
 
+def data_file_count(spark: SparkSession, name: str) -> int:
+    """Number of data files under a table's location — the cheap
+    (driver-side listdir) signal the compaction-cadence policy reads
+    after each append (``append_bucketed_table`` adds one file per
+    touched bucket per call; probe cost grows with file count through
+    per-file footer/open overhead — measured in SCALE.md r14)."""
+    import os
+
+    loc = table_location(spark, name)
+    for prefix in ("file://", "file:"):
+        if loc.startswith(prefix):
+            loc = loc[len(prefix):]
+            break
+    try:
+        return sum(
+            1 for f in os.listdir(loc)
+            if not f.startswith(("_", "."))
+        )
+    except FileNotFoundError:
+        return 0
+
+
+def compact_partitioned_dir(
+    spark: SparkSession,
+    path: str,
+    partition_col: str = "cell",
+) -> None:
+    """Compaction for a partitioned parquet DIRECTORY (the semantic
+    layout's analogue of ``compact_bucketed_table``): rewrite to one
+    file per partition value via a staging dir, then swap with the same
+    rename-aside discipline (crash at any step leaves a readable
+    directory at ``path`` or auto-recoverable aside; next call
+    recovers).  ``repartition(col)`` puts each partition value in one
+    shuffle partition, so ``partitionBy`` emits exactly one file per
+    value — the read-optimal layout the per-trigger appends erode."""
+    import os
+    import shutil
+
+    tmp, aside = f"{path}__compacting", f"{path}__precompact"
+    if not os.path.exists(path) and os.path.exists(aside):
+        os.rename(aside, path)  # crash recovery: restore the aside
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(aside, ignore_errors=True)
+    (
+        spark.read.parquet(path)
+        .repartition(F.col(partition_col))
+        .write.partitionBy(partition_col)
+        .parquet(tmp)
+    )
+    os.rename(path, aside)
+    os.rename(tmp, path)
+    shutil.rmtree(aside)
+
+
 def append_csv(df: DataFrame, path: str) -> None:
     """S9 CSV append sink (`Historical_data_cleaning.py:123`)."""
     df.write.mode("append").option("header", True).csv(path)

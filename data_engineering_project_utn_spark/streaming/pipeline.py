@@ -1160,6 +1160,7 @@ def make_ingest_batch_fn(
     hot_band_cap: int | None = None,
     band_stats_table: str | None = None,
     suspect_sink: Callable[[DataFrame, int], None] | None = None,
+    compact_after_files: int | None = None,
 ):
     """The FULL continuous-ingestion loop over the at-rest structures —
     probe → curate → accept → APPEND: each accepted batch joins the
@@ -1241,6 +1242,19 @@ def make_ingest_batch_fn(
     a cap without a stats table raises (an inline per-trigger aggregate
     over the whole index would reintroduce the O(corpus) term the
     indexed probe removed).
+
+    **Compaction cadence** (``compact_after_files``, VERDICT r13 #3):
+    each trigger appends one file per touched bucket, and probe cost
+    grows with the file count (per-file open/footer overhead on every
+    matched bucket — measured in SCALE.md r14: the growth is linear in
+    delta files and dwarfs the corpus-size term at high trigger
+    counts).  With the knob set, any table whose data-file count
+    exceeds the threshold is compacted inline after the trigger's
+    appends (one file per bucket again; the band stats ledger refreshes
+    with its index).  The threshold trades a bounded per-trigger worst
+    case against compaction frequency — SCALE.md derives the default
+    from the measured curve; a deployment with a nightly window can
+    leave it None and compact on schedule instead.
 
     Unlike the band index, the SNM rank index is NOT appendable (ranks
     are order statistics of the whole corpus); a deployment rebuilds it
@@ -1326,11 +1340,52 @@ def make_ingest_batch_fn(
             )
             if ledger_table is not None:
                 _ledger_commit(spark, ledger_table, batch_id)
+            if compact_after_files is not None:
+                _maybe_compact(
+                    spark,
+                    (
+                        (corpus_table, ("doc_id",)),
+                        (band_index_table, ("band_hash", "band_idx")),
+                    ),
+                    buckets,
+                    compact_after_files,
+                    band_index_table=band_index_table,
+                    band_stats_table=band_stats_table,
+                )
         finally:
             release_persisted()
             _free_local_checkpoint(accepted)
 
     return process
+
+
+def _maybe_compact(
+    spark: SparkSession,
+    tables,
+    buckets: int,
+    compact_after_files: int,
+    band_index_table: str | None = None,
+    band_stats_table: str | None = None,
+) -> list[str]:
+    """File-count-threshold compaction policy (VERDICT r13 #3): fold any
+    table whose data-file count exceeds the threshold back to one file
+    per bucket, refreshing the band stats ledger when its index is
+    compacted.  Returns the compacted table names (for tests/ops
+    logging)."""
+    from data_engineering_project_utn_spark.llm.dedup import refresh_band_stats
+    from data_engineering_project_utn_spark.sources.io import (
+        compact_bucketed_table,
+        data_file_count,
+    )
+
+    compacted = []
+    for name, cols in tables:
+        if data_file_count(spark, name) > compact_after_files:
+            compact_bucketed_table(spark, name, buckets, *cols)
+            compacted.append(name)
+            if band_stats_table is not None and name == band_index_table:
+                refresh_band_stats(spark, band_index_table, band_stats_table)
+    return compacted
 
 
 def _ledger_committed(spark: SparkSession, ledger_table: str, batch_id: int) -> bool:
@@ -1371,6 +1426,7 @@ def make_semantic_ingest_batch_fn(
     id_col: str = "vec_id",
     nprobe_super: int = 1,
     ledger_table: str | None = None,
+    compact_after_files: int | None = None,
 ):
     """The SEMANTIC twin of ``make_ingest_batch_fn`` — the embedding
     corpus's continuous-ingestion loop over its at-rest layout (the
@@ -1403,6 +1459,12 @@ def make_semantic_ingest_batch_fn(
     1.0 ≥ threshold) on the retry's probe and is excluded from accept;
     with a single append target there is no cross-table window at all
     (replay-tested).
+
+    ``compact_after_files`` (VERDICT r13 #3): the cell-partitioned
+    appends have the same small-files growth as the lexical loop's
+    bucket deltas — when the directory's parquet file count exceeds the
+    threshold, ``compact_partitioned_dir`` folds it back to one file
+    per cell (staged rewrite + rename-aside swap, crash-safe).
     """
     from data_engineering_project_utn_spark.llm import similarity as sim
     from data_engineering_project_utn_spark.llm.dedup import (
@@ -1457,6 +1519,19 @@ def make_semantic_ingest_batch_fn(
             )
             if ledger_table is not None:
                 _ledger_commit(spark, ledger_table, batch_id)
+            if compact_after_files is not None:
+                import glob
+                import os
+
+                n_files = len(
+                    glob.glob(os.path.join(corpus_path, "*", "*.parquet"))
+                )
+                if n_files > compact_after_files:
+                    from data_engineering_project_utn_spark.sources.io import (
+                        compact_partitioned_dir,
+                    )
+
+                    compact_partitioned_dir(spark, corpus_path, "cell")
         finally:
             release_persisted()
             _free_local_checkpoint(assigned)

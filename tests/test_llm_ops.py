@@ -3985,6 +3985,57 @@ class TestIndexedIncrementalProbe:
         assert sunk[0] == sunk[1]  # same flags either mode
 
 
+class TestSnmFreshDelta:
+    """VERDICT r13 #4: the SNM rank index's staleness window — docs
+    accepted since the nightly rebuild are invisible to the indexed
+    probe; the fresh-plus-delta twin restores batch×delta recall with a
+    batch∪delta-sized second pass and leaves static pairs untouched."""
+
+    def test_delta_pairs_recovered(self, spark):
+        import pandas as pd
+
+        static_texts = [
+            (f"static corpus document number {i} with distinct "
+             "wording throughout its body ") * 2
+            for i in range(4)
+        ]
+        static = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": static_texts})
+        )
+        body = "an incoming crawl page refetched within the same day " * 3
+        delta = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [50], "text": [body + " mirror tail"]})
+        )
+        incoming = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [100, 101],
+                    "text": [body, static_texts[0] + " suffix"],  # static dup
+                }
+            )
+        )
+
+        stale = {
+            (r["doc_new"], r["doc_existing"])
+            for r in dd.incremental_snm_pairs(
+                incoming, static, window=2, threshold=0.5
+            ).collect()
+        }
+        assert not any(e == 50 for _, e in stale)  # delta invisible
+        assert (101, 1) in stale  # static recall intact
+
+        fresh = {
+            (r["doc_new"], r["doc_existing"])
+            for r in dd.incremental_snm_pairs_with_delta(
+                incoming, static, delta, window=2, threshold=0.5
+            ).collect()
+        }
+        # static pairs byte-identical, delta pair recovered
+        assert stale <= fresh
+        assert (100, 50) in fresh
+        assert fresh - stale == {(100, 50)}
+
+
 class TestHotBandGuard:
     """VERDICT r13 #2: the incremental LSH probe's hot-band guard — a
     planted boilerplate flood must not blow up the candidate set, the

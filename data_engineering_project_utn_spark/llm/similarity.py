@@ -2411,3 +2411,133 @@ def scalar_quantization_report(
         )
         .orderBy("dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantizer drift (VERDICT r13 #6): the semantic ingest loop assigns cells
+# with a STATIC quantizer while the corpus grows — a drifting embedding
+# distribution concentrates new vectors into few cells (pruning degrades
+# toward a full scan) and stretches within-cell radii (semdedup recall at
+# sub-1.0 thresholds), with no signal.  The monitor is one aggregate over
+# the at-rest layout; the re-train job is the semantic analogue of
+# compaction (re-train + re-partition, staged rewrite, crash-safe swap).
+# ---------------------------------------------------------------------------
+
+
+def semantic_layout_drift_report(
+    spark,
+    corpus_path: str,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+) -> dict:
+    """Drift monitor for a cell-partitioned embedding layout: per-cell
+    row counts plus mean stored-assignment cosine, ONE broadcast join +
+    aggregate over the directory (the centroid frame is model-size).
+    Returns model-size scalars only:
+
+    * ``n_rows`` / ``n_cells`` — layout population;
+    * ``mean_cos`` — overall mean vector→assigned-centroid cosine (the
+      spherical-k-means objective over the layout; falls as the
+      distribution drifts away from the quantizer);
+    * ``max_cell_frac`` — the largest cell's share of all rows (rises
+      toward 1.0 as drifted vectors pile into their nearest stale cell;
+      directly bounds how much partition pruning can save);
+    * ``imbalance`` — max cell count / mean cell count (1.0 = uniform).
+
+    Compare against the report taken at build/retrain time and call
+    ``retrain_semantic_layout`` when ``should_retrain`` fires — the
+    cadence decision is the caller's (nightly with compaction is the
+    natural slot)."""
+    at_rest = spark.read.parquet(corpus_path)
+    cents = centroids.select(F.col("cid").alias("cell"), "cv")
+    per = (
+        at_rest.join(F.broadcast(cents), "cell")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(cosine(F.col(vec_col), F.col("cv"))).alias("mc"),
+        )
+        .collect()
+    )
+    if not per:
+        return {
+            "n_rows": 0, "n_cells": 0, "mean_cos": 0.0,
+            "max_cell_frac": 0.0, "imbalance": 0.0,
+        }
+    n_rows = sum(int(r["n"]) for r in per)
+    max_n = max(int(r["n"]) for r in per)
+    return {
+        "n_rows": n_rows,
+        "n_cells": len(per),
+        "mean_cos": sum(float(r["mc"]) * int(r["n"]) for r in per) / n_rows,
+        "max_cell_frac": max_n / n_rows,
+        "imbalance": max_n / (n_rows / len(per)),
+    }
+
+
+def should_retrain(
+    baseline: dict,
+    current: dict,
+    max_cos_drop: float = 0.05,
+    max_imbalance_growth: float = 2.0,
+) -> bool:
+    """The drift gate: re-train when the layout's mean assignment cosine
+    fell more than ``max_cos_drop`` below the baseline, or the imbalance
+    grew more than ``max_imbalance_growth``× — either means the static
+    quantizer no longer matches the ingested distribution (planted-drift
+    tested: recall and balance recover after the re-train)."""
+    if current["n_rows"] == 0 or baseline["n_rows"] == 0:
+        return False
+    return (
+        current["mean_cos"] < baseline["mean_cos"] - max_cos_drop
+        or current["imbalance"]
+        > baseline["imbalance"] * max_imbalance_growth
+    )
+
+
+def retrain_semantic_layout(
+    spark,
+    corpus_path: str,
+    k: int | None = None,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe_super: int = 1,
+) -> DataFrame:
+    """Re-train the coarse quantizer on the CURRENT layout population and
+    re-partition the directory under the new cells — the semantic
+    analogue of the lexical loop's nightly compaction + index rebuild
+    (reuses ``train_ivf_centroids`` + the partitioned writer).  The
+    rewrite stages into a sibling directory and swaps with the same
+    rename-aside discipline as ``compact_partitioned_dir`` (a crash at
+    any step leaves a readable directory; the next call auto-recovers).
+    Returns the new centroid frame (cid, cv, cn) — hand it to the next
+    ``make_semantic_ingest_batch_fn`` so subsequent triggers assign and
+    probe with the retrained tree."""
+    import os
+    import shutil
+
+    tmp, aside = f"{corpus_path}__retraining", f"{corpus_path}__preretrain"
+    if not os.path.exists(corpus_path) and os.path.exists(aside):
+        os.rename(aside, corpus_path)  # crash recovery
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(aside, ignore_errors=True)
+    at_rest = _track_persist(spark.read.parquet(corpus_path).drop("cell"))
+    if k is None:
+        k = derive_ivf_k(at_rest.count())
+    cents = train_ivf_centroids(
+        at_rest, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    cdf = centroids_df(spark, cents)
+    assigned = ivf_cells_2level(
+        at_rest, cdf, vec_col=vec_col, nprobe_super=nprobe_super
+    )
+    (
+        assigned.repartition(F.col("cell"))
+        .write.partitionBy("cell")
+        .parquet(tmp)
+    )
+    os.rename(corpus_path, aside)
+    os.rename(tmp, corpus_path)
+    shutil.rmtree(aside)
+    return cdf

@@ -3446,3 +3446,71 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "anchor_id: long, neg_rank: long, neg_id: long, cos_sim: double"
     ).orderBy("anchor_id", "neg_rank")
+
+
+def _drift_report_oracle() -> str:
+    from data_engineering_project_utn_spark.plans.llm_shared import (
+        _cos,
+        two_level_cells_ctes,
+    )
+
+    return f"""
+    WITH {two_level_cells_ctes()},
+    per AS (SELECT c.cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                   SUM(CAST(FLOOR(({_cos('e.embedding', 'ct.cv')})
+                       * 1000000000) AS BIGINT)) AS cos_sum_e9
+            FROM cells c
+            JOIN embeddings e ON e.vec_id = c.vec_id
+            JOIN cents ct ON ct.cid = c.cell
+            GROUP BY c.cell)
+    SELECT cell, n_vecs, cos_sum_e9 FROM per ORDER BY cell
+    """
+
+
+@register(
+    "llm_semantic_drift_report",
+    oracle=_drift_report_oracle(),
+    tags=("llm", "semantic", "drift", "quantizer"),
+)
+def llm_semantic_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantizer DRIFT REPORT (VERDICT r13 #6) as a first-class
+    query: per-cell population + fixed-point cosine mass of every vector
+    to its assigned centroid, over the two-level descent the semantic
+    loop stores at rest.  This is the signal a deployment reads before
+    deciding to re-train: falling cosine mass = the static quantizer no
+    longer matches the ingested distribution; a ballooning cell count =
+    partition pruning is dying (``similarity.should_retrain`` makes the
+    call; ``retrain_semantic_layout`` is the nightly fix, planted-drift
+    tested in ``TestSemanticDrift``).
+
+    Cross-engine exactness: the per-row cosine is the shared bit-exact
+    fold; the AGGREGATE is a sum of per-row ``floor(cos·10⁹)`` BIGINTs
+    — order-independent integer addition, so Spark's partial aggregates
+    and DuckDB's serial sum cannot diverge in the last float bit (the
+    same fixed-point trick as the text-analysis gates).  One broadcast
+    join (model-size centroid frame) + one partial-aggregated pass —
+    at 100 TB this is a scan-bound nightly job with zero shuffle beyond
+    the k-row aggregate."""
+    from data_engineering_project_utn_spark.llm.similarity import cosine
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    e = track_persist(parallelize_compute(load_table(spark, sf_dir, "embeddings")))
+    k = sim.derive_ivf_k(e.count())
+    cdf = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    assigned = sim.ivf_cells_2level(e, cdf)
+    cents = cdf.select(F.col("cid").alias("cell"), "cv")
+    return (
+        assigned.join(F.broadcast(cents), "cell")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(
+                F.floor(
+                    cosine(F.col("embedding"), F.col("cv")) * F.lit(1000000000.0)
+                ).cast("long")
+            ).alias("cos_sum_e9"),
+        )
+        .orderBy("cell")
+    )

@@ -3457,8 +3457,8 @@ def _drift_report_oracle() -> str:
     return f"""
     WITH {two_level_cells_ctes()},
     per AS (SELECT c.cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
-                   SUM(CAST(FLOOR(({_cos('e.embedding', 'ct.cv')})
-                       * 1000000000) AS BIGINT)) AS cos_sum_e9
+                   CAST(SUM(CAST(FLOOR(({_cos('e.embedding', 'ct.cv')})
+                       * 1000000000) AS BIGINT)) AS BIGINT) AS cos_sum_e9
             FROM cells c
             JOIN embeddings e ON e.vec_id = c.vec_id
             JOIN cents ct ON ct.cid = c.cell

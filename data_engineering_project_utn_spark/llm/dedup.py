@@ -1205,6 +1205,8 @@ def incremental_editdist_neardup(
     corpus_shingles: DataFrame | None = None,
     corpus_bands: DataFrame | None = None,
     broadcast_batch: bool = False,
+    band_stats: DataFrame | None = None,
+    hot_band_cap: int | None = None,
 ) -> DataFrame:
     """The EDIT-DISTANCE arm of incremental dedup —
     ``incremental_neardup``'s character-level twin: which INCOMING docs
@@ -1221,10 +1223,13 @@ def incremental_editdist_neardup(
     over all batches at once (streaming parity tested).  Columns:
     doc_new, doc_existing, edit_distance, edit_sim.
 
-    ``corpus_shingles`` / ``corpus_bands`` / ``broadcast_batch``: same
-    contracts as ``incremental_neardup`` — shingles pin once per stream,
-    an at-rest band frame skips corpus banding entirely, and the batch
-    side broadcasts ONLY under the streaming bounded-batch contract.
+    ``corpus_shingles`` / ``corpus_bands`` / ``broadcast_batch`` /
+    ``band_stats`` / ``hot_band_cap``: same contracts as
+    ``incremental_neardup`` — shingles pin once per stream, an at-rest
+    band frame skips corpus banding entirely, the batch side broadcasts
+    ONLY under the streaming bounded-batch contract, and the hot-band
+    guard skips over-cap bands (each skipped pair saves an O(L·εL) DP
+    here, the priciest verify in the ensemble).
     """
     sh_in = track_persist(
         shingle_frame(parallelize_compute(incoming), id_col, text_col, n)
@@ -1242,7 +1247,9 @@ def incremental_editdist_neardup(
             )
         )
         b_co = _banded(sh_co, k, bands)
-    cand = _incremental_candidates(sh_in, b_co, k, bands, broadcast_batch)
+    cand = _incremental_candidates(
+        sh_in, b_co, k, bands, broadcast_batch, band_stats, hot_band_cap
+    )
     ta = incoming.select(F.col(id_col).alias("doc_new"), F.col(text_col).alias("_ta"))
     if not broadcast_batch:
         # batch contract: the "incoming" text side may be
@@ -1316,10 +1323,10 @@ def band_bucket_sizes(corpus_bands: DataFrame) -> DataFrame:
     """Per-bucket corpus population of a band index: (band_idx,
     band_hash, n_docs) — ONE partial-aggregated pass over the (at-rest)
     band frame, the statistic the hot-band guard reads (VERDICT r13 #2).
-    A deployment materializes it at compaction time (see
-    ``plans.llm_dedup_plans._band_stats_table``) so per-trigger probes
-    never re-aggregate the corpus; batch gates may compute it inline
-    (same cost class as the corpus banding they already do)."""
+    A deployment materializes it at compaction time
+    (``refresh_band_stats``) so per-trigger probes never re-aggregate
+    the corpus; batch gates may compute it inline (same cost class as
+    the corpus banding they already do)."""
     return corpus_bands.groupBy("band_idx", "band_hash").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
@@ -1439,7 +1446,7 @@ def incremental_neardup_indexed(
     doc carrying it is |batch ∩ band|·|corpus ∩ band| verify pairs per
     TRIGGER.  With a cap, the batch's hot bands (corpus bucket >
     cap per ``band_stats`` — the stats table compaction maintains,
-    ``plans.llm_dedup_plans._band_stats_table``) are skipped before the
+    ``refresh_band_stats``) are skipped before the
     key-collect, so both driver round-trips AND the candidate set stay
     batch-bounded no matter how skewed the corpus is; the skipped docs
     are named by ``hot_band_suspects`` for the SNM arm (2·window bound,
@@ -1483,16 +1490,25 @@ def incremental_editdist_neardup_indexed(
     n: int = 5,
     threshold: float = 0.97,
     max_pushdown_keys: int = 65536,
+    band_stats: DataFrame | None = None,
+    hot_band_cap: int | None = None,
 ) -> DataFrame:
     """``incremental_editdist_neardup`` over the at-rest index — the
     edit-distance twin of ``incremental_neardup_indexed``: same
-    IN-pushdown candidate probe, then the threshold-banded DP verifies
-    batch × matched-rows (whose texts come from the id-pruned bucketed
-    corpus scan, never a full pass)."""
+    IN-pushdown candidate probe (including the ``hot_band_cap`` guard —
+    a flood is WORSE here, each skipped pair saving an O(L·εL) DP, not
+    a set intersect), then the threshold-banded DP verifies batch ×
+    matched-rows (whose texts come from the id-pruned bucketed corpus
+    scan, never a full pass)."""
     sh_in = track_persist(
         shingle_frame(parallelize_compute(incoming), id_col, text_col, n)
     )
     b_in = track_persist(_banded(sh_in, k, bands))
+    if hot_band_cap is not None:
+        stats = (
+            band_stats if band_stats is not None else band_bucket_sizes(band_index)
+        )
+        b_in = track_persist(_split_hot_bands(b_in, stats, hot_band_cap)[0])
     cand = track_persist(_indexed_candidates(b_in, band_index, max_pushdown_keys))
     hits = _existing_rows_for(cand, corpus_at_rest, id_col, max_pushdown_keys)
     ta = incoming.select(F.col(id_col).alias("doc_new"), F.col(text_col).alias("_ta"))

@@ -1427,6 +1427,7 @@ def make_semantic_ingest_batch_fn(
     nprobe_super: int = 1,
     ledger_table: str | None = None,
     compact_after_files: int | None = None,
+    intra_batch: bool = True,
 ):
     """The SEMANTIC twin of ``make_ingest_batch_fn`` — the embedding
     corpus's continuous-ingestion loop over its at-rest layout (the
@@ -1465,6 +1466,14 @@ def make_semantic_ingest_batch_fn(
     bucket deltas — when the directory's parquet file count exceeds the
     threshold, ``compact_partitioned_dir`` folds it back to one file
     per cell (staged rewrite + rename-aside swap, crash-safe).
+
+    ``intra_batch`` (on by default): two near-dup vectors arriving in
+    the SAME micro-batch are invisible to the corpus probe (neither is
+    at rest yet) — a within-batch, within-cell cosine self-join flags
+    the larger id of each ≥-threshold pair before accept (min-id
+    survivorship, the semantic twin of the lexical loop's pass).  The
+    blocking is co-assignment, the same boundary-pair trade the probe
+    itself makes.
     """
     from data_engineering_project_utn_spark.llm import similarity as sim
     from data_engineering_project_utn_spark.llm.dedup import (
@@ -1509,6 +1518,24 @@ def make_semantic_ingest_batch_fn(
             nprobe_super=nprobe_super,
         )
         flagged = pairs.select(F.col("doc_new").alias(id_col)).distinct()
+        if intra_batch:
+            a = assigned.select(
+                F.col(id_col).alias("_ia"), "cell", F.col(vec_col).alias("_va")
+            )
+            b = assigned.select(
+                F.col(id_col).alias("_ib"), "cell", F.col(vec_col).alias("_vb")
+            )
+            self_dups = (
+                a.join(b, "cell")
+                .filter(F.col("_ia") < F.col("_ib"))
+                .filter(
+                    sim.cosine(F.col("_va"), F.col("_vb"))
+                    >= F.lit(float(threshold))
+                )
+                .select(F.col("_ib").alias(id_col))
+                .distinct()
+            )
+            flagged = flagged.unionByName(self_dups).distinct()
         accepted = assigned.join(flagged, id_col, "left_anti").localCheckpoint(
             eager=True
         )

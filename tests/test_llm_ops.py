@@ -4141,6 +4141,13 @@ class TestHotBandGuard:
             ).collect()
         }
         assert got == {(202, 1)}
+        # the edit-distance twin honors the same guard (each skipped
+        # pair saves a banded DP, the priciest verify in the ensemble)
+        ed = dd.incremental_editdist_neardup_indexed(
+            batch, band_index, corpus,
+            threshold=0.9, band_stats=stats, hot_band_cap=8,
+        )
+        assert not any(r["doc_new"] == 200 for r in ed.collect())
 
     def test_ingest_loop_guard_wiring(self, spark):
         """make_ingest_batch_fn: cap without a stats table fails loudly;

@@ -3017,6 +3017,46 @@ class TestSemanticIngestLoop:
         )
         spark.sql(f"DROP TABLE IF EXISTS `{led}`")
 
+    def test_intra_batch_vector_dups_keep_min_id(self, spark, sf_dir, tmp_path):
+        """Two near-identical vectors in the SAME micro-batch: the corpus
+        probe sees neither — the within-cell self pass flags the larger
+        vec_id, keeping one copy (the semantic twin of the lexical
+        intra-batch pass)."""
+        from data_engineering_project_utn_spark.llm import similarity as sim
+        from data_engineering_project_utn_spark.tables import load_table
+
+        e = load_table(spark, sf_dir, "embeddings")
+        cents = e.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+        )
+        path = str(tmp_path / "sem_intra_corpus")
+        sim.ivf_cells_2level(e, cents).write.partitionBy("cell").parquet(path)
+        d = len(e.orderBy("vec_id").first()["embedding"])
+        dup = [10.0 if j == 3 else 0.1 for j in range(d)]
+        novel = [10.0 if j == 7 else 0.1 for j in range(d)]
+        batch = spark.createDataFrame(
+            [(8000, dup), (8001, [x + 1e-6 for x in dup]), (8002, novel)],
+            "vec_id long, embedding array<float>",
+        )
+        got: list = []
+        fn = sp.make_semantic_ingest_batch_fn(
+            spark,
+            lambda df, bid: got.append({r["vec_id"] for r in df.collect()}),
+            path, cents, threshold=0.999,
+        )
+        fn(batch, 0)
+        assert got[0] == {8000, 8002}  # 8001 deduped against in-batch 8000
+        # opt-out restores the r13 behavior
+        path2 = str(tmp_path / "sem_intra_corpus2")
+        sim.ivf_cells_2level(e, cents).write.partitionBy("cell").parquet(path2)
+        fn2 = sp.make_semantic_ingest_batch_fn(
+            spark,
+            lambda df, bid: got.append({r["vec_id"] for r in df.collect()}),
+            path2, cents, threshold=0.999, intra_batch=False,
+        )
+        fn2(batch, 0)
+        assert got[1] == {8000, 8001, 8002}
+
     def test_semantic_compaction_policy(self, spark, sf_dir, tmp_path):
         """VERDICT r13 #3, semantic side: the cell-partitioned appends
         have the same small-files growth; with compact_after_files set

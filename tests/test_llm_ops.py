@@ -3914,6 +3914,42 @@ class TestIndexedIncrementalProbe:
             "dedup_corpus_bkt" in ln and "In(doc_id" in ln for ln in scans
         ), plan
 
+    def test_capped_probe_keeps_pushdown_and_subsets(self, spark, sf_dir, at_rest):
+        """With the hot-band guard on, the IN-pushdown shape survives
+        (the cap filters the batch bands BEFORE the key collect, so the
+        index scan's PushedFilters carry a subset of the keys) and the
+        output is exactly the uncapped pairs minus over-cap buckets."""
+        band_index, corpus_bkt = at_rest
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        incoming = docs.filter(F.col("doc_id") < 50)
+        stats = dd.band_bucket_sizes(band_index)
+        uncapped = {
+            (r["doc_new"], r["doc_existing"])
+            for r in dd.incremental_neardup_indexed(
+                incoming, band_index, corpus_bkt, threshold=0.3
+            ).collect()
+        }
+        out = dd.incremental_neardup_indexed(
+            incoming, band_index, corpus_bkt, threshold=0.3,
+            band_stats=stats, hot_band_cap=1,
+        )
+        capped = {(r["doc_new"], r["doc_existing"]) for r in out.collect()}
+        assert capped <= uncapped
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+        assert any(
+            "dedup_band_idx" in ln and "In(band_hash" in ln for ln in scans
+        ), plan
+        # huge cap restores exactness through the same code path
+        exact = {
+            (r["doc_new"], r["doc_existing"])
+            for r in dd.incremental_neardup_indexed(
+                incoming, band_index, corpus_bkt, threshold=0.3,
+                band_stats=stats, hot_band_cap=10**9,
+            ).collect()
+        }
+        assert exact == uncapped
+
     def test_empty_batch_and_no_candidates(self, spark, sf_dir, at_rest):
         band_index, corpus_bkt = at_rest
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")

@@ -134,7 +134,7 @@ def ingestion_intervals_salted(
     )
 
 
-def output_table(flat: DataFrame, intervals: DataFrame) -> DataFrame:
+def output_table(flat: DataFrame, intervals: DataFrame | None = None) -> DataFrame:
     """Annotate queries with bracketing ingestion windows + freshness deltas.
 
     Reproduces `Dashboard_Historical_Final.py:241-312` (with the as-of
@@ -146,70 +146,117 @@ def output_table(flat: DataFrame, intervals: DataFrame) -> DataFrame:
     * ingestion queries are appended back untouched (UNION ALL add-back,
       time_since_last = 0 relative to their own interval).
 
-    Scale design — **as-of merge, not a join**.  Lead-based intervals are
-    non-overlapping per (instance, table), so "the bracketing interval" is
-    simply the last ingestion at-or-before each query's timestamp.  A
-    bracket equi-join on (instance, table) + time filter materializes
-    |queries_k|×|intervals_k| rows per key (quadratic — ~100 M intermediate
-    rows already at sf0.1); instead we union boundary and query rows and
-    carry the latest interval forward with one window pass: one shuffle,
-    one in-partition sort, linear output.  Boundary rows sort before query
-    rows at equal timestamps (kind 0 < 1), so a query exactly at an
-    ingestion timestamp lands in the *newer* interval (the reference's
-    BETWEEN would duplicate such a row into both intervals; measure-zero
-    tie divergence, documented per SURVEY.md §7.2).
-    """
-    iv_struct_type = "struct<l:timestamp,n:timestamp>"
+    Scale design — **as-of merge in ONE exchange** (optimization r14; was
+    two exchanges + a join).  Lead-based intervals are non-overlapping per
+    (instance, table), so "the bracketing interval" is the last ingestion
+    at-or-before each query's timestamp and the next one after it.  The
+    pre-r14 plan computed the interval frame separately (its own shuffle +
+    dedup + lead window), unioned it with the query rows (second shuffle),
+    and joined it back for the ingestion add-back (recomputing the interval
+    subplan a second time as the build side — at corpus scale, a broadcast
+    of a corpus-sized frame chosen off its static estimate).  All of that
+    collapses into one hash exchange on (instance_id, match_table) with
+    three window passes riding it (guide §2.4 — operations keyed the same
+    way share one exchange):
 
-    non_ing = flat.filter(~F.col("query_type").isin(*INGESTION_QUERY_TYPES))
+    * ``_l``  = last boundary timestamp at-or-before the row (boundary
+      rows see their own) — ``last(ignorenulls)`` over UNBOUNDED
+      PRECEDING..CURRENT ROW;
+    * ``_nr`` = first boundary (ts, query_id) strictly after the row,
+      computed as ``last(ignorenulls)`` over the DESCENDING sort with a
+      growing UNBOUNDED PRECEDING..1 PRECEDING frame — NOT as a
+      FOLLOWING-frame over the ascending sort, because Spark's
+      ``UnboundedFollowingWindowFunctionFrame`` re-aggregates the whole
+      suffix per row (O(partition²); measured 3.3 s vs 1.3 s noop on the
+      sf0.1 events — the descending growing frame is incremental O(n) at
+      the cost of one extra in-partition sort);
+    * ``_n``  = ``_nr`` of the LAST-in-ascending-order peer (= first peer
+      of the descending sort, RANGE CURRENT ROW..CURRENT ROW on the same
+      descending order, so no extra sort): replayed boundary rows
+      (identical sort key) form one peer block, and every member must see
+      the first boundary AFTER the block — exactly the
+      next-DISTINCT-event semantics the old dropDuplicates + lead
+      produced.  Query rows are their own single peer, so ``_n`` is their
+      first following boundary, which equals their bracketing interval's
+      end (no boundary lies between a query and its bracket end).
+
+    The replay-absorbing DISTINCT on the query rows becomes a row_number
+    window partitioned by the full output key; HashPartitioning on
+    (instance_id, match_table) — a subset of those keys — already
+    clusters every duplicate group, so it needs a sort but NO exchange.
+    Ingestion rows keep their multiplicity (the reference's UNION ALL
+    add-back re-fans the deduped intervals across duplicates), sidestep
+    the row_number filter, and read their interval straight from their own
+    ``_l``/``_n`` — the join that re-attached intervals to them is gone.
+
+    Boundary rows sort before query rows at equal timestamps (kind 0 < 1),
+    so a query exactly at an ingestion timestamp lands in the *newer*
+    interval (the reference's BETWEEN would duplicate such a row into both
+    intervals; measure-zero tie divergence, documented per SURVEY.md §7.2).
+    ``query_id`` completes the sort as the same tiebreaker the interval
+    lead() always used.
+
+    ``intervals`` is accepted for backward compatibility and is NOT
+    consumed: the boundary rows and their lead semantics are derived from
+    ``flat`` inside the single window pass (every caller passed
+    ``ingestion_intervals(flat)``, whose semantics this reproduces —
+    oracle-gated by ri_output_freshness and the bracket-join parity
+    tests).
+    """
+    is_b = F.col("query_type").isin(*INGESTION_QUERY_TYPES)
     match_table = F.when(
         F.col("query_type") == "select", F.col("read_table_id")
     ).otherwise(F.col("write_table_id"))
 
-    q = non_ing.select(
+    m = flat.select(
         "instance_id",
         match_table.alias("match_table"),
         F.col("arrival_timestamp").alias("ts"),
-        F.lit(1).alias("kind"),
+        F.when(is_b, F.lit(0)).otherwise(F.lit(1)).alias("kind"),
         "query_id",
         "query_type",
         "write_table_id",
         "read_table_id",
-        F.lit(None).cast(iv_struct_type).alias("iv"),
     )
-    b = intervals.select(
+    base = Window.partitionBy("instance_id", "match_table").orderBy(
+        "ts", "kind", "query_id"
+    )
+    desc = Window.partitionBy("instance_id", "match_table").orderBy(
+        F.col("ts").desc(), F.col("kind").desc(), F.col("query_id").desc()
+    )
+    w_prev = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # descending traversal: "preceding" rows are the ascending-order
+    # followers, and last(ignorenulls) of them is the ascending-FIRST
+    # boundary strictly after the current row — an O(n) growing frame
+    w_next = desc.rowsBetween(Window.unboundedPreceding, -1)
+    w_peer = desc.rangeBetween(Window.currentRow, Window.currentRow)
+    b_ts = F.when(F.col("kind") == 0, F.col("ts"))
+    b_key = F.when(
+        F.col("kind") == 0, F.struct(F.col("ts").alias("ts"), F.col("query_id").alias("qid"))
+    )
+    ann = (
+        m.withColumn("_l", F.last(b_ts, ignorenulls=True).over(w_prev))
+        .withColumn("_nr", F.last(b_key, ignorenulls=True).over(w_next))
+        .withColumn("_n", F.first("_nr", ignorenulls=False).over(w_peer)["ts"])
+    )
+    # the replay-absorbing DISTINCT, restricted to query rows: row 1 of each
+    # full-key duplicate group survives; ingestion rows keep multiplicity
+    wd = Window.partitionBy(
         "instance_id",
-        F.col("write_table_id").alias("match_table"),
-        F.col("current_timestamp").alias("ts"),
-        F.lit(0).alias("kind"),
-        F.lit(None).cast("long").alias("query_id"),
-        F.lit(None).cast("string").alias("query_type"),
-        F.lit(None).cast("long").alias("write_table_id"),
-        F.lit(None).cast("long").alias("read_table_id"),
-        F.struct(
-            F.col("current_timestamp").alias("l"), F.col("next_timestamp").alias("n")
-        ).alias("iv"),
-    )
-
-    w = (
-        Window.partitionBy("instance_id", "match_table")
-        .orderBy("ts", "kind")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    ann = q.unionByName(b).withColumn("biv", F.last("iv", ignorenulls=True).over(w))
-
-    # Dedup (the reference's replay-absorbing DISTINCT) *before* projecting
-    # match_table away: the window's HashPartitioning(instance_id,
-    # match_table) already clusters every duplicate group, so Catalyst
-    # needs no extra exchange here — dropping match_table first would force
-    # a second full shuffle (measured 1.6× on the whole operator).
-    # match_table is functionally determined by (query_type, read/write), so
-    # the dedup key set is equivalent to the reference's DISTINCT.
-    matched = (
-        ann.filter((F.col("kind") == 1) & F.col("biv").isNotNull())
-        .dropDuplicates(
-            ["instance_id", "match_table", "ts", "query_id", "query_type",
-             "write_table_id", "read_table_id", "biv"]
+        "match_table",
+        "ts",
+        "query_id",
+        "query_type",
+        "write_table_id",
+        "read_table_id",
+        "_l",
+        "_n",
+    ).orderBy("kind")
+    out = (
+        ann.withColumn("_rn", F.row_number().over(wd))
+        .filter(
+            (F.col("kind") == 0)
+            | ((F.col("_rn") == 1) & F.col("_l").isNotNull())
         )
         .select(
             "instance_id",
@@ -218,37 +265,10 @@ def output_table(flat: DataFrame, intervals: DataFrame) -> DataFrame:
             "write_table_id",
             "read_table_id",
             F.col("ts").alias("arrival_timestamp"),
-            F.col("biv.l").alias("last_write_table_insert"),
-            F.col("biv.n").alias("next_write_table_insert"),
+            F.col("_l").alias("last_write_table_insert"),
+            F.col("_n").alias("next_write_table_insert"),
         )
     )
-
-    ing = (
-        flat.filter(F.col("query_type").isin(*INGESTION_QUERY_TYPES))
-        .join(
-            intervals.select(
-                "instance_id",
-                "query_id",
-                "write_table_id",
-                F.col("current_timestamp").alias("last_write_table_insert"),
-                F.col("next_timestamp").alias("next_write_table_insert"),
-            ),
-            on=["instance_id", "query_id", "write_table_id"],
-            how="left",
-        )
-        .select(
-            "instance_id",
-            "query_id",
-            "query_type",
-            "write_table_id",
-            "read_table_id",
-            "arrival_timestamp",
-            "last_write_table_insert",
-            "next_write_table_insert",
-        )
-    )
-
-    out = matched.unionByName(ing)
     return out.select(
         "*",
         epoch_ms(F.col("arrival_timestamp"), F.col("last_write_table_insert")).alias(

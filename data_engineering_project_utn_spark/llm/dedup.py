@@ -234,8 +234,12 @@ def bottomk_neardup(
     """
     sh = track_persist(shingle_frame(parallelize_compute(docs), id_col, text_col, n))
     sig = F.slice(F.array_sort(F.array_distinct(F.col("hd"))), 1, k)
+    # bind the sorted bottom-k signature to an attribute before banding:
+    # inline it is re-sorted once per band inside the Generate lambda
+    # (k× the per-doc sort — see _banded)
     banded = track_persist(
-        sh.select("doc_id", F.explode(lsh_bands(sig, k, 1)).alias("b"))
+        sh.select("doc_id", sig.alias("_sig"))
+        .select("doc_id", F.explode(lsh_bands(F.col("_sig"), k, 1)).alias("b"))
         .select("doc_id", "b.band_idx", "b.band_hash")
         .filter(F.col("band_hash") != F.md5(F.lit("")))
     )
@@ -253,14 +257,21 @@ def bottomk_neardup(
 
 
 def _banded(sh: DataFrame, k: int, bands: int) -> DataFrame:
-    """Shingle frame → one row per (doc, band): doc_id, band_idx, band_hash."""
+    """Shingle frame → one row per (doc, band): doc_id, band_idx, band_hash.
+
+    The signature is bound to an attribute in its own projection BEFORE the
+    banding explode: passed inline, the whole k-rotation signature expression
+    lands inside the Generate's per-band lambda and is re-evaluated once per
+    band (bands× the dominant per-doc cost — the same per-shingle-index
+    re-evaluation trap ``shingle_frame`` documents for the tokenizer).
+    Generators don't collapse with their child Project, so the attribute
+    binding survives optimization and each band slices a computed array."""
     rows = k // bands
-    return sh.select(
-        "doc_id",
-        F.explode(lsh_bands(_signature_from_digests(F.col("hd"), k), bands, rows)).alias(
-            "b"
-        ),
-    ).select("doc_id", "b.band_idx", "b.band_hash")
+    return (
+        sh.select("doc_id", _signature_from_digests(F.col("hd"), k).alias("_sig"))
+        .select("doc_id", F.explode(lsh_bands(F.col("_sig"), bands, rows)).alias("b"))
+        .select("doc_id", "b.band_idx", "b.band_hash")
+    )
 
 
 def _candidates_from_banded(

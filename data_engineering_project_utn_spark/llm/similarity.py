@@ -2318,35 +2318,40 @@ def train_pq_codebook(
             )["j"].alias(f"c{s}")
             for s in range(m)
         ]
-        # iteration-local persist: materialized by the first subspace's
-        # collect, reused by the other m-1, released before the next
-        # iteration rebuilds assignments against the new centroids;
-        # try/finally so a failed per-subspace collect can't leak the
-        # cached frame for the session (ADVICE r08)
-        assigned = base.select("_xq", *codes).persist()
-        try:
-            new_cb = [[list(cw) for cw in sub] for sub in cb]
-            for s in range(m):
-                stats = (
-                    assigned.select(
-                        F.col(f"c{s}").alias("j"),
-                        F.posexplode(
-                            F.slice("_xq", s * dsub + 1, dsub)
-                        ).alias("pos", "x"),
-                    )
-                    .groupBy("j", "pos")
-                    .agg(
-                        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
-                        F.count(F.lit(1)).alias("n"),
-                    )
-                    .collect()
-                )
-                for row in stats:
-                    new_cb[s][int(row["j"])][int(row["pos"])] = truncdiv(
-                        int(row["sx"]), int(row["n"])
-                    )
-        finally:
-            assigned.unpersist()
+        # ONE (s, j, pos) aggregate per iteration instead of one per
+        # subspace: pos0 over the whole vector decomposes as
+        # s = pos0 div dsub, pos = pos0 mod dsub, and the row's code for
+        # that subspace is element s+1 of the packed code array — the
+        # same (j, pos) groups and the same integer sums, collected in a
+        # single job.  The former per-subspace loop scanned the assigned
+        # frame m times (m collects + an iteration-local persist to make
+        # that affordable); single-consumer now, so no persist at all.
+        new_cb = [[list(cw) for cw in sub] for sub in cb]
+        s_of = (F.col("pos0") / F.lit(dsub)).cast("int")
+        stats = (
+            base.select("_xq", *codes)
+            .select(
+                F.array(*[F.col(f"c{s}") for s in range(m)]).alias("_cs"),
+                F.posexplode("_xq").alias("pos0", "x"),
+            )
+            .filter(F.col("pos0") < m * dsub)
+            .select(
+                s_of.alias("s"),
+                F.element_at("_cs", s_of + 1).alias("j"),
+                (F.col("pos0") % dsub).alias("pos"),
+                "x",
+            )
+            .groupBy("s", "j", "pos")
+            .agg(
+                F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        for row in stats:
+            new_cb[int(row["s"])][int(row["j"])][int(row["pos"])] = truncdiv(
+                int(row["sx"]), int(row["n"])
+            )
         cb = new_cb
     return cb
 

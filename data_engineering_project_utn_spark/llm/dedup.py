@@ -190,20 +190,14 @@ def minhash_neardup(
         # (tracked: persist.release_persisted() frees these in long sessions)
         banded = track_persist(_banded(sh, k, bands))
         cand = _candidates_from_banded(banded, max_bucket_size)
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sa"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("sb"))
+    # single-join verify (r14): the corpus-scale shset column crosses ONE
+    # exchange via _attach_pair_payload instead of riding two back-to-back
+    # id joins; the merge pin inside it keeps the corpus side off a
+    # static-estimate broadcast (the sf4-measured 8g-driver OOM class).
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
     union = (F.size("sa") + F.size("sb")).cast("double") - inter
-    # hint("merge"): the verify sides are CORPUS-scale (shset/text per
-    # doc) but their STATIC size estimate derives from compressed parquet
-    # bytes, so the planner broadcasts a frame whose in-memory
-    # HashedRelation is 10-50x larger -- measured: three such pipelines in
-    # one job OOM an 8g driver at sf4, and at 100 TB any one of them is a
-    # scale-killer.  SMJ keys the exchange on the ids, as the docstrings
-    # always claimed.
     return (
-        cand.join(sa.hint("merge"), "doc_a")
-        .join(sb.hint("merge"), "doc_b")
+        _attach_pair_payload(cand, sh, "doc_id", "shset", "sa", "sb")
         .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") > threshold)
     )
@@ -244,13 +238,11 @@ def bottomk_neardup(
         .filter(F.col("band_hash") != F.md5(F.lit("")))
     )
     cand = _candidates_from_banded(banded, max_bucket_size)
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sa"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("sb"))
+    # single-join verify (r14): see minhash_neardup
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
     union = (F.size("sa") + F.size("sb")).cast("double") - inter
     return (
-        cand.join(sa.hint("merge"), "doc_a")
-        .join(sb.hint("merge"), "doc_b")
+        _attach_pair_payload(cand, sh, "doc_id", "shset", "sa", "sb")
         .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") > threshold)
     )
@@ -274,10 +266,97 @@ def _banded(sh: DataFrame, k: int, bands: int) -> DataFrame:
     )
 
 
+def _attach_pair_payload(
+    cand: DataFrame,
+    payload: DataFrame,
+    id_col: str,
+    val_col: str,
+    a_alias: str,
+    b_alias: str,
+) -> DataFrame:
+    """Attach a per-doc payload column to BOTH sides of a (doc_a, doc_b)
+    candidate frame with ONE corpus-scale join instead of two (r14, guide
+    §2.3/§8: the payload — shingle sets, texts — is the heavy column, so
+    shuffle it once).  Each pair explodes into two (doc, side) rows, the
+    payload joins once on the id (merge-pinned: corpus-scale side must
+    never ride a static-estimate broadcast), and a pair-keyed aggregate
+    folds the two rows back into (doc_a, doc_b, payload_a, payload_b).
+
+    Heavy-byte accounting: corpus payload crosses one exchange (the id
+    join) plus pair-scale payload rows through the fold-back aggregate —
+    vs TWO full corpus exchanges for the former back-to-back joins.  When
+    pairs ≪ corpus (the normal dedup regime) that roughly halves the
+    shuffled payload bytes; in a dup flood it breaks even.
+
+    Equivalence with the former double inner join relies only on the
+    corpus key contract (one payload row per id): ``first(…,
+    ignorenulls=True)`` then sees exactly one non-null value per side, so
+    the fold is deterministic, and a pair whose side is missing from the
+    payload keeps NULL there — which the old inner join expressed by
+    dropping the pair; downstream verify filters reject NULL payloads
+    identically (NULL comparisons are never kept).
+    """
+    ex = cand.select(
+        "doc_a",
+        "doc_b",
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("_doc"), F.lit(0).alias("_side")),
+                F.struct(F.col("doc_b").alias("_doc"), F.lit(1).alias("_side")),
+            )
+        ).alias("_s"),
+    ).select("doc_a", "doc_b", F.col("_s._doc").alias("_doc"), F.col("_s._side").alias("_side"))
+    pay = payload.select(F.col(id_col).alias("_doc"), F.col(val_col).alias("_val"))
+    return (
+        ex.join(pay.hint("merge"), "_doc")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.first(
+                F.when(F.col("_side") == 0, F.col("_val")), ignorenulls=True
+            ).alias(a_alias),
+            F.first(
+                F.when(F.col("_side") == 1, F.col("_val")), ignorenulls=True
+            ).alias(b_alias),
+        )
+    )
+
+
+def _pairs_from_buckets(banded: DataFrame) -> DataFrame:
+    """All same-bucket pairs (doc_a < doc_b), generated by folding each
+    band bucket into one row and exploding its id list — ONE exchange
+    (the bucket groupBy) where the former banded self-join paid two plus
+    two sorts (r14, guide §2.4; measured ~15-25 % off llm_bottomk_neardup
+    at sf0.1, interleaved A/B).  The pair set is identical: a bucket of
+    ids sorted ascending yields exactly the (a, b) with a < b that the
+    ``a.doc_id < b.doc_id`` join condition kept.
+
+    The explode is TWO-LEVEL (posexplode the left member, then explode
+    the suffix slice) so a hot bucket streams its |bucket|² pairs through
+    Generate rows of O(|bucket|) peak memory each; a single flattened
+    pair array would materialize all |bucket|² structs in one value —
+    the OOM class chain pairing exists to avoid.  CPU is Σ|bucket|²
+    either way, exactly the self-join's bound.  Pairs are NOT deduped
+    across bands here; callers apply ``distinct()`` once, after any
+    union with the chained branch.
+    """
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("_ids"))
+        .filter(F.size("_ids") > 1)
+    )
+    lefts = buckets.select("_ids", F.posexplode("_ids").alias("_i", "doc_a"))
+    return lefts.select(
+        "doc_a",
+        F.explode(
+            F.slice("_ids", F.col("_i") + F.lit(2), F.size("_ids"))
+        ).alias("doc_b"),
+    )
+
+
 def _candidates_from_banded(
     banded: DataFrame, max_bucket_size: int | None = None
 ) -> DataFrame:
-    """Bucket self-join: docs sharing ≥1 band bucket (id_a < id_b).
+    """Same-bucket candidate pairs (id_a < id_b) via ``_pairs_from_buckets``.
 
     Pair generation is Σ|bucket|² over band buckets — fine when banding
     spreads docs, quadratic when it doesn't: N near-identical docs (the very
@@ -296,24 +375,7 @@ def _candidates_from_banded(
     set — what the oracle-gated neardup queries pin at every SF; the cap is
     an explicit opt-in whose oracle twin is ``llm_minhash_capped``.
     """
-    pair_cols = [
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-    ]
-    # hint("merge"): the banded frame is N*bands rows -- a static-estimate
-    # broadcast of it is the same sf4-measured OOM class as the verify
-    # sides (see minhash_neardup); the bucket join keys the exchange
-    all_pairs = (
-        banded.alias("a")
-        .join(
-            banded.alias("b").hint("merge"),
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(*pair_cols)
-        .distinct()
-    )
+    all_pairs = _pairs_from_buckets(banded).distinct()
     if max_bucket_size is None:
         return all_pairs
     keys = ["band_idx", "band_hash"]
@@ -325,10 +387,11 @@ def _candidates_from_banded(
     )
     # Healthy corpora have zero hot buckets; checking costs one partial-agg
     # job over the (caller-persisted) banded frame and buys back the plain
-    # single-join plan — the split machinery (broadcast mark, window, union)
-    # only ever runs when a bucket actually needs it.  Results are identical
-    # either way (empty hot set ⇒ chained branch is empty), so this is plan
-    # selection, not a semantic switch — AQE-style, driven by data stats.
+    # single-groupBy plan — the split machinery (broadcast mark, window,
+    # union) only ever runs when a bucket actually needs it.  Results are
+    # identical either way (empty hot set ⇒ chained branch is empty), so
+    # this is plan selection, not a semantic switch — AQE-style, driven by
+    # data stats.
     if hot_buckets.isEmpty():
         return all_pairs
     marked = banded.join(
@@ -344,17 +407,7 @@ def _candidates_from_banded(
         .filter(F.col("_nxt").isNotNull())
         .select(F.col("doc_id").alias("doc_a"), F.col("_nxt").alias("doc_b"))
     )
-    full = (
-        healthy.alias("a")
-        .join(
-            healthy.alias("b"),
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(*pair_cols)
-    )
-    return full.unionByName(chained).distinct()
+    return _pairs_from_buckets(healthy).unionByName(chained).distinct()
 
 
 def minhash_candidates(
@@ -424,11 +477,10 @@ def editdist_neardup(
         if candidates is not None
         else minhash_candidates(d, id_col, text_col, k, bands, n, max_bucket_size=None)
     )
-    ta = d.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("_ta"))
-    tb = d.select(F.col(id_col).alias("doc_b"), F.col(text_col).alias("_tb"))
-    # hint("merge"): see minhash_neardup -- corpus-scale text sides must
-    # not ride a static-estimate broadcast
-    joined = cand.join(ta.hint("merge"), "doc_a").join(tb.hint("merge"), "doc_b")
+    # single-join text attach (r14): corpus-scale text crosses one
+    # exchange via _attach_pair_payload (merge-pinned inside — corpus
+    # sides must not ride a static-estimate broadcast)
+    joined = _attach_pair_payload(cand, d, id_col, text_col, "_ta", "_tb")
     return _editdist_verified(joined, ["doc_a", "doc_b"], threshold)
 
 

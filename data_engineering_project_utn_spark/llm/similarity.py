@@ -1278,6 +1278,12 @@ def second_principal_direction(
     return [int(v) for v in v1], [int(v) for v in vs]
 
 
+# Above this dimensionality the one-pass Gram shortcut in _power_rounds
+# would collect d² driver entries (no longer model-size); wider frames
+# keep the original d-rows-per-round collect.
+_POWER_GRAM_MAX_D = 512
+
+
 def _power_rounds(base: DataFrame, iters: int, v_scale: int) -> "list[int]":
     """The shared matrix-free power-iteration loop over a quantized base
     frame (single ``xq array<bigint>`` column) — the exact-integer round
@@ -1294,6 +1300,40 @@ def _power_rounds(base: DataFrame, iters: int, v_scale: int) -> "list[int]":
     d = len(_probe["xq"])
     spark = base.sparkSession
     vs = [v_scale] * d
+    if d <= _POWER_GRAM_MAX_D:
+        # One Gram pass, then every round is driver math (r14): the
+        # round's z = Σ_rows x·(xᵀv) distributes over the row sum as
+        # z = G·v with G[i][j] = Σ_rows x_i·x_j — all EXACT integers
+        # (decimal sums distributed, unbounded Python ints on the
+        # driver), so the v sequence is bit-identical to the
+        # scan-per-round form while paying ONE codegen'd job instead of
+        # ``iters`` interpreted zip_with scans (the per-row s fold was
+        # a CodegenFallback HOF — measured ~5 s of llm_pq_recall_opq at
+        # sf0.1).  Guarded by d: G is d² driver entries, model-size
+        # only for moderate d; wider frames keep the d-row-per-round
+        # collect below.
+        lefts = base.select(F.posexplode("xq").alias("_i", "_xi"), F.col("xq"))
+        g_rows = (
+            lefts.select("_i", "_xi", F.posexplode("xq").alias("_j", "_xj"))
+            .groupBy("_i", "_j")
+            .agg(F.sum(F.col("_xi").cast("decimal(38,0)") * F.col("_xj")).alias("g"))
+            .collect()
+        )
+        gram = {(int(r["_i"]), int(r["_j"])): int(r["g"]) for r in g_rows}
+        for _ in range(iters):
+            z = {
+                i: sum(gram.get((i, j), 0) * vs[j] for j in range(d))
+                for i in range(d)
+            }
+            mz = max(abs(v) for v in z.values())
+            if mz == 0:
+                break
+            vs = [
+                (1 if z.get(j, 0) >= 0 else -1)
+                * ((abs(z.get(j, 0)) * v_scale) // mz)
+                for j in range(d)
+            ]
+        return [int(v) for v in vs]
     for _ in range(iters):
         vrow = spark.createDataFrame([([int(v) for v in vs],)], "v array<bigint>")
         s = F.aggregate(
@@ -1683,14 +1723,15 @@ def pq_encode_adc(
     on bit-for-bit ((x−c)² ≤ 1.6·10¹³ per dim at |x| ≤ 2 — sums fit
     BIGINT through d ≤ 10⁵ dims).
 
-    Scale shape: the codebook is a MODEL (m·k codewords — literals in
-    the row expression, the ``ivf_cells`` pattern), so encoding is a
-    pure scan: no join, no shuffle, each row folds m·k zip_with
-    distances; ADC lookup is an element_at into an m-literal table.
-    This is what makes PQ the at-rest format for billion-vector
-    corpora — the scan reads codes (m bytes/vector at k ≤ 256), never
-    raw floats, and re-ranking fetches raw vectors for the top
-    candidates only."""
+    Scale shape: the codebook is a MODEL (m·k codewords — a broadcast
+    literal frame, the ``ivf_cells`` pattern), so encoding never
+    shuffles vectors: elements explode in place, join the broadcast
+    codeword frame, and reduce map-side to id·m·(k+1) narrow partial
+    rows before the only exchange (r14 — this replaced an interpreted
+    m·k HOF fold per row; see the body comment).  This is what makes
+    PQ the at-rest format for billion-vector corpora — the scan reads
+    codes (m bytes/vector at k ≤ 256), never raw floats, and
+    re-ranking fetches raw vectors for the top candidates only."""
     import math
 
     d = len(query_vec)
@@ -1719,51 +1760,56 @@ def pq_encode_adc(
         ]
         for s in range(m)
     ]
+    # Codegen formulation (r14, guide §4.1): the former per-row argmin
+    # folded m·k interpreted zip_with/aggregate lambdas (HOFs are
+    # CodegenFallback) — measured 3× slower than exploding each vector
+    # to (id, pos0, x) rows and joining a BROADCAST literal frame that
+    # carries, per (subspace, codeword, position): the codeword
+    # coordinate c, and the precomputed query→codeword distance qd
+    # (rows with j = −1 carry the query coordinates, so the exact
+    # distance falls out of the same join).  The aggregates run
+    # entirely inside WholeStageCodegen with map-side partials
+    # (id·m·(k+1) narrow rows cross the exchange — comparable bytes to
+    # the raw vectors).  Integer sums, argmin tie-break (min of (d2, j)
+    # structs — lowest j wins) and outputs are bit-identical to the
+    # fold form; codes assemble in subspace order via array_sort over
+    # (s, j) structs.
+    spark = embeddings.sparkSession
+    cent_rows = [
+        (s, j, s * dsub + p, int(cbq[j][s * dsub + p]), int(qtab[s][j]))
+        for s in range(m)
+        for j in range(k)
+        for p in range(dsub)
+    ] + [(s, -1, s * dsub + p, int(qq[s * dsub + p]), 0) for s in range(m) for p in range(dsub)]
+    cent = spark.createDataFrame(cent_rows, "s int, j int, pos0 int, c long, qd long")
     xq = F.transform(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * F.lit(float(x_scale))).cast("long"),
     )
-    out = embeddings.select(F.col(id_col), xq.alias("_xq"))
-
-    def sub_dist(s: int, j: int):
-        lit = F.array(*[F.lit(int(v)).cast("long") for v in cbq[j][s * dsub : (s + 1) * dsub]])
-        return F.aggregate(
-            F.zip_with(
-                F.slice("_xq", s * dsub + 1, dsub), lit, lambda a, b: (a - b) * (a - b)
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
-    codes = [
-        F.array_min(
-            F.array(
-                *[
-                    F.struct(sub_dist(s, j).alias("d"), F.lit(j).cast("long").alias("j"))
-                    for j in range(k)
-                ]
+    expl = embeddings.select(F.col(id_col).alias("_id"), F.posexplode(xq).alias("pos0", "x"))
+    diff = F.col("x") - F.col("c")
+    d2f = (
+        expl.join(F.broadcast(cent), "pos0")
+        .groupBy("_id", "s", "j", "qd")
+        .agg(F.sum(diff * diff).alias("d2"))
+    )
+    g1 = d2f.groupBy("_id", "s").agg(
+        F.min(
+            F.when(
+                F.col("j") >= 0,
+                F.struct(F.col("d2"), F.col("j").cast("long").alias("j"), F.col("qd")),
             )
-        )["j"]
-        for s in range(m)
-    ]
-    out = out.select(id_col, "_xq", F.array(*codes).alias("codes"))
-    adc = None
-    for s in range(m):
-        tab = F.array(*[F.lit(int(v)).cast("long") for v in qtab[s]])
-        term = F.element_at(tab, (F.element_at("codes", s + 1) + 1).cast("int"))
-        adc = term if adc is None else adc + term
-    qlit = F.array(*[F.lit(int(v)).cast("long") for v in qq])
-    exact = F.aggregate(
-        F.zip_with("_xq", qlit, lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+        ).alias("_w"),
+        F.sum(F.when(F.col("j") == -1, F.col("d2"))).alias("_expart"),
     )
-    return out.select(
-        id_col,
-        "codes",
-        adc.cast("long").alias("adc_dist"),
-        exact.cast("long").alias("exact_dist"),
-    )
+    return g1.groupBy("_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("s"), F.col("_w.j").alias("j")))),
+            lambda t: t["j"],
+        ).alias("codes"),
+        F.sum(F.col("_w.qd")).cast("long").alias("adc_dist"),
+        F.sum("_expart").cast("long").alias("exact_dist"),
+    ).select(F.col("_id").alias(id_col), "codes", "adc_dist", "exact_dist")
 
 
 def pq_encode_adc_residual(
@@ -1799,9 +1845,11 @@ def pq_encode_adc_residual(
     flat distance rides along for recall measurement.
 
     Scale shape: one coarse-assignment projection (centroid literals) +
-    one encode projection (codebook + table literals) — a pure scan end
-    to end, no join, no shuffle; at rest this is cell-partitioned files
-    of m-byte codes, queries read the probed cells' code columns only.
+    the explode-broadcast-aggregate encode (r14 — codebook and query
+    tables as broadcast model frames; vectors never shuffle, only
+    id·m·(k+1) narrow aggregate partials cross an exchange); at rest
+    this is cell-partitioned files of m-byte codes, queries read the
+    probed cells' code columns only.
 
     OPQ-lite (VERDICT r08 #4): ``dim_order`` applies an axis-aligned
     orthogonal rotation (a permutation — new position p holds original
@@ -1866,68 +1914,83 @@ def pq_encode_adc_residual(
             "_rq", F.array(*[F.element_at("_rq", perm[p] + 1) for p in range(d)])
         )
 
-    def sub_dist(s: int, j: int):
-        lit = F.array(
-            *[F.lit(int(v)).cast("long") for v in cb_p[j][s * dsub : (s + 1) * dsub]]
-        )
-        return F.aggregate(
-            F.zip_with(
-                F.slice("_rq", s * dsub + 1, dsub), lit, lambda a, b: (a - b) * (a - b)
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
-    bests = [
-        F.array_min(
-            F.array(
-                *[
-                    F.struct(sub_dist(s, j).alias("d"), F.lit(j).cast("long").alias("j"))
-                    for j in range(k)
-                ]
-            )
-        )
+    # Codegen formulation (r14): same explode-join-aggregate shape as
+    # pq_encode_adc (see its body comment) — the residual elements join
+    # a broadcast frame of codeword coordinates (j ≥ 0 rows score
+    # (r − c)² against the permuted residual; j = −1 rows score the
+    # exact flat distance (x − q)² against the UNPERMUTED grid, which
+    # is why the explode zips _rq and _xq), the per-(id, s) argmin
+    # keeps the (d2, j) struct-min tie-break, and the cell-dependent
+    # ADC term attaches by joining the m·|cells|·k query-table rows on
+    # (s, cell, argmin-j) AFTER the argmin — id·m rows against a
+    # broadcast, never a per-element lookup.  All integer arithmetic;
+    # bit-identical to the former interpreted m·k HOF fold per row.
+    spark = embeddings.sparkSession
+    cent_rows = [
+        (s, j, s * dsub + p, int(cb_p[j][s * dsub + p]))
         for s in range(m)
+        for j in range(k)
+        for p in range(dsub)
+    ] + [(s, -1, s * dsub + p, int(qq[s * dsub + p])) for s in range(m) for p in range(dsub)]
+    cent = spark.createDataFrame(cent_rows, "s int, j int, pos0 int, c long")
+    qdf = spark.createDataFrame(
+        [
+            (s, c, j, int(qtab[s][c][j]))
+            for s in range(m)
+            for c in range(ncell)
+            for j in range(k)
+        ],
+        "s int, cell int, j long, qd long",
+    )
+    expl = out.select(
+        F.col(id_col).alias("_id"),
+        F.col("cell"),
+        F.posexplode(F.arrays_zip(F.col("_rq").alias("r"), F.col("_xq").alias("x"))).alias(
+            "pos0", "_z"
+        ),
+    ).select("_id", "cell", "pos0", F.col("_z.r").alias("r"), F.col("_z.x").alias("x"))
+    contrib = F.when(
+        F.col("j") >= 0, (F.col("r") - F.col("c")) * (F.col("r") - F.col("c"))
+    ).otherwise((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
+    d2f = (
+        expl.join(F.broadcast(cent), "pos0")
+        .groupBy("_id", "cell", "s", "j")
+        .agg(F.sum(contrib).alias("d2"))
+    )
+    g1 = d2f.groupBy("_id", "cell", "s").agg(
+        F.min(
+            F.when(
+                F.col("j") >= 0,
+                F.struct(F.col("d2"), F.col("j").cast("long").alias("j")),
+            )
+        ).alias("_w"),
+        F.sum(F.when(F.col("j") == -1, F.col("d2"))).alias("_expart"),
+    )
+    g1 = g1.join(
+        F.broadcast(qdf),
+        (g1["cell"] == qdf["cell"]) & (g1["s"] == qdf["s"]) & (g1["_w.j"] == qdf["j"]),
+    ).select(g1["_id"], g1["cell"], g1["s"], "_w", "_expart", "qd")
+    agg_cols = [
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("s"), F.col("_w.j").alias("j")))),
+            lambda t: t["j"],
+        ).alias("codes"),
+        F.sum("qd").cast("long").alias("adc_dist"),
+        F.sum("_expart").cast("long").alias("exact_dist"),
     ]
-    enc_cols = []
     if with_enc_dist:
-        enc = bests[0]["d"]
-        for b in bests[1:]:
-            enc = enc + b["d"]
-        enc_cols = [enc.cast("long").alias("enc_dist")]
-    out = out.select(
-        id_col,
-        "cell",
-        "_xq",
-        F.array(*[b["j"] for b in bests]).alias("codes"),
-        *enc_cols,
-    )
-    adc = None
-    for s in range(m):
-        tab = F.array(
-            *[
-                F.array(*[F.lit(int(qtab[s][c][j])).cast("long") for j in range(k)])
-                for c in range(ncell)
-            ]
+        agg_cols.append(F.sum(F.col("_w.d2")).cast("long").alias("enc_dist"))
+    return (
+        g1.groupBy("_id", "cell")
+        .agg(*agg_cols)
+        .select(
+            F.col("_id").alias(id_col),
+            "cell",
+            "codes",
+            "adc_dist",
+            "exact_dist",
+            *(["enc_dist"] if with_enc_dist else []),
         )
-        term = F.element_at(
-            F.element_at(tab, (F.col("cell") + 1).cast("int")),
-            (F.element_at("codes", s + 1) + 1).cast("int"),
-        )
-        adc = term if adc is None else adc + term
-    qlit = F.array(*[F.lit(int(v)).cast("long") for v in qq])
-    exact = F.aggregate(
-        F.zip_with("_xq", qlit, lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return out.select(
-        id_col,
-        "cell",
-        "codes",
-        adc.cast("long").alias("adc_dist"),
-        exact.cast("long").alias("exact_dist"),
-        *(["enc_dist"] if with_enc_dist else []),
     )
 
 
@@ -2287,67 +2350,60 @@ def train_pq_codebook(
             lambda x: F.floor(x.cast("double") * F.lit(float(x_scale))).cast("long"),
         )
     )
-    # Persist the quantized base (scanned once per Lloyd iteration) and,
-    # below, each iteration's assignment frame: the per-subspace update
-    # collects the SAME assigned frame m times, and without the persist
-    # each collect re-runs the k·m literal-argmin scan — the r07 lesson
-    # ("persist any frame consumed by both sides") applied here too
-    # (VERDICT r07 #3).
-    base = _track_persist(embeddings.select(xq.alias("_xq")))
+    # Element-exploded layout, persisted ONCE across all Lloyd
+    # iterations (r14, guide §4.1/§1.2): higher-order-function lambdas
+    # are interpreted (CodegenFallback), so the former per-row
+    # k·m-fold argmin expression paid ~k·d interpreted lambda calls per
+    # row per iteration — measured 3× the whole training time at sf0.1.
+    # Exploding to one (id, pos0, x) row per element and joining a
+    # BROADCAST centroid-literal frame keeps every distance term inside
+    # WholeStageCodegen; the integer sums, the argmin tie-break (min of
+    # (d2, j) structs ≡ array_min over (d, j) structs — lowest j wins
+    # ties) and the truncating-division update are bit-identical.
+    # Shuffle accounting at scale: the assignment aggregates reduce
+    # map-side to id·m·k partial rows (narrow ints) — comparable bytes
+    # to the vectors themselves, and orders of magnitude cheaper than
+    # the interpreted scan it replaces.
+    expl = _track_persist(
+        embeddings.select(F.col(id_col).alias("_rid"), xq.alias("_xq"))
+        .select("_rid", F.posexplode("_xq").alias("pos0", "x"))
+        .filter(F.col("pos0") < m * dsub)
+    )
+    spark = embeddings.sparkSession
     for _ in range(n_iter):
-        def sub_dist(s: int, j: int):
-            lit = F.array(*[F.lit(int(v)).cast("long") for v in cb[s][j]])
-            return F.aggregate(
-                F.zip_with(
-                    F.slice("_xq", s * dsub + 1, dsub), lit, lambda a, b: (a - b) * (a - b)
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
+        cent = spark.createDataFrame(
+            [
+                (s, j, s * dsub + p, int(c))
+                for s in range(m)
+                for j in range(k)
+                for p, c in enumerate(cb[s][j])
+            ],
+            "s int, j int, pos0 int, c long",
+        )
+        diff = F.col("x") - F.col("c")
+        codes = (
+            expl.join(F.broadcast(cent), "pos0")
+            .groupBy("_rid", "s", "j")
+            .agg(F.sum(diff * diff).alias("d2"))
+            .groupBy("_rid", "s")
+            .agg(
+                F.min(
+                    F.struct(F.col("d2"), F.col("j").cast("long").alias("j"))
+                ).alias("_m")
             )
-
-        codes = [
-            F.array_min(
-                F.array(
-                    *[
-                        F.struct(
-                            sub_dist(s, j).alias("d"), F.lit(j).cast("long").alias("j")
-                        )
-                        for j in range(k)
-                    ]
-                )
-            )["j"].alias(f"c{s}")
-            for s in range(m)
-        ]
-        # ONE (s, j, pos) aggregate per iteration instead of one per
-        # subspace: pos0 over the whole vector decomposes as
-        # s = pos0 div dsub, pos = pos0 mod dsub, and the row's code for
-        # that subspace is element s+1 of the packed code array — the
-        # same (j, pos) groups and the same integer sums, collected in a
-        # single job.  The former per-subspace loop scanned the assigned
-        # frame m times (m collects + an iteration-local persist to make
-        # that affordable); single-consumer now, so no persist at all.
-        new_cb = [[list(cw) for cw in sub] for sub in cb]
-        s_of = (F.col("pos0") / F.lit(dsub)).cast("int")
+            .select("_rid", "s", F.col("_m.j").alias("j"))
+        )
         stats = (
-            base.select("_xq", *codes)
-            .select(
-                F.array(*[F.col(f"c{s}") for s in range(m)]).alias("_cs"),
-                F.posexplode("_xq").alias("pos0", "x"),
-            )
-            .filter(F.col("pos0") < m * dsub)
-            .select(
-                s_of.alias("s"),
-                F.element_at("_cs", s_of + 1).alias("j"),
-                (F.col("pos0") % dsub).alias("pos"),
-                "x",
-            )
-            .groupBy("s", "j", "pos")
+            expl.withColumn("s", (F.col("pos0") / F.lit(dsub)).cast("int"))
+            .join(codes, ["_rid", "s"])
+            .groupBy("s", "j", (F.col("pos0") % dsub).alias("pos"))
             .agg(
                 F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
                 F.count(F.lit(1)).alias("n"),
             )
             .collect()
         )
+        new_cb = [[list(cw) for cw in sub] for sub in cb]
         for row in stats:
             new_cb[int(row["s"])][int(row["j"])][int(row["pos"])] = truncdiv(
                 int(row["sx"]), int(row["n"])

@@ -2765,15 +2765,23 @@ class TestPQ:
         )
         assert (got["adc_dist"] == got["exact_dist"]).all()
 
-    def test_encoding_plan_is_pure_scan(self, embeddings):
-        """The PQ scale contract: codebook as literals → encoding plans
-        NO join at all (scan + project only)."""
+    def test_encoding_plan_never_shuffles_vectors(self, embeddings):
+        """The PQ scale contract (r14 codegen form): the codebook is a
+        MODEL — it reaches the vectors as a BroadcastHashJoin build
+        side, never a shuffled join, and no exchange in the plan
+        carries a vector-typed column (only the narrow (id, s, j, qd,
+        d2) aggregate partials cross the wire)."""
         cb, qv = self._setup(embeddings)
-        plan = (
-            sim.pq_encode_adc(embeddings, qv, cb, m=2)
-            ._jdf.queryExecution().executedPlan().toString()
-        )
-        assert "Join" not in plan and "Exchange" not in plan
+        qe = sim.pq_encode_adc(embeddings, qv, cb, m=2)._jdf.queryExecution()
+        plan = qe.executedPlan().toString()
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+        # every exchange is keyed on narrow aggregate columns, never the
+        # exploded element stream or a vector column
+        import re
+
+        for part in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+            assert "pos0" not in part and "_xq" not in part and "embedding" not in part, plan
 
 
 class TestIVFPQ:
@@ -3493,7 +3501,11 @@ class TestResidualBcastTwin:
         )
         assert lit == bc and len(lit) > 0
 
-    def test_literal_path_is_pure_scan(self, embeddings):
+    def test_literal_path_never_shuffles_vectors(self, embeddings):
+        """r14 codegen form: codebook/query tables reach the vectors as
+        BroadcastHashJoin build sides; no shuffled/nested-loop join, and
+        every exchange is keyed on narrow aggregate columns (never the
+        exploded element stream or a vector column)."""
         qv, cents, _cdf, cb = self._inputs(embeddings)
         plan = (
             sim.pq_encode_adc_residual(embeddings, qv, cents, cb, m=2)
@@ -3501,10 +3513,14 @@ class TestResidualBcastTwin:
             .executedPlan()
             .toString()
         )
-        for node in ("SortMergeJoin", "BroadcastHashJoin",
-                     "BroadcastNestedLoopJoin", "CartesianProduct",
-                     "Exchange hashpartitioning"):
+        for node in ("SortMergeJoin", "ShuffledHashJoin",
+                     "BroadcastNestedLoopJoin", "CartesianProduct"):
             assert node not in plan, node
+        assert "BroadcastHashJoin" in plan
+        import re
+
+        for part in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+            assert "pos0" not in part and "_rq" not in part and "embedding" not in part, plan
 
     def test_bcast_plan_independent_of_quantizer_size(self, embeddings):
         qv, cents, _cdf, cb = self._inputs(embeddings)

@@ -69,6 +69,35 @@ def _margin(w_col: str = "w") -> F.Column:
     )
 
 
+def _weight_rows(spark, ws_sorted: "list[tuple[int, list[int]]]") -> DataFrame:
+    """(lb, dim, wv) weight-matrix frame — the broadcast model carrier of
+    the codegen dot path (r14).  Zero weights are KEPT: the per-row dot
+    groups must exist for every (row, label) even when w = 0 (step 1 of
+    training classifies everything as misclassified off the zero margin)."""
+    rows = [
+        (int(lb), i, int(v)) for lb, w in ws_sorted for i, v in enumerate(w)
+    ]
+    return spark.createDataFrame(rows, "lb long, dim int, wv long")
+
+
+def _dots_by_label(feat: DataFrame, wdf: DataFrame, keys: "list[str]") -> DataFrame:
+    """Per-(row, label) exact integer dot products ⟨w_lb, x⟩, computed in
+    WholeStageCodegen (r14, guide §4.1): the feature array explodes to
+    one (keys, dim, xi) row per element, joins the BROADCAST weight
+    frame on dim, and a grouped sum reassembles the dot — integer
+    addition is associative, so the sums match the former interpreted
+    zip_with/aggregate fold bit-for-bit while running ~an order of
+    magnitude faster (HOF lambdas are CodegenFallback).  Output:
+    keys + (lb, dot); shuffle is keys·|labels| narrow rows after
+    map-side partial aggregation."""
+    expl = feat.select(*keys, F.posexplode("x").alias("dim", "xi"))
+    return (
+        expl.join(F.broadcast(wdf), "dim")
+        .groupBy(*keys, "lb")
+        .agg(F.sum(F.col("xi") * F.col("wv")).alias("dot"))
+    )
+
+
 def perceptron_train(
     feat: DataFrame,
     steps: int = 3,
@@ -87,12 +116,23 @@ def perceptron_train(
     spark = feat.sparkSession
     w = [0] * d1
     history: list[tuple[int, int, int]] = []
+    # element-exploded features, persisted once for all steps (r14): the
+    # margin and the update both run off it in codegen (see
+    # _dots_by_label) instead of the former interpreted per-row fold
+    expl = track_persist(
+        feat.select("vec_id", "y", F.posexplode("x").alias("dim", "xi"))
+    )
     for t in range(1, steps + 1):
-        wrow = spark.createDataFrame([([int(v) for v in w],)], "w array<bigint>")
+        wdf = _weight_rows(spark, [(0, w)])
+        mis_ids = (
+            expl.join(F.broadcast(wdf), "dim")
+            .groupBy("vec_id", "y")
+            .agg(F.sum(F.col("xi") * F.col("wv")).alias("dot"))
+            .filter(F.col("y") * F.col("dot") <= 0)
+            .select("vec_id")
+        )
         upd = (
-            feat.crossJoin(F.broadcast(wrow))
-            .filter(_margin() <= 0)
-            .select("y", F.posexplode("x").alias("dim", "xi"))
+            expl.join(mis_ids, "vec_id", "left_semi")
             .groupBy("dim")
             .agg(
                 F.sum(F.col("y") * F.col("xi")).alias("u"),
@@ -112,13 +152,13 @@ def perceptron_train(
 def perceptron_eval_mis(feat: DataFrame, w: "list[int]") -> int:
     """Misclassified count of ``feat`` under fixed weights ``w``."""
     spark = feat.sparkSession
-    wrow = spark.createDataFrame([([int(v) for v in w],)], "w array<bigint>")
-    row = (
-        feat.crossJoin(F.broadcast(wrow))
-        .agg(F.sum(F.when(_margin() <= 0, 1).otherwise(0)).alias("mis"))
-        .first()
+    wdf = _weight_rows(spark, [(0, w)])
+    n = (
+        _dots_by_label(feat, wdf, ["vec_id", "y"])
+        .filter(F.col("y") * F.col("dot") <= 0)
+        .count()
     )
-    return int(row["mis"] or 0)
+    return int(n)
 
 
 def knn_label_eval(
@@ -246,33 +286,23 @@ def rocchio_confusion(
     as literals (|labels|·d ints — model-size, the literal-centroid
     regime of ``_ivf_scored``); one scan, no shuffle before the final
     |labels|²-row aggregate."""
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.lit(int(lbl)).cast("long").alias("lb"),
-                F.array(*[F.lit(int(v)).cast("long") for v in cv]).alias("cv"),
-            )
-            for lbl, cv in cents
-        ]
-    )
-    score = F.array_max(
-        F.transform(
-            cent_lit,
-            lambda cc: F.struct(
-                F.aggregate(
-                    F.zip_with(F.col("x"), cc["cv"], lambda a, b: a * b),
-                    F.lit(0).cast("long"),
-                    lambda acc, e: acc + e,
-                ).alias("sc"),
-                cc["lb"].alias("lb"),
-            ),
-        )
-    )["lb"]
+    # codegen argmax (r14): the centroid matrix rides as a broadcast
+    # (lb, dim, wv) frame through _dots_by_label; struct-max keeps the
+    # higher-label tie-break; exact integer arithmetic throughout
+    wdf = _weight_rows(xq.sparkSession, [(lbl, cv) for lbl, cv in cents])
     return (
-        xq.filter(F.col("vec_id") >= n_seeds)
+        _dots_by_label(
+            xq.filter(F.col("vec_id") >= n_seeds), wdf, ["vec_id", "label"]
+        )
+        .groupBy("vec_id", "label")
+        .agg(
+            F.max(
+                F.struct(F.col("dot").alias("sc"), F.col("lb").alias("lb"))
+            ).alias("_m")
+        )
         .select(
             F.col("label").cast("long").alias("true_label"),
-            score.alias("pred_label"),
+            F.col("_m.lb").alias("pred_label"),
         )
         .groupBy("true_label", "pred_label")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
@@ -317,32 +347,28 @@ def multiclass_perceptron_train(
     d1 = len(feat.select("x").first()["x"])
     spark = feat.sparkSession
     ws: dict[int, list[int]] = {int(lb): [0] * d1 for lb in labels}
+    # element-exploded features, persisted once for all steps; margins
+    # and updates run in codegen off it (r14, see _dots_by_label)
+    expl = track_persist(
+        feat.select("vec_id", "label", F.posexplode("x").alias("dim", "xi"))
+    )
+    y = (
+        F.when(F.col("label") == F.col("lb"), F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+    )
     for _t in range(steps):
-        wmat = F.array(
-            *[
-                F.struct(
-                    F.lit(int(lb)).cast("long").alias("lb"),
-                    F.array(*[F.lit(int(v)).cast("long") for v in ws[lb]]).alias(
-                        "w"
-                    ),
-                )
-                for lb in sorted(ws)
-            ]
-        )
-        y = F.when(F.col("label") == F.col("_wl")["lb"], F.lit(1)).otherwise(
-            F.lit(-1)
-        ).cast("long")
-        marg = F.col("_y") * F.aggregate(
-            F.zip_with(F.col("x"), F.col("_wl")["w"], lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda acc, e: acc + e,
+        wdf = _weight_rows(spark, sorted(ws.items()))
+        mis = (
+            expl.join(F.broadcast(wdf), "dim")
+            .groupBy("vec_id", "label", "lb")
+            .agg(F.sum(F.col("xi") * F.col("wv")).alias("dot"))
+            .withColumn("_y", y)
+            .filter(F.col("_y") * F.col("dot") <= 0)
+            .select("vec_id", "lb", "_y")
         )
         upd = (
-            feat.select("label", "x", F.explode(wmat).alias("_wl"))
-            .withColumn("_y", y)
-            .withColumn("_m", marg)
-            .filter(F.col("_m") <= 0)
-            .select(F.col("_wl")["lb"].alias("lb"), "_y", F.posexplode("x").alias("dim", "xi"))
+            mis.join(expl.select("vec_id", "dim", "xi"), "vec_id")
             .groupBy("lb", "dim")
             .agg(F.sum(F.col("_y") * F.col("xi")).alias("u"))
             .collect()
@@ -359,32 +385,21 @@ def multiclass_confusion(
     argmax: pred = class with the highest ⟨w_l, x⟩ (ties → higher label,
     the struct-max order).  Literal weight matrix, one scan, final
     |labels|²-row aggregate."""
-    wmat = F.array(
-        *[
-            F.struct(
-                F.lit(int(lb)).cast("long").alias("lb"),
-                F.array(*[F.lit(int(v)).cast("long") for v in ws[lb]]).alias("w"),
-            )
-            for lb in sorted(ws)
-        ]
-    )
-    pred = F.array_max(
-        F.transform(
-            wmat,
-            lambda wl: F.struct(
-                F.aggregate(
-                    F.zip_with(F.col("x"), wl["w"], lambda a, b: a * b),
-                    F.lit(0).cast("long"),
-                    lambda acc, e: acc + e,
-                ).alias("sc"),
-                wl["lb"].alias("lb"),
-            ),
-        )
-    )["lb"]
+    # codegen argmax (r14): per-(row, label) dots via _dots_by_label,
+    # then a struct-max per row — (sc, lb) max ≡ the former array_max
+    # tie-break (higher label wins ties); exact integer arithmetic
+    wdf = _weight_rows(feat.sparkSession, sorted(ws.items()))
     return (
-        feat.select(
+        _dots_by_label(feat, wdf, ["vec_id", "label"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.max(
+                F.struct(F.col("dot").alias("sc"), F.col("lb").alias("lb"))
+            ).alias("_m")
+        )
+        .select(
             F.col("label").cast("long").alias("true_label"),
-            pred.alias("pred_label"),
+            F.col("_m.lb").alias("pred_label"),
         )
         .groupBy("true_label", "pred_label")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))

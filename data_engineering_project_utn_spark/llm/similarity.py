@@ -510,6 +510,19 @@ def centroids_df(spark, centroids: list[tuple[int, list[float]]]) -> DataFrame:
     )
 
 
+def _with_bound_norm(col_name: str, build) -> Column:
+    """Evaluate ``norm(col_name)`` ONCE per row and hand it to
+    ``build(n)`` as a bound lambda variable (r14, guide §4.1): these
+    scoring expressions are interpreted (HOF CodegenFallback), so a
+    ``norm(x)`` embedded per centroid re-folds the row's d elements once
+    per centroid reference — k× the dominant per-row cost.  Binding it
+    through a 1-element ``transform`` keeps the IDENTICAL sequential
+    fold (same doubles, same IEEE sqrt) while computing it once; the
+    divisions then see bit-identical operands, so every cosine, rank
+    and tie-break is unchanged."""
+    return F.element_at(F.transform(F.array(norm(F.col(col_name))), build), 1)
+
+
 def _with_centroids_packed(df: DataFrame, cdf: DataFrame) -> DataFrame:
     """Attach every row a ``_cents`` column: the full centroid set packed
     into one array<struct<cid,cv,cn>> row, delivered via BroadcastExchange
@@ -532,14 +545,16 @@ def _with_centroids_packed(df: DataFrame, cdf: DataFrame) -> DataFrame:
 def _scored_packed(vec_col: str) -> Column:
     """(cosine, cid) struct array from the packed ``_cents`` column — the
     same fold, division, and struct shape as ``_ivf_scored``, so the two
-    paths are bit-identical and share one oracle."""
-    return F.transform(
-        F.col("_cents"),
-        lambda s: F.struct(
-            (dot(F.col(vec_col), s["cv"]) / (norm(F.col(vec_col)) * s["cn"])).alias(
-                "c"
+    paths are bit-identical and share one oracle.  Row norm bound once
+    (``_with_bound_norm``)."""
+    return _with_bound_norm(
+        vec_col,
+        lambda n: F.transform(
+            F.col("_cents"),
+            lambda s: F.struct(
+                (dot(F.col(vec_col), s["cv"]) / (n * s["cn"])).alias("c"),
+                s["cid"].alias("cid"),
             ),
-            s["cid"].alias("cid"),
         ),
     )
 
@@ -626,13 +641,14 @@ def _super_of(col_name: str) -> Column:
     array (ties: highest cosine, then highest super id — the struct-max
     order every quantizer in this module uses)."""
     return F.array_max(
-        F.transform(
-            F.col("_supers"),
-            lambda s: F.struct(
-                (
-                    dot(F.col(col_name), s["scv"]) / (norm(F.col(col_name)) * s["scn"])
-                ).alias("c"),
-                s["scid"].alias("cid"),
+        _with_bound_norm(
+            col_name,
+            lambda n: F.transform(
+                F.col("_supers"),
+                lambda s: F.struct(
+                    (dot(F.col(col_name), s["scv"]) / (n * s["scn"])).alias("c"),
+                    s["scid"].alias("cid"),
+                ),
             ),
         )
     )["cid"]
@@ -643,13 +659,14 @@ def _supers_ranked(col_name: str, s: int) -> Column:
     id) structs in descending struct order — the same (highest cosine,
     then highest id) rank ``_super_of`` takes the max of, so element 0
     is exactly the single-probe super."""
-    scored = F.transform(
-        F.col("_supers"),
-        lambda x: F.struct(
-            (
-                dot(F.col(col_name), x["scv"]) / (norm(F.col(col_name)) * x["scn"])
-            ).alias("c"),
-            x["scid"].alias("cid"),
+    scored = _with_bound_norm(
+        col_name,
+        lambda n: F.transform(
+            F.col("_supers"),
+            lambda x: F.struct(
+                (dot(F.col(col_name), x["scv"]) / (n * x["scn"])).alias("c"),
+                x["scid"].alias("cid"),
+            ),
         ),
     )
     return F.slice(F.reverse(F.array_sort(scored)), 1, s)
@@ -764,13 +781,14 @@ def ivf_cells_2level(
     # each centroid has exactly one level-1 assignment)
     pooled = F.flatten(F.array_compact(F.array(*leaf_arrays)))
     leaf_cell = F.array_max(
-        F.transform(
-            pooled,
-            lambda x: F.struct(
-                (dot(F.col(vec_col), x["cv"]) / (norm(F.col(vec_col)) * x["cn"])).alias(
-                    "c"
+        _with_bound_norm(
+            vec_col,
+            lambda n: F.transform(
+                pooled,
+                lambda x: F.struct(
+                    (dot(F.col(vec_col), x["cv"]) / (n * x["cn"])).alias("c"),
+                    x["cid"].alias("cid"),
                 ),
-                x["cid"].alias("cid"),
             ),
         )
     )["cid"]
@@ -797,20 +815,20 @@ def _ivf_scored(
     per centroid per row (training runs several scoring passes)."""
     import math
 
-    return F.array(
-        *[
-            F.struct(
-                (
-                    dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cv]))
-                    / (
-                        norm(F.col(vec_col))
-                        * F.lit(math.sqrt(sum(float(x) * float(x) for x in cv)))
-                    )
-                ).alias("c"),
-                F.lit(int(cid)).alias("cid"),
-            )
-            for cid, cv in centroids
-        ]
+    return _with_bound_norm(
+        vec_col,
+        lambda n: F.array(
+            *[
+                F.struct(
+                    (
+                        dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cv]))
+                        / (n * F.lit(math.sqrt(sum(float(x) * float(x) for x in cv))))
+                    ).alias("c"),
+                    F.lit(int(cid)).alias("cid"),
+                )
+                for cid, cv in centroids
+            ]
+        ),
     )
 
 

@@ -2041,9 +2041,10 @@ def pq_encode_adc_residual_bcast(
     The codebook sub-quantizer literals (m·k codewords) are the only
     plan-side model, exactly as in the literal path, so codes, ADC and
     exact distances are bit-identical to it — the twin is held to the
-    SAME oracle (``llm_ivfpq_residual_bcast``).  Plan shape: one scan +
-    two broadcast hash joins whose build sides are the quantizer; plan
-    SIZE is independent of ncell (tested)."""
+    SAME oracle (``llm_ivfpq_residual_bcast``).  Plan shape: one scan,
+    broadcast hash joins whose build sides are the quantizer/codeword
+    frames, and the codegen explode-aggregate encode (r14); plan SIZE
+    is independent of ncell (tested)."""
     import math
 
     d = len(query_vec)
@@ -2079,35 +2080,58 @@ def pq_encode_adc_residual_bcast(
         )
     )
 
-    def sub_dist(s: int, j: int):
-        lit = F.array(
-            *[
-                F.lit(int(v)).cast("long")
-                for v in codebook_resq[j][s * dsub : (s + 1) * dsub]
-            ]
-        )
-        return F.aggregate(
-            F.zip_with(
-                F.slice("_rq", s * dsub + 1, dsub), lit, lambda a, b: (a - b) * (a - b)
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
-    codes = [
-        F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        sub_dist(s, j).alias("d"), F.lit(j).cast("long").alias("j")
-                    )
-                    for j in range(k)
-                ]
-            )
-        )["j"]
+    # Codegen encode (r14, same shape as pq_encode_adc — see its body
+    # comment): residual elements explode and join the broadcast
+    # codeword frame (j ≥ 0 rows score (r − c)² on the residual; j = −1
+    # rows score the exact flat (x − q)² on the raw grid); integer
+    # argmin with the (d2, j) struct-min tie-break is bit-identical to
+    # the former interpreted m·k HOF fold per row.
+    spark = embeddings.sparkSession
+    cw_rows = [
+        (s, j, s * dsub + p, int(codebook_resq[j][s * dsub + p]))
         for s in range(m)
-    ]
-    out = out.select(id_col, "cell", "_xq", F.array(*codes).alias("codes"))
+        for j in range(k)
+        for p in range(dsub)
+    ] + [(s, -1, s * dsub + p, int(qq[s * dsub + p])) for s in range(m) for p in range(dsub)]
+    cwf = spark.createDataFrame(cw_rows, "s int, j int, pos0 int, c long")
+    expl = out.select(
+        F.col(id_col).alias("_id"),
+        F.col("cell"),
+        F.posexplode(F.arrays_zip(F.col("_rq").alias("r"), F.col("_xq").alias("x"))).alias(
+            "pos0", "_z"
+        ),
+    ).select("_id", "cell", "pos0", F.col("_z.r").alias("r"), F.col("_z.x").alias("x"))
+    contrib = F.when(
+        F.col("j") >= 0, (F.col("r") - F.col("c")) * (F.col("r") - F.col("c"))
+    ).otherwise((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
+    g1 = (
+        expl.join(F.broadcast(cwf), "pos0")
+        .groupBy("_id", "cell", "s", "j")
+        .agg(F.sum(contrib).alias("d2"))
+        .groupBy("_id", "cell", "s")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("j") >= 0,
+                    F.struct(F.col("d2"), F.col("j").cast("long").alias("j")),
+                )
+            ).alias("_w"),
+            F.sum(F.when(F.col("j") == -1, F.col("d2"))).alias("_expart"),
+        )
+    )
+    out = (
+        g1.groupBy("_id", "cell")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("s"), F.col("_w.j").alias("j")))
+                ),
+                lambda t: t["j"],
+            ).alias("codes"),
+            F.sum("_expart").cast("long").alias("_exact"),
+        )
+        .select(F.col("_id").alias(id_col), "cell", "codes", "_exact")
+    )
 
     # (cell, code) -> dist lookup table, computed in-plan on the centroid
     # frame: query residual per cell (qq literal - cq data), then one
@@ -2150,17 +2174,12 @@ def pq_encode_adc_residual_bcast(
             (F.element_at("codes", s + 1) + 1).cast("int"),
         )
         adc = term if adc is None else adc + term
-    exact = F.aggregate(
-        F.zip_with("_xq", qq_lit, lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
     return out.select(
         id_col,
         "cell",
         "codes",
         adc.cast("long").alias("adc_dist"),
-        exact.cast("long").alias("exact_dist"),
+        F.col("_exact").alias("exact_dist"),
     )
 
 

@@ -50,17 +50,34 @@ def pagerank(
     Nodes are those with ≥ 1 edge (an undirected graph has no dangling
     nodes, so no leaked mass to redistribute).  Returns (node, rank_fp)
     with rank_fp an exact integer at ``scale``."""
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = deg.select(F.col("src").alias("node"))
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    # degrees and the edge frame are LOOP-INVARIANT: materialize both once
+    # (r14, guide §2.4) — the pre-r14 round joined the full edge frame
+    # against deg EVERY round (a second edge-sized join per round), and
+    # re-evaluated deg's aggregation per consumer.  The per-edge
+    # contribution r div deg is constant across a src's edges, so it is
+    # computed on the NODE-sized ranks⨝deg frame first and attached to
+    # edges with ONE join per round; integer sums are associative, so the
+    # grouped m is bit-identical to the per-edge form.
+    deg = track_persist(
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.col("src").alias("node"), "deg")
+    )
+    e = track_persist(edges.select("src", "dst").repartition("src"))
+    nodes = deg.select("node")
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("r"))
     base = (damp_den - damp_num) * scale
     for _ in range(iters):
-        contrib = (
-            edges.join(ranks, edges["src"] == ranks["node"])
-            .join(deg, "src")
-            .select(F.col("dst").alias("node"), F.expr("r div deg").alias("c"))
+        csrc = ranks.join(deg, "node").select(
+            F.col("node").alias("src"), F.expr("r div deg").alias("c")
         )
-        m = contrib.groupBy("node").agg(F.sum("c").cast("long").alias("m"))
+        m = (
+            e.join(csrc, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").cast("long").alias("m"))
+        )
         ranks = (
             nodes.join(m, "node", "left")
             .select(
@@ -93,22 +110,38 @@ def pagerank_weighted(
     hub-heavy graphs with large weights (ADVICE r06 #2); the decimal
     product matches the DuckDB oracle's HUGEINT exactly, and the
     quotient (≤ r, since w ≤ Σw) always fits BIGINT."""
-    wsum = edges.groupBy("src").agg(F.sum(weight_col).alias("sw"))
-    nodes = wsum.select(F.col("src").alias("node"))
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    # same loop-invariant hoisting as ``pagerank`` (r14, guide §2.4), with
+    # one weighted difference: the contribution (r·w) div sw depends on the
+    # EDGE weight, not just the src, so the node-sized pre-join carries
+    # (r, sw) per src and the per-edge quotient still evaluates on the
+    # edge row — but the edge frame is joined ONCE per round instead of
+    # twice, off a partitioning established once.
+    wsum = track_persist(
+        edges.groupBy("src")
+        .agg(F.sum(weight_col).alias("sw"))
+        .select(F.col("src").alias("node"), "sw")
+    )
+    e = track_persist(edges.select("src", "dst", weight_col).repartition("src"))
+    nodes = wsum.select("node")
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("r"))
     base = (damp_den - damp_num) * scale
     for _ in range(iters):
-        contrib = (
-            edges.join(ranks, edges["src"] == ranks["node"])
-            .join(wsum, "src")
+        rsrc = ranks.join(wsum, "node").select(
+            F.col("node").alias("src"), "r", "sw"
+        )
+        m = (
+            e.join(rsrc, "src")
             .select(
                 F.col("dst").alias("node"),
                 F.expr(
                     f"(CAST(r AS DECIMAL(38,0)) * {weight_col}) div sw"
                 ).alias("c"),
             )
+            .groupBy("node")
+            .agg(F.sum("c").cast("long").alias("m"))
         )
-        m = contrib.groupBy("node").agg(F.sum("c").cast("long").alias("m"))
         ranks = nodes.join(m, "node", "left").select(
             "node",
             F.expr(

@@ -273,6 +273,7 @@ def _attach_pair_payload(
     val_col: str,
     a_alias: str,
     b_alias: str,
+    extra_keys: tuple[str, ...] = (),
 ) -> DataFrame:
     """Attach a per-doc payload column to BOTH sides of a (doc_a, doc_b)
     candidate frame with ONE corpus-scale join instead of two (r14, guide
@@ -295,21 +296,26 @@ def _attach_pair_payload(
     payload keeps NULL there — which the old inner join expressed by
     dropping the pair; downstream verify filters reject NULL payloads
     identically (NULL comparisons are never kept).
+
+    ``extra_keys``: pair-functional passthrough columns (e.g. the SNM
+    ``gap``) carried through the explode and into the fold-back group
+    key — each must be a function of (doc_a, doc_b) so widening the key
+    cannot split a pair group.
     """
+    keys = ["doc_a", "doc_b", *extra_keys]
     ex = cand.select(
-        "doc_a",
-        "doc_b",
+        *keys,
         F.explode(
             F.array(
                 F.struct(F.col("doc_a").alias("_doc"), F.lit(0).alias("_side")),
                 F.struct(F.col("doc_b").alias("_doc"), F.lit(1).alias("_side")),
             )
         ).alias("_s"),
-    ).select("doc_a", "doc_b", F.col("_s._doc").alias("_doc"), F.col("_s._side").alias("_side"))
+    ).select(*keys, F.col("_s._doc").alias("_doc"), F.col("_s._side").alias("_side"))
     pay = payload.select(F.col(id_col).alias("_doc"), F.col(val_col).alias("_val"))
     return (
         ex.join(pay.hint("merge"), "_doc")
-        .groupBy("doc_a", "doc_b")
+        .groupBy(*keys)
         .agg(
             F.first(
                 F.when(F.col("_side") == 0, F.col("_val")), ignorenulls=True
@@ -556,6 +562,14 @@ def sorted_neighborhood_pairs(
     shingle index, quadratic per doc: measured 190 s vs ~20 s at the
     sf2 probe), and ride the rank exchange and block join in place of
     the raw text.
+
+    Payload-routing note (examined r14, deliberately kept): unlike the
+    LSH families, SNM pairs number ~window·N, so routing shsets through
+    a ``_attach_pair_payload`` fold (decide-narrow-attach-once, guide
+    §8) would cross ~7N payload rows (N id-join + 2·3N fold input)
+    versus the fused block join's 4N (range exchange + a-side ×2 +
+    b-side) — measured noise-bound at sf0.1, structurally worse at
+    scale.  The fused shape keeps the payload on the pairing join.
 
     ``shingles``: a caller-persisted ``shingle_frame(..., with_key=True)``
     — both merge/purge passes (and any co-running blocking family) then
@@ -1004,29 +1018,35 @@ def dedup_clusters(
             F.least(
                 F.col("keeper_doc"), F.coalesce("nbr_min", F.col("keeper_doc"))
             ).alias("keeper_doc"),
+            # carry the round-start label so the convergence check below
+            # reads it off the checkpointed frame instead of paying a
+            # two-sided join job per round (optimization r14, guide §2.4)
+            F.col("keeper_doc").alias("_old"),
         )
         # pointer doubling (path halving): label ← label's label.  keeper
         # ids are doc ids, so the lookup table is the label frame itself.
         lookup = propagated.select(
             F.col("doc_id").alias("keeper_doc"), F.col("keeper_doc").alias("_kk")
         )
+        doubled = F.least(
+            F.col("keeper_doc"), F.coalesce("_kk", F.col("keeper_doc"))
+        )
         new_labels = (
             propagated.join(lookup, "keeper_doc", "left")
             .select(
                 "doc_id",
-                F.least(
-                    F.col("keeper_doc"), F.coalesce("_kk", F.col("keeper_doc"))
-                ).alias("keeper_doc"),
+                doubled.alias("keeper_doc"),
+                (doubled != F.col("_old")).alias("_chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.keeper_doc") != F.col("o.keeper_doc"))
-            .limit(1)
-            .count()
-        )
+        # fused convergence check: labels only ever decrease, so "any row
+        # whose final label differs from its round-start label" is exactly
+        # the old join-based new≠old test — but _chg sits in the frame the
+        # checkpoint just materialized, so this is a scan of checkpointed
+        # blocks, not a fresh join of two N-row frames (was: 1 extra join
+        # job with 2 exchanges per round)
+        changed = new_labels.filter(F.col("_chg")).limit(1).count()
         # free the previous round's checkpointed blocks now that the
         # convergence check consumed them — otherwise storage grows
         # O(rounds·N) until GC notices (Dataset.unpersist can't do this:
@@ -1048,7 +1068,7 @@ def dedup_clusters(
             " raise max_iterations (components with diameter > 2^k need k"
             " doubling rounds)"
         )
-    return labels
+    return labels.select("doc_id", "keeper_doc")
 
 
 def golden_record(
@@ -1070,13 +1090,17 @@ def golden_record(
     aggregation).
 
     Scale shape: one id-keyed join (labels are cluster-member-sized,
-    not corpus-sized), one groupBy keeper_doc and one window ranked by
-    keeper_doc — clusters are overwhelmingly pairs/triples, so the
-    window partition is tiny by construction and both exchanges key on
+    not corpus-sized) then ONE groupBy keeper_doc (optimization r14,
+    guide §2.4: the former shape ran a row_number window AND a groupBy
+    over the same m frame and joined the two back together — two sorts
+    and a join that the single aggregate makes redundant).  The
+    canonical pick rides the same aggregate as a struct-min:
+    min(struct(-_len, doc_id)) is lexicographically exactly "longest
+    text, ties to min doc_id" (text length ≥ 0 so -_len never
+    overflows), the identical total order the window's (len DESC,
+    doc_id ASC) rank-1 row implemented.  One exchange keyed on
     keeper_doc (no SinglePartition, no skew term beyond the largest
     duplicate family)."""
-    from pyspark.sql import Window
-
     # hint("merge"): the lengths side is CORPUS-row-count (skinny but
     # 10^10 rows at 100 TB) and labels are dup-rate·N — neither side may
     # ride a static-estimate broadcast (see minhash_neardup)
@@ -1087,21 +1111,24 @@ def golden_record(
         ).hint("merge"),
         "doc_id",
     )
-    w = Window.partitionBy("keeper_doc").orderBy(F.desc("_len"), F.asc("doc_id"))
-    best = (
-        m.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+    best = F.min(F.struct((-F.col("_len")).alias("_nl"), F.col("doc_id"))).alias(
+        "_best"
+    )
+    return (
+        m.groupBy("keeper_doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("_len").cast("long").alias("total_chars"),
+            best,
+        )
         .select(
             "keeper_doc",
-            F.col("doc_id").alias("canonical_doc"),
-            F.col("_len").alias("canonical_len"),
+            "n_members",
+            "total_chars",
+            F.col("_best.doc_id").alias("canonical_doc"),
+            (-F.col("_best._nl")).cast("long").alias("canonical_len"),
         )
     )
-    agg = m.groupBy("keeper_doc").agg(
-        F.count(F.lit(1)).cast("long").alias("n_members"),
-        F.sum("_len").cast("long").alias("total_chars"),
-    )
-    return agg.join(best, "keeper_doc")
 
 
 def surviving_corpus(

@@ -523,6 +523,19 @@ class TestDedupProps:
             a, b = r["doc_id"], r["doc_id"] + 100000
             assert labels[b] <= a  # dup resolves to (at most) the original
 
+    def test_dedup_clusters_output_schema_is_exactly_labels(self, spark):
+        """r14: the fused convergence check carries a `_chg` column through
+        the per-round checkpoints — it must never leak into the returned
+        frame (downstream unionByName/golden_record would break or,
+        worse, silently widen)."""
+        import pandas as pd
+
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"doc_a": [1, 2], "doc_b": [2, 3]})
+        )
+        out = dd.dedup_clusters(pairs)
+        assert out.columns == ["doc_id", "keeper_doc"]
+
     def test_editdist_banded_verify_equals_full_dp(self, spark, documents):
         """The length prefilter + threshold-banded DP must be pure
         WORK-SKIPPING: identical output to the unbanded full-DP verify at

@@ -1778,54 +1778,84 @@ def pq_encode_adc(
         ]
         for s in range(m)
     ]
-    # Codegen formulation (r14, guide §4.1): the former per-row argmin
-    # folded m·k interpreted zip_with/aggregate lambdas (HOFs are
-    # CodegenFallback) — measured 3× slower than exploding each vector
-    # to (id, pos0, x) rows and joining a BROADCAST literal frame that
-    # carries, per (subspace, codeword, position): the codeword
-    # coordinate c, and the precomputed query→codeword distance qd
-    # (rows with j = −1 carry the query coordinates, so the exact
-    # distance falls out of the same join).  The aggregates run
-    # entirely inside WholeStageCodegen with map-side partials
-    # (id·m·(k+1) narrow rows cross the exchange — comparable bytes to
-    # the raw vectors).  Integer sums, argmin tie-break (min of (d2, j)
-    # structs — lowest j wins) and outputs are bit-identical to the
-    # fold form; codes assemble in subspace order via array_sort over
-    # (s, j) structs.
-    spark = embeddings.sparkSession
+    # Codegen formulation (r14, guide §4.1; WIDENED later in r14): the
+    # former per-row argmin folded m·k interpreted zip_with/aggregate
+    # lambdas (HOFs are CodegenFallback) — measured 3× slower than the
+    # explode-broadcast-aggregate shape.  The broadcast frame is now
+    # WIDE: one row per element position carrying ALL k codeword
+    # coordinates as an array plus the query coordinate, so the join
+    # does NOT expand each element row (k + 1)-fold — the k squared
+    # diffs are k codegen'd column expressions (GetArrayItem with a
+    # literal index) over one row, and ONE (id, subspace) aggregation
+    # produces every per-codeword distance at once (was: two
+    # aggregations over an id·m·(k+1)-row expansion).  The argmin is
+    # least() over (d2_j, j) structs — identical lexicographic
+    # semantics (lowest j wins ties) to the min-of-structs it replaces;
+    # the query→codeword ADC table stays a driver-side literal indexed
+    # by the argmin.  Integer sums and outputs are bit-identical; codes
+    # assemble in subspace order via array_sort over (s, j) structs.
     cent_rows = [
-        (s, j, s * dsub + p, int(cbq[j][s * dsub + p]), int(qtab[s][j]))
+        (
+            s * dsub + p,
+            s,
+            [int(cbq[j][s * dsub + p]) for j in range(k)],
+            int(qq[s * dsub + p]),
+        )
         for s in range(m)
-        for j in range(k)
         for p in range(dsub)
-    ] + [(s, -1, s * dsub + p, int(qq[s * dsub + p]), 0) for s in range(m) for p in range(dsub)]
-    cent = spark.createDataFrame(cent_rows, "s int, j int, pos0 int, c long, qd long")
+    ]
+    spark = embeddings.sparkSession
+    cent = spark.createDataFrame(
+        cent_rows, "pos0 int, s int, cs array<long>, q long"
+    )
+    qtab_lit = F.array(
+        *[F.array(*[F.lit(int(qtab[s][j])) for j in range(k)]) for s in range(m)]
+    )
     xq = F.transform(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * F.lit(float(x_scale))).cast("long"),
     )
     expl = embeddings.select(F.col(id_col).alias("_id"), F.posexplode(xq).alias("pos0", "x"))
-    diff = F.col("x") - F.col("c")
-    d2f = (
+
+    def _d2(j: int):
+        diff = F.col("x") - F.col("cs").getItem(j)
+        return F.sum(diff * diff).alias(f"_d{j}")
+
+    exdiff = F.col("x") - F.col("q")
+    g1 = (
         expl.join(F.broadcast(cent), "pos0")
-        .groupBy("_id", "s", "j", "qd")
-        .agg(F.sum(diff * diff).alias("d2"))
-    )
-    g1 = d2f.groupBy("_id", "s").agg(
-        F.min(
-            F.when(
-                F.col("j") >= 0,
-                F.struct(F.col("d2"), F.col("j").cast("long").alias("j"), F.col("qd")),
-            )
-        ).alias("_w"),
-        F.sum(F.when(F.col("j") == -1, F.col("d2"))).alias("_expart"),
+        .groupBy("_id", "s")
+        .agg(*[_d2(j) for j in range(k)], F.sum(exdiff * exdiff).alias("_expart"))
+        .select(
+            "_id",
+            "s",
+            "_expart",
+            F.least(
+                *[
+                    F.struct(
+                        F.col(f"_d{j}").alias("d2"),
+                        F.lit(j).cast("long").alias("j"),
+                    )
+                    for j in range(k)
+                ]
+            ).alias("_w"),
+        )
+        .select(
+            "_id",
+            "s",
+            "_expart",
+            F.col("_w.j").alias("j"),
+            F.element_at(
+                F.element_at(qtab_lit, F.col("s") + 1), (F.col("_w.j") + 1).cast("int")
+            ).alias("_qd"),
+        )
     )
     return g1.groupBy("_id").agg(
         F.transform(
-            F.array_sort(F.collect_list(F.struct(F.col("s"), F.col("_w.j").alias("j")))),
+            F.array_sort(F.collect_list(F.struct(F.col("s"), F.col("j")))),
             lambda t: t["j"],
         ).alias("codes"),
-        F.sum(F.col("_w.qd")).cast("long").alias("adc_dist"),
+        F.sum(F.col("_qd")).cast("long").alias("adc_dist"),
         F.sum("_expart").cast("long").alias("exact_dist"),
     ).select(F.col("_id").alias(id_col), "codes", "adc_dist", "exact_dist")
 
@@ -2408,34 +2438,57 @@ def train_pq_codebook(
     )
     spark = embeddings.sparkSession
     for _ in range(n_iter):
+        # WIDE broadcast frame (r14, same shape as pq_encode_adc): one
+        # row per element position with all k codeword coordinates as an
+        # array — the join does not expand element rows (k)-fold, one
+        # (id, subspace) aggregation computes every per-codeword
+        # distance AND carries the subvector (sort_array ∘ collect_list
+        # — deterministic order, though the integer sums below are
+        # order-blind anyway), and the update sums flow from a re-explode
+        # of that carried array instead of joining the assignment back
+        # to the element frame (was: two aggregations + one join + one
+        # aggregation per iteration over a k-fold row expansion).
         cent = spark.createDataFrame(
             [
-                (s, j, s * dsub + p, int(c))
+                (s * dsub + p, s, [int(cb[s][j][p]) for j in range(k)])
                 for s in range(m)
-                for j in range(k)
-                for p, c in enumerate(cb[s][j])
+                for p in range(dsub)
             ],
-            "s int, j int, pos0 int, c long",
+            "pos0 int, s int, cs array<long>",
         )
-        diff = F.col("x") - F.col("c")
-        codes = (
+
+        def _d2(j: int):
+            diff = F.col("x") - F.col("cs").getItem(j)
+            return F.sum(diff * diff).alias(f"_d{j}")
+
+        assigned = (
             expl.join(F.broadcast(cent), "pos0")
-            .groupBy("_rid", "s", "j")
-            .agg(F.sum(diff * diff).alias("d2"))
             .groupBy("_rid", "s")
             .agg(
-                F.min(
-                    F.struct(F.col("d2"), F.col("j").cast("long").alias("j"))
-                ).alias("_m")
+                *[_d2(j) for j in range(k)],
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("pos0"), F.col("x")))
+                ).alias("_xs"),
             )
-            .select("_rid", "s", F.col("_m.j").alias("j"))
+            .select(
+                "s",
+                F.least(
+                    *[
+                        F.struct(
+                            F.col(f"_d{j}").alias("d2"),
+                            F.lit(j).cast("long").alias("j"),
+                        )
+                        for j in range(k)
+                    ]
+                )["j"].alias("j"),
+                "_xs",
+            )
         )
         stats = (
-            expl.withColumn("s", (F.col("pos0") / F.lit(dsub)).cast("int"))
-            .join(codes, ["_rid", "s"])
-            .groupBy("s", "j", (F.col("pos0") % dsub).alias("pos"))
+            assigned.select("s", "j", F.explode("_xs").alias("_e"))
+            .groupBy("s", "j", (F.col("_e.pos0") % dsub).alias("pos"))
             .agg(
-                F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+                F.sum(F.col("_e.x").cast("decimal(38,0)")).alias("sx"),
                 F.count(F.lit(1)).alias("n"),
             )
             .collect()

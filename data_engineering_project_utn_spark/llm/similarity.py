@@ -1962,33 +1962,41 @@ def pq_encode_adc_residual(
             "_rq", F.array(*[F.element_at("_rq", perm[p] + 1) for p in range(d)])
         )
 
-    # Codegen formulation (r14): same explode-join-aggregate shape as
-    # pq_encode_adc (see its body comment) — the residual elements join
-    # a broadcast frame of codeword coordinates (j ≥ 0 rows score
-    # (r − c)² against the permuted residual; j = −1 rows score the
-    # exact flat distance (x − q)² against the UNPERMUTED grid, which
-    # is why the explode zips _rq and _xq), the per-(id, s) argmin
-    # keeps the (d2, j) struct-min tie-break, and the cell-dependent
-    # ADC term attaches by joining the m·|cells|·k query-table rows on
-    # (s, cell, argmin-j) AFTER the argmin — id·m rows against a
-    # broadcast, never a per-element lookup.  All integer arithmetic;
-    # bit-identical to the former interpreted m·k HOF fold per row.
+    # Codegen formulation (r14; WIDENED later in r14 — same shape as
+    # pq_encode_adc): the broadcast frame is WIDE, one row per element
+    # position carrying all k (permuted) codeword coordinates as an
+    # array plus the UNPERMUTED query coordinate (the exact flat
+    # distance scores (x − q)² on the natural grid, which is why the
+    # explode zips _rq and _xq), so the join does not expand element
+    # rows (k + 1)-fold and ONE (id, cell, subspace) aggregation yields
+    # every per-codeword distance plus the exact part.  The argmin is
+    # least() over (d2, j) structs — identical lexicographic tie-break —
+    # and the cell-dependent ADC term is a nested m·|cells|·k literal
+    # array indexed by (s, cell, argmin-j) in the projection, replacing
+    # the former broadcast join of the query-table frame.  All integer
+    # arithmetic; bit-identical.
     spark = embeddings.sparkSession
     cent_rows = [
-        (s, j, s * dsub + p, int(cb_p[j][s * dsub + p]))
+        (
+            s * dsub + p,
+            s,
+            [int(cb_p[j][s * dsub + p]) for j in range(k)],
+            int(qq[s * dsub + p]),
+        )
         for s in range(m)
-        for j in range(k)
         for p in range(dsub)
-    ] + [(s, -1, s * dsub + p, int(qq[s * dsub + p])) for s in range(m) for p in range(dsub)]
-    cent = spark.createDataFrame(cent_rows, "s int, j int, pos0 int, c long")
-    qdf = spark.createDataFrame(
-        [
-            (s, c, j, int(qtab[s][c][j]))
+    ]
+    cent = spark.createDataFrame(cent_rows, "pos0 int, s int, cs array<long>, q long")
+    qtab_lit = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(int(qtab[s][c][j])) for j in range(k)])
+                    for c in range(ncell)
+                ]
+            )
             for s in range(m)
-            for c in range(ncell)
-            for j in range(k)
-        ],
-        "s int, cell int, j long, qd long",
+        ]
     )
     expl = out.select(
         F.col(id_col).alias("_id"),
@@ -1997,27 +2005,46 @@ def pq_encode_adc_residual(
             "pos0", "_z"
         ),
     ).select("_id", "cell", "pos0", F.col("_z.r").alias("r"), F.col("_z.x").alias("x"))
-    contrib = F.when(
-        F.col("j") >= 0, (F.col("r") - F.col("c")) * (F.col("r") - F.col("c"))
-    ).otherwise((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
-    d2f = (
+
+    def _d2(j: int):
+        diff = F.col("r") - F.col("cs").getItem(j)
+        return F.sum(diff * diff).alias(f"_d{j}")
+
+    exdiff = F.col("x") - F.col("q")
+    g1 = (
         expl.join(F.broadcast(cent), "pos0")
-        .groupBy("_id", "cell", "s", "j")
-        .agg(F.sum(contrib).alias("d2"))
+        .groupBy("_id", "cell", "s")
+        .agg(*[_d2(j) for j in range(k)], F.sum(exdiff * exdiff).alias("_expart"))
+        .select(
+            "_id",
+            "cell",
+            "s",
+            "_expart",
+            F.least(
+                *[
+                    F.struct(
+                        F.col(f"_d{j}").alias("d2"),
+                        F.lit(j).cast("long").alias("j"),
+                    )
+                    for j in range(k)
+                ]
+            ).alias("_w"),
+        )
+        .select(
+            "_id",
+            "cell",
+            "s",
+            "_expart",
+            "_w",
+            F.element_at(
+                F.element_at(
+                    F.element_at(qtab_lit, F.col("s") + 1),
+                    (F.col("cell") + 1).cast("int"),
+                ),
+                (F.col("_w.j") + 1).cast("int"),
+            ).alias("qd"),
+        )
     )
-    g1 = d2f.groupBy("_id", "cell", "s").agg(
-        F.min(
-            F.when(
-                F.col("j") >= 0,
-                F.struct(F.col("d2"), F.col("j").cast("long").alias("j")),
-            )
-        ).alias("_w"),
-        F.sum(F.when(F.col("j") == -1, F.col("d2"))).alias("_expart"),
-    )
-    g1 = g1.join(
-        F.broadcast(qdf),
-        (g1["cell"] == qdf["cell"]) & (g1["s"] == qdf["s"]) & (g1["_w.j"] == qdf["j"]),
-    ).select(g1["_id"], g1["cell"], g1["s"], "_w", "_expart", "qd")
     agg_cols = [
         F.transform(
             F.array_sort(F.collect_list(F.struct(F.col("s"), F.col("_w.j").alias("j")))),

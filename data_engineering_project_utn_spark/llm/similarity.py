@@ -2137,20 +2137,25 @@ def pq_encode_adc_residual_bcast(
         )
     )
 
-    # Codegen encode (r14, same shape as pq_encode_adc — see its body
-    # comment): residual elements explode and join the broadcast
-    # codeword frame (j ≥ 0 rows score (r − c)² on the residual; j = −1
-    # rows score the exact flat (x − q)² on the raw grid); integer
-    # argmin with the (d2, j) struct-min tie-break is bit-identical to
-    # the former interpreted m·k HOF fold per row.
+    # Codegen encode (r14; WIDENED later in r14 — same wide shape as
+    # pq_encode_adc): one broadcast row per element position carrying
+    # all k codeword coordinates as an array plus the query coordinate,
+    # so the join does not expand element rows (k + 1)-fold and ONE
+    # (id, cell, subspace) aggregation yields every per-codeword
+    # distance plus the exact flat part; least() over (d2, j) structs
+    # keeps the exact argmin tie-break.  Bit-identical integers.
     spark = embeddings.sparkSession
     cw_rows = [
-        (s, j, s * dsub + p, int(codebook_resq[j][s * dsub + p]))
+        (
+            s * dsub + p,
+            s,
+            [int(codebook_resq[j][s * dsub + p]) for j in range(k)],
+            int(qq[s * dsub + p]),
+        )
         for s in range(m)
-        for j in range(k)
         for p in range(dsub)
-    ] + [(s, -1, s * dsub + p, int(qq[s * dsub + p])) for s in range(m) for p in range(dsub)]
-    cwf = spark.createDataFrame(cw_rows, "s int, j int, pos0 int, c long")
+    ]
+    cwf = spark.createDataFrame(cw_rows, "pos0 int, s int, cs array<long>, q long")
     expl = out.select(
         F.col(id_col).alias("_id"),
         F.col("cell"),
@@ -2158,22 +2163,30 @@ def pq_encode_adc_residual_bcast(
             "pos0", "_z"
         ),
     ).select("_id", "cell", "pos0", F.col("_z.r").alias("r"), F.col("_z.x").alias("x"))
-    contrib = F.when(
-        F.col("j") >= 0, (F.col("r") - F.col("c")) * (F.col("r") - F.col("c"))
-    ).otherwise((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
+
+    def _d2b(j: int):
+        diff = F.col("r") - F.col("cs").getItem(j)
+        return F.sum(diff * diff).alias(f"_d{j}")
+
+    exdiff = F.col("x") - F.col("q")
     g1 = (
         expl.join(F.broadcast(cwf), "pos0")
-        .groupBy("_id", "cell", "s", "j")
-        .agg(F.sum(contrib).alias("d2"))
         .groupBy("_id", "cell", "s")
-        .agg(
-            F.min(
-                F.when(
-                    F.col("j") >= 0,
-                    F.struct(F.col("d2"), F.col("j").cast("long").alias("j")),
-                )
+        .agg(*[_d2b(j) for j in range(k)], F.sum(exdiff * exdiff).alias("_expart"))
+        .select(
+            "_id",
+            "cell",
+            "s",
+            "_expart",
+            F.least(
+                *[
+                    F.struct(
+                        F.col(f"_d{j}").alias("d2"),
+                        F.lit(j).cast("long").alias("j"),
+                    )
+                    for j in range(k)
+                ]
             ).alias("_w"),
-            F.sum(F.when(F.col("j") == -1, F.col("d2"))).alias("_expart"),
         )
     )
     out = (

@@ -1330,14 +1330,29 @@ def _power_rounds(base: DataFrame, iters: int, v_scale: int) -> "list[int]":
         # sf0.1).  Guarded by d: G is d² driver entries, model-size
         # only for moderate d; wider frames keep the d-row-per-round
         # collect below.
+        # upper triangle only (r14): G is symmetric with EXACTLY equal
+        # mirrored entries (x_i·x_j = x_j·x_i — integer multiplication
+        # commutes), so slicing the inner explode to positions ≥ _i
+        # halves the Generate/aggregate work and the driver mirrors the
+        # dict — bit-identical to the full d² pass.
         lefts = base.select(F.posexplode("xq").alias("_i", "_xi"), F.col("xq"))
         g_rows = (
-            lefts.select("_i", "_xi", F.posexplode("xq").alias("_j", "_xj"))
-            .groupBy("_i", "_j")
+            lefts.select(
+                "_i",
+                "_xi",
+                F.posexplode(
+                    F.slice(F.col("xq"), F.col("_i") + 1, F.lit(d))
+                ).alias("_j0", "_xj"),
+            )
+            .groupBy("_i", "_j0")
             .agg(F.sum(F.col("_xi").cast("decimal(38,0)") * F.col("_xj")).alias("g"))
             .collect()
         )
-        gram = {(int(r["_i"]), int(r["_j"])): int(r["g"]) for r in g_rows}
+        gram: dict = {}
+        for r in g_rows:
+            i, j, g = int(r["_i"]), int(r["_i"]) + int(r["_j0"]), int(r["g"])
+            gram[(i, j)] = g
+            gram[(j, i)] = g
         for _ in range(iters):
             z = {
                 i: sum(gram.get((i, j), 0) * vs[j] for j in range(d))

@@ -273,7 +273,6 @@ def _attach_pair_payload(
     val_col: str,
     a_alias: str,
     b_alias: str,
-    extra_keys: tuple[str, ...] = (),
 ) -> DataFrame:
     """Attach a per-doc payload column to BOTH sides of a (doc_a, doc_b)
     candidate frame with ONE corpus-scale join instead of two (r14, guide
@@ -296,13 +295,8 @@ def _attach_pair_payload(
     payload keeps NULL there — which the old inner join expressed by
     dropping the pair; downstream verify filters reject NULL payloads
     identically (NULL comparisons are never kept).
-
-    ``extra_keys``: pair-functional passthrough columns (e.g. the SNM
-    ``gap``) carried through the explode and into the fold-back group
-    key — each must be a function of (doc_a, doc_b) so widening the key
-    cannot split a pair group.
     """
-    keys = ["doc_a", "doc_b", *extra_keys]
+    keys = ["doc_a", "doc_b"]
     ex = cand.select(
         *keys,
         F.explode(
@@ -1025,6 +1019,17 @@ def dedup_clusters(
         )
         # pointer doubling (path halving): label ← label's label.  keeper
         # ids are doc ids, so the lookup table is the label frame itself.
+        # ONE doubling step per round — deeper schedules were examined
+        # and REJECTED in r15 (measurements in OPTIMIZATION_r15.md §CC):
+        # extra steps only cut rounds on id-ORDERED chains (simulated
+        # 18 → 10 for a 2^17 chain at two steps), are provably
+        # round-neutral on id-random topologies (min-VALUE flow, not
+        # pointer depth, is the bound — the embedding arm measured 10
+        # rounds at one AND two steps), cost ~20 % extra per round
+        # (one more label-frame self-join), and at three steps the 2³-way
+        # nested self-join sent Catalyst's relation dedup into a
+        # multi-minute driver spin (guide §7.3).  The single-step round
+        # is the robust schedule.
         lookup = propagated.select(
             F.col("doc_id").alias("keeper_doc"), F.col("keeper_doc").alias("_kk")
         )
@@ -1111,9 +1116,19 @@ def golden_record(
         ).hint("merge"),
         "doc_id",
     )
-    best = F.min(F.struct((-F.col("_len")).alias("_nl"), F.col("doc_id"))).alias(
-        "_best"
-    )
+    # NULL text (ADVICE r14): the oracle's window is ORDER BY len DESC,
+    # doc_id with DuckDB's NULLS-LAST default, so a NULL-length doc must
+    # sort LAST here too — but a bare struct-min would sort a NULL _nl
+    # FIRST (ascending NULLS FIRST) and wrongly crown it.  Text length is
+    # ≥ 0, so coalescing the length to −1 makes NULL the unique _nl > 0
+    # value (sorts last in the min, ties still break to min doc_id) and
+    # _nl > 0 is exactly "the winner had NULL text" — mapped back to the
+    # NULL canonical_len the oracle's rank-1 row carries.
+    best = F.min(
+        F.struct(
+            (-F.coalesce(F.col("_len"), F.lit(-1))).alias("_nl"), F.col("doc_id")
+        )
+    ).alias("_best")
     return (
         m.groupBy("keeper_doc")
         .agg(
@@ -1126,7 +1141,10 @@ def golden_record(
             "n_members",
             "total_chars",
             F.col("_best.doc_id").alias("canonical_doc"),
-            (-F.col("_best._nl")).cast("long").alias("canonical_len"),
+            F.when(F.col("_best._nl") > 0, F.lit(None))
+            .otherwise(-F.col("_best._nl"))
+            .cast("long")
+            .alias("canonical_len"),
         )
     )
 

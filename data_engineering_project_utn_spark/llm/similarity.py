@@ -523,6 +523,19 @@ def _with_bound_norm(col_name: str, build) -> Column:
     return F.element_at(F.transform(F.array(norm(F.col(col_name))), build), 1)
 
 
+def _least_d2_struct(k: int) -> Column:
+    """Lexicographic argmin over the k per-codeword distance columns
+    ``_d0.._d{k-1}``: least() over (d2, j) structs — the exact
+    tie-to-lowest-j total order every PQ/ADC oracle pins.  Guards the
+    degenerate k == 1 case (PySpark ``least`` requires ≥ 2 columns —
+    ADVICE r14), where the single struct IS the minimum."""
+    cols = [
+        F.struct(F.col(f"_d{j}").alias("d2"), F.lit(j).cast("long").alias("j"))
+        for j in range(k)
+    ]
+    return cols[0] if k == 1 else F.least(*cols)
+
+
 def _with_centroids_packed(df: DataFrame, cdf: DataFrame) -> DataFrame:
     """Attach every row a ``_cents`` column: the full centroid set packed
     into one array<struct<cid,cv,cn>> row, delivered via BroadcastExchange
@@ -1173,47 +1186,20 @@ def top_principal_direction(
     Returns the final fixed-point direction as a Python list of d ints
     (model-size driver state, like the IVF centroid collects); the gated
     query re-emits it as a (dim, v_fp) frame against an unrolled-round
-    SQL oracle."""
+    SQL oracle.
+
+    r15 (VERDICT r14 #4): delegates to ``_power_rounds`` — the shared
+    loop this function's body was factored into in r14, whose d ≤ 512
+    Gram shortcut replaces the iters interpreted zip_with scans with ONE
+    codegen Gram pass + driver math.  The v sequence is bit-identical
+    (Gram-path equivalence pinned by ``principal_directions`` tests and
+    the unrolled-round oracles of every consumer)."""
     xq_arr = F.transform(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * F.lit(float(x_scale))).cast("long"),
     )
     base = _track_persist(embeddings.select(xq_arr.alias("xq")))
-    _probe = base.select("xq").first()
-    if _probe is None:
-        raise ValueError(
-            "power iteration needs a non-empty embeddings frame (ADVICE r07)"
-        )
-    d = len(_probe["xq"])
-    spark = embeddings.sparkSession
-    vs = [v_scale] * d
-    for _ in range(iters):
-        # ship v as broadcast DATA, not literals: the per-round plan is
-        # byte-identical, so Catalyst analysis + codegen are paid once
-        # across rounds (the same stable-plan trick as the IVF trainer's
-        # broadcast-packed centroid path)
-        vrow = spark.createDataFrame([([int(v) for v in vs],)], "v array<bigint>")
-        s = F.aggregate(
-            F.zip_with(F.col("xq"), F.col("v"), lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda acc, e: acc + e,
-        )
-        z_rows = (
-            base.crossJoin(F.broadcast(vrow))
-            .select(F.posexplode("xq").alias("dim", "x"), s.alias("s"))
-            .groupBy("dim")
-            .agg(F.sum(F.col("x").cast("decimal(38,0)") * F.col("s")).alias("z"))
-            .collect()
-        )
-        z = {r["dim"]: int(r["z"]) for r in z_rows}
-        mz = max(abs(v) for v in z.values())
-        if mz == 0:
-            break
-        vs = [
-            (1 if z.get(j, 0) >= 0 else -1) * ((abs(z.get(j, 0)) * v_scale) // mz)
-            for j in range(d)
-        ]
-    return vs
+    return _power_rounds(base, iters, v_scale)
 
 
 def second_principal_direction(
@@ -1239,60 +1225,23 @@ def second_principal_direction(
 
     Returns (v1_fp, v2_fp) at scales (2¹⁴, 2¹²).  v₂ ⊥ v₁ up to
     quantization (integer-exact orthogonality is tested to ≤ 1e-3
-    relative)."""
-    v1 = top_principal_direction(embeddings, vec_col, iters, x_scale, v_scale)
-    vv = sum(int(v) * int(v) for v in v1)
-    spark = embeddings.sparkSession
+    relative).
+
+    r15 (VERDICT r14 #4): delegates to the shared
+    ``_power_rounds``/``_deflate_base`` pair — bit-identical by
+    construction (``principal_directions(k=2)`` reproduces this function
+    exactly, tested, and IT was already built on the shared pair), so
+    both chains ride the d ≤ 512 Gram shortcut instead of 2·iters
+    interpreted zip_with scans; the only remaining interpreted pass is
+    the deflation projection itself (one narrow pass)."""
     xq_arr = F.transform(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * F.lit(float(x_scale))).cast("long"),
     )
-    v1row = spark.createDataFrame([([int(v) for v in v1],)], "v1 array<bigint>")
-    s_row = F.aggregate(
-        F.zip_with(F.col("_xq"), F.col("v1"), lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, e: acc + e,
-    )
-    # deflation + sign-split truncating requantization by vv
-    # (non-negative division only — Python // and SQL // agree there)
-    base2 = _track_persist(
-        embeddings.select(xq_arr.alias("_xq"))
-        .crossJoin(F.broadcast(v1row))
-        .select(F.col("_xq"), s_row.alias("_s"), F.col("v1"))
-        .select(
-            F.expr(
-                f"transform(zip_with(_xq, v1, (xj, vj) -> xj * CAST({vv} AS DECIMAL(38,0))"
-                " - vj * CAST(_s AS DECIMAL(38,0))), t -> CASE WHEN t >= 0 THEN"
-                f" t div CAST({vv} AS BIGINT) ELSE -((-t) div CAST({vv} AS BIGINT))"
-                " END)"
-            ).alias("xq")
-        )
-    )
-    d = len(v1)
-    vs = [v2_scale] * d
-    for _ in range(iters):
-        vrow = spark.createDataFrame([([int(v) for v in vs],)], "v array<bigint>")
-        s = F.aggregate(
-            F.zip_with(F.col("xq"), F.col("v"), lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda acc, e: acc + e,
-        )
-        z_rows = (
-            base2.crossJoin(F.broadcast(vrow))
-            .select(F.posexplode("xq").alias("dim", "x"), s.alias("s"))
-            .groupBy("dim")
-            .agg(F.sum(F.col("x").cast("decimal(38,0)") * F.col("s")).alias("z"))
-            .collect()
-        )
-        z = {r["dim"]: int(r["z"]) for r in z_rows}
-        mz = max(abs(v) for v in z.values())
-        if mz == 0:
-            break
-        vs = [
-            (1 if z.get(j, 0) >= 0 else -1)
-            * ((abs(z.get(j, 0)) * v2_scale) // mz)
-            for j in range(d)
-        ]
+    base = _track_persist(embeddings.select(xq_arr.alias("xq")))
+    v1 = _power_rounds(base, iters, v_scale)
+    base2 = _deflate_base(base, v1)
+    vs = _power_rounds(base2, iters, v2_scale)
     return [int(v) for v in v1], [int(v) for v in vs]
 
 
@@ -1845,15 +1794,7 @@ def pq_encode_adc(
             "_id",
             "s",
             "_expart",
-            F.least(
-                *[
-                    F.struct(
-                        F.col(f"_d{j}").alias("d2"),
-                        F.lit(j).cast("long").alias("j"),
-                    )
-                    for j in range(k)
-                ]
-            ).alias("_w"),
+            _least_d2_struct(k).alias("_w"),
         )
         .select(
             "_id",
@@ -1886,6 +1827,7 @@ def pq_encode_adc_residual(
     id_col: str = "vec_id",
     dim_order: "list[int] | None" = None,
     with_enc_dist: bool = False,
+    residuals: DataFrame | None = None,
 ) -> DataFrame:
     """RESIDUAL product quantization with per-cell asymmetric distance —
     the actual FAISS ``IndexIVFPQ`` composite (Jégou et al. TPAMI'11 §III):
@@ -1926,6 +1868,23 @@ def pq_encode_adc_residual(
     Σ_s min_j ‖r_s − c_j‖² — the OPQ objective, summed by the gate to
     SELECT between the natural and rotated layouts.
 
+    ``residuals`` (r15, guide §2.4/§5): a precomputed ``residual_frame``
+    output (id, cell, rq, xq) to encode from instead of re-deriving it —
+    callers that encode the SAME corpus twice (the OPQ gate's
+    natural-vs-rotated pair) persist the frame once and hand it to both
+    encodes, so the coarse-assignment scoring pass (the interpreted
+    per-centroid cosine folds) runs once, not once per encode.  The
+    frame's columns are byte-identical to the internal derivation, so
+    codes/ADC/exact distances are unchanged.
+
+    Scale note (ADVICE r14): the per-(subspace, cell, code) ADC query
+    table is an m·|cells|·k nested PLAN LITERAL here, so Catalyst
+    analysis scales with ncell·k — fine for plan-literal quantizers
+    (this path requires ``centroids`` as a driver list, which already
+    bounds ncell), but √N-sized quantizers must use the broadcast-data
+    twin ``pq_encode_adc_residual_bcast``, whose plan size is
+    ncell-independent (tested).
+
     Returns (vec_id, cell, codes, adc_dist, exact_dist[, enc_dist])."""
     import math
 
@@ -1964,9 +1923,14 @@ def pq_encode_adc_residual(
         ]
         for s in range(m)
     ]
-    out = residual_frame(
-        embeddings, centroids, x_scale=x_scale, vec_col=vec_col, id_col=id_col
-    ).select(
+    rf = (
+        residuals
+        if residuals is not None
+        else residual_frame(
+            embeddings, centroids, x_scale=x_scale, vec_col=vec_col, id_col=id_col
+        )
+    )
+    out = rf.select(
         F.col(id_col),
         F.col("cell"),
         F.col("rq").alias("_rq"),
@@ -2035,15 +1999,7 @@ def pq_encode_adc_residual(
             "cell",
             "s",
             "_expart",
-            F.least(
-                *[
-                    F.struct(
-                        F.col(f"_d{j}").alias("d2"),
-                        F.lit(j).cast("long").alias("j"),
-                    )
-                    for j in range(k)
-                ]
-            ).alias("_w"),
+            _least_d2_struct(k).alias("_w"),
         )
         .select(
             "_id",
@@ -2127,7 +2083,6 @@ def pq_encode_adc_residual_bcast(
         return int(math.floor(float(v) * x_scale))
 
     qq = [qz(x) for x in query_vec]
-    qq_lit = F.array(*[F.lit(int(v)).cast("long") for v in qq])
 
     assigned = ivf_cells_from_df(embeddings, centroids_df, vec_col=vec_col)
     xq = F.transform(
@@ -2141,15 +2096,8 @@ def pq_encode_adc_residual_bcast(
             lambda x: F.floor(x.cast("double") * F.lit(float(x_scale))).cast("long"),
         ).alias("cqv"),
     )
-    out = (
-        assigned.select(F.col(id_col), F.col("cell"), xq.alias("_xq"))
-        .join(F.broadcast(cgrid), F.col("cell") == F.col("cid"))
-        .select(
-            id_col,
-            "cell",
-            "_xq",
-            F.zip_with("_xq", "cqv", lambda a, b: a - b).alias("_rq"),
-        )
+    out = assigned.select(F.col(id_col), F.col("cell"), xq.alias("_xq")).join(
+        F.broadcast(cgrid), F.col("cell") == F.col("cid")
     )
 
     # Codegen encode (r14; WIDENED later in r14 — same wide shape as
@@ -2159,6 +2107,12 @@ def pq_encode_adc_residual_bcast(
     # (id, cell, subspace) aggregation yields every per-codeword
     # distance plus the exact flat part; least() over (d2, j) structs
     # keeps the exact argmin tie-break.  Bit-identical integers.
+    #
+    # r15 (VERDICT r14 #3): the residual is no longer materialized as a
+    # ``zip_with`` array (an interpreted HOF, CodegenFallback) — the
+    # explode walks the raw grid _xq and each element's residual is the
+    # codegen'd scalar x − cqv[pos] (``F.get`` — NULL-safe on any index,
+    # same difference-of-grids integers).
     spark = embeddings.sparkSession
     cw_rows = [
         (
@@ -2174,10 +2128,15 @@ def pq_encode_adc_residual_bcast(
     expl = out.select(
         F.col(id_col).alias("_id"),
         F.col("cell"),
-        F.posexplode(F.arrays_zip(F.col("_rq").alias("r"), F.col("_xq").alias("x"))).alias(
-            "pos0", "_z"
-        ),
-    ).select("_id", "cell", "pos0", F.col("_z.r").alias("r"), F.col("_z.x").alias("x"))
+        F.col("cqv"),
+        F.posexplode(F.col("_xq")).alias("pos0", "x"),
+    ).select(
+        "_id",
+        "cell",
+        "pos0",
+        (F.col("x") - F.get(F.col("cqv"), F.col("pos0"))).alias("r"),
+        "x",
+    )
 
     def _d2b(j: int):
         diff = F.col("r") - F.col("cs").getItem(j)
@@ -2193,15 +2152,7 @@ def pq_encode_adc_residual_bcast(
             "cell",
             "s",
             "_expart",
-            F.least(
-                *[
-                    F.struct(
-                        F.col(f"_d{j}").alias("d2"),
-                        F.lit(j).cast("long").alias("j"),
-                    )
-                    for j in range(k)
-                ]
-            ).alias("_w"),
+            _least_d2_struct(k).alias("_w"),
         )
     )
     out = (
@@ -2219,37 +2170,40 @@ def pq_encode_adc_residual_bcast(
     )
 
     # (cell, code) -> dist lookup table, computed in-plan on the centroid
-    # frame: query residual per cell (qq literal - cq data), then one
-    # BIGINT fold per (s, j) — m·k folds over the MODEL-SIZE frame
-    qr = F.zip_with(qq_lit, F.col("cqv"), lambda a, b: a - b)
-    qt = cgrid.select(
-        "cid",
-        F.array(
+    # frame.  r15 (VERDICT r14 #3): the former form evaluated m·k
+    # interpreted ``aggregate`` folds per centroid row (the last
+    # interpreted HOFs in the PQ hot path); now the centroid grid
+    # explodes per position, joins the SAME wide broadcast codeword
+    # frame the encode uses, and ONE codegen'd (cid, s) aggregation
+    # yields all k query→codeword distances — integer sums
+    # (reassociation-safe), so the table is bit-identical.  Two extra
+    # model-size aggregations (|cells|·m rows) replace the folds; plan
+    # size stays ncell-independent (tested).
+    qparts = (
+        cgrid.select("cid", F.posexplode("cqv").alias("pos0", "cq"))
+        .join(F.broadcast(cwf), "pos0")
+        .groupBy("cid", "s")
+        .agg(
             *[
-                F.array(
-                    *[
-                        F.aggregate(
-                            F.zip_with(
-                                F.slice(qr, s * dsub + 1, dsub),
-                                F.array(
-                                    *[
-                                        F.lit(int(v)).cast("long")
-                                        for v in codebook_resq[j][
-                                            s * dsub : (s + 1) * dsub
-                                        ]
-                                    ]
-                                ),
-                                lambda a, b: (a - b) * (a - b),
-                            ),
-                            F.lit(0).cast("long"),
-                            lambda acc, x: acc + x,
-                        )
-                        for j in range(k)
-                    ]
-                )
-                for s in range(m)
+                F.sum(
+                    (F.col("q") - F.col("cq") - F.col("cs").getItem(j))
+                    * (F.col("q") - F.col("cq") - F.col("cs").getItem(j))
+                ).alias(f"_q{j}")
+                for j in range(k)
             ]
-        ).alias("_qtab"),
+        )
+    )
+    qt = (
+        qparts.select(
+            "cid", "s", F.array(*[F.col(f"_q{j}") for j in range(k)]).alias("_qs")
+        )
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("s"), F.col("_qs")))),
+                lambda t: t["_qs"],
+            ).alias("_qtab")
+        )
     )
     out = out.join(F.broadcast(qt), F.col("cell") == F.col("cid"))
     adc = None
@@ -2276,6 +2230,7 @@ def opq_dim_order(
     v_scale: int = 1 << 14,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    residuals: DataFrame | None = None,
 ) -> "list[int]":
     """OPQ-lite rotation learner (VERDICT r08 #4; Ge et al. CVPR'13's
     parametric OPQ restricted to the axis-aligned rotation family): the
@@ -2297,10 +2252,18 @@ def opq_dim_order(
     while variance-misaligned corpora get the rotation's win
     (``tools/make_misaligned_clusters.py`` pins it).
 
+    ``residuals``: a precomputed ``residual_frame`` output to learn from
+    (r15) — the OPQ gate derives the frame once, persists it, and shares
+    it between this learner and its two encodes.
+
     Returns ``dim_order`` with new position p holding original dim
     ``dim_order[p]``."""
-    rf = residual_frame(
-        embeddings, centroids, x_scale=x_scale, vec_col=vec_col, id_col=id_col
+    rf = (
+        residuals
+        if residuals is not None
+        else residual_frame(
+            embeddings, centroids, x_scale=x_scale, vec_col=vec_col, id_col=id_col
+        )
     )
     base = _track_persist(rf.select(F.col("rq").alias("xq")))
     v = _power_rounds(base, iters, v_scale)
@@ -2360,6 +2323,7 @@ def residual_codebook(
     x_scale: int = 10**6,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    residuals: DataFrame | None = None,
 ) -> "list[list[int]]":
     """Deterministic residual codewords: the integer-grid residuals
     (xq − cq(cell)) of the seed vectors with ``lo ≤ id < hi``, each
@@ -2367,8 +2331,28 @@ def residual_codebook(
     raw seeding every flat-PQ gate uses.  The seed range is disjoint
     from the centroid ids (0..7) by default, so no codeword degenerates
     to the zero residual of a centroid row.  Model-size driver state:
-    (hi−lo) rows collected once."""
+    (hi−lo) rows collected once.
+
+    ``residuals`` (r15): a precomputed ``residual_frame`` output — its
+    ``rq`` column is BY CONSTRUCTION the very xq − cq(cell) integers the
+    seeding computes (same quantization, same coarse assignment), so
+    callers that already hold the frame (the OPQ gate) collect the seed
+    rows off it instead of building a second coarse-assignment plan."""
     import math
+
+    if residuals is not None:
+        seeds = (
+            residuals.filter((F.col(id_col) >= lo) & (F.col(id_col) < hi))
+            .select(id_col, "rq")
+            .collect()
+        )
+        if len(seeds) != hi - lo:
+            raise ValueError(
+                f"residual_codebook needs ids {lo}..{hi - 1} present; "
+                f"got {len(seeds)} rows"
+            )
+        by_id = {int(r[id_col]): r for r in seeds}
+        return [[int(v) for v in by_id[i]["rq"]] for i in range(lo, hi)]
 
     def qz(v: float) -> int:
         return int(math.floor(float(v) * x_scale))
@@ -2527,15 +2511,7 @@ def train_pq_codebook(
             )
             .select(
                 "s",
-                F.least(
-                    *[
-                        F.struct(
-                            F.col(f"_d{j}").alias("d2"),
-                            F.lit(j).cast("long").alias("j"),
-                        )
-                        for j in range(k)
-                    ]
-                )["j"].alias("j"),
+                _least_d2_struct(k)["j"].alias("j"),
                 "_xs",
             )
         )

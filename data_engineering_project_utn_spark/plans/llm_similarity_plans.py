@@ -3,7 +3,7 @@ embedding near-dup + clusters, per-dim stats, filtered ANN)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_engineering_project_utn_spark.llm import dedup as dd
@@ -2028,35 +2028,68 @@ def llm_pq_recall_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     cents = [(j, small[j]) for j in range(8)]
     qv = small[0]
-    res_cb = sim2.residual_codebook(e, cents, lo=16, hi=32)
-    order = sim2.opq_dim_order(e, cents)
-    f_nat = track_persist(
-        sim2.pq_encode_adc_residual(e, qv, cents, res_cb, m=2, with_enc_dist=True)
+    # ONE residual frame for the whole chain (r15, VERDICT r14 #1 /
+    # guide §5): the seed-codebook collect, the rotation learner and
+    # BOTH encode arms consume the identical (id, cell, rq, xq) frame —
+    # they used to re-derive it (four coarse-assignment scoring passes,
+    # the interpreted per-centroid cosine folds being the chain's
+    # dominant per-row cost).  Persisted inside the timed region;
+    # content byte-identical, so codes/ADC/exact/enc distances are
+    # unchanged (oracle-gated).
+    rf = track_persist(sim2.residual_frame(e, cents))
+    res_cb = sim2.residual_codebook(e, cents, lo=16, hi=32, residuals=rf)
+    order = sim2.opq_dim_order(e, cents, residuals=rf)
+    # Both encode arms ride ONE union frame tagged by arm (r15): each
+    # arm's rows are exactly the standalone encode's rows, but the pair
+    # materializes in one job over the cached residuals, and the two
+    # distortion scalars come back as one grouped aggregate instead of
+    # two sequential scalar actions — at scale, one pass over the
+    # persisted frame instead of two, plus half the driver round-trips.
+    f_nat = sim2.pq_encode_adc_residual(
+        e, qv, cents, res_cb, m=2, with_enc_dist=True, residuals=rf
     )
-    f_rot = track_persist(
-        sim2.pq_encode_adc_residual(
-            e, qv, cents, res_cb, m=2, dim_order=order, with_enc_dist=True
+    f_rot = sim2.pq_encode_adc_residual(
+        e, qv, cents, res_cb, m=2, dim_order=order, with_enc_dist=True, residuals=rf
+    )
+    enc = track_persist(
+        f_nat.withColumn("_arm", F.lit(0)).unionByName(
+            f_rot.withColumn("_arm", F.lit(1))
         )
     )
-    dist_nat = int(f_nat.agg(F.sum(F.col("enc_dist").cast("decimal(38,0)"))).first()[0])
-    dist_rot = int(f_rot.agg(F.sum(F.col("enc_dist").cast("decimal(38,0)"))).first()[0])
+    dists = {
+        int(r["_arm"]): int(r["d"])
+        for r in enc.groupBy("_arm")
+        .agg(F.sum(F.col("enc_dist").cast("decimal(38,0)")).alias("d"))
+        .collect()
+    }
+    dist_nat, dist_rot = dists[0], dists[1]
+    # Overlap@10 for both arms in ONE job: per-arm top-10 by (adc_dist,
+    # vec_id) — the identical deterministic total order the former
+    # orderBy().limit(10) used — semi-joined against the natural arm's
+    # exact top-10, counted per arm.  The rotated arm's count is simply
+    # not read when distortion selection keeps the natural layout.
+    w = Window.partitionBy("_arm").orderBy("adc_dist", "vec_id")
     ex_top = (
-        f_nat.filter(F.col("vec_id") != 0)
+        enc.filter((F.col("_arm") == 0) & (F.col("vec_id") != 0))
         .orderBy("exact_dist", "vec_id")
         .limit(10)
         .select("vec_id")
     )
-    def _overlap(f):
-        top = (
-            f.filter(F.col("vec_id") != 0)
-            .orderBy("adc_dist", "vec_id")
-            .limit(10)
-            .select("vec_id")
-        )
-        return top.join(ex_top, "vec_id", "left_semi").count()
-
-    on_nat = _overlap(f_nat)
-    on_opq = _overlap(f_rot) if dist_rot < dist_nat else on_nat
+    tops = (
+        enc.filter(F.col("vec_id") != 0)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 10)
+        .select("_arm", "vec_id")
+    )
+    counts = {
+        int(r["_arm"]): int(r["n"])
+        for r in tops.join(ex_top, "vec_id", "left_semi")
+        .groupBy("_arm")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    on_nat = counts.get(0, 0)
+    on_opq = counts.get(1, 0) if dist_rot < dist_nat else on_nat
     return spark.createDataFrame(
         [(dist_nat, dist_rot, int(on_nat), int(on_opq))],
         "distortion_residual: long, distortion_rotated: long, "

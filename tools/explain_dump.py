@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""Dump .explain("formatted") for registry queries to plans/r14/<q>_<tag>.txt.
+"""Dump .explain("formatted") for registry queries to plans/<round>/<q>_<tag>.txt
+(round dir from $SPARK_GRAFT_PLAN_DIR, default r15).
 
 Usage::
 
@@ -18,7 +19,11 @@ from data_engineering_project_utn_spark.plans import all_queries  # noqa: E402
 from data_engineering_project_utn_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14")
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLAN_DIR", "r15"),
+)
 
 
 def main() -> None:

@@ -1813,6 +1813,7 @@ def jaccard_prefix_join(
     id_col: str = "doc_id",
     text_col: str = "text",
     positional: bool = False,
+    shingles_frame: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT thresholded Jaccard similarity self-join via prefix
     filtering (AllPairs/PPJoin family, Bayardo et al. WWW'07) — every
@@ -1839,13 +1840,25 @@ def jaccard_prefix_join(
     join, pair group) — the per-doc rank window partitions by doc id,
     never a global sort.  Verification touches candidate pairs × doc-a's
     shingles only.
+
+    ``shingles_frame`` (r15): a caller-persisted ``shingle_frame`` output
+    to explode instead of re-tokenizing ``docs`` — its ``shset`` column
+    is the identical distinct n-gram set (same tokens/slice/concat
+    expressions), so agreement-style ensemble jobs that also run a
+    MinHash arm shingle the corpus ONCE instead of once per family (the
+    dominant per-doc cost — see ``shingle_frame``).
     """
-    sh = docs.select(
-        F.col(id_col).alias("did"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("g"),
-    )
     from data_engineering_project_utn_spark.persist import track_persist
 
+    if shingles_frame is not None:
+        sh = shingles_frame.select(
+            F.col("doc_id").alias("did"), F.explode("shset").alias("g")
+        )
+    else:
+        sh = docs.select(
+            F.col(id_col).alias("did"),
+            F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("g"),
+        )
     sh = track_persist(sh)
     gdf = sh.groupBy("g").agg(F.count(F.lit(1)).alias("gdf"))
     sz = sh.groupBy("did").agg(F.count(F.lit(1)).alias("sz"))

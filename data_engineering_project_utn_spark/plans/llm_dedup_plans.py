@@ -1856,13 +1856,25 @@ def llm_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     set; a nonzero value would be a verification bug, and the gate
     would catch it on both engines."""
     d = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    # ONE shingle pass for both arms (r15, guide §2.4/§5): tokenization +
+    # shingle materialization is the dominant per-doc cost and the two
+    # families derive from the identical distinct n-gram set
+    # (shingle_frame.shset ≡ array_distinct(shingles(text)) — same
+    # expressions), so the agreement job shingles the corpus once and
+    # hands the persisted frame to the exact prefix-filter arm
+    # (shingles_frame=) and the MinHash arm (shingles=) alike.
+    from data_engineering_project_utn_spark.persist import track_persist
+
+    sh = track_persist(dd.shingle_frame(d))
     exact = (
-        dd.jaccard_prefix_join(d, tn=1, td=2)
+        dd.jaccard_prefix_join(d, tn=1, td=2, shingles_frame=sh)
         .filter(F.col("inter") * 2 > F.col("union_sz"))
         .select("id_a", "id_b", F.lit(1).alias("in_exact"), F.lit(0).alias("in_lsh"))
     )
     lsh = (
-        dd.minhash_neardup(d, k=8, bands=4, n=5, threshold=0.5, max_bucket_size=None)
+        dd.minhash_neardup(
+            d, k=8, bands=4, n=5, threshold=0.5, max_bucket_size=None, shingles=sh
+        )
         .select(
             F.col("doc_a").alias("id_a"),
             F.col("doc_b").alias("id_b"),
